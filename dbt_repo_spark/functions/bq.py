@@ -1,0 +1,172 @@
+"""BigQuery → Spark SQL dialect shims (SURVEY.md §2.8).
+
+Each shim documents the reference call site it replaces (file:line relative
+to /root/reference/). All shims build Catalyst expressions from
+``pyspark.sql.functions`` builtins — no Python executes per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# --------------------------------------------------------------------------
+# date / time
+# --------------------------------------------------------------------------
+
+def timestamp_trunc(ts: ColumnOrName, unit: str) -> Column:
+    """BQ ``timestamp_trunc(ts, HOUR)`` → Spark ``date_trunc('hour', ts)``.
+
+    Arg order flips between dialects. Used by the reference at
+    models/staging/stg_historic_trips.sql:24 and
+    models/facts/fact_station_status.sql:21 (hourly truncation).
+    """
+    return F.date_trunc(unit.lower(), _col(ts))
+
+
+def timestamp_diff(end: ColumnOrName, start: ColumnOrName, unit: str = "second") -> Column:
+    """BQ ``timestamp_diff(a, b, SECOND)`` (a - b in whole units).
+
+    Reference: models/staging/stg_historic_trips.sql:25. Implemented as an
+    epoch subtraction so it stays a codegen'd long expression.
+    """
+    unit = unit.lower()
+    seconds = _col(end).cast("long") - _col(start).cast("long")
+    divisors = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit not in divisors:
+        raise ValueError(f"unsupported timestamp_diff unit: {unit}")
+    d = divisors[unit]
+    return (seconds / d).cast("long") if d != 1 else seconds
+
+
+def generate_date_array(start: ColumnOrName, end: ColumnOrName) -> Column:
+    """BQ ``generate_date_array(start, end)`` (inclusive, 1-day step).
+
+    Reference: models/dimensions/dim_date.sql:19. Returns an array<date>;
+    pair with ``F.explode`` for the UNNEST (J7).
+    """
+    return F.sequence(_col(start), _col(end), F.expr("interval 1 day"))
+
+
+_BQ_TO_SPARK_FMT = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%A": "EEEE",
+    "%B": "MMMM",
+    "%j": "DDD",
+}
+
+
+def format_date(bq_pattern: str, d: ColumnOrName) -> Column:
+    """BQ ``format_date('%Y%m%d', d)`` → Spark ``date_format(d, 'yyyyMMdd')``.
+
+    Reference: models/dimensions/dim_date.sql:28. Translates the strftime
+    pattern to Spark's SimpleDateFormat dialect.
+    """
+    pat = bq_pattern
+    for bq, spark in _BQ_TO_SPARK_FMT.items():
+        pat = pat.replace(bq, spark)
+    if "%" in pat:
+        raise ValueError(f"untranslated strftime directive in {bq_pattern!r}")
+    return F.date_format(_col(d), pat)
+
+
+# --------------------------------------------------------------------------
+# safe_* (NULL-on-failure) family
+# --------------------------------------------------------------------------
+
+def safe_divide(num: ColumnOrName, den: ColumnOrName) -> Column:
+    """BQ ``safe_divide(a, b)`` — NULL on division by zero.
+
+    Reference: models/facts/fact_station_uptime.sql:32. Spark's
+    ``try_divide`` has identical semantics.
+    """
+    return F.try_divide(_col(num), _col(den))
+
+
+def safe_cast(c: ColumnOrName, to_type: str) -> Column:
+    """BQ ``safe_cast(x AS t)`` — NULL instead of error on bad input.
+
+    Reference: models/staging/stg_station_tariffs.sql:20-26.
+    """
+    return _col(c).try_cast(to_type)
+
+
+# --------------------------------------------------------------------------
+# aggregates
+# --------------------------------------------------------------------------
+
+def countif(cond: Column) -> Column:
+    """BQ ``countif(cond)`` → Spark ``count_if``.
+
+    Reference: models/marts/mart_station_uptime.sql:11-16.
+    """
+    return F.count_if(cond)
+
+
+# --------------------------------------------------------------------------
+# JSON path extraction (string-JSON columns)
+# --------------------------------------------------------------------------
+
+def json_extract_scalar(j: ColumnOrName, path: str) -> Column:
+    """BQ ``json_extract_scalar(j, '$.a.b')`` — string result, NULL if absent.
+
+    Reference: models/staging/stg_station_information.sql:26-37 (including
+    nested paths like ``$.rental_uris.android``). Spark's
+    ``get_json_object`` mirrors these semantics exactly.
+    """
+    return F.get_json_object(_col(j), path)
+
+
+def json_extract(j: ColumnOrName, path: str) -> Column:
+    """BQ ``json_extract`` — raw JSON text at path (stg_station_tariffs.sql:6)."""
+    return F.get_json_object(_col(j), path)
+
+
+def json_extract_array(j: ColumnOrName, path: str = "$") -> Column:
+    """BQ ``json_extract_array(j, '$.stations')`` → array of JSON strings.
+
+    Reference: models/staging/stg_station_information.sql:10 and
+    models/staging/stg_station_tariffs.sql:12. Spark 3.4+ exposes the same
+    shape via ``from_json`` to ``array<string>`` after slicing the path.
+    """
+    sliced = F.get_json_object(_col(j), path)
+    return F.from_json(sliced, "array<string>")
+
+
+# --------------------------------------------------------------------------
+# surrogate keys
+# --------------------------------------------------------------------------
+
+def surrogate_key(*cols: ColumnOrName) -> Column:
+    """md5-of-concat surrogate key, the reference's key recipe.
+
+    Reference: models/facts/fact_trips.sql:9-16 and
+    models/facts/fact_station_status.sql:9 (``md5(concat(cast(... as
+    string), ...))``). Canonical rendering rule (SURVEY.md §7.3 risk 2):
+    every part is cast to string; timestamps render as
+    ``yyyy-MM-dd HH:mm:ss`` so keys are stable across engines; NULL parts
+    render as the empty string separated by ``|`` so a NULL never nulls the
+    whole key.
+    """
+    parts = []
+    for c in cols:
+        c = _col(c)
+        rendered = F.coalesce(c.cast("string"), F.lit(""))
+        parts.append(rendered)
+    sep = F.lit("|")
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, sep, p)
+    return F.md5(joined)

@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all expressed as declarative DataFrame plans (no Python in
+the hot path — hashing is ``xxhash64``/``md5`` JVM builtins):
+
+- exact:          hash-groupBy on content.
+- n-gram Jaccard: shingle → inverted-index self-join → exact Jaccard.
+- MinHash + LSH:  shingle → per-doc min of P seeded hashes → band-bucket
+                  join → candidate pairs → exact-Jaccard verification.
+- SimHash:        token bit-votes → 64-bit signature → banded Hamming join.
+
+Scale notes (100 TB): the inverted-index join shuffles on ``shingle``; its
+cost is Σ df(shingle)². MinHash-LSH replaces that with a shuffle on band
+buckets whose size is O(docs × bands) independent of shingle frequency —
+that is the scale path; the exact variant doubles as its verifier and as
+the DuckDB-oracle-checkable ground truth at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (arrays stay JVM-side)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows."""
+    toks = tokens(F.col(text_col))
+    if n == 1:
+        sh = toks
+    else:
+        sh = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content with the kept (min) id.
+
+    Single hash-aggregate shuffle on the content hash. We group by
+    ``md5(content)`` rather than the raw content so the shuffle moves a
+    16-byte key instead of full documents at 100 TB.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard-similar pairs from a (id, shingle) relation.
+
+    Inverted-index self-join on ``shingle``, count shared shingles per
+    pair, Jaccard = |∩| / (|A| + |B| - |∩|). Any pair with Jaccard ≥ t > 0
+    shares ≥1 shingle, so the index join loses nothing vs a cross join.
+    """
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of P seeded xxhash64.
+
+    One hash-aggregate over the shingle relation produces all P signature
+    slots (map-side partial min → tiny shuffle).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature and self-join on (band, bucket) → candidate pairs.
+
+    Each doc emits ``bands`` (band, bucket-hash) rows; pairs agreeing on
+    any band collide. The shuffle key is the band bucket — document-count
+    bound, never shingle-frequency bound.
+    """
+    buckets = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *buckets)
+    kv = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return (
+        kv.alias("a")
+        .join(kv.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n: int = 1,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidates from LSH banding; false positives removed by computing true
+    Jaccard on just the candidate pairs (a semi-join-pruned index join, not
+    a full self-join).
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_perm), bands, rows)
+    # restrict the shingle relation to candidate docs before verification
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+    verified = jaccard_pairs(sh_c, threshold, sizes=sizes)
+    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as a bit-string column ``simhash``.
+
+    Each distinct token votes ±1 on 64 bit positions (bits of its
+    xxhash64); the signature is the sign vector. Implemented as
+    explode(token) → posexplode(64 votes) → two hash-aggregates.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda k: F.when(F.getbit(F.col("h"), k) == 1, 1).otherwise(-1),
+            )
+        ).alias("pos", "vote"),
+    )
+    bit = (
+        votes.groupBy("id", "pos")
+        .agg(F.sum("vote").alias("w"))
+        .withColumn("bit", (F.col("w") > 0).cast("int"))
+    )
+    return bit.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "bit"))),
+                lambda s: s["bit"].cast("string"),
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded exact-match join + Hamming verify.
+
+    Pigeonhole: hamming ≤ chunks-1 guarantees one identical chunk, so a
+    join on (chunk_idx, chunk_bits) finds all such pairs without a cross
+    join; Hamming distance is then verified exactly.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    width = 64 // chunks
+    kv = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", c * width + 1, width)
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    pairs = (
+        kv.alias("a")
+        .join(kv.alias("b"), ["chunk_idx", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sig_a"), ""),
+            F.split(F.col("sig_b"), ""),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

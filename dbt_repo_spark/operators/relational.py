@@ -1,0 +1,61 @@
+"""Relational operator helpers used across models and queries.
+
+These wrap the correctness-critical patterns from SURVEY.md §2 so every
+model spells them identically. All are pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    rn_col: str = "rn",
+) -> DataFrame:
+    """W1: keep the latest row per key (fact_station_status_latest.sql:11-32).
+
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_by)`` then rn=1.
+    At scale this is a single shuffle on ``keys``; when the downstream join
+    also keys on ``keys`` the exchange is reused by Catalyst.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) == 1)
+        .drop(rn_col)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """O2 generalized: per-group top-k via rank window + filter."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def date_spine(lo: Column, hi: Column) -> Column:
+    """J7: BQ ``unnest(generate_date_array(lo, hi))`` as an explode-able array.
+
+    Reference: models/dimensions/dim_date.sql:17-19.
+    """
+    return F.explode(F.sequence(lo, hi, F.expr("interval 1 day")))
+
+
+def incremental_append(
+    new_df: DataFrame, existing_df: DataFrame | None, unique_key: str
+) -> DataFrame:
+    """D4/J6: rows of ``new_df`` whose key is absent from ``existing_df``.
+
+    The reference's incremental template (fact_station_status.sql:30-32)
+    is ``WHERE key NOT IN (SELECT key FROM {{ this }})``; keys are md5 hex
+    (never NULL) so a left-anti join is exactly equivalent (§7.3 risk 3).
+    """
+    if existing_df is None:
+        return new_df
+    keys = existing_df.select(unique_key).distinct()
+    return new_df.join(keys, unique_key, "left_anti")

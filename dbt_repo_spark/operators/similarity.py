@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``    — exact brute-force top-k: broadcast the query set
+  against the corpus; dot products are JVM-side ``zip_with``/``aggregate``
+  expressions in double precision (no Python, no UDF).
+- ``lsh_bucket_topk``— the scale path: random-hyperplane LSH buckets the
+  corpus once (hash-derived deterministic planes), probes only matching
+  buckets, exact-reranks inside. Sub-linear candidate set vs corpus size.
+
+At 100 TB the corpus side stays partitioned; only the (small) query set is
+broadcast, so brute force is one scan + map-side top-k via the window
+partial aggregation. The LSH variant additionally prunes the scan by
+bucket key, which a partitioned layout turns into partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every row matching ``query_pred``.
+
+    Output: (query_id, neighbor_id, score) with score rounded to 6 dp for
+    cross-engine comparability; ranking happens on the raw double.
+    """
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv"))
+    queries = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a hash recurrence.
+
+    No RNG dependency: component d of plane j is derived from a 64-bit
+    mix of (j, d), mapped to [-0.5, 0.5). Fixed across runs and engines.
+    """
+    comps = []
+    for d in range(dim):
+        x = (plane_idx * 1_000_003 + d * 7919 + 12345) & 0xFFFFFFFF
+        # xorshift mix
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        comps.append((x / 2**32) - 0.5)
+    return comps
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join + exact rerank in-bucket.
+
+    Bucket key = sign bits of ``n_planes`` fixed hyperplane projections.
+    Queries only score corpus rows sharing their bucket → candidate count
+    ~ corpus/2^n_planes per query. Recall is approximate by construction
+    (driver records a rows-only check for this operator).
+    """
+    planes = [_hyperplane(j, dim) for j in range(n_planes)]
+
+    def bucket_key(v: Column) -> Column:
+        bits = [
+            F.when(dot(v, F.array(*[F.lit(c) for c in planes[j]])) >= 0, "1").otherwise("0")
+            for j in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", bucket_key(F.col("cv")))
+    queries = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", bucket_key(F.col("qv")))
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verification.
+
+    Pairs in the same sign-LSH bucket with cosine ≥ threshold. (High-cosine
+    pairs land in the same bucket with probability (1 - θ/π)^n_planes;
+    multi-probe or repeated tables raise recall — this single-table variant
+    is the demonstration of the plan shape.)
+    """
+    planes = [_hyperplane(j, dim) for j in range(n_planes)]
+
+    def bucket_key(v: Column) -> Column:
+        bits = [
+            F.when(dot(v, F.array(*[F.lit(c) for c in planes[j]])) >= 0, "1").otherwise("0")
+            for j in range(n_planes)
+        ]
+        return F.concat(*bits)
+
+    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+    bucketed = base.withColumn("bucket", bucket_key(F.col("v")))
+    return (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("score", 6).alias("score"),
+        )
+    )

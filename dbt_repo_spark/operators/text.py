@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (md5 + rolling
+char-n-gram min-hash). Every op is a pure Catalyst expression battery —
+one projection, no shuffle, no Python — so at 100 TB it runs at parquet
+scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.dedup import tokens
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic.
+# Deliberately deterministic & engine-portable (used verbatim in oracles).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+BPE_ISH_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_TOKEN_RE)).alias("re_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/alpha ratios + composite.
+
+    Ratio arithmetic is int/int → double, which is bit-exact across
+    engines (used for oracle parity).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    punct_chars = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*LANG_MARKERS["en"]))
+    )
+    mean_tok_len = F.try_divide(F.length(F.regexp_replace(t, r"\s+", "")), n_tok)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (alpha_chars / n_chars).alias("alpha_ratio"),
+        (punct_chars / n_chars).alias("punct_ratio"),
+        F.try_divide(stop_hits, n_tok).alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        # composite gate in the C4/Gopher style: enough tokens, mostly
+        # alphabetic, has stopwords
+        (
+            (n_tok >= 10)
+            & (alpha_chars / n_chars > 0.5)
+            & (F.try_divide(stop_hits, n_tok) > 0.01)
+        ).alias("passes_quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language ID: argmax of per-language marker hit counts.
+
+    Deterministic tie-break: higher count wins, then language code order;
+    docs with zero marker hits in every language → 'und'.
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reversed alphabetical order so earlier codes win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, gram: int = 8
+) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + rolling-hash min.
+
+    - ``md5_fp``: md5 over lowercased, whitespace-collapsed text (exact-dup
+      key robust to spacing).
+    - ``rolling_min_fp``: min md5-prefix over all char n-grams — a
+      one-permutation MinHash of the character stream (content-defined,
+      robust to token boundaries).
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    grams = F.when(
+        F.length(norm) >= gram,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (gram - 1)),
+            lambda i: norm.substr(i, F.lit(gram)),
+        ),
+    ).otherwise(F.array(norm))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fp"),
+        F.array_min(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))).alias(
+            "rolling_min_fp"
+        ),
+    )

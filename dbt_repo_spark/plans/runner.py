@@ -1,0 +1,214 @@
+"""Model runner: DAG of DataFrame builders + materializations.
+
+Replaces dbt's manifest/Jinja layer (SURVEY.md §3.1). A model is a Python
+function ``(ctx) -> DataFrame``; ``ref()``/``source()`` become dict
+lookups; the IR between models is the Catalyst logical plan itself, so
+``ephemeral`` materialization is literally free — downstream models compose
+into ONE plan and Catalyst pushes predicates/prunes columns across the
+whole chain (dbt_project.yml:46-48 ephemeral src layer).
+
+Materializations (SURVEY.md §2.11 D1-D5):
+- ephemeral   — pass the lazy DataFrame through (no persistence).
+- view        — register a temp view (dbt_project.yml:52-54).
+- table       — overwrite parquet in the catalog (dbt_project.yml:58-72).
+- incremental — first run full write; later runs anti-join new rows against
+  the existing target on ``unique_key`` then APPEND — exactly the
+  reference's NOT-IN template (models/facts/fact_station_status.sql:30-32,
+  fact_station_status_history.sql:24-26). The target snapshot is read
+  BEFORE the write so the model never reads its own writes (§7.3 risk 1);
+  md5 keys are non-null so anti-join ≡ NOT IN (§7.3 risk 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.sources.catalog import Catalog
+
+MATERIALIZATIONS = ("ephemeral", "view", "table", "incremental")
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable
+    deps: tuple[str, ...] = ()
+    materialized: str = "ephemeral"
+    layer: str = "analytics"
+    unique_key: str | None = None
+    partition_by: list[str] | None = None
+    cluster_by: list[str] | None = None
+    tests: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.materialized not in MATERIALIZATIONS:
+            raise ValueError(f"unknown materialization {self.materialized!r}")
+        if self.materialized == "incremental" and not self.unique_key:
+            raise ValueError(f"incremental model {self.name} needs unique_key")
+
+
+def model(
+    name: str,
+    deps: tuple[str, ...] = (),
+    materialized: str = "ephemeral",
+    layer: str = "analytics",
+    unique_key: str | None = None,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    tests: dict | None = None,
+):
+    """Decorator registering a DataFrame-builder as a model.
+
+    The builder receives ``ctx: dict[str, DataFrame]`` holding its deps
+    (refs and sources alike) plus the SparkSession under ``"spark"``.
+    """
+
+    def wrap(fn: Callable) -> Model:
+        return Model(
+            name=name,
+            fn=fn,
+            deps=deps,
+            materialized=materialized,
+            layer=layer,
+            unique_key=unique_key,
+            partition_by=partition_by,
+            cluster_by=cluster_by,
+            tests=tests or {},
+        )
+
+    return wrap
+
+
+class ModelRunner:
+    """Topo-sorts and materializes a set of models (dbt run/test analog)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, sources: dict[str, DataFrame]):
+        self.spark = spark
+        self.catalog = catalog
+        self.sources = dict(sources)
+        self.models: dict[str, Model] = {}
+
+    def add(self, *models: Model) -> "ModelRunner":
+        for m in models:
+            self.models[m.name] = m
+        return self
+
+    def _order(self, selected: list[str] | None = None) -> list[str]:
+        graph = {
+            name: {d for d in m.deps if d in self.models}
+            for name, m in self.models.items()
+        }
+        order = list(TopologicalSorter(graph).static_order())
+        if selected is None:
+            return order
+        # include upstream closure of the selection
+        needed: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in needed or n not in self.models:
+                return
+            needed.add(n)
+            for d in self.models[n].deps:
+                visit(d)
+
+        for s in selected:
+            visit(s)
+        return [n for n in order if n in needed]
+
+    def run(self, selected: list[str] | None = None, full_refresh: bool = False) -> dict[str, DataFrame]:
+        """Build every model in dependency order; returns name → DataFrame.
+
+        Returned frames for persisted models re-read from storage so
+        downstream consumers scan the materialized (partition-pruned,
+        clustered) parquet rather than recomputing the plan.
+        """
+        built: dict[str, DataFrame] = {}
+        for name in self._order(selected):
+            m = self.models[name]
+            ctx: dict = {"spark": self.spark}
+            for d in m.deps:
+                if d in built:
+                    ctx[d] = built[d]
+                elif d in self.sources:
+                    ctx[d] = self.sources[d]
+                else:
+                    raise KeyError(f"model {name}: unresolved dependency {d!r}")
+            df = m.fn(ctx)
+            built[name] = self._materialize(m, df, full_refresh)
+        return built
+
+    def _materialize(self, m: Model, df: DataFrame, full_refresh: bool) -> DataFrame:
+        if m.materialized == "ephemeral":
+            return df
+        if m.materialized == "view":
+            df.createOrReplaceTempView(m.name)
+            return df
+        if m.materialized == "table":
+            self.catalog.write(
+                df, m.layer, m.name,
+                mode="overwrite",
+                partition_by=m.partition_by,
+                sort_within_partitions=m.cluster_by,
+            )
+            return self.catalog.read(m.layer, m.name)
+        # incremental
+        target_exists = self.catalog.exists(m.layer, m.name) and not full_refresh
+        if target_exists:
+            # is_incremental() branch: anti-join against {{ this }} keys,
+            # then append. Key set is projected to ONE column before the
+            # join so the scan of the existing target prunes to the key
+            # column only (column pruning hits parquet ReadSchema).
+            existing_keys = self.catalog.read(m.layer, m.name).select(m.unique_key)
+            new_rows = df.join(
+                F.broadcast(existing_keys.distinct())
+                if self._small_enough(existing_keys)
+                else existing_keys.distinct(),
+                m.unique_key,
+                "left_anti",
+            )
+            self.catalog.write(
+                new_rows, m.layer, m.name,
+                mode="append",
+                partition_by=m.partition_by,
+                sort_within_partitions=m.cluster_by,
+            )
+        else:
+            self.catalog.write(
+                df, m.layer, m.name,
+                mode="overwrite",
+                partition_by=m.partition_by,
+                sort_within_partitions=m.cluster_by,
+            )
+        return self.catalog.read(m.layer, m.name)
+
+    @staticmethod
+    def _small_enough(df: DataFrame) -> bool:
+        # Broadcasting the existing-key set is only safe when the target is
+        # dimension-sized; for fact-sized targets let Catalyst/AQE pick the
+        # join strategy (it will shuffle-hash or SMJ on the key).
+        return False
+
+    def test(self, built: dict[str, DataFrame]) -> dict[str, list]:
+        """dbt-test analog: run each model's declared test spec."""
+        from dbt_repo_spark.plans.testing import run_tests
+
+        results = {}
+        for name, m in self.models.items():
+            if m.tests and name in built:
+                spec = {
+                    col: [
+                        {"relationships": (built[t["relationships"][0]], t["relationships"][1])}
+                        if isinstance(t, dict) and "relationships" in t
+                        and isinstance(t["relationships"][0], str)
+                        else t
+                        for t in tests
+                    ]
+                    for col, tests in m.tests.items()
+                }
+                results[name] = run_tests(built[name], spec)
+        return results

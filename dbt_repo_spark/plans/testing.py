@@ -1,0 +1,87 @@
+"""Declarative data tests (SURVEY.md §2.11 D9-D12).
+
+The reference's only automated testing is dbt generic tests
+(models/staging/schema.yml:9-110, models_demo/schema.yml:8-41). Each test
+here compiles to ONE aggregate jobs returning the violation count — a
+single pass over the table, no collect of violating rows (at 100 TB you
+count violations, you don't ship them to the driver).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TestResult:
+    name: str
+    passed: bool
+    violations: int
+
+    def __repr__(self) -> str:  # pragma: no cover
+        status = "PASS" if self.passed else "FAIL"
+        return f"<{status} {self.name}: {self.violations} violations>"
+
+
+def not_null(df: DataFrame, column: str) -> TestResult:
+    """dbt ``not_null`` (models/staging/schema.yml:9-30)."""
+    n = df.filter(F.col(column).isNull()).count()
+    return TestResult(f"not_null:{column}", n == 0, n)
+
+
+def unique(df: DataFrame, column: str) -> TestResult:
+    """dbt ``unique`` (models_demo/schema.yml:10)."""
+    n = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    return TestResult(f"unique:{column}", n == 0, n)
+
+
+def accepted_values(df: DataFrame, column: str, values: Sequence) -> TestResult:
+    """dbt ``accepted_values`` (models_demo/schema.yml:33-35)."""
+    n = df.filter(~F.col(column).isin(list(values)) | F.col(column).isNull()).count()
+    return TestResult(f"accepted_values:{column}", n == 0, n)
+
+
+def relationships(child: DataFrame, column: str, parent: DataFrame, parent_column: str) -> TestResult:
+    """dbt ``relationships`` FK test (models_demo/schema.yml:38-41).
+
+    Orphan detection is a left-anti join — broadcastable when the parent is
+    a dim, shuffle-hash otherwise (Catalyst picks).
+    """
+    parent_keys = parent.select(F.col(parent_column).alias(column)).distinct()
+    n = (
+        child.filter(F.col(column).isNotNull())
+        .join(parent_keys, column, "left_anti")
+        .count()
+    )
+    return TestResult(f"relationships:{column}->{parent_column}", n == 0, n)
+
+
+def run_tests(df: DataFrame, spec: dict) -> list[TestResult]:
+    """Run a schema.yml-shaped spec: {col: ["not_null", "unique",
+    {"accepted_values": [...]}, {"relationships": (parent_df, col)}]}.
+    """
+    results: list[TestResult] = []
+    for column, tests in spec.items():
+        for t in tests:
+            if t == "not_null":
+                results.append(not_null(df, column))
+            elif t == "unique":
+                results.append(unique(df, column))
+            elif isinstance(t, dict) and "accepted_values" in t:
+                results.append(accepted_values(df, column, t["accepted_values"]))
+            elif isinstance(t, dict) and "relationships" in t:
+                parent, pcol = t["relationships"]
+                results.append(relationships(df, column, parent, pcol))
+            else:  # pragma: no cover
+                raise ValueError(f"unknown test spec {t!r} for column {column}")
+    return results

@@ -1,0 +1,993 @@
+"""Named query registry: one entry per operator from SURVEY.md §2 plus the
+LLM-pipeline extension ops, each mapped onto the driver's synthetic tables
+(FIXTURES.md Part B) with an ANSI-SQL DuckDB oracle where expressible.
+
+Cross-engine exactness rules used throughout (SURVEY.md §7.3 risk 2/4):
+- SUM over doubles goes through DECIMAL casts (order-independent exact
+  arithmetic), then one cast back to double — bit-identical across engines.
+- Averages/ratios are exact-decimal-sum-cast-double divided by a BIGINT
+  count: one double division of identical operands → identical bits.
+- int/int division is exact double division in both engines (no rounding
+  columns needed); rounding appears only on genuinely-float scores
+  (cosine), where ranking happens on the raw double first.
+- Spark int32 results (year(), size(), ...) are cast to long when the
+  DuckDB expression yields BIGINT, so dtypes agree too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_repo_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read the physical INT64 nanos and convert to a
+        # microsecond timestamp (values are µs-aligned — lossless).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(c: str, prec: int = 14, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: str, prec: int = 14, scale: int = 2) -> F.Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    return F.sum(dec(c, prec, scale)).cast("double")
+
+
+# =========================================================================
+# Flagship + core relational (SURVEY.md §2.2-2.8 on TPC-H-ish tables)
+# =========================================================================
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (A1 groupBy+SUM family).
+
+    Filter reaches the parquet scan (PushedFilters); partial aggregation is
+    map-side so the shuffle carries ~|groups| rows per task.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    ep = dec("l_extendedprice", 14, 2)
+    disc = dec("l_discount", 12, 2)
+    tax = dec("l_tax", 12, 2)
+    disc_price = (ep * (F.lit(1) - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1) + tax)).cast("decimal(24,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(ep).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "stg_projection",
+    """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           date_trunc('day', o_orderdate) AS order_date,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+           upper(o_orderstatus) AS status_uc,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS total_cents
+    FROM orders
+    """,
+)
+def stg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P7: projection + rename + computed columns (stg_* models)."""
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("total_cents"),
+    )
+
+
+@q(
+    "typed_null_filter",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) AS order_key_str,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           TRY_CAST(l_returnflag AS INTEGER) AS rf_num,
+           date_trunc('day', l_shipdate) AS ship_day
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL
+    """,
+)
+def typed_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7/P8: NULL-filter on keys + casts + safe_cast (NULL on failure).
+
+    Mirrors historical_bucket_to_bq.py:76-89 (dropna + casts) and
+    stg_station_tariffs.sql:20-26 (safe_cast).
+    """
+    li = t(spark, sf_dir, "lineitem").na.drop(subset=["l_shipdate", "l_returnflag"])
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("order_key_str"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_returnflag").try_cast("int").alias("rf_num"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ship_day"),
+    )
+
+
+@q(
+    "surrogate_keys",
+    """
+    SELECT md5(concat(
+             coalesce(CAST(l_orderkey AS VARCHAR), ''), '|',
+             coalesce(CAST(l_linenumber AS VARCHAR), ''), '|',
+             coalesce(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), ''))) AS trip_key,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-of-concat surrogate keys (fact_trips.sql:9-16 recipe)."""
+    from dbt_repo_spark.functions import surrogate_key
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        surrogate_key(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("trip_key"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@q(
+    "latest_per_key",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-per-key window (fact_station_status_latest.sql:11-32)."""
+    from dbt_repo_spark.operators.relational import latest_per_key as lpk
+
+    ev = t(spark, sf_dir, "events")
+    return lpk(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "sessions_daily",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'click') / COUNT(*) AS click_ratio,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 + safe ratio: per-user-day rollup (fact_station_uptime.sql:26-35)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+            (F.count_if(F.col("event_type") == "click") / F.count("*")).alias("click_ratio"),
+            dsum("value", 12, 2).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "mart_region_revenue",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def mart_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 star join + A1: fact ⋈ dims rollup (mart_station_availability).
+
+    nation/region are broadcast (dim side < threshold); the only shuffle
+    is the final group-by on (r_name, n_name).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            dsum("o_totalprice", 14, 2).alias("revenue"),
+            (dsum("o_totalprice", 14, 2) / F.count("*")).alias("avg_order_value"),
+        )
+    )
+
+
+@q(
+    "trip_metrics",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END) AS BIGINT) AS tax_gt_disc_cnt,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def trip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: AVG + SUM(CASE WHEN) mismatch counter (mart_trip_metrics.sql:7-11)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (dsum("l_quantity", 12, 2) / F.count("*")).alias("avg_qty"),
+        (dsum("l_extendedprice", 14, 2) / F.count("*")).alias("avg_price"),
+        F.sum(F.when(F.col("l_tax") > F.col("l_discount"), 1).otherwise(0)).alias(
+            "tax_gt_disc_cnt"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "customer_orders",
+    """
+    SELECT c_custkey AS customer_id, c_name,
+           o.first_order, o.most_recent_order,
+           COALESCE(o.number_of_orders, 0) AS number_of_orders
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, MIN(o_orderdate) AS first_order,
+                      MAX(o_orderdate) AS most_recent_order,
+                      COUNT(o_orderkey) AS number_of_orders
+               FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o.o_custkey
+    """,
+)
+def customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + A5: the models_demo/customers.sql pattern (left join agg CTE)."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("most_recent_order"),
+            F.count("o_orderkey").alias("number_of_orders"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.col("c_custkey").alias("customer_id"),
+        "c_name",
+        "first_order",
+        "most_recent_order",
+        F.coalesce("number_of_orders", F.lit(0)).alias("number_of_orders"),
+    )
+
+
+@q(
+    "dim_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def dim_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7: SELECT DISTINCT dedup (dim_stations.sql:6-18, dim_tariff.sql:3-5)."""
+    return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@q(
+    "date_spine",
+    """
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                      CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+         g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b)
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(EXTRACT(year FROM d) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM d) AS BIGINT) AS month,
+           CAST(EXTRACT(day FROM d) AS BIGINT) AS day_of_month,
+           CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week,
+           strftime(d, '%Y%m%d') AS yyyymmdd
+    FROM g
+    """,
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 + A8: scalar-subquery bounds → generate_date_array → dim_date.
+
+    dim_date.sql:8-28 re-expressed: the 1-row agg is cross-joined (no
+    collect) and exploded via sequence().
+    """
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d0")
+    ).select(F.col("d0").cast("timestamp").alias("day"))
+    return spine.select(
+        "day",
+        F.year("day").cast("long").alias("year"),
+        F.month("day").cast("long").alias("month"),
+        F.dayofmonth("day").cast("long").alias("day_of_month"),
+        F.dayofweek("day").cast("long").alias("day_of_week"),
+        F.date_format("day", "yyyyMMdd").alias("yyyymmdd"),
+    )
+
+
+@q(
+    "incremental_antijoin",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/D4: the incremental NOT-IN template as a left-anti join
+    (fact_station_status.sql:30-32)."""
+    li = t(spark, sf_dir, "lineitem")
+    existing = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return li.join(existing, "l_orderkey", "left_anti").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@q(
+    "semi_join_exists",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS) — §2.3 surfaced alongside anti."""
+    o = t(spark, sf_dir, "orders")
+    big = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return o.join(big, "o_orderkey", "left_semi").select("o_orderkey", "o_orderstatus")
+
+
+@q(
+    "left_join_null_handling",
+    """
+    SELECT o_orderkey,
+           c.c_custkey IS NOT NULL AS has_pos_customer,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           NULLIF(o_orderstatus, 'O') AS status_nullif
+    FROM orders
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c ON o_custkey = c_custkey
+    """,
+)
+def left_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P9/P10/P13: LEFT join null path + coalesce/nullif guards."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.col("c_custkey").isNotNull().alias("has_pos_customer"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_nullif"),
+    )
+
+
+@q(
+    "case_when_bucketing",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: CASE WHEN bucketing (fact_station_uptime.sql:19-21)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    return o.groupBy(bucket.alias("priority_class")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", 14, 2).alias("revenue"),
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON: json_extract_scalar on a string-JSON column
+    (stg_station_information.sql:26-37 pattern)."""
+    from dbt_repo_spark.functions import json_extract_scalar
+
+    ev = t(spark, sf_dir, "events")
+    k = json_extract_scalar("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count("*").alias("n"),
+        (F.sum(k).cast("double") / F.count("*")).alias("k_avg"),
+    )
+
+
+@q(
+    "explode_tokens",
+    """
+    SELECT tok AS token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: UNNEST/explode (stg_station_status.sql:10 pattern) → word counts."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+
+
+@q(
+    "datetime_battery",
+    """
+    SELECT o_orderkey,
+           date_trunc('day', o_orderdate) AS order_date,
+           date_trunc('hour', o_orderdate) AS hour_trunc,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           strftime(o_orderdate, '%Y%m%d') AS yyyymmdd,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 12 MONTH AS TIMESTAMP) AS prev_year,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+    FROM orders
+    """,
+)
+def datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time battery: every date fn the reference uses, in one
+    projection (timestamp_trunc, extract, format_date, date_sub interval,
+    epoch seconds, datediff)."""
+    from dbt_repo_spark.functions import format_date, timestamp_trunc
+
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
+        timestamp_trunc("o_orderdate", "HOUR").alias("hour_trunc"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        format_date("%Y%m%d", "o_orderdate").alias("yyyymmdd"),
+        F.add_months(d, -12).cast("timestamp").alias("prev_year"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+    )
+
+
+@q(
+    "safe_math",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_tp,
+           CASE WHEN COUNT(*) - COUNT(*) = 0 THEN NULL
+                ELSE COUNT(*) / (COUNT(*) - COUNT(*)) END AS div0,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) END AS safe_ratio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safe_divide / try_divide + nullif guards (fact_station_uptime.sql:32,
+    mart_station_availability.sql:14)."""
+    from dbt_repo_spark.functions import safe_divide
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice", 14, 2).alias("sum_tp"),
+        safe_divide(F.count("*"), F.count("*") - F.count("*")).alias("div0"),
+        safe_divide(dsum("o_totalprice", 14, 2), F.nullif(F.count("*"), F.lit(0))).alias(
+            "safe_ratio"
+        ),
+    )
+
+
+@q(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                                 / COUNT(*) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: scalar-subquery aggregate lifted via broadcast cross join
+    (dim_date.sql:8-11) — no driver-side collect."""
+    o = t(spark, sf_dir, "orders")
+    thr = o.agg((dsum("o_totalprice", 14, 2) / F.count("*")).alias("thr"))
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey")
+    )
+
+
+@q(
+    "set_union",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops (beyond the reference, free from Spark): UNION DISTINCT."""
+    a = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@q(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@q(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
+
+
+@q(
+    "window_running",
+    """
+    SELECT user_id, event_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Window surface beyond W1 (lag/lead/running frame) — §2.5 notes."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(dec("value", 12, 2)).over(running).cast("double").alias("running_sum"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@q(
+    "top_k_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rank_in_nation
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 generalized: per-group top-k (window + filter)."""
+    from dbt_repo_spark.operators.relational import top_k_per_group as tkpg
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rank_in_nation", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rank_in_nation")
+    )
+
+
+@q(
+    "rollup_agg",
+    """
+    SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension: ROLLUP grouping sets (not in reference; free in Spark)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 14, 2).alias("revenue"))
+    )
+
+
+@q(
+    "distinct_count",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "events_dedup_count",
+    """
+    SELECT COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, ts FROM events)
+    """,
+)
+def events_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 batch analog: dropDuplicates on the streaming dedup key
+    (realtime_pubsub_to_spark.py:153)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.dropDuplicates(["user_id", "ts"]).agg(F.count("*").alias("n_unique"))
+
+
+# =========================================================================
+# LLM-data-pipeline operators (north star: dedup / similarity / text /
+# multimodal over the documents & embeddings tables)
+# =========================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (16-byte shuffle key)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+                FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                   FROM sh a JOIN sh b USING (shingle)
+                   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           n_common / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.01
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs via inverted-index self-join."""
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(sh, threshold=0.01).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+@q("dedup_minhash_lsh")  # non-SQL-expressible (xxhash64 seeds) → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on unigram shingles, exact-verified.
+
+    The scale path for dedup: shuffle size is O(docs x bands), independent
+    of shingle frequency skew.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.8, n=1, num_perm=64, bands=16, rows=4
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_simhash")  # non-SQL-expressible (xxhash64 bit votes) → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 signatures per document (banded Hamming join ready)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+@q(
+    "embed_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qs.v, c.v)
+                        / sqrt(list_dot_product(qs.v, qs.v) * list_dot_product(c.v, c.v))
+                        AS raw
+               FROM qs CROSS JOIN e c WHERE c.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, round(raw, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, neighbor_id) AS rn FROM s)
+    WHERE rn <= 5
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x partitioned corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@q("embed_lsh_topk")  # approximate recall by construction → rows-only check
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (the sub-linear scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, F.col("vec_id") < 10, k=5, n_planes=4)
+
+
+@q(
+    "text_lang_id",
+    """
+    WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents),
+         s AS (SELECT doc_id,
+                 len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+                 len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+                 len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+                 len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS s_es
+               FROM tk)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CAST(greatest(s_en, s_de, s_fr, s_es) AS INTEGER) AS marker_hits
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token counts (deterministic heuristic)."""
+    docs = t(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text")
+
+
+@q(
+    "text_quality",
+    """
+    WITH b AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS w,
+                      length(text) AS n_chars,
+                      length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                      length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+               FROM documents),
+         c AS (SELECT doc_id, len(w) AS n_tokens, n_chars, alpha, punct, nonspace,
+                      len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS stop_hits
+               FROM b)
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           alpha / n_chars AS alpha_ratio,
+           punct / n_chars AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN NULL ELSE stop_hits / n_tokens END AS stopword_ratio,
+           CASE WHEN n_tokens = 0 THEN NULL ELSE nonspace / n_tokens END AS mean_token_len,
+           (n_tokens >= 10 AND alpha / n_chars > 0.5
+            AND CASE WHEN n_tokens = 0 THEN NULL ELSE stop_hits / n_tokens END > 0.01)
+             AS passes_quality
+    FROM c
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios + composite gate."""
+    docs = t(spark, sf_dir, "documents")
+    return text.quality_scores(docs, "doc_id", "text")
+
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS re_tokens,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS distinct_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex + distinct."""
+    docs = t(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text")
+
+
+@q(
+    "text_fingerprints",
+    """
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tx
+               FROM documents)
+    SELECT doc_id, md5(tx) AS md5_fp,
+           list_min(list_transform(
+             CASE WHEN length(tx) >= 8
+                  THEN list_transform(range(1, length(tx) - 6), i -> substr(tx, i, 8))
+                  ELSE [tx] END,
+             g -> substr(md5(g), 1, 16))) AS rolling_min_fp
+    FROM n
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + rolling-hash min."""
+    docs = t(spark, sf_dir, "documents")
+    return text.fingerprints(docs, "doc_id", "text")
+
+
+@q(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(byte_offset // 256 AS INTEGER) AS frame_idx,
+           CAST(byte_offset AS INTEGER) AS byte_offset
+    FROM (SELECT doc_id,
+                 unnest(generate_series(0, greatest(length(text) - 1, 0), 256)) AS byte_offset
+          FROM documents)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: offsets per blob, pure Spark."""
+    media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_n_bytes=256)
+
+
+@q("multimodal_features")  # mapInPandas decode stub → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary media columns."""
+    media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.extract_media_features(media)

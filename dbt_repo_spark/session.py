@@ -1,0 +1,59 @@
+"""SparkSession factory with engine-wide physical defaults.
+
+Scale policy (SURVEY.md §4): AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), UTC session timezone (source data carries +00:00
+offsets — /root/reference/data/01_2025.csv:2), ANSI off so division/cast
+semantics follow BigQuery's SAFE_* style via try_* functions, Arrow enabled
+for the (rare) pandas boundary. Shuffle partition count defaults to the
+local core count but is meant to be overridden to ~2-3x total cores on a
+real cluster; AQE coalesces down after the fact, so over-provisioning is
+cheap and under-provisioning is not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "dbt-repo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we pin
+    ``local[$SPARK_GRAFT_CPUS]``. All settings are plain public Spark confs.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else DEFAULT_CPUS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness-critical semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        # --- adaptive execution: runtime shuffle coalescing + skew handling ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle / scan sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- python boundary: Arrow-batched, never row-at-a-time ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep the UI off in tests/bench for startup speed
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,86 @@
+"""Layered catalog: raw | stg | analytics namespaces (SURVEY.md §2.11 D7-D8).
+
+The reference declares three BigQuery datasets (dbt_project.yml:41-77,
+models/src/sources.yml:5-23). Here a layer is a directory of Parquet
+tables; a table handle is ``layer.name``. On a cluster the root would be an
+object-store prefix and the physical layout policy (date partitioning +
+within-partition sort, SURVEY.md §4) is what makes 100 TB scans prunable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYERS = ("raw", "stg", "analytics")
+
+
+class Catalog:
+    """Filesystem-backed table catalog with layered namespaces.
+
+    Replaces dbt's ``source()``/``ref()``/``{{ this }}`` resolution
+    (models/src/sources.yml:8-9, models/facts/fact_station_status.sql:31):
+    ``source`` = read from a layer, ``this`` = the target path of the model
+    currently materializing.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, layer: str, name: str) -> str:
+        return os.path.join(self.root, layer, name)
+
+    def exists(self, layer: str, name: str) -> bool:
+        p = self.path(layer, name)
+        if not os.path.isdir(p):
+            return False
+        # an empty dir or a dir with only _SUCCESS markers is not a table
+        return any(f.endswith(".parquet") or f.startswith("part-") or f == "_delta_log"
+                   for f in os.listdir(p)) or any(
+            os.path.isdir(os.path.join(p, f)) for f in os.listdir(p))
+
+    def read(self, layer: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, name))
+
+    def write(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+    ) -> None:
+        """Partitioned + clustered sink (S9).
+
+        Mirrors the reference's DAY-partition + cluster-by-station layout
+        (src/realtime_pubsub_to_spark.py:199-207): ``partition_by`` maps to
+        hive-style directory partitioning (→ partition pruning at scan) and
+        ``sort_within_partitions`` to a per-file sort (→ parquet row-group
+        min/max skipping on the clustered key).
+        """
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(layer, name))
+
+    def register_views(self, layer: str | None = None) -> None:
+        """Expose catalog tables as ``layer_name`` temp views for spark.sql."""
+        layers = [layer] if layer else LAYERS
+        for lyr in layers:
+            base = os.path.join(self.root, lyr)
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                if self.exists(lyr, name):
+                    self.read(lyr, name).createOrReplaceTempView(f"{lyr}_{name}")
+
+    def drop(self, layer: str, name: str) -> None:
+        p = self.path(layer, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

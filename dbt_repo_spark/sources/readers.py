@@ -1,0 +1,76 @@
+"""Batch sources (SURVEY.md §2.1, S1-S5).
+
+The reference reads GCS; here paths are plain filesystem/URI strings — the
+same `spark.read` calls work unchanged against s3a://, gs://, hdfs:// on a
+real cluster, so these helpers ARE the scale path (Spark's DataSource V2
+handles split planning, predicate pushdown, and column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_json_dir(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Recursive multi-line JSON directory scan.
+
+    Mirrors src/pyspark_gbfs_raw_load.py:94-99 (S1). Schema inference is a
+    separate job; pass an explicit schema on hot paths.
+    """
+    reader = (
+        spark.read.option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_json_file(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Single multiline JSON file (station metadata enrichment side).
+
+    Mirrors src/realtime_pubsub_to_spark.py:164-177 (S3).
+    """
+    reader = spark.read.option("multiline", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv_glob(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer: bool = True,
+) -> DataFrame:
+    """CSV glob scan with header; inferred or explicit schema.
+
+    Mirrors src/historical_bucket_to_bq.py:57-62 (S2).
+    """
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic parquet tables from an sf directory."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
