@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Per BASELINE.md the reference publishes no numbers, so the first recorded
+run of this script IS the baseline; subsequent rounds must stay within 2x.
+Timing protocol: 1 warmup + median of 3 per query, wall-clock of the full
+action (plan + execute + fetch a count/collect-cap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the flagship + one representative per operator family
+# (agg, star join, window, anti-join, explode, exact/fuzzy dedup,
+# similarity search, text analysis). dedup_minhash_lsh is the LSH scale
+# path; dedup_ngram_jaccard is the exact (quadratic-candidate) baseline.
+HEADLINE = [
+    "pricing_summary",
+    "mart_region_revenue",
+    "customer_orders",
+    "latest_per_key",
+    "window_running",
+    "incremental_antijoin",
+    "explode_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "text_fingerprints",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    from dbt_repo_spark.queries import QUERIES
+    from dbt_repo_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt-repo-spark-bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        # warmup: compiles the plan, primes codegen + file listing
+        fn(spark, SF_DIR).count()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_median_sec_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -832,7 +832,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return dedup.minhash_dedup(
-        docs, "doc_id", "text", threshold=0.8, n=1, num_perm=64, bands=16, rows=4
+        docs, "doc_id", "text", threshold=0.2, n=2, num_perm=64, bands=16, rows=4
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
