@@ -1,0 +1,117 @@
+"""Streaming-slice tests (SURVEY.md §2.9 ST1-ST7).
+
+Drives the file-source substitute for Pub/Sub end-to-end with an
+availableNow trigger: duplicate payload delivery must be deduplicated by
+the watermarked state (ST1-ST2), enrichment must broadcast-join the static
+dim (ST3), and the sink must produce DAY-partitioned parquet (S9).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.streaming import parse_status_stream, start_status_ingest
+
+BASE_EPOCH = 1735700000
+
+
+def _payload(feed_epoch: int, n_stations: int = 3) -> str:
+    return json.dumps(
+        {
+            "last_updated": feed_epoch,
+            "ttl": 60,
+            "version": "2.3",
+            "data": {
+                "stations": [
+                    {
+                        "station_id": f"st{i:03d}",
+                        "last_reported": feed_epoch - 10,
+                        "num_bikes_available": i + feed_epoch % 7,
+                        "num_docks_available": 20 - i,
+                        "is_installed": True,
+                        "is_renting": True,
+                        "is_returning": i % 2 == 0,
+                    }
+                    for i in range(n_stations)
+                ]
+            },
+        }
+    )
+
+
+def test_parse_semantics_batch(spark):
+    """Parser is pure: same function validated on a batch frame."""
+    payloads = spark.createDataFrame([Row(payload=_payload(BASE_EPOCH))])
+    out = parse_status_stream(payloads)
+    rows = (
+        out.withColumn("report_epoch", F.unix_timestamp("report_time"))
+        .orderBy("station_id")
+        .collect()
+    )
+    assert len(rows) == 3
+    assert rows[0].station_id == "st000"
+    assert rows[0].report_epoch == BASE_EPOCH - 10
+    assert rows[0].bikes_available == BASE_EPOCH % 7
+    assert {r.version for r in rows} == {"2.3"}
+
+
+def test_stream_dedup_enrich_partitioned_sink(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "landing").mkdir()
+    # two distinct snapshots + one EXACT duplicate delivery (at-least-once bus)
+    (tmp_path / "landing" / "a.json").write_text(_payload(BASE_EPOCH))
+    (tmp_path / "landing" / "b.json").write_text(_payload(BASE_EPOCH + 60))
+    (tmp_path / "landing" / "a_redelivered.json").write_text(_payload(BASE_EPOCH))
+
+    dim = spark.createDataFrame(
+        [Row(station_id=f"st{i:03d}", station_name=f"Station {i}") for i in range(3)]
+    )
+    q = start_status_ingest(
+        spark, landing, out, ckpt, station_dim=dim, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out)
+    # 2 unique snapshots × 3 stations; the redelivered payload is dropped
+    assert result.count() == 6
+    assert result.select("station_id", "report_time").distinct().count() == 6
+    # enrichment happened
+    named = result.filter(F.col("station_name").isNull()).count()
+    assert named == 0
+    # DAY-partitioned layout on disk
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("report_date=")]
+    assert parts, "sink must be hive-partitioned by report_date"
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint (ST5): restarting over the same landing dir adds nothing;
+    new files are picked up incrementally."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "landing").mkdir()
+    (tmp_path / "landing" / "a.json").write_text(_payload(BASE_EPOCH))
+
+    q = start_status_ingest(spark, landing, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 3
+
+    # restart with no new data → no duplicates
+    q = start_status_ingest(spark, landing, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    # restart with one new snapshot → only its rows appended
+    (tmp_path / "landing" / "b.json").write_text(_payload(BASE_EPOCH + 120))
+    q = start_status_ingest(spark, landing, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 6
