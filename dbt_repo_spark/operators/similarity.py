@@ -127,6 +127,111 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse quantize → probe → exact rerank.
+
+    The coarse quantizer uses the first ``n_centroids`` corpus vectors (by
+    id) as centroids — a deterministic stand-in for a k-means codebook (at
+    production scale you'd train centroids on a sample; the *plan shape*
+    is identical: a ~KB codebook collected once to the driver and inlined
+    as literals, never a shuffle). Every corpus vector is assigned to its
+    max-cosine centroid in one narrow map stage; queries probe their
+    ``nprobe`` nearest centroids and exact-rerank only those inverted
+    lists, so the scored fraction is ~nprobe/n_centroids of the corpus —
+    sub-linear scan work, one shuffle on the (int) cluster key.
+    """
+    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+    centroid_rows = (
+        base.orderBy("id").limit(n_centroids).collect()
+    )  # codebook: n_centroids × dim floats — driver-side by design
+    centroids = [
+        (i, F.array(*[F.lit(float(x)) for x in row.v]))
+        for i, row in enumerate(centroid_rows)
+    ]
+
+    def cluster_scores(v: Column) -> Column:
+        return F.array(*[cosine(v, c) for _, c in centroids])
+
+    def argmax_cluster(v: Column) -> Column:
+        scores = cluster_scores(v)
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    ).withColumn("cluster", argmax_cluster(F.col("cv")))
+    # queries emit their nprobe best clusters: sort (score, idx) structs desc
+    probe_list = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    cluster_scores(F.col("qv")),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda i: i,
+                    ),
+                    lambda s, i: F.struct(s.alias("score"), i.alias("idx")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    queries = (
+        emb.filter(query_pred)
+        .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+        .withColumn("probe", F.explode(probe_list))
+        .select("query_id", "qv", F.col("probe.idx").cast("int").alias("cluster"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute-force baseline).
+
+    All-pairs self-join with cosine ≥ threshold — the oracle-checkable
+    ground truth that the LSH variant (``embedding_near_duplicates``)
+    approximates. Quadratic in corpus size: use only at verification scale
+    or within LSH/IVF-pruned candidate sets.
+    """
+    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+    return (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        .withColumn("raw", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("raw") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("raw", 6).alias("score"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float,

@@ -874,6 +874,43 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, F.col("vec_id") < 10, k=5, n_planes=4)
 
 
+@q("embed_ivf_topk")  # approximate recall by construction → rows-only check
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize corpus, probe nprobe lists, rerank.
+
+    Scored fraction ≈ nprobe/n_centroids of the corpus; one shuffle on the
+    int cluster key.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=4
+    )
+
+
+@q(
+    "dedup_embed_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact brute-force ground truth.
+
+    The quadratic baseline the LSH bucketed variant approximates; the
+    threshold filter happens on the raw double on both engines, rounding
+    only in the projected score.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
 @q(
     "text_lang_id",
     """
@@ -991,3 +1028,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary media columns."""
     media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
     return multimodal.extract_media_features(media)
+
+
+@q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
+def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST2 semantics through the REAL streaming parser, batch-driven.
+
+    GBFS-shaped JSON payloads are synthesized from the events table (one
+    feed snapshot per minute, one station per user), every payload is
+    delivered TWICE (at-least-once bus), and the stream's
+    from_json → explode → watermark → dropDuplicates pipeline must
+    collapse the redelivery: output rows == distinct (station_id,
+    report_time) pairs.
+    """
+    from dbt_repo_spark.streaming import parse_status_stream
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "minute", F.date_trunc("minute", "ts")
+    )
+    snapshots = ev.groupBy("minute").agg(
+        F.collect_list(
+            F.struct(
+                F.col("user_id").cast("string").alias("station_id"),
+                F.unix_timestamp("minute").alias("last_reported"),
+                (F.col("event_id") % 20).alias("num_bikes_available"),
+                (20 - F.col("event_id") % 20).alias("num_docks_available"),
+                F.lit(True).alias("is_installed"),
+                (F.col("event_type") != "error").alias("is_renting"),
+                F.lit(True).alias("is_returning"),
+            )
+        ).alias("stations")
+    )
+    payloads = snapshots.select(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp("minute").alias("last_updated"),
+                F.lit(60).alias("ttl"),
+                F.lit("2.3").alias("version"),
+                F.struct(F.col("stations")).alias("data"),
+            )
+        ).alias("payload")
+    )
+    redelivered = payloads.union(payloads)  # at-least-once delivery
+    return parse_status_stream(redelivered).select(
+        "station_id", "report_time", "bikes_available", "is_renting"
+    )
