@@ -27,8 +27,17 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle) rows."""
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, as_hash: bool = False
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+
+    ``as_hash=True`` emits ``xxhash64(shingle)`` longs instead of strings:
+    the downstream joins/aggregations are on set MEMBERSHIP only, so an
+    8-byte key computes the same counts as the full string while shuffling
+    a fraction of the bytes (collision odds across distinct shingles are
+    ~|shingles|²/2⁶⁴ — negligible even at 100 TB corpus scale).
+    """
     toks = tokens(F.col(text_col))
     if n == 1:
         sh = toks
@@ -40,9 +49,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    out = F.explode(F.array_distinct(sh)).alias("shingle")
+    if as_hash:
+        return df.select(F.col(id_col).alias("id"), out).select(
+            "id", F.xxhash64("shingle").alias("shingle")
+        )
+    return df.select(F.col(id_col).alias("id"), out)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -91,16 +103,27 @@ def jaccard_pairs(
     )
 
 
+def _perm_hashes(num_perm: int) -> list[Column]:
+    """P hash slots from TWO base hashes (Kirsch-Mitzenmacher).
+
+    ``h_i = b1 + i*b2`` over wrapping int64 gives pairwise-independent-
+    enough permutation hashes for MinHash while hashing each shingle only
+    twice, instead of P times — the signature map stage goes from P string
+    hashes per shingle row to 2 hashes + P long multiply-adds.
+    """
+    b1 = F.xxhash64(F.col("shingle"))
+    b2 = F.xxhash64(F.col("shingle"), F.lit(1))
+    return [b1 + F.lit(i) * b2 for i in range(num_perm)]
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of P seeded xxhash64.
+    """Per-doc MinHash signature: min over shingles of P derived hashes.
 
     One hash-aggregate over the shingle relation produces all P signature
     slots (map-side partial min → tiny shuffle).
     """
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    hs = _perm_hashes(num_perm)
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hs)]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -154,9 +177,17 @@ def minhash_dedup(
     Jaccard on just the candidate pairs (a semi-join-pruned index join, not
     a full self-join).
     """
-    sh = shingles(df, id_col, text_col, n=n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_perm), bands, rows)
+    sh = shingles(df, id_col, text_col, n=n, as_hash=True)
+    # ONE aggregation produces both the signature slots and the set size —
+    # sizes and signatures share the groupBy(id) shuffle instead of
+    # scanning/aggregating the shingle relation twice.
+    hs = _perm_hashes(num_perm)
+    sig_and_size = sh.groupBy("id").agg(
+        F.count("*").alias("sz"),
+        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)],
+    )
+    sizes = sig_and_size.select("id", "sz")
+    cands = lsh_candidate_pairs(sig_and_size, bands, rows)
     # restrict the shingle relation to candidate docs before verification
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))

@@ -817,7 +817,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs via inverted-index self-join."""
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    # hashed 8-byte shingle keys: same intersection counts as the string
+    # shingles the oracle joins on, at a fraction of the shuffle bytes
+    sh = dedup.shingles(docs, "doc_id", "text", n=3, as_hash=True)
     return dedup.jaccard_pairs(sh, threshold=0.01).select(
         "id_a", "id_b", "jaccard"
     )
