@@ -1,0 +1,185 @@
+"""CLI: the reference's orchestration surface without the cloud glue.
+
+The reference triggers work via HTTP → Cloud Function → Dataproc submit
+(src/trigger_spark_job.py:23-88) and fetch-to-bucket archival
+(src/api_to_bucket.py:137-177). Engine-native replacement (SURVEY.md §3.4):
+
+    python -m dbt_repo_spark ingest-gbfs   --landing DIR --warehouse DIR \\
+        --table station_status [--serialize-data]
+    python -m dbt_repo_spark ingest-trips  --csv GLOB    --warehouse DIR
+    python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2] [--full-refresh]
+    python -m dbt_repo_spark test --warehouse DIR
+    python -m dbt_repo_spark stream --landing DIR --out DIR --checkpoint DIR \\
+        [--trigger-seconds N | --available-now]
+
+`run` resolves model sources from the warehouse's raw layer; models whose
+raw inputs are absent are skipped (a partial DAG is normal while only some
+feeds are ingested).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+# Model source name → raw-layer table it binds to.
+SOURCE_BINDINGS = {
+    "raw_station_status": "station_status",
+    "raw_station_information": "station_information",
+    "raw_historic_trips": "historic_trips",
+    "raw_customers": "customers",
+    "raw_orders": "orders",
+}
+
+
+def _spark(app: str) -> SparkSession:
+    from dbt_repo_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def _runner(spark: SparkSession, warehouse: str):
+    from dbt_repo_spark.models import ALL_MODELS
+    from dbt_repo_spark.plans.runner import ModelRunner
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    catalog = Catalog(spark, warehouse)
+    sources = {
+        src: catalog.read("raw", tbl)
+        for src, tbl in SOURCE_BINDINGS.items()
+        if catalog.exists("raw", tbl)
+    }
+    runner = ModelRunner(spark, catalog, sources)
+    available = set(sources)
+
+    def resolvable(m) -> bool:
+        return all(
+            d in available or any(d == x.name for x in ALL_MODELS) for d in m.deps
+        )
+
+    # fixed-point: a model is runnable if every dep is a source or a runnable model
+    names: set[str] = set()
+    changed = True
+    while changed:
+        changed = False
+        for m in ALL_MODELS:
+            if m.name in names or not resolvable(m):
+                continue
+            if all(d in available or d in names for d in m.deps):
+                names.add(m.name)
+                changed = True
+    skipped = [m.name for m in ALL_MODELS if m.name not in names]
+    if skipped:
+        print(f"skipping (missing raw sources): {', '.join(skipped)}", file=sys.stderr)
+    runner.add(*[m for m in ALL_MODELS if m.name in names])
+    return runner
+
+
+def cmd_run(args) -> int:
+    spark = _spark("dbt-repo-spark-run")
+    runner = _runner(spark, args.warehouse)
+    built = runner.run(selected=args.select or None, full_refresh=args.full_refresh)
+    for name in built:
+        m = runner.models[name]
+        print(f"OK {m.materialized:<12} {name}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    spark = _spark("dbt-repo-spark-test")
+    runner = _runner(spark, args.warehouse)
+    built = runner.run()
+    results = runner.test(built)
+    failed = 0
+    for model_name, tests in results.items():
+        for tr in tests:
+            status = "PASS" if tr.passed else "FAIL"
+            failed += 0 if tr.passed else 1
+            print(f"{status} {model_name}.{tr.name} ({tr.violations} violations)")
+    return 1 if failed else 0
+
+
+def cmd_ingest_gbfs(args) -> int:
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.sources.ingest_batch import gbfs_raw_load
+
+    spark = _spark("dbt-repo-spark-ingest-gbfs")
+    out = gbfs_raw_load(
+        spark,
+        args.landing,
+        Catalog(spark, args.warehouse),
+        args.table,
+        serialize_data=args.serialize_data,
+    )
+    print(f"raw.{args.table}: {out.count()} rows")
+    return 0
+
+
+def cmd_ingest_trips(args) -> int:
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.sources.ingest_batch import historic_trips_load
+
+    spark = _spark("dbt-repo-spark-ingest-trips")
+    out = historic_trips_load(spark, args.csv, Catalog(spark, args.warehouse))
+    print(f"raw.historic_trips: {out.count()} rows")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from dbt_repo_spark.streaming import start_status_ingest
+
+    spark = _spark("dbt-repo-spark-stream")
+    trigger = (
+        {"availableNow": True}
+        if args.available_now
+        else {"processingTime": f"{args.trigger_seconds} seconds"}
+    )
+    q = start_status_ingest(
+        spark, args.landing, args.out, args.checkpoint, trigger=trigger
+    )
+    q.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbt_repo_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="materialize the model DAG")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--select", nargs="*", default=None)
+    r.add_argument("--full-refresh", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    tst = sub.add_parser("test", help="run declared data tests")
+    tst.add_argument("--warehouse", required=True)
+    tst.set_defaults(fn=cmd_test)
+
+    ig = sub.add_parser("ingest-gbfs", help="load GBFS JSON landing dir")
+    ig.add_argument("--landing", required=True)
+    ig.add_argument("--warehouse", required=True)
+    ig.add_argument("--table", required=True)
+    ig.add_argument("--serialize-data", action="store_true")
+    ig.set_defaults(fn=cmd_ingest_gbfs)
+
+    it = sub.add_parser("ingest-trips", help="load historic trip CSVs")
+    it.add_argument("--csv", required=True)
+    it.add_argument("--warehouse", required=True)
+    it.set_defaults(fn=cmd_ingest_trips)
+
+    st = sub.add_parser("stream", help="start streaming status ingest")
+    st.add_argument("--landing", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--trigger-seconds", type=int, default=60)
+    st.add_argument("--available-now", action="store_true")
+    st.set_defaults(fn=cmd_stream)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
