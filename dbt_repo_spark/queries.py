@@ -1032,6 +1032,85 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_features(media)
 
 
+@q(
+    "events_asof_last_signup",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+    FROM events
+    """,
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join expressed as a single running window — no join at all.
+
+    "For each event, the most recent signup at-or-before it (same user)"
+    is the classic as-of pattern; instead of a range self-join (quadratic
+    candidates) it's last_value(IGNORE NULLS) over one partition-ordered
+    window: ONE shuffle on user_id, linear scan within partitions. This is
+    the shape to reach for whenever the as-of lookup side and the probe
+    side can be unioned into one ordered stream.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_signup_ts"),
+    )
+
+
+@q(
+    "percentile_battery",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_disc
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous + discrete variants).
+
+    Spark's ``percentile`` is exact linear interpolation — same definition
+    as DuckDB ``quantile_cont`` — so values parity-check bit-for-bit.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("p50_disc"),
+    )
+
+
+@q("approx_distinct_sketch")  # HLL++ estimate is engine-specific → rows-only
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: approx_count_distinct (HLL++) next to the exact
+    count — the 100 TB path for distinct-cardinality dashboards (no
+    shuffle of the full key set, fixed-size sketch merge)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
 def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST2 semantics through the REAL streaming parser, batch-driven.
