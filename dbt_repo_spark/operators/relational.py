@@ -46,6 +46,37 @@ def date_spine(lo: Column, hi: Column) -> Column:
     return F.explode(F.sequence(lo, hi, F.expr("interval 1 day")))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small side.
+
+    When one join key dominates (a hot user, a null-ish default key), the
+    task holding that key becomes the straggler. Salting splits each hot
+    key into ``salt`` sub-keys: the big side gets a deterministic salt from
+    its row content hash, the small side is replicated ``salt`` times, and
+    the join runs on (key, salt) — the hot key's rows now spread across
+    ``salt`` tasks. Result set is EXACTLY the plain join (each big row
+    meets each matching small row exactly once).
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological key that exceeds what AQE can split
+    (it re-plans partitions, not keys). Cost: small side inflated ×salt —
+    use only when ``small`` is genuinely small.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    big_s = big.withColumn("__salt", salt_col.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def incremental_append(
     new_df: DataFrame, existing_df: DataFrame | None, unique_key: str
 ) -> DataFrame:

@@ -1111,6 +1111,96 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "salted_join_skew",
+    """
+    WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+                      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.event_type, p.user_events
+    FROM events e JOIN per_user p USING (user_id)
+    """,
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join — result identical to the plain join.
+
+    The big side carries a deterministic content-hash salt, the small side
+    is replicated ×salt, the join key becomes (user_id, salt): a hot
+    user_id spreads over ``salt`` tasks instead of one straggler. The
+    oracle is the UNSALTED join, proving exact result equivalence.
+    """
+    from dbt_repo_spark.operators.relational import salted_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    return salted_join(ev, per_user, "user_id", salt=8).select(
+        "event_id", "user_id", "event_type", "user_events"
+    )
+
+
+@q(
+    "tumbling_window_counts",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (streaming-ready operator).
+
+    For aligned durations window.start == date_trunc, so the batch oracle
+    is plain GROUP BY date_trunc — same operator runs under a watermark in
+    streaming mode.
+    """
+    from dbt_repo_spark.streaming import tumbling_counts
+
+    ev = t(spark, sf_dir, "events")
+    return tumbling_counts(
+        ev, "ts", ["event_type"], "1 hour", aggs=[dsum("value").alias("sum_value")]
+    )
+
+
+@q(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_event,
+           MAX(ts) AS last_event
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via F.session_window.
+
+    Oracle is the gaps-and-islands SQL idiom; Spark's session end is
+    last-event + gap, mirrored in the oracle's MAX(ts) + INTERVAL.
+    """
+    from dbt_repo_spark.streaming import session_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    return session_aggregate(ev, "ts", "user_id", "30 minutes")
+
+
 @q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
 def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST2 semantics through the REAL streaming parser, batch-driven.

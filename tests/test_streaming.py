@@ -91,6 +91,48 @@ def test_stream_dedup_enrich_partitioned_sink(spark, tmp_path):
     assert parts, "sink must be hive-partitioned by report_date"
 
 
+def test_streaming_tumbling_window_agg(spark, tmp_path):
+    """Windowed agg under a watermark on a genuine stream (append mode):
+    closed windows emit exactly the batch-computed counts."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dbt_repo_spark.streaming import tumbling_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = []
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    for i in range(120):
+        ts = base + dt.timedelta(minutes=i)
+        rows.append(json.dumps({"ts": ts.isoformat(), "etype": f"t{i % 2}"}))
+    (src / "a.jsonl").write_text("\n".join(rows))
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("etype", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = tumbling_counts(
+        stream.withWatermark("ts", "10 minutes"), "ts", ["etype"], "1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.etype, r.window_start.hour): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # 120 events over 2 hours, alternating types → 30 per (type, hour);
+    # append mode only emits windows the watermark has closed → hour 0
+    assert got[("t0", 0)] == 30 and got[("t1", 0)] == 30
+
+
 def test_stream_restart_is_exactly_once(spark, tmp_path):
     """Checkpoint (ST5): restarting over the same landing dir adds nothing;
     new files are picked up incrementally."""
