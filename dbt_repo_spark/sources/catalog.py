@@ -69,6 +69,44 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(layer, name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        bucket_by: str,
+        n_buckets: int = 32,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+        Bucketing hash-partitions rows into ``n_buckets`` files by
+        ``bucket_by`` AT WRITE TIME and records that layout in the table
+        catalog; two tables bucketed the same way join with NO exchange on
+        either side — the shuffle is paid once at write, then every
+        fact-fact join on the bucket key is map-side. This is the
+        fact-to-fact answer where broadcasting doesn't apply (both sides
+        big). The reference's clustered BigQuery sink
+        (src/realtime_pubsub_to_spark.py:205) solves scan locality; bucket
+        layout additionally solves JOIN locality.
+
+        Uses ``saveAsTable`` (bucket metadata needs a table catalog, not a
+        bare path); the table lives in the session catalog under
+        ``layer_name``.
+        """
+        (
+            df.write.mode(mode)
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .option("path", self.path(layer, name))
+            .format("parquet")
+            .saveAsTable(f"{layer}_{name}")
+        )
+
+    def read_table(self, layer: str, name: str) -> DataFrame:
+        """Read a table registered in the session catalog (bucket-aware)."""
+        return self.spark.table(f"{layer}_{name}")
+
     def register_views(self, layer: str | None = None) -> None:
         """Expose catalog tables as ``layer_name`` temp views for spark.sql."""
         layers = [layer] if layer else LAYERS
