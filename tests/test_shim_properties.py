@@ -1,0 +1,165 @@
+"""Property-based differential tests for the BQ-dialect shims
+(dbt_repo_spark/functions/bq.py) against DuckDB on hypothesis-generated
+inputs — the shim layer is where cross-engine semantic drift lives
+(SURVEY.md §7.3), so it gets adversarial inputs, not just fixtures.
+
+Each property runs ONE Spark job over a generated batch (examples are
+lists) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.functions import (
+    format_date,
+    generate_date_array,
+    safe_cast,
+    surrogate_key,
+    timestamp_trunc,
+)
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+dates = st.dates(min_value=dt.date(1970, 1, 1), max_value=dt.date(2100, 12, 31))
+timestamps = st.datetimes(
+    min_value=dt.datetime(1970, 1, 1), max_value=dt.datetime(2100, 1, 1)
+).map(lambda d: d.replace(microsecond=0))
+
+
+@given(st.lists(dates, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_format_date_matches_strftime(spark, batch):
+    df = spark.createDataFrame([Row(i=i, d=d) for i, d in enumerate(batch)])
+    got = {
+        r.i: (r.ymd, r.iso)
+        for r in df.select(
+            "i",
+            format_date("%Y%m%d", "d").alias("ymd"),
+            format_date("%Y-%m-%d", "d").alias("iso"),
+        ).collect()
+    }
+    for i, d in enumerate(batch):
+        assert got[i] == (d.strftime("%Y%m%d"), d.strftime("%Y-%m-%d"))
+
+
+@given(st.lists(st.tuples(dates, st.integers(0, 400)), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_generate_date_array_inclusive(spark, batch):
+    rows = [
+        Row(i=i, lo=d, hi=d + dt.timedelta(days=n)) for i, (d, n) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.i: (r.n, r.first, r.last)
+        for r in df.select(
+            "i",
+            F.size(generate_date_array("lo", "hi")).alias("n"),
+            F.element_at(generate_date_array("lo", "hi"), 1).alias("first"),
+            F.element_at(generate_date_array("lo", "hi"), -1).alias("last"),
+        ).collect()
+    }
+    for i, (d, n) in enumerate(batch):
+        assert got[i] == (n + 1, d, d + dt.timedelta(days=n))  # inclusive both ends
+
+
+@given(st.lists(timestamps, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_timestamp_trunc_hour_day(spark, batch):
+    df = spark.createDataFrame([Row(i=i, ts=ts) for i, ts in enumerate(batch)])
+    got = {
+        r.i: (r.h, r.d)
+        for r in df.select(
+            "i",
+            timestamp_trunc("ts", "HOUR").alias("h"),
+            timestamp_trunc("ts", "DAY").alias("d"),
+        ).collect()
+    }
+    for i, ts in enumerate(batch):
+        assert got[i][0] == ts.replace(minute=0, second=0)
+        assert got[i][1] == ts.replace(hour=0, minute=0, second=0)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_safe_cast_matches_duckdb_try_cast(spark, batch):
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(batch)])
+    got = {
+        r.i: (r.d, r.n)
+        for r in df.select(
+            "i",
+            safe_cast("s", "double").alias("d"),
+            safe_cast("s", "long").alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(batch):
+        want_d, want_n = con.execute(
+            "SELECT TRY_CAST(? AS DOUBLE), TRY_CAST(? AS BIGINT)", [s, s]
+        ).fetchone()
+        sd, sn = got[i]
+        if want_d is None or sd is None:
+            # engines disagree only on exotic spellings ('inf', 'nan',
+            # leading '+') — both must agree on plain numerics
+            stripped = s.strip()
+            is_plain = stripped.replace(".", "", 1).lstrip("-").isdigit()
+            if is_plain:
+                assert (sd is None) == (want_d is None), (s, sd, want_d)
+        else:
+            assert abs(sd - want_d) < 1e-9 or sd == want_d, (s, sd, want_d)
+        if sn is not None and want_n is not None:
+            assert sn == want_n, (s, sn, want_n)
+    con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00|"),
+                max_size=12,
+            ),
+            timestamps,
+            st.integers(-(2**31), 2**31),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_surrogate_key_matches_duckdb_md5(spark, batch):
+    """The md5-of-concat surrogate key renders identically in DuckDB given
+    the documented canonical format (SURVEY.md §7.3 risk 2)."""
+    rows = [Row(i=i, s=s, ts=ts, n=n) for i, (s, ts, n) in enumerate(batch)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.i: r.k
+        for r in df.select(
+            "i",
+            surrogate_key(
+                F.col("s"), F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.col("n")
+            ).alias("k"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (s, ts, n) in enumerate(batch):
+        want = con.execute(
+            "SELECT md5(? || '|' || strftime(?::TIMESTAMP, '%Y-%m-%d %H:%M:%S') || '|' || ?)",
+            [s, ts.isoformat(sep=" "), str(n)],
+        ).fetchone()[0]
+        assert got[i] == want, (s, ts, n)
+    con.close()
