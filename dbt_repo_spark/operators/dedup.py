@@ -116,6 +116,37 @@ def _perm_hashes(num_perm: int) -> list[Column]:
     return [b1 + F.lit(i) * b2 for i in range(num_perm)]
 
 
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN pair list — linear in |pairs|.
+
+    Collects each doc's shingle set once (one groupBy), then joins the
+    pair list to the two sets and intersects arrays per pair. Unlike the
+    inverted-index join (``jaccard_pairs``), cost is O(|pairs| × set size)
+    — it never materializes co-occurrence rows for pairs nobody asked
+    about. This is the verification half of MinHash-LSH at scale: the
+    candidate list is already pair-shaped, so verify exactly those.
+    """
+    sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("sz")
+    )
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"), F.col("sset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
     """Per-doc MinHash signature: min over shingles of P derived hashes.
 
@@ -186,17 +217,11 @@ def minhash_dedup(
         F.count("*").alias("sz"),
         *[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)],
     )
-    sizes = sig_and_size.select("id", "sz")
     cands = lsh_candidate_pairs(sig_and_size, bands, rows)
-    # restrict the shingle relation to candidate docs before verification
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .union(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh_c = sh.join(cand_ids, "id", "left_semi")
-    verified = jaccard_pairs(sh_c, threshold, sizes=sizes)
-    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+    # exact-verify ONLY the candidate pairs (linear in |candidates|,
+    # never the inverted-index join over all co-shingle pairs)
+    verified = jaccard_for_pairs(sh, cands)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
