@@ -228,36 +228,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc as a bit-string column ``simhash``.
 
     Each distinct token votes ±1 on 64 bit positions (bits of its
-    xxhash64); the signature is the sign vector. Implemented as
-    explode(token) → posexplode(64 votes) → two hash-aggregates.
+    xxhash64); the signature is the sign vector. ONE hash-aggregate:
+    per doc, count tokens with bit k set (64 conditional sums over the
+    token rows — no row blowup), then bit k of the signature is
+    ``2*set_count > n_tokens``. Row count stays |tokens| end-to-end
+    instead of 64×|tokens| with a posexplode of votes.
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = tok.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda k: F.when(F.getbit(F.col("h"), k) == 1, 1).otherwise(-1),
-            )
-        ).alias("pos", "vote"),
+    counts = tok.groupBy("id").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.getbit(F.col("h"), F.lit(k))).alias(f"c{k}")
+            for k in range(64)
+        ],
     )
-    bit = (
-        votes.groupBy("id", "pos")
-        .agg(F.sum("vote").alias("w"))
-        .withColumn("bit", (F.col("w") > 0).cast("int"))
-    )
-    return bit.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bit"))),
-                lambda s: s["bit"].cast("string"),
-            ),
-            "",
-        ).alias("simhash")
-    )
+    bits = [
+        F.when(F.lit(2) * F.col(f"c{k}") > F.col("n_tok"), "1").otherwise("0")
+        for k in range(64)
+    ]
+    return counts.select("id", F.concat(*bits).alias("simhash"))
 
 
 def simhash_near_duplicates(
