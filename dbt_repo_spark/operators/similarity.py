@@ -34,6 +34,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def _normalized(df: DataFrame, id_out: str, vec_out: str, id_col: str, vec_col: str) -> DataFrame:
+    """Project (id, unit-normalized double vector).
+
+    Normalizing ONCE per row turns every downstream pairwise cosine into a
+    single dot product — brute-force scoring does 1/3 the aggregate work
+    and, more importantly, stops recomputing each row's own norm per PAIR.
+    The norm goes through a materialized column so it's evaluated once,
+    not per vector element.
+    """
+    v = _dvec(F.col(vec_col))
+    return (
+        df.select(F.col(id_col).alias(id_out), v.alias(vec_out))
+        .withColumn("__n", F.sqrt(dot(F.col(vec_out), F.col(vec_out))))
+        .withColumn(vec_out, F.transform(F.col(vec_out), lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -46,13 +64,11 @@ def cosine_topk(
     Output: (query_id, neighbor_id, score) with score rounded to 6 dp for
     cross-engine comparability; ranking happens on the raw double.
     """
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv"))
-    queries = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
-    )
+    corpus = _normalized(emb, "neighbor_id", "cv", id_col, vec_col)
+    queries = _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("raw_score", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("raw_score").desc(), F.col("neighbor_id").asc()
@@ -106,16 +122,18 @@ def lsh_bucket_topk(
         ]
         return F.concat(*bits)
 
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", bucket_key(F.col("cv")))
-    queries = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", bucket_key(F.col("qv")))
+    # sign bits are scale-invariant, so bucketing the NORMALIZED vectors
+    # gives identical buckets while downstream scoring is one dot product
+    corpus = _normalized(emb, "neighbor_id", "cv", id_col, vec_col).withColumn(
+        "bucket", bucket_key(F.col("cv"))
+    )
+    queries = _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col).withColumn(
+        "bucket", bucket_key(F.col("qv"))
+    )
     scored = (
         corpus.join(F.broadcast(queries), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("raw_score", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("raw_score").desc(), F.col("neighbor_id").asc()
@@ -148,25 +166,40 @@ def ivf_topk(
     lists, so the scored fraction is ~nprobe/n_centroids of the corpus —
     sub-linear scan work, one shuffle on the (int) cluster key.
     """
-    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
     centroid_rows = (
-        base.orderBy("id").limit(n_centroids).collect()
+        _normalized(emb, "id", "v", id_col, vec_col)
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
     )  # codebook: n_centroids × dim floats — driver-side by design
     centroids = [
         (i, F.array(*[F.lit(float(x)) for x in row.v]))
         for i, row in enumerate(centroid_rows)
     ]
 
+    # centroid literals are unit-normalized, so argmax over dot(raw_v, c)
+    # equals argmax over cosine (the row's own norm is constant across
+    # centroids) — cluster assignment never needs to normalize the row,
+    # which matters because this runs BEFORE any join barrier and inlined
+    # normalization would be recomputed inside every centroid dot.
     def cluster_scores(v: Column) -> Column:
-        return F.array(*[cosine(v, c) for _, c in centroids])
+        return F.array(*[dot(v, c) for _, c in centroids])
 
     def argmax_cluster(v: Column) -> Column:
         scores = cluster_scores(v)
         return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
-    corpus = base.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
-    ).withColumn("cluster", argmax_cluster(F.col("cv")))
+    # one narrow projection derives BOTH the cluster id (from the raw
+    # vector) and the normalized vector (for post-join scoring); every
+    # derived expression is used exactly once, so projection collapse
+    # cannot duplicate work
+    corpus = (
+        emb.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv0"))
+        .withColumn("cluster", argmax_cluster(F.col("cv0")))
+        .withColumn("__n", F.sqrt(dot(F.col("cv0"), F.col("cv0"))))
+        .withColumn("cv", F.transform(F.col("cv0"), lambda x: x / F.col("__n")))
+        .select("neighbor_id", "cluster", "cv")
+    )
     # queries emit their nprobe best clusters: sort (score, idx) structs desc
     probe_list = F.slice(
         F.reverse(
@@ -185,15 +218,14 @@ def ivf_topk(
         nprobe,
     )
     queries = (
-        emb.filter(query_pred)
-        .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+        _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
         .withColumn("probe", F.explode(probe_list))
         .select("query_id", "qv", F.col("probe.idx").cast("int").alias("cluster"))
     )
     scored = (
         corpus.join(F.broadcast(queries), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("raw_score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("raw_score", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("raw_score").desc(), F.col("neighbor_id").asc()
@@ -218,11 +250,11 @@ def cosine_pairs(
     approximates. Quadratic in corpus size: use only at verification scale
     or within LSH/IVF-pruned candidate sets.
     """
-    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+    base = _normalized(emb, "id", "v", id_col, vec_col)
     return (
         base.alias("a")
         .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
-        .withColumn("raw", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn("raw", dot(F.col("a.v"), F.col("b.v")))
         .filter(F.col("raw") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
@@ -256,13 +288,13 @@ def embedding_near_duplicates(
         ]
         return F.concat(*bits)
 
-    base = emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+    base = _normalized(emb, "id", "v", id_col, vec_col)
     bucketed = base.withColumn("bucket", bucket_key(F.col("v")))
     return (
         bucketed.alias("a")
         .join(bucketed.alias("b"), "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn("score", dot(F.col("a.v"), F.col("b.v")))
         .filter(F.col("score") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),

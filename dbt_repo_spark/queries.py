@@ -850,12 +850,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embed_cosine_topk",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n),
          qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
          s AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_dot_product(qs.v, c.v)
-                        / sqrt(list_dot_product(qs.v, qs.v) * list_dot_product(c.v, c.v))
-                        AS raw
+                      list_dot_product(qs.v, c.v) AS raw
                FROM qs CROSS JOIN e c WHERE c.vec_id <> qs.vec_id)
     SELECT query_id, neighbor_id, round(raw, 6) AS score
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -892,14 +892,13 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_embed_cosine",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-                 6) AS score
+           round(list_dot_product(a.v, b.v), 6) AS score
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+    WHERE list_dot_product(a.v, b.v) >= 0.4
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
