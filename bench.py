@@ -36,8 +36,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embed_cosine_topk",
+    "embed_ivf_topk",
     "text_fingerprints",
+    "events_asof_last_signup",
+    "tumbling_window_counts",
+    "session_windows",
+    "salted_join_skew",
+    "streaming_parse_dedup",
 ]
 
 RUNS = 3
