@@ -80,6 +80,73 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k via Arrow-batched NumPy matmul (BLAS path).
+
+    The expression-based ``cosine_topk`` evaluates a zip_with/aggregate
+    lambda per pair — fine for modest corpora, but dense linear algebra is
+    the one workload where the Python boundary WINS: the query matrix
+    (k queries × dim) is collected once (tiny), broadcast into a
+    ``mapInPandas`` stage, and each Arrow batch of corpus vectors scores
+    against ALL queries in one ``corpus_block @ Q.T`` BLAS call. Per-batch
+    partial top-k keeps the shuffle at O(batches × queries × k) rows; a
+    final window takes the global top-k. Same exact results as the
+    expression path (both are exact brute force).
+    """
+    import numpy as np
+    import pandas as pd
+
+    queries = _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
+    qrows = queries.collect()  # small by contract (the query set)
+    qids = np.array([r.query_id for r in qrows])
+    qmat = np.array([r.qv for r in qrows], dtype=np.float64)  # (nq, dim)
+
+    out_schema = "query_id long, neighbor_id long, raw_score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mat = np.array(list(pdf["v"]), dtype=np.float64)  # (n, dim)
+            scores = mat @ qmat.T  # (n, nq) one BLAS call
+            out = []
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = min(k, len(cand_idx))
+                if take == 0:
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:take]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[top],
+                            "raw_score": col[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    corpus = _normalized(emb, "id", "v", id_col, vec_col)
+    partial = corpus.mapInPandas(score_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from a hash recurrence.
 

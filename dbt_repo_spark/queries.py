@@ -876,6 +876,18 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, F.col("vec_id") < 10, k=5, n_planes=4)
 
 
+@q("embed_cosine_topk_np")  # fp summation order differs from SQL → rows-only
+def embed_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow+NumPy brute-force top-k: one BLAS matmul per corpus batch.
+
+    Exact same candidate math as embed_cosine_topk; the test suite asserts
+    identical neighbor sets. Registered rows-only because BLAS summation
+    order differs from the sequential SQL fold in the last float bits.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_vectorized(emb, F.col("vec_id") < 10, k=5)
+
+
 @q("embed_ivf_topk")  # approximate recall by construction → rows-only check
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: coarse-quantize corpus, probe nprobe lists, rerank.
