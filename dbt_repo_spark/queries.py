@@ -1110,6 +1110,49 @@ def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type (explicit value list so the plan is
+    a single pass — no distinct-values pre-query)."""
+    ev = t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot emits NULL for absent combos; counts should read 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@q(
+    "unpivot_measures",
+    """
+    SELECT o_orderkey, 'total_price' AS measure, CAST(o_totalprice AS DOUBLE) AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures to (key, measure, value) rows."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return o.unpivot("o_orderkey", ["total_price", "cust_key"], "measure", "value")
+
+
 @q("approx_distinct_sketch")  # HLL++ estimate is engine-specific → rows-only
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: approx_count_distinct (HLL++) next to the exact
