@@ -43,13 +43,23 @@ class Model:
     unique_key: str | None = None
     partition_by: list[str] | None = None
     cluster_by: list[str] | None = None
+    incremental_strategy: str = "append"  # append (anti-join) | insert_overwrite
     tests: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.materialized not in MATERIALIZATIONS:
             raise ValueError(f"unknown materialization {self.materialized!r}")
-        if self.materialized == "incremental" and not self.unique_key:
-            raise ValueError(f"incremental model {self.name} needs unique_key")
+        if self.incremental_strategy not in ("append", "insert_overwrite"):
+            raise ValueError(
+                f"unknown incremental_strategy {self.incremental_strategy!r}"
+            )
+        if self.materialized == "incremental":
+            if self.incremental_strategy == "append" and not self.unique_key:
+                raise ValueError(f"incremental model {self.name} needs unique_key")
+            if self.incremental_strategy == "insert_overwrite" and not self.partition_by:
+                raise ValueError(
+                    f"insert_overwrite model {self.name} needs partition_by"
+                )
 
 
 def model(
@@ -60,6 +70,7 @@ def model(
     unique_key: str | None = None,
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    incremental_strategy: str = "append",
     tests: dict | None = None,
 ):
     """Decorator registering a DataFrame-builder as a model.
@@ -78,6 +89,7 @@ def model(
             unique_key=unique_key,
             partition_by=partition_by,
             cluster_by=cluster_by,
+            incremental_strategy=incremental_strategy,
             tests=tests or {},
         )
 
@@ -158,6 +170,26 @@ class ModelRunner:
             return self.catalog.read(m.layer, m.name)
         # incremental
         target_exists = self.catalog.exists(m.layer, m.name) and not full_refresh
+        if target_exists and m.incremental_strategy == "insert_overwrite":
+            # Partition-overwrite path (SURVEY.md §4 scale policy): when
+            # the batch's rows fully own their partitions (e.g. a daily
+            # reprocess), replacing just those partitions beats the
+            # NOT-IN/anti-join — no scan of the existing target at all.
+            # Dynamic mode rewrites only partitions present in ``df``.
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                self.catalog.write(
+                    df, m.layer, m.name,
+                    mode="overwrite",
+                    partition_by=m.partition_by,
+                    sort_within_partitions=m.cluster_by,
+                )
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return self.catalog.read(m.layer, m.name)
         if target_exists:
             # is_incremental() branch: anti-join against {{ this }} keys,
             # then append. Key set is projected to ONE column before the

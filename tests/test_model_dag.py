@@ -223,6 +223,44 @@ def test_incremental_full_refresh(runner):
     assert built["fact_station_status_history"].count() == 20
 
 
+def test_insert_overwrite_strategy(spark, tmp_path):
+    """insert_overwrite rewrites ONLY the partitions present in the new
+    batch; untouched partitions survive."""
+    import pyspark.sql.functions as SF
+
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+
+    @model(
+        "daily_counts",
+        deps=("raw_rows",),
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by=["d"],
+    )
+    def daily_counts(ctx) -> "DataFrame":
+        return ctx["raw_rows"].groupBy("d").agg(SF.count("*").alias("n"))
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    day1 = [Row(d="2025-01-01", v=i) for i in range(3)]
+    day2 = [Row(d="2025-01-02", v=i) for i in range(5)]
+    r = ModelRunner(spark, catalog, {"raw_rows": spark.createDataFrame(day1 + day2)})
+    r.add(daily_counts)
+    built = r.run()
+    assert {(str(x.d), x.n) for x in built["daily_counts"].collect()} == {
+        ("2025-01-01", 3),
+        ("2025-01-02", 5),
+    }
+    # reprocess ONLY day 2 with different contents → day 1 untouched
+    r.sources["raw_rows"] = spark.createDataFrame(
+        [Row(d="2025-01-02", v=i) for i in range(8)]
+    )
+    built = r.run()
+    assert {(str(x.d), x.n) for x in built["daily_counts"].collect()} == {
+        ("2025-01-01", 3),
+        ("2025-01-02", 8),
+    }
+
+
 def test_partitioned_layout(runner, tmp_path):
     runner.run(["fact_trips"])
     import os
