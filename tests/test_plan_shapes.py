@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the plan properties that matter at
+100 TB, asserted so a refactor can't silently lose them.
+
+- filters reach the parquet scan (PushedFilters)
+- scans are column-pruned (ReadSchema)
+- dimension joins broadcast
+- incremental anti-join broadcasts the key set
+- latest-per-key uses WindowGroupLimit (map-side top-k pruning)
+- no row-at-a-time Python UDFs anywhere in SQL-expressible queries
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_repo_spark.queries import ORACLES, QUERIES
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: exactly the 7 needed columns, not the full lineitem
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 <= 8 and "l_comment" not in read
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "mart_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_antijoin_shape(spark):
+    plan = _plan(spark, "incremental_antijoin")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_latest_per_key_window_group_limit(spark):
+    plan = _plan(spark, "latest_per_key")
+    # Spark's rank-limit pushdown: partial top-1 before AND after the
+    # shuffle, so the exchange carries ≤1 row per key per map task
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_no_python_udfs_in_oracle_queries(spark):
+    """Every SQL-expressible query stays JVM-side (BatchEvalPython/
+    ArrowEvalPython would mean a Python boundary in the hot path)."""
+    offenders = []
+    for name in sorted(ORACLES):
+        plan = _plan(spark, name, "simple")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs in: {offenders}"
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join must join on (key, salt), not key alone."""
+    plan = _plan(spark, "salted_join_skew")
+    assert "__salt" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "text_fingerprints"])
+def test_single_scan_queries_read_pruned(spark, name):
+    plan = _plan(spark, name)
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, "expected a parquet scan"
+    # documents has 5 columns; these queries need ≤2
+    assert all(("doc_id" in l or "text" in l) for l in read_lines)
+    assert all("lang" not in l and "source" not in l for l in read_lines)
