@@ -244,29 +244,40 @@ def ivf_topk(
         for i, row in enumerate(centroid_rows)
     ]
 
-    # centroid literals are unit-normalized, so argmax over dot(raw_v, c)
-    # equals argmax over cosine (the row's own norm is constant across
-    # centroids) — cluster assignment never needs to normalize the row,
-    # which matters because this runs BEFORE any join barrier and inlined
-    # normalization would be recomputed inside every centroid dot.
+    # Corpus assignment runs over the WHOLE corpus, so it uses the Arrow/
+    # NumPy path: one (batch × centroids) matmul per Arrow batch instead
+    # of n_centroids interpreted higher-order-function dots per row
+    # (HOF lambdas are not codegen'd — at 64 centroids the expression
+    # path is ~5× slower). Centroid literals are unit-normalized, so
+    # argmax over dot(raw_v, c) equals argmax over cosine; normalization
+    # for post-join scoring happens in the same pass.
+    import numpy as np
+    import pandas as pd
+
+    cmat_np = np.array([row.v for row in centroid_rows], dtype=np.float64)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["cv0"]), dtype=np.float64)
+            cluster = np.argmax(mat @ cmat_np.T, axis=1).astype("int32")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            normed = mat / norms[:, None]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].to_numpy(),
+                    "cluster": cluster,
+                    "cv": list(normed),
+                }
+            )
+
+    corpus = emb.select(
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("cv0")
+    ).mapInPandas(
+        assign_batches, schema="neighbor_id long, cluster int, cv array<double>"
+    )
+
     def cluster_scores(v: Column) -> Column:
         return F.array(*[dot(v, c) for _, c in centroids])
-
-    def argmax_cluster(v: Column) -> Column:
-        scores = cluster_scores(v)
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-    # one narrow projection derives BOTH the cluster id (from the raw
-    # vector) and the normalized vector (for post-join scoring); every
-    # derived expression is used exactly once, so projection collapse
-    # cannot duplicate work
-    corpus = (
-        emb.select(F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv0"))
-        .withColumn("cluster", argmax_cluster(F.col("cv0")))
-        .withColumn("__n", F.sqrt(dot(F.col("cv0"), F.col("cv0"))))
-        .withColumn("cv", F.transform(F.col("cv0"), lambda x: x / F.col("__n")))
-        .select("neighbor_id", "cluster", "cv")
-    )
     # queries emit their nprobe best clusters: sort (score, idx) structs desc
     probe_list = F.slice(
         F.reverse(
