@@ -47,3 +47,44 @@ def test_cli_ingest_run_test(spark, tmp_path, capsys):
 
     rc = main(["test", "--warehouse", wh])
     assert rc == 0  # no FAILing declared tests on the trips subtree
+
+
+def test_cli_stream_available_now(spark, tmp_path):
+    import json
+
+    payload = {
+        "last_updated": 1735700000,
+        "ttl": 60,
+        "version": "2.3",
+        "data": {
+            "stations": [
+                {
+                    "station_id": "st000",
+                    "last_reported": 1735699990,
+                    "num_bikes_available": 3,
+                    "num_docks_available": 17,
+                    "is_installed": True,
+                    "is_renting": True,
+                    "is_returning": True,
+                }
+            ]
+        },
+    }
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(json.dumps(payload))
+    rc = main(
+        [
+            "stream",
+            "--landing",
+            str(landing),
+            "--out",
+            str(tmp_path / "out"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+            "--available-now",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 1 and out.first().station_id == "st000"
