@@ -1255,6 +1255,63 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_aggregate(ev, "ts", "user_id", "30 minutes")
 
 
+@q(
+    "training_data_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+      FROM documents),
+    gated AS (
+      SELECT doc_id, text, len(w) AS n_tokens
+      FROM toks
+      WHERE len(w) >= 10 AND alpha / n_chars > 0.5
+        AND len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x)))
+            / len(w) > 0.01),
+    deduped AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies, MIN(n_tokens) AS n_tokens
+      FROM gated GROUP BY md5(text))
+    SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS gated_docs,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS removed_dups,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM deduped
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline END-TO-END as one declarative plan:
+    quality gate → exact dedup (keep min id) → corpus stats.
+
+    Composes the quality_scores and exact_duplicates operators; everything
+    fuses into one Catalyst plan (gate pushes into the scan, dedup is one
+    hash-agg on the 16-byte content hash), so the whole pipeline is a
+    single pass + one shuffle — the shape you want when the input is
+    100 TB of raw crawl.
+    """
+    docs = t(spark, sf_dir, "documents")
+    gated = (
+        text.quality_scores(docs, "doc_id", "text")
+        .filter(F.col("passes_quality"))
+        .join(docs, "doc_id")
+        .select("doc_id", "text", "n_tokens")
+    )
+    deduped = dedup.exact_duplicates(gated, "doc_id", "text").join(
+        gated.select(F.md5("text").alias("fingerprint"), "n_tokens").dropDuplicates(
+            ["fingerprint"]
+        ),
+        "fingerprint",
+    )
+    return deduped.agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_copies").alias("gated_docs"),
+        (F.sum("n_copies") - F.count("*")).alias("removed_dups"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+
+
 @q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
 def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST2 semantics through the REAL streaming parser, batch-driven.
