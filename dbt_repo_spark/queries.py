@@ -1153,6 +1153,135 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unpivot("o_orderkey", ["total_price", "cust_key"], "measure", "value")
 
 
+@q(
+    "window_offsets",
+    """
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/rank window battery: lag, lead, first_value, ntile,
+    percent_rank, cume_dist over one partition-ordered window (all share
+    a single sort+shuffle)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@q(
+    "string_battery",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_uc,
+           lower(o_orderpriority) AS priority_lc,
+           trim(o_orderpriority) AS priority_trim,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           substr(o_orderpriority, 3) AS priority_name,
+           CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+           replace(o_orderpriority, '-', '_') AS priority_snake,
+           CAST(contains(o_orderpriority, 'URGENT') AS BOOLEAN) AS is_urgent,
+           split_part(o_orderpriority, '-', 1) AS priority_num,
+           reverse(o_orderstatus) AS status_rev,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS joined
+    FROM orders
+    """,
+)
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (§2.8 breadth): case, pad, slice, replace,
+    containment, split, reverse, multi-arg concat."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.lower("o_orderpriority").alias("priority_lc"),
+        F.trim("o_orderpriority").alias("priority_trim"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.substring("o_orderpriority", 3, 2_000_000).alias("priority_name"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "priority_snake"
+        ),
+        F.contains(F.col("o_orderpriority"), F.lit("URGENT")).alias("is_urgent"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias(
+            "priority_num"
+        ),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("joined"),
+    )
+
+
+@q(
+    "array_battery",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_sort(list_distinct(
+                        list_filter(string_split(text, ' '), x -> x <> ''))) AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_distinct,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(list_select(toks, [1, 2, 3]), ' ') AS first3,
+           CAST(len(list_intersect(toks, ['the','a','of','and','is'])) AS INTEGER)
+             AS n_stopwords
+    FROM t
+    """,
+)
+def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: sort, distinct, index, containment, slice,
+    intersection — all JVM-side, no explode needed."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    )
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "is"]])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(F.array_intersect(toks, stop)).alias("n_stopwords"),
+    )
+
+
+@q("map_battery")  # DuckDB map comparison via pandas is lossy → rows-only
+def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type support (unused by the reference but free in Spark):
+    build a map from entries, then keys/values/lookup/size."""
+    ev = t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("value")),
+        F.array(F.col("event_type"), F.col("value").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, F.lit("type")).alias("type_lookup"),
+        F.size(m).alias("n_entries"),
+    )
+
+
 @q("approx_distinct_sketch")  # HLL++ estimate is engine-specific → rows-only
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: approx_count_distinct (HLL++) next to the exact
