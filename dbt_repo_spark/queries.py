@@ -1441,6 +1441,14 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("multimodal_resize")  # mapInPandas resize stub → rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize: shrink blobs BEFORE any shuffle so downstream
+    stages move the small representation."""
+    media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media, width=64, height=64).drop("content")
+
+
 @q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
 def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST2 semantics through the REAL streaming parser, batch-driven.
