@@ -34,7 +34,23 @@ from dbt_repo_spark.functions import (
 from dbt_repo_spark.plans.runner import model
 
 
-@model("stg_station_status", deps=("raw_station_status",), materialized="view", layer="stg")
+@model(
+    "stg_station_status",
+    deps=("raw_station_status",),
+    materialized="view",
+    layer="stg",
+    tests={
+        c: ["not_null"]
+        for c in (
+            "station_id",
+            "reported_at",
+            "bikes_available",
+            "docks_available",
+            "feed_updated_at",
+            "ingest_at",
+        )
+    },  # models/staging/schema.yml:9-30
+)
 def stg_station_status(ctx) -> DataFrame:
     """models/staging/stg_station_status.sql — explode data.stations,
     epoch→timestamp conversions."""
@@ -61,7 +77,16 @@ def stg_station_status(ctx) -> DataFrame:
     )
 
 
-@model("stg_station_information", deps=("raw_station_information",), materialized="view", layer="stg")
+@model(
+    "stg_station_information",
+    deps=("raw_station_information",),
+    materialized="view",
+    layer="stg",
+    tests={
+        c: ["not_null"]
+        for c in ("station_id", "feed_updated_at", "station_name", "lat", "lon")
+    },  # models/staging/schema.yml:43-60
+)
 def stg_station_information(ctx) -> DataFrame:
     """models/staging/stg_station_information.sql — JSON-string path
     extraction (json_extract_array + json_extract_scalar incl. nested
@@ -120,7 +145,24 @@ def stg_station_tariffs(ctx) -> DataFrame:
     )
 
 
-@model("stg_historic_trips", deps=("raw_historic_trips",), materialized="view", layer="stg")
+@model(
+    "stg_historic_trips",
+    deps=("raw_historic_trips",),
+    materialized="view",
+    layer="stg",
+    tests={
+        c: ["not_null"]
+        for c in (
+            "started_at",
+            "ended_at",
+            "duration_s",
+            "computed_duration_s",
+            "start_station_id",
+            "end_station_id",
+            "trip_date",
+        )
+    },  # models/staging/schema.yml:81-110
+)
 def stg_historic_trips(ctx) -> DataFrame:
     """models/staging/stg_historic_trips.sql — projection + derived
     date/hour/computed-duration columns."""

@@ -342,6 +342,19 @@ def demo_runner(spark, tmp_path):
     return r
 
 
+def test_gbfs_staging_schema_tests(runner):
+    """The reference's staging schema.yml not_null battery passes on the
+    GBFS fixtures (models/staging/schema.yml:9-110)."""
+    built = runner.run()
+    results = runner.test(built)
+    staging = {k: v for k, v in results.items() if k.startswith("stg_")}
+    assert len(staging) == 3
+    flat = [t for rs in staging.values() for t in rs]
+    assert len(flat) >= 18
+    failures = [t for t in flat if not t.passed]
+    assert not failures, f"staging schema tests failed: {failures}"
+
+
 def test_demo_dag_and_generic_tests(demo_runner):
     built = demo_runner.run()
     cust = built["customers"]
