@@ -39,6 +39,9 @@ def q(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dbt_repo_spark.session import ship_package
+
+    ship_package(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the physical INT64 nanos and convert to a

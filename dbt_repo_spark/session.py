@@ -18,6 +18,37 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship dbt_repo_spark to Python workers via ``addPyFile``.
+
+    mapInPandas / applyInPandasWithState closures reference module-level
+    functions, which cloudpickle serializes BY REFERENCE — workers must
+    import ``dbt_repo_spark`` themselves. When the driver process runs
+    from outside the repo, worker sys.path doesn't include it; a zip of
+    the package shipped through ``addPyFile`` fixes that for every
+    deployment mode (local, YARN, k8s) without touching executor env.
+    Idempotent per SparkContext.
+    """
+    import tempfile
+    import zipfile
+
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(tempfile.gettempdir(), "dbt_repo_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(repo_root, "dbt_repo_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(key)
+
 
 def get_spark(
     app_name: str = "dbt-repo-spark",

@@ -170,6 +170,9 @@ def start_status_ingest(
     and stop. Checkpointing (ST5, :218) makes restarts exactly-once into
     the parquet sink directory.
     """
+    from dbt_repo_spark.session import ship_package
+
+    ship_package(spark)  # foreachBatch/stateful closures need the pkg on workers
     os.makedirs(landing_dir, exist_ok=True)
     stream = parse_status_stream(file_payload_source(spark, landing_dir))
     if station_dim is not None:
