@@ -1267,6 +1267,77 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "fuzzy_match_levenshtein",
+    """
+    WITH d AS (SELECT doc_id, lang, substr(text, 1, 24) AS head,
+                      length(text) AS n_chars
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 3
+    WHERE levenshtein(a.head, b.head) <= 6
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded fuzzy string match: equi-band join (lang) + cheap length
+    filter prune the candidate pairs BEFORE the O(n*m) levenshtein runs —
+    the standard shape for fuzzy dedup of titles/headers at scale (the
+    band key is the shuffle key; edit distance only touches survivors).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 24).alias("head"),
+        F.length("text").alias("n_chars"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 3),
+        )
+        .withColumn("edit_distance", F.levenshtein(F.col("a.head"), F.col("b.head")))
+        .filter(F.col("edit_distance") <= 6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "edit_distance",
+        )
+    )
+
+
+@q(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers (superset of the
+    rollup already covered) — one pass, Catalyst expands the sets."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 @q("map_battery")  # DuckDB map comparison via pandas is lossy → rows-only
 def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type support (unused by the reference but free in Spark):
