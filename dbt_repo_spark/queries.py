@@ -1277,8 +1277,8 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(a.n_chars - b.n_chars) <= 3
-    WHERE levenshtein(a.head, b.head) <= 6
+     AND abs(a.n_chars - b.n_chars) <= 50
+    WHERE levenshtein(a.head, b.head) <= 12
     """,
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,10 +1297,10 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 3),
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 50),
         )
         .withColumn("edit_distance", F.levenshtein(F.col("a.head"), F.col("b.head")))
-        .filter(F.col("edit_distance") <= 6)
+        .filter(F.col("edit_distance") <= 12)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
