@@ -49,6 +49,109 @@ def test_cli_ingest_run_test(spark, tmp_path, capsys):
     assert rc == 0  # no FAILing declared tests on the trips subtree
 
 
+def test_cli_full_warehouse_e2e(spark, tmp_path, capsys):
+    """The reference's whole surface through the CLI: ingest status feed
+    (nested JSON), info feed (JSON-string fallback), trip CSVs → run the
+    full 15-model GBFS DAG → declared data tests pass."""
+    import json
+
+    def status_payload(epoch):
+        return {
+            "last_updated": epoch,
+            "ttl": 60,
+            "version": "2.3",
+            "data": {
+                "stations": [
+                    {
+                        "station_id": f"st{i:03d}",
+                        "last_reported": epoch - 10,
+                        "num_bikes_available": (i + epoch) % 15,
+                        "num_docks_available": 15 - (i + epoch) % 15,
+                        "is_installed": True,
+                        "is_renting": True,
+                        "is_returning": i % 2 == 0,
+                    }
+                    for i in range(4)
+                ]
+            },
+        }
+
+    info_payload = {
+        "last_updated": 1735700000,
+        "ttl": 60,
+        "version": "2.3",
+        "data": {
+            "stations": [
+                {
+                    "station_id": f"st{i:03d}",
+                    "name": f"Station {i}",
+                    "lat": 59.9 + i * 0.01,
+                    "lon": 10.7,
+                    "address": f"Street {i}",
+                    "cross_street": None,
+                    "capacity": 20,
+                    "is_virtual_station": "false",
+                    "rental_uris": {"android": "a", "ios": "i", "web": "w"},
+                }
+                for i in range(4)
+            ],
+            "tariffs": [
+                {
+                    "tariff_id": "day",
+                    "name": "Day",
+                    "cost_per_hour": "15.0",
+                    "currency": "NOK",
+                    "duration_minutes": "60",
+                }
+            ],
+        },
+    }
+
+    status_dir = tmp_path / "drops" / "status"
+    info_dir = tmp_path / "drops" / "info"
+    status_dir.mkdir(parents=True)
+    info_dir.mkdir(parents=True)
+    for k in range(3):
+        (status_dir / f"s{k}.json").write_text(
+            json.dumps(status_payload(1735700000 + 60 * k))
+        )
+    (info_dir / "info.json").write_text(json.dumps(info_payload))
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "01_2025.csv").write_text(
+        "\n".join([HEADER, *[_row(i) for i in range(30)]])
+    )
+    wh = str(tmp_path / "wh")
+
+    assert main(["ingest-gbfs", "--landing", str(status_dir), "--warehouse", wh,
+                 "--table", "station_status"]) == 0
+    assert main(["ingest-gbfs", "--landing", str(info_dir), "--warehouse", wh,
+                 "--table", "station_information", "--serialize-data"]) == 0
+    assert main(["ingest-trips", "--csv", str(csv_dir / "*.csv"),
+                 "--warehouse", wh]) == 0
+
+    assert main(["run", "--warehouse", wh]) == 0
+    out = capsys.readouterr()
+    for m in ("stg_station_status", "dim_stations", "dim_date", "dim_tariff",
+              "fact_station_status", "fact_station_status_latest", "fact_trips",
+              "fact_station_uptime", "mart_station_availability",
+              "mart_station_uptime", "mart_trip_metrics"):
+        assert f" {m}" in out.out, f"{m} missing from run output"
+    assert "skipping" not in out.err or "customers" in out.err  # only demo models may skip
+
+    assert main(["test", "--warehouse", wh]) == 0
+    out = capsys.readouterr()
+    assert "FAIL" not in out.out and "PASS" in out.out
+
+    # the materialized star is queryable through plain SQL
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, wh)
+    avail = cat.read("analytics", "mart_station_availability")
+    assert avail.count() == 12  # 3 snapshots x 4 stations
+    assert cat.read("analytics", "fact_station_status_history").count() == 12
+
+
 def test_cli_stream_available_now(spark, tmp_path):
     import json
 
