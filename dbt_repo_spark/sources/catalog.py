@@ -107,6 +107,53 @@ class Catalog:
         """Read a table registered in the session catalog (bucket-aware)."""
         return self.spark.table(f"{layer}_{name}")
 
+    def compact(
+        self,
+        layer: str,
+        name: str,
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+        target_files_per_partition: int = 1,
+    ) -> int:
+        """Rewrite a table to coalesce micro-batch small files.
+
+        Streaming foreachBatch sinks append one file set per trigger; a
+        day of 1-minute batches leaves ~1440 tiny files per partition and
+        scan throughput collapses (open/footer overhead dominates).
+        Compaction reads the table, re-sorts within partitions, and
+        rewrites with ``target_files_per_partition`` files, swapping
+        directories at the end (crash before the swap leaves the original
+        intact). Returns the number of files after compaction.
+
+        On a real deployment this runs as a scheduled job per closed
+        (past-watermark) date partition; table formats with transactional
+        rewrite (Delta/Iceberg OPTIMIZE) replace the directory swap.
+        """
+        src = self.path(layer, name)
+        tmp = src + "__compacting"
+        old = src + "__old"
+        df = self.spark.read.parquet(src)
+        if partition_by:
+            out = df.repartition(target_files_per_partition, *partition_by)
+        else:
+            out = df.coalesce(target_files_per_partition)
+        if sort_within_partitions:
+            out = out.sortWithinPartitions(*sort_within_partitions)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        n_files = sum(
+            1
+            for root, _d, files in os.walk(src)
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        return n_files
+
     def register_views(self, layer: str | None = None) -> None:
         """Expose catalog tables as ``layer_name`` temp views for spark.sql."""
         layers = [layer] if layer else LAYERS
