@@ -1,0 +1,77 @@
+"""Time-series operators: grid resampling with gap-fill.
+
+The reference stores ~1/min station snapshots and derives hourly/daily
+aggregates in batch; a time-series engine additionally needs REGULAR
+grids from irregular observations — dashboards and joins against other
+minute-grid series want one row per (key, minute) with the last observed
+value carried forward across gaps.
+
+Shape: snap → dedup-per-bucket → spine → left join → forward-fill.
+Everything is one shuffle on the key (the spine join and the fill window
+share the partitioning); the spine is generated per key from its own
+min/max bounds so no driver-side range collection happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 60,
+) -> DataFrame:
+    """Resample to a regular ``step_seconds`` grid with forward-fill.
+
+    1. Snap each observation to its bucket (floor of epoch / step).
+    2. Keep the LAST observation per (key, bucket) — deterministic via
+       (ts, value) ordering.
+    3. Build each key's spine from its own min/max bucket (sequence +
+       explode — J7's pattern, no driver round-trip).
+    4. Left-join observations onto the spine and carry the last non-null
+       value forward (last IGNORE NULLS over a running window).
+
+    Output: (key, bucket_ts, value, is_observed).
+    """
+    step = F.lit(step_seconds)
+    snapped = df.select(
+        F.col(key),
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+        ).alias("bucket_ts"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+    )
+    w_pick = Window.partitionBy(key, "bucket_ts").orderBy(
+        F.col("__ts").desc(), F.col("__v").desc()
+    )
+    per_bucket = (
+        snapped.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(key, "bucket_ts", F.col("__v").alias("observed_value"))
+    )
+    bounds = per_bucket.groupBy(key).agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"interval {step_seconds} seconds"))
+        ).alias("bucket_ts"),
+    )
+    joined = spine.join(per_bucket, [key, "bucket_ts"], "left")
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "bucket_ts",
+        F.last("observed_value", ignorenulls=True).over(w_fill).alias("value"),
+        F.col("observed_value").isNotNull().alias("is_observed"),
+    )

@@ -1338,6 +1338,41 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "timeseries_gapfill",
+    """
+    WITH snapped AS (
+      SELECT user_id,
+             to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS bucket_ts,
+             ts, value
+      FROM events),
+    picked AS (
+      SELECT user_id, bucket_ts, value AS observed_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+                                         ORDER BY ts DESC, value DESC) AS rn
+            FROM snapped)
+      WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+               FROM picked GROUP BY user_id),
+    spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM bounds)
+    SELECT s.user_id, s.bucket_ts,
+           last_value(p.observed_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           p.observed_value IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN picked p USING (user_id, bucket_ts)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: snap to a 1-hour grid, last-per-bucket,
+    per-key spine, forward-fill across gaps — one shuffle on the key."""
+    from dbt_repo_spark.operators.timeseries import resample_ffill
+
+    ev = t(spark, sf_dir, "events")
+    return resample_ffill(ev, "user_id", "ts", "value", step_seconds=3600)
+
+
 @q("map_battery")  # DuckDB map comparison via pandas is lossy → rows-only
 def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type support (unused by the reference but free in Spark):
