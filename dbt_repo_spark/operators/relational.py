@@ -46,6 +46,52 @@ def date_spine(lo: Column, hi: Column) -> Column:
     return F.explode(F.sequence(lo, hi, F.expr("interval 1 day")))
 
 
+def asof_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    probe_ts: str,
+    ref_ts: str,
+    ref_value_cols: list[str],
+) -> DataFrame:
+    """AS-OF join: for each probe row, the latest reference row with
+    ``ref_ts <= probe_ts`` on the same key.
+
+    Implemented as the union-window trick: tag both sides, union into one
+    key-partitioned time-ordered stream, carry reference values forward
+    with last(IGNORE NULLS), keep probe rows. ONE shuffle on the key —
+    never the range self-join whose candidate count is |probe|x|ref| per
+    key. Reference rows sort before probe rows at equal timestamps, so a
+    same-instant reference row IS visible to the probe row (<=, matching
+    DuckDB ASOF JOIN semantics, which this operator is oracle-tested
+    against).
+    """
+    p = probe.withColumn("__is_probe", F.lit(1)).withColumn("__ts", F.col(probe_ts))
+    r_cols = [F.col(c).alias(f"__ref_{c}") for c in ref_value_cols]
+    r = reference.select(
+        F.col(key), F.col(ref_ts).alias("__ts"), *r_cols
+    ).withColumn("__is_probe", F.lit(0))
+    # unionByName fills columns present on only one side with NULL, which is
+    # exactly the carry-forward seed the window needs.
+    unioned = p.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__ref_{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
+            for c in ref_value_cols
+        ],
+    )
+    out_cols = [c for c in probe.columns] + [
+        F.col(f"__filled_{c}").alias(f"ref_{c}") for c in ref_value_cols
+    ]
+    return filled.filter(F.col("__is_probe") == 1).select(*out_cols)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

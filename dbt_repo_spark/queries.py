@@ -1086,6 +1086,49 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "asof_purchase_last_signup_value",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    ref AS (
+      SELECT user_id, ts, MAX(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, r.signup_value AS ref_signup_value
+    FROM probe p ASOF LEFT JOIN ref r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)
+def asof_purchase_last_signup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable ``asof_join`` operator, oracle-checked against DuckDB's
+    native ASOF LEFT JOIN.
+
+    Probe = purchases, reference = signups (pre-aggregated to one row per
+    (user_id, ts) so "latest at equal timestamp" is deterministic in both
+    engines; MAX picks an existing double — bit-identical, no decimal
+    laundering needed). The operator unions both sides and carries values
+    forward in ONE key shuffle — at 100 TB this is the only as-of shape
+    that avoids a quadratic per-key range join.
+    """
+    from dbt_repo_spark.operators.relational import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return asof_join(
+        probe, ref, key="user_id", probe_ts="ts", ref_ts="ts",
+        ref_value_cols=["signup_value"],
+    )
+
+
+@q(
     "percentile_battery",
     """
     SELECT event_type,
