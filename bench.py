@@ -60,6 +60,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # drop any relations a prior query persisted (e.g. minhash's
+        # per-doc cache) so queries don't pay each other's memory bill
+        spark.catalog.clearCache()
         # warmup: compiles the plan, primes codegen + file listing
         fn(spark, SF_DIR).count()
         samples = []

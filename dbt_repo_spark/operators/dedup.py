@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbt_repo_spark.session import fan_out
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens with empties dropped (arrays stay JVM-side)."""
@@ -38,6 +40,7 @@ def shingles(
     a fraction of the bytes (collision odds across distinct shingles are
     ~|shingles|²/2⁶⁴ — negligible even at 100 TB corpus scale).
     """
+    df = fan_out(df)  # shingle explosion is CPU-bound; never run it 1-core
     toks = tokens(F.col(text_col))
     if n == 1:
         sh = toks
@@ -134,6 +137,14 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     sets = sh.groupBy("id").agg(
         F.collect_set("shingle").alias("sset"), F.count("*").alias("sz")
     )
+    return jaccard_from_sets(sets, pairs)
+
+
+def jaccard_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for given pairs from a precomputed (id, sset, sz)
+    relation — lets callers share the groupBy(id) pass with other per-doc
+    aggregates (MinHash signatures) instead of re-scanning the shingles.
+    """
     a = sets.select(
         F.col("id").alias("id_a"), F.col("sset").alias("set_a"), F.col("sz").alias("sz_a")
     )
@@ -213,19 +224,26 @@ def minhash_dedup(
     Jaccard on just the candidate pairs (a semi-join-pruned index join, not
     a full self-join).
     """
+    from pyspark import StorageLevel
+
     sh = shingles(df, id_col, text_col, n=n, as_hash=True)
-    # ONE aggregation produces both the signature slots and the set size —
-    # sizes and signatures share the groupBy(id) shuffle instead of
-    # scanning/aggregating the shingle relation twice.
+    # ONE aggregation produces the signature slots, the set size, AND the
+    # shingle set itself — signatures (banding input) and sets
+    # (verification input) share a single shuffle + shingle pass. Without
+    # this, column pruning specializes each branch's exchange and Spark
+    # recomputes the whole scan→shingle→groupBy chain twice (the diamond
+    # problem). The persist pins the per-doc relation — document-count
+    # bound, spills to disk — so both branches read it instead.
     hs = _perm_hashes(num_perm)
-    sig_and_size = sh.groupBy("id").agg(
+    per_doc = sh.groupBy("id").agg(
         F.count("*").alias("sz"),
+        F.collect_set("shingle").alias("sset"),
         *[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)],
-    )
-    cands = lsh_candidate_pairs(sig_and_size, bands, rows)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(per_doc, bands, rows)
     # exact-verify ONLY the candidate pairs (linear in |candidates|,
     # never the inverted-index join over all co-shingle pairs)
-    verified = jaccard_for_pairs(sh, cands)
+    verified = jaccard_from_sets(per_doc, cands)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -239,6 +257,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``2*set_count > n_tokens``. Row count stays |tokens| end-to-end
     instead of 64×|tokens| with a posexplode of votes.
     """
+    # no fan_out here: the token explode is cheap and the partial aggregate
+    # collapses everything map-side — an extra exchange measured SLOWER
+    # (1.05s vs 1.45s at sf0.1) than the single-partition partial agg.
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),

@@ -27,6 +27,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dbt_repo_spark.session import fan_out
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -124,7 +126,7 @@ def extract_media_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
 
-    return media.select(id_col, type_col, content_col).mapInPandas(
+    return fan_out(media.select(id_col, type_col, content_col)).mapInPandas(
         decode_batches, schema=MEDIA_FEATURE_SCHEMA
     )
 
@@ -213,7 +215,7 @@ def resize_media(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    return media.select(id_col, type_col, content_col).mapInPandas(
+    return fan_out(media.select(id_col, type_col, content_col)).mapInPandas(
         resize_batches, schema=RESIZED_SCHEMA
     )
 

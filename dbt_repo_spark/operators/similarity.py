@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbt_repo_spark.session import fan_out
+
 
 def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -45,7 +47,8 @@ def _normalized(df: DataFrame, id_out: str, vec_out: str, id_col: str, vec_col: 
     """
     v = _dvec(F.col(vec_col))
     return (
-        df.select(F.col(id_col).alias(id_out), v.alias(vec_out))
+        fan_out(df)  # per-element normalize + scoring is CPU-bound
+        .select(F.col(id_col).alias(id_out), v.alias(vec_out))
         .withColumn("__n", F.sqrt(dot(F.col(vec_out), F.col(vec_out))))
         .withColumn(vec_out, F.transform(F.col(vec_out), lambda x: x / F.col("__n")))
         .drop("__n")

@@ -50,6 +50,27 @@ def ship_package(spark: SparkSession) -> None:
     _PKG_SHIPPED.add(key)
 
 
+def fan_out(df, target: int | None = None):
+    """Spread a narrow input across the cluster before CPU-heavy per-row work.
+
+    A parquet input smaller than one file split — or written as a single
+    row group — arrives as ONE partition, which serializes the whole
+    map-side chain (shingle explosion, hashing, Arrow/NumPy batches) on a
+    single core while the rest of the cluster idles. Repartition up to
+    default parallelism ONLY when the input is narrower than that: on a
+    real cluster a large scan already has thousands of splits and this is
+    a no-op, while the pathological narrow case (small dim table, one
+    giant unsplittable file) gets its one cheap round-robin shuffle.
+    """
+    if df.isStreaming:  # micro-batch sizing is the source's job
+        return df
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "dbt-repo-spark",
     master: str | None = None,
