@@ -45,6 +45,10 @@ HEADLINE = [
     "session_windows",
     "salted_join_skew",
     "streaming_parse_dedup",
+    # sampling/packing family (added after the first baseline run —
+    # no first-run column in BASELINE.md for these)
+    "sample_stratified_events",
+    "pack_sequences",
 ]
 
 RUNS = 3

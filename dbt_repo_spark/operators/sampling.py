@@ -1,0 +1,142 @@
+"""Sampling / splitting / packing operators for training-data pipelines.
+
+Everything here is DETERMINISTIC — ordering and membership derive from
+md5 of stable ids, never from RNG state or partition layout — so results
+are reproducible run-to-run, engine-portable (md5 is identical in Spark
+and DuckDB, which the oracles exploit), and safe to re-run incrementally
+at 100 TB without resampling previously selected rows.
+
+Scale notes:
+- ``stratified_sample`` / ``cap_per_key``: one shuffle on the stratum/key
+  (window row_number); map-side WindowGroupLimit prunes before the
+  exchange when a constant cap applies.
+- ``hash_split``: pure projection — scan-speed, no shuffle, and the
+  split of a row never changes as the corpus grows (content-addressed).
+- ``pack_token_budget``: one shuffle on the pack partition key; packing
+  is a running-sum window within each partition, so pack assembly is
+  linear and never funnels through the driver.
+
+No counterpart in the reference repo (its pipeline has no sampling layer);
+these extend SURVEY.md §2's training-data operator families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_order(id_col: str) -> Column:
+    """Deterministic pseudo-random order key: md5 of the stringified id."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], fraction: float, id_col: str
+) -> DataFrame:
+    """Exact-count stratified sample: ceil(fraction * |stratum|) rows each.
+
+    Rows within a stratum are ranked by md5(id) — a fixed, uniform,
+    content-addressed order — and the top ``ceil(fraction * n)`` are kept.
+    Unlike ``df.sampleBy`` (Bernoulli per row), per-stratum counts are
+    EXACT, and membership is stable across runs and engines.
+    """
+    w = Window.partitionBy(*strata).orderBy(_hash_order(id_col), F.col(id_col))
+    cnt = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(cnt))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
+
+
+def cap_per_key(
+    df: DataFrame, keys: list[str], cap: int, order_by: list[Column]
+) -> DataFrame:
+    """Cap rows per key at ``cap``, keeping the first by ``order_by``.
+
+    The class-balance primitive: bound any single key's contribution
+    (a hot user, a boilerplate-heavy domain) to a training set. Constant
+    cap → Spark inserts WindowGroupLimit, pruning to ``cap`` rows per key
+    map-side BEFORE the exchange — the shuffle carries O(keys x cap).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split by the first md5 nibble.
+
+    ``splits`` maps split name → number of nibble values (out of 16);
+    default 13/2/1 ≈ 81.25% / 12.5% / 6.25%. Content-addressed: a row's
+    split never changes as other rows come and go, so incremental corpus
+    builds never leak val/test rows into train. Adds a ``split`` column;
+    pure projection (no shuffle, no RNG).
+    """
+    splits = splits or {"train": 13, "val": 2, "test": 1}
+    if sum(splits.values()) != 16:
+        raise ValueError("split nibble counts must sum to 16")
+    nibble = F.conv(F.substring(_hash_order(id_col), 1, 1), 16, 10).cast("int")
+    expr = None
+    lo = 0
+    for name, width in splits.items():
+        cond = nibble < F.lit(lo + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += width
+    return df.withColumn("split", expr)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_shards: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing).
+
+    Documents are sharded by ``pmod(md5-prefix(id), num_shards)`` and laid
+    out in md5 order within each shard; a running token sum assigns each
+    document to pack ``floor(tokens_before / budget)``. A pack may
+    overflow ``budget`` by at most one document (the straddling document
+    belongs to the pack where it starts) — the price of keeping packing a
+    single linear window instead of an iterative bin-packer. Documents
+    longer than ``budget`` get a pack of their own plus spillover.
+
+    Emits (shard, pack_id, id, n_tokens, tokens_before) — the writer sorts
+    by (shard, pack_id) to lay packs out contiguously. One shuffle on
+    ``shard``; shard count bounds window state, so 100 TB packs in
+    parallel across ``num_shards`` independent streams.
+    """
+    shard = F.pmod(
+        F.conv(F.substring(_hash_order(id_col), 1, 8), 16, 10).cast("long"),
+        F.lit(num_shards),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(_hash_order(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.col(id_col),
+            F.col(token_col).alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("tokens_before") / F.lit(budget))
+        )
+        .select("shard", "pack_id", id_col, "n_tokens", "tokens_before")
+    )

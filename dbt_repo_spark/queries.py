@@ -1644,3 +1644,135 @@ def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_status_stream(redelivered).select(
         "station_id", "report_time", "bikes_available", "is_renting"
     )
+
+
+# =========================================================================
+# Sampling / splitting / packing (training-data pipeline primitives)
+# =========================================================================
+
+@q(
+    "sample_stratified_events",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type FROM ranked WHERE rn <= CEIL(n * 0.1)
+    """,
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified 10% sample per event_type.
+
+    md5-ordered ranking makes membership deterministic and engine-portable
+    (the oracle reproduces it bit-for-bit) — unlike Bernoulli sampleBy,
+    every stratum contributes EXACTLY ceil(0.1 * n) rows.
+    """
+    from dbt_repo_spark.operators.sampling import stratified_sample
+
+    ev = t(spark, sf_dir, "events")
+    return stratified_sample(ev, ["event_type"], 0.1, "event_id").select(
+        "event_id", "event_type"
+    )
+
+
+@q(
+    "sample_cap_per_user",
+    """
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def sample_cap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance cap: at most 5 earliest events per user.
+
+    Constant cap → WindowGroupLimit prunes to 5 rows per key map-side
+    before the exchange (asserted in test_plan_shapes), so the shuffle is
+    O(users x 5) regardless of per-user skew.
+    """
+    from dbt_repo_spark.operators.sampling import cap_per_key
+
+    ev = t(spark, sf_dir, "events")
+    return cap_per_key(
+        ev, ["user_id"], 5, [F.col("ts"), F.col("event_id")]
+    ).select("event_id", "user_id", "ts")
+
+
+@q(
+    "sample_hash_split",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+      SELECT CASE
+               WHEN nib < 13 THEN 'train'
+               WHEN nib < 15 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (SELECT instr('0123456789abcdef',
+                         substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS nib
+            FROM events)
+    ) GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split (13/2/1 md5 nibbles).
+
+    A row's split is a pure function of its id — growing the corpus can
+    never move a row between splits (no val→train leakage on incremental
+    builds). Aggregated to per-split counts for the parity check.
+    """
+    from dbt_repo_spark.operators.sampling import hash_split
+
+    ev = t(spark, sf_dir, "events")
+    return hash_split(ev, "event_id").groupBy("split").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+@q(
+    "pack_sequences",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, h, n_tokens,
+             ('0x' || substr(h, 1, 8))::BIGINT % 32 AS shard
+      FROM tok
+    ),
+    cum AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM sh
+    )
+    SELECT shard, CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS pack_id,
+           doc_id, n_tokens, tokens_before
+    FROM cum
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: 512-token packs over 32 shards.
+
+    Running-sum window assigns each document to the pack where it starts;
+    one shuffle on the shard key, linear within shards. The oracle
+    reproduces shard, order, and pack assignment exactly.
+    """
+    from dbt_repo_spark.operators.sampling import pack_token_budget
+    from dbt_repo_spark.operators.dedup import tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_token_budget(
+        docs, "doc_id", "n_tokens", budget=512, num_shards=32
+    )

@@ -75,3 +75,20 @@ def test_single_scan_queries_read_pruned(spark, name):
     # documents has 5 columns; these queries need ≤2
     assert all(("doc_id" in l or "text" in l) for l in read_lines)
     assert all("lang" not in l and "source" not in l for l in read_lines)
+
+
+def test_cap_per_key_window_group_limit(spark):
+    """Constant-cap per-key sampling must prune map-side (WindowGroupLimit
+    before the exchange), keeping the shuffle O(keys x cap) under skew."""
+    plan = _plan(spark, "sample_cap_per_user")
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_split_no_shuffle(spark):
+    """hash_split is a pure projection — no exchange before the aggregate's
+    own shuffle would appear; the split assignment itself adds none."""
+    from dbt_repo_spark.operators.sampling import hash_split
+    df = hash_split(spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+                    "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
