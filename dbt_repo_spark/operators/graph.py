@@ -1,0 +1,105 @@
+"""Distributed graph primitives for dedup clustering.
+
+Near-duplicate detection (operators/dedup.py) emits PAIRS; an actual
+dedup pass needs CLUSTERS — the transitive closure of the pair relation —
+so each group of mutually-similar documents keeps exactly one canonical
+representative. The reference has no graph operator (its dedup is the
+streaming dropDuplicates at /root/reference/src/realtime_pubsub_to_spark.py:153);
+this is part of the training-data-pipeline extension surface.
+
+Scale notes (100 TB): each iteration is ONE shuffle of the (still-moving)
+label frontier joined against the edge list, i.e. O(|E|) per round, and
+the round count is the graph DIAMETER. Near-dup graphs are clique-ish
+(diameter 2-4), so label propagation converges in a handful of rounds and
+beats the O(log n)-round large-star/small-star alternation on constant
+factors (one shuffle/round vs two, no edge-list rewriting). For
+adversarially long path graphs, raise ``max_iter`` — the operator raises
+rather than silently returning partial labels. Lineage is truncated every
+round with an eager localCheckpoint; without it the iteration-N plan
+nests N joins deep and planning time, not data, becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of an undirected edge list with its component's min id.
+
+    Returns ``(node, cluster_id)`` — one row per node that appears in any
+    edge; ``cluster_id`` is the smallest node id reachable from ``node``.
+    Min-label propagation: every round each node takes the min of its own
+    label and its neighbors' labels; a round with zero changes is the
+    fixpoint (labels only ever decrease, and a stable min over every
+    neighborhood is exactly component-wide minimality).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    # symmetrize once; distinct keeps the per-round join input minimal
+    bidir = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = bidir.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            bidir.join(labels, bidir["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.col("label").alias("__old"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage; materialize once
+        )
+        changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            return labels.withColumnRenamed("label", "cluster_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the graph diameter exceeds max_iter — raise it."
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs → per-document cluster assignment with canonical keep flag.
+
+    ``pairs`` is any (id_a, id_b) near-duplicate relation. Output is
+    ``(doc_id, cluster_id, is_canonical)`` for every clustered document;
+    if ``all_ids`` is given, singleton documents (no near-dup) are
+    appended as their own cluster so the result is a full keep/drop
+    decision: keep rows where ``is_canonical``.
+    """
+    cc = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("cluster_id")
+    )
+    if all_ids is not None:
+        singletons = (
+            all_ids.select(F.col(id_col).cast("long").alias(id_col))
+            .join(cc.select(id_col), id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        cc = cc.unionByName(singletons)
+    return cc.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))

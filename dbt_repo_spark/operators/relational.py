@@ -123,6 +123,51 @@ def salted_join(
     return out.drop("__salt")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without the cross product.
+
+    Matches each ``points`` row to every ``intervals`` row with
+    ``start <= point < end`` (all three columns numeric — callers map
+    timestamps through epoch seconds/days first). A naive inequality join
+    plans as BroadcastNestedLoopJoin — O(|points| x |intervals|) compares,
+    which is exactly what dies at 100 TB. Instead both sides are mapped to
+    fixed-width buckets: an interval is replicated to every bucket it
+    overlaps (``ceil(width / bucket_width) + 1`` copies), a point belongs
+    to one bucket, and the join becomes an EQUI-join on bucket followed by
+    the residual range filter. Shuffle volume is
+    O(|points| + |intervals| x avg_width / bucket_width); pick
+    ``bucket_width`` near the median interval width so the replication
+    factor stays ~2. Each (point, interval) match lands in exactly one
+    bucket (the point's), so no post-join dedup is needed.
+    """
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    iv_b = iv.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                # end is exclusive: bucket of the last contained value
+                F.floor((F.col(end_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    pt_b = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width))
+    return (
+        pt_b.join(iv_b, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def incremental_append(
     new_df: DataFrame, existing_df: DataFrame | None, unique_key: str
 ) -> DataFrame:

@@ -92,6 +92,38 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), pred.alias("lang_pred"), best.alias("marker_hits"))
 
 
+# PII patterns chosen to mean the same thing under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backrefs, ASCII \b only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d ]{6,14}\d", "<PHONE>"),
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: count and replace emails / IPv4s / phone numbers.
+
+    Patterns are applied in fixed order (email → ipv4 → phone) so the
+    output is deterministic even where classes could overlap (an email's
+    host can look digit-heavy; scrubbing it first means the IP pass never
+    sees it). Pure regexp projection — scan-speed, no shuffle; at 100 TB
+    this pipelines into whatever scan feeds it.
+
+    Counts are taken on the progressively-redacted text (the ipv4 count
+    never includes digits that were part of an email, etc.).
+
+    Output: (id, n_email, n_ipv4, n_phone, redacted_text).
+    """
+    t = F.col(text_col)
+    counts = []
+    red = t
+    for name, (pat, tag) in PII_PATTERNS.items():
+        counts.append(F.regexp_count(red, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, tag)
+    return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
+
+
 def fingerprints(
     df: DataFrame, id_col: str, text_col: str, gram: int = 8
 ) -> DataFrame:

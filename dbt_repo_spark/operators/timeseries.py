@@ -18,6 +18,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: earliest strictly-increasing completion time
+    per stage per user.
+
+    Output: one row per user that completed stage 1, with columns
+    ``t_1 .. t_N`` — ``t_i`` is the earliest timestamp of ``stages[i]``
+    that is strictly after ``t_{i-1}`` (NULL once a stage is never
+    reached). The greedy earliest-match is optimal for funnels: taking
+    the earliest valid event at each stage never excludes a completion a
+    later choice would have allowed.
+
+    Each stage is one filtered pre-aggregation of the (already filtered)
+    event scan joined back on the user — N small hash-agg shuffles keyed
+    on the user, never a per-user sort of the full history. The stage-i
+    input is pre-filtered to ``event_type = stages[i]`` BEFORE the join,
+    so the join's build side shrinks monotonically down the funnel.
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).filter(F.col("etype").isin(stages))
+    out = (
+        ev.filter(F.col("etype") == stages[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias("t_1"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            ev.filter(F.col("etype") == stage)
+            .join(out.select("user", F.col(f"t_{i-1}").alias("__prev")), "user")
+            .filter(F.col("__prev").isNotNull() & (F.col("ts") > F.col("__prev")))
+            .groupBy("user")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+    return out.withColumnRenamed("user", user_col)
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,

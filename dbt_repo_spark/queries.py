@@ -1776,3 +1776,198 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_budget(
         docs, "doc_id", "n_tokens", budget=512, num_shards=32
     )
+
+
+# =========================================================================
+# Dedup clustering, range join, PII, funnel (extension ops, round-1 late)
+# =========================================================================
+
+@q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      edges AS (SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.3),
+      bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+      cc(node, label) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node
+      )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM cc GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical keep flag.
+
+    The missing half of pair-wise dedup: transitive closure via min-label
+    propagation (operators/graph.py), one O(|E|) shuffle per round, round
+    count = component diameter. Oracle is DuckDB's recursive CTE over the
+    same Jaccard>=0.3 edge list.
+    """
+    from dbt_repo_spark.operators.graph import dedup_clusters as clusters
+
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.3)
+    return clusters(pairs, all_ids=None, id_col="doc_id")
+
+
+@q(
+    "range_join_order_windows",
+    """
+    SELECT o.o_orderkey, COUNT(*) AS n_shipments
+    FROM orders o
+    JOIN lineitem l
+      ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+     AND epoch(l.l_shipdate) <  epoch(o.o_orderdate) + ((o.o_orderkey % 28) + 1) * 86400
+    WHERE o.o_orderkey % 50 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join as bucketed equi-join (operators/relational.py).
+
+    Intervals: each 50th order opens a (orderkey % 28 + 1)-day window from
+    its order date; points: every lineitem ship timestamp. The bucket
+    width (14 days) sits at the median window width so each interval
+    replicates ~2x. A naive inequality join here is a nested-loop
+    cross-product -- the bucketed plan is two scans + one hash shuffle.
+    """
+    from dbt_repo_spark.operators.relational import range_join
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("w_start"),
+            (
+                F.unix_timestamp("o_orderdate")
+                + ((F.col("o_orderkey") % 28) + 1) * 86400
+            ).alias("w_end"),
+        )
+    )
+    points = t(spark, sf_dir, "lineitem").select(
+        F.unix_timestamp("l_shipdate").alias("ship_ts")
+    )
+    matched = range_join(
+        points, orders, "ship_ts", "w_start", "w_end", bucket_width=14 * 86400
+    )
+    return matched.groupBy("o_orderkey").agg(F.count("*").alias("n_shipments"))
+
+
+@q(
+    "text_pii_redaction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 call +47 2255 01' || CAST(doc_id % 10 AS VARCHAR)
+                    || CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents),
+    e AS (SELECT doc_id, text,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM seeded),
+    i AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+          FROM e),
+    p AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(t2, '\+\d[\d ]{6,14}\d')) AS n_phone,
+                 regexp_replace(t2, '\+\d[\d ]{6,14}\d', '<PHONE>', 'g') AS t3
+          FROM i)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phone AS BIGINT) AS n_phone,
+           md5(t3) AS redacted_md5
+    FROM p
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub battery (operators/text.py::redact_pii), scan-speed regex.
+
+    The synthetic corpus carries no organic PII, so every third document
+    is seeded with a deterministic email + IP + phone suffix (mirrored
+    verbatim in the oracle) -- the check counts and strips them, i.e. it
+    is non-vacuous by construction.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call +47 2255 01"),
+                (F.col("doc_id") % 10).cast("string"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = text.redact_pii(docs, "doc_id", "text")
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+@q(
+    "funnel_signup_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t_1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+                GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> purchase (operators/timeseries.py).
+
+    Greedy earliest-match per stage; each stage is a pre-filtered
+    hash-agg + user-keyed join, so the join build side shrinks down the
+    funnel instead of sorting every user's full history.
+    """
+    from dbt_repo_spark.operators.timeseries import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["signup", "view", "purchase"])

@@ -1,0 +1,42 @@
+"""connected_components / dedup_clusters (operators/graph.py).
+
+Covers multi-hop label propagation (a chain needs > 1 round), disjoint
+components, symmetry of the input pair order, and singleton append.
+"""
+
+from __future__ import annotations
+
+from dbt_repo_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df).collect()
+    return {r["node"]: r["cluster_id"] for r in out}
+
+
+def test_chain_converges_multihop(spark):
+    # 5-node path: min label must travel 4 hops
+    got = _cc_dict(spark, [(10, 11), (11, 12), (12, 13), (13, 14)])
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_disjoint_components_and_edge_order(spark):
+    # two components; edges given in arbitrary direction/order
+    got = _cc_dict(spark, [(7, 3), (3, 5), (20, 21), (22, 21)])
+    assert got == {3: 3, 5: 3, 7: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_self_loops_ignored(spark):
+    got = _cc_dict(spark, [(1, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    pairs = spark.createDataFrame([(2, 5), (5, 9)], ["id_a", "id_b"])
+    all_ids = spark.createDataFrame([(1,), (2,), (5,), (9,)], ["doc_id"])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(pairs, all_ids=all_ids).collect()
+    }
+    assert rows == {1: (1, True), 2: (2, True), 5: (2, False), 9: (2, False)}

@@ -1,0 +1,89 @@
+"""range_join (relational), funnel (timeseries), redact_pii (text).
+
+Each operator is checked against a brute-force equivalent on synthetic
+rows, plus the plan property that motivates it (range_join must not plan
+a nested-loop join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.relational import range_join
+from dbt_repo_spark.operators.text import redact_pii
+from dbt_repo_spark.operators.timeseries import funnel
+
+
+def test_range_join_matches_bruteforce(spark):
+    points = spark.createDataFrame([(i,) for i in range(0, 200, 3)], ["p"])
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 40), (3, 40, 41), (4, 150, 260), (5, 7, 7)],
+        ["iv_id", "s", "e"],
+    )
+    got = {
+        (r["iv_id"], r["p"])
+        for r in range_join(points, intervals, "p", "s", "e", bucket_width=16).collect()
+    }
+    want = {
+        (r["iv_id"], r["p"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # degenerate interval (e <= s) contributes nothing
+    assert not any(iv == 5 for iv, _ in got)
+
+
+def test_range_join_plans_equi_join(spark):
+    points = spark.range(100).select(F.col("id").alias("p"))
+    intervals = spark.range(10).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 10).alias("s"),
+        (F.col("id") * 10 + 5).alias("e"),
+    )
+    plan = (
+        range_join(points, intervals, "p", "s", "e", bucket_width=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_ordering_semantics(spark):
+    rows = [
+        # u1 completes in order
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "purchase"),
+        # u2: purchase BEFORE its post-signup view -> t_3 null
+        (2, 10, "signup"), (2, 30, "view"), (2, 20, "purchase"),
+        # u3: never signed up -> absent
+        (3, 10, "view"), (3, 20, "purchase"),
+        # u4: signup only
+        (4, 99, "signup"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel(ev, "user_id", "ts", "event_type",
+                        ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {1: (10, 20, 30), 2: (10, 30, None), 4: (99, None, None)}
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 10.1.2.3, call +47 9988 7766"),
+            (2, "clean text, version 1.2 is not an ip, 1+1 no phone"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+    assert r1["redacted_text"] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["redacted_text"].startswith("clean text")
