@@ -49,6 +49,11 @@ HEADLINE = [
     # no first-run column in BASELINE.md for these)
     "sample_stratified_events",
     "pack_sequences",
+    # round-1 late additions: clustering / range-join / scrub / funnel
+    "dedup_clusters",
+    "range_join_order_windows",
+    "text_pii_redaction",
+    "funnel_signup_purchase",
 ]
 
 RUNS = 3
