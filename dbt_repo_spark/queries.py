@@ -1971,3 +1971,39 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type", ["signup", "view", "purchase"])
+
+
+@q(
+    "scd2_event_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM ordered
+      WHERE prev_state IS NULL OR event_type <> prev_state)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, state) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, state) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from an event log (plans/snapshot.py::scd2_from_history).
+
+    dbt's snapshot capability done in batch: consecutive same-state events
+    collapse into one version interval per (user, state run). One window
+    shuffle on the key; the reference ships the snapshots/ surface empty
+    (/root/reference/snapshots/), so semantics follow dbt's docs.
+    """
+    from dbt_repo_spark.plans.snapshot import scd2_from_history
+
+    ev = t(spark, sf_dir, "events")
+    return scd2_from_history(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
