@@ -159,7 +159,8 @@ def jaccard_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
             "jaccard",
             F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
         )
-        .select("id_a", "id_b", "jaccard")
+        # carry any extra pair columns (e.g. an origin tag) through
+        .select(*pairs.columns, "jaccard")
     )
 
 
@@ -208,6 +209,41 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash index relation: (id, sz, sset, h0..h{P-1}), persisted.
+
+    ONE aggregation produces the signature slots, the set size, AND the
+    shingle set itself — signatures (banding input) and sets
+    (verification input) share a single shuffle + shingle pass. Without
+    this, column pruning specializes each branch's exchange and Spark
+    recomputes the whole scan→shingle→groupBy chain twice (the diamond
+    problem). The persist pins the per-doc relation — document-count
+    bound, spills to disk — so both branches read it instead. In a real
+    pipeline this relation is ALSO what you write to storage as the
+    corpus dedup index: incremental ticks read it back instead of
+    re-shingling the whole corpus (see ``incremental_minhash_dedup``).
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n=n, as_hash=True)
+    hs = _perm_hashes(num_perm)
+    return (
+        sh.groupBy("id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.collect_set("shingle").alias("sset"),
+            *[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -224,27 +260,80 @@ def minhash_dedup(
     Jaccard on just the candidate pairs (a semi-join-pruned index join, not
     a full self-join).
     """
-    from pyspark import StorageLevel
-
-    sh = shingles(df, id_col, text_col, n=n, as_hash=True)
-    # ONE aggregation produces the signature slots, the set size, AND the
-    # shingle set itself — signatures (banding input) and sets
-    # (verification input) share a single shuffle + shingle pass. Without
-    # this, column pruning specializes each branch's exchange and Spark
-    # recomputes the whole scan→shingle→groupBy chain twice (the diamond
-    # problem). The persist pins the per-doc relation — document-count
-    # bound, spills to disk — so both branches read it instead.
-    hs = _perm_hashes(num_perm)
-    per_doc = sh.groupBy("id").agg(
-        F.count("*").alias("sz"),
-        F.collect_set("shingle").alias("sset"),
-        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = minhash_index(df, id_col, text_col, n=n, num_perm=num_perm)
     cands = lsh_candidate_pairs(per_doc, bands, rows)
     # exact-verify ONLY the candidate pairs (linear in |candidates|,
     # never the inverted-index join over all co-shingle pairs)
     verified = jaccard_from_sets(per_doc, cands)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _band_kv(index: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) banding rows from an index's signature columns."""
+    kv = index.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return kv.select("id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dedup(
+    batch_index: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.7,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an EXISTING corpus index.
+
+    The production shape of dedup: a daily crawl must not re-pay the
+    corpus self-join. Two band joins, both bounded by the BATCH size:
+    batch×corpus (candidates where a batch doc collides with any indexed
+    doc) and batch×batch (intra-batch dups). The corpus side is read from
+    its precomputed index relation (``minhash_index`` — id, sz, sset,
+    signature), so the whole tick shuffles O(|batch| × bands) banding rows
+    plus the colliding corpus buckets; the corpus is NEVER re-shingled
+    and never self-joined. Ids must be disjoint across the two indexes.
+
+    Output: (id_a, id_b, jaccard, origin) with origin ∈
+    {'corpus', 'batch'}; id_b is always the batch doc.
+    """
+    kv_new = _band_kv(batch_index, bands, rows)
+    kv_old = _band_kv(corpus_index, bands, rows)
+    cross = (
+        kv_old.alias("a")
+        .join(kv_new.alias("b"), ["band", "bucket"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    intra = (
+        kv_new.alias("a")
+        .join(kv_new.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = corpus_index.unionByName(batch_index).select("id", "sset", "sz")
+    verified = jaccard_from_sets(
+        sets, cross.withColumn("origin", F.lit("corpus")).unionByName(
+            intra.withColumn("origin", F.lit("batch"))
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard", "origin"
+    )
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -2007,3 +2007,24 @@ def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_history(
         ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
     )
+
+
+@q("dedup_incremental_minhash")  # seeded xxhash64 signatures → rows-only check
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup tick: new batch vs precomputed corpus index.
+
+    Documents with doc_id % 4 == 0 play the incoming batch; the rest are
+    the already-indexed corpus. Shuffle cost is bounded by the BATCH
+    (corpus is neither re-shingled nor self-joined) — the production
+    shape for deduping a daily crawl against a 100 TB corpus.
+    tests/test_similarity.py asserts the pair set equals the full-corpus
+    run restricted to pairs touching the batch.
+    """
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    corpus_idx = dedup.minhash_index(corpus, "doc_id", "text", n=2, num_perm=64)
+    batch_idx = dedup.minhash_index(batch, "doc_id", "text", n=2, num_perm=64)
+    return dedup.incremental_minhash_dedup(
+        batch_idx, corpus_idx, threshold=0.2, bands=16, rows=4
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "origin")

@@ -47,3 +47,45 @@ def test_embedding_near_duplicates_subset_of_exact(spark):
         for r in similarity.embedding_near_duplicates(emb, threshold=0.4, n_planes=4).collect()
     }
     assert lsh <= exact
+
+
+def test_incremental_minhash_equals_full_run_restriction(spark, sf_dir):
+    """The incremental tick must find exactly the full-corpus pairs that
+    touch the batch (same threshold/banding) — no more, no fewer."""
+    from dbt_repo_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.2, n=2, num_perm=64, bands=16, rows=4
+    )
+    is_batch = lambda c: F.col(c) % 4 == 0  # noqa: E731
+    want = {
+        # normalize order: batch doc second, as the incremental op emits
+        (r["id_a"], r["id_b"]) if r["id_b"] % 4 == 0 else (r["id_b"], r["id_a"])
+        for r in full.filter(is_batch("id_a") | is_batch("id_b")).collect()
+    }
+    batch = docs.filter(is_batch("doc_id"))
+    corpus = docs.filter(~is_batch("doc_id"))
+    inc = dedup.incremental_minhash_dedup(
+        dedup.minhash_index(batch, "doc_id", "text", n=2, num_perm=64),
+        dedup.minhash_index(corpus, "doc_id", "text", n=2, num_perm=64),
+        threshold=0.2, bands=16, rows=4,
+    ).collect()
+    got = set()
+    for r in inc:
+        assert r["id_b"] % 4 == 0  # id_b is always the batch doc
+        if r["origin"] == "batch":
+            assert r["id_a"] % 4 == 0 and r["id_a"] < r["id_b"]
+            got.add((min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])))
+        else:
+            assert r["id_a"] % 4 != 0
+            got.add((r["id_a"], r["id_b"]))
+    # normalize want the same way for intra-batch pairs (a<b already)
+    norm_want = set()
+    for a, b in want:
+        if a % 4 == 0 and b % 4 == 0:
+            norm_want.add((min(a, b), max(a, b)))
+        else:
+            norm_want.add((a, b) if b % 4 == 0 else (b, a))
+    assert got == norm_want and len(got) > 0
