@@ -140,3 +140,33 @@ def pack_token_budget(
         )
         .select("shard", "pack_id", id_col, "n_tokens", "tokens_before")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-Res, Efraimidis
+    & Spirakis): keep the k rows with the largest ``u^(1/w)`` where u is a
+    content-addressed uniform in (0,1).
+
+    u derives from the first 8 hex chars of md5(id) — reproducible,
+    engine-portable, and independent of partition layout. Selection is a
+    single global top-k (TakeOrderedAndProject — map-side partial top-k,
+    only k rows per partition cross the shuffle); rows with non-positive
+    weight are excluded. Re-running on a grown corpus never reshuffles
+    the priorities of existing rows, so incremental re-draws are stable.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + F.lit(1)
+    ) / F.lit(float(2**32) + 2)  # open interval: never exactly 0 or 1
+    priority = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", priority)
+        .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )

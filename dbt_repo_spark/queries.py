@@ -1416,10 +1416,27 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(ev, "user_id", "ts", "value", step_seconds=3600)
 
 
-@q("map_battery")  # DuckDB map comparison via pandas is lossy → rows-only
+@q(
+    "map_battery",
+    """
+    WITH m AS (
+      SELECT event_id,
+             map(['type', 'value'],
+                 [event_type, CAST(value AS VARCHAR)]) AS props_map
+      FROM events)
+    SELECT event_id,
+           array_to_string(map_keys(props_map), ',') AS keys_csv,
+           props_map['type'][1] AS type_lookup,
+           CAST(cardinality(props_map) AS BIGINT) AS n_entries
+    FROM m
+    """,
+)
 def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type support (unused by the reference but free in Spark):
-    build a map from entries, then keys/values/lookup/size."""
+    build a map from entries, then keys/lookup/size. Output is the
+    map-DERIVED scalars — a raw map column doesn't round-trip pandas
+    comparably, but everything the map can do is still oracle-checked.
+    """
     ev = t(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("value")),
@@ -1427,10 +1444,9 @@ def map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         F.element_at(m, F.lit("type")).alias("type_lookup"),
-        F.size(m).alias("n_entries"),
+        F.size(m).cast("long").alias("n_entries"),
     )
 
 
@@ -2028,3 +2044,60 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_dedup(
         batch_idx, corpus_idx, threshold=0.2, bands=16, rows=4
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "origin")
+
+
+@q(
+    "sample_weighted_orders",
+    """
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice,
+             pow((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS UBIGINT) + 1) / (4294967298.0),
+                 1.0 / o_totalprice) AS p
+      FROM orders WHERE o_totalprice > 0)
+    SELECT o_orderkey, o_totalprice
+    FROM pri ORDER BY p DESC, o_orderkey LIMIT 64
+    """,
+)
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample w/o replacement (operators/sampling.py::weighted_sample).
+
+    A-Res priorities from content-addressed uniforms; the float priority
+    stays internal (pow bit-drift across libms could flip exact-equality,
+    not selection) — the oracle compares the SELECTED key set + weights.
+    """
+    from dbt_repo_spark.operators.sampling import weighted_sample
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", k=64)
+
+
+@q(
+    "text_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+      FROM documents)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top terms by document frequency.
+
+    explode(distinct tokens) -> hash-agg -> global top-k. The top-k is a
+    TakeOrderedAndProject (k rows per partition cross the wire), so the
+    full term dictionary never funnels through one node.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_distinct(dedup.tokens(F.col("text")))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
