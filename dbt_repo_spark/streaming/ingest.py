@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -184,3 +184,56 @@ def start_status_ingest(
     )
     writer = writer.trigger(**(trigger or {"processingTime": "1 minute"}))
     return writer.start()
+
+
+def scd2_snapshot_sink(
+    snapshot_dir: str,
+    key: str,
+    check_cols: list[str],
+) -> "Callable[[DataFrame, int], None]":
+    """foreachBatch sink that maintains an SCD2 snapshot table.
+
+    Each micro-batch is treated as one dbt-snapshot tick
+    (plans/snapshot.py::snapshot_apply): the batch's latest state per key
+    is diffed against the open versions, changed versions close, new ones
+    open. ``loaded_at`` is the batch's max event time — deterministic on
+    replay, so checkpoint recovery re-produces identical version rows
+    instead of wall-clock-stamped duplicates.
+
+    The snapshot is read before and overwritten after each tick via a
+    staged temp write (read-own-write safety — the same pre-write
+    snapshotting rule as the incremental runner, SURVEY.md §7.3 risk 1).
+    Version history volume is |keys| x change-rate, orders of magnitude
+    below the event stream, so the per-tick rewrite stays small; at very
+    large key counts, partition the snapshot on ``dbt_valid_to IS NULL``
+    and rewrite only the open slice.
+    """
+    import shutil
+
+    from dbt_repo_spark.plans.snapshot import snapshot_apply
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # latest state per key within the batch = this tick's source state
+        w = Window.partitionBy(key).orderBy(
+            F.col("event_ts").desc(), *[F.col(c).desc() for c in check_cols]
+        )
+        current = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        loaded_at = str(current.agg(F.max("event_ts")).first()[0])
+        existing = None
+        if os.path.isdir(snapshot_dir):
+            existing = spark.read.parquet(snapshot_dir)
+        snap = snapshot_apply(existing, current, key, check_cols, loaded_at)
+        staged = snapshot_dir.rstrip("/") + ".staging"
+        snap.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.replace(staged, snapshot_dir)
+
+    return write_batch

@@ -75,3 +75,59 @@ def test_snapshot_apply_idempotent_tick(spark):
     snap = snapshot_apply(None, d1, "k", ["v"], "2024-01-01 00:00:00")
     again = snapshot_apply(snap, d1, "k", ["v"], "2024-01-02 00:00:00")
     assert _snap_dict(again) == {(1, "2024-01-01 00:00:00"): ("a", None)}
+
+
+def test_streaming_scd2_snapshot_sink(spark, tmp_path):
+    """Two stream drains = two snapshot ticks: changed keys close + reopen,
+    unchanged keys keep their original open version."""
+    import json
+
+    from dbt_repo_spark.streaming.ingest import scd2_snapshot_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    snap_dir = str(tmp_path / "snap")
+    schema = "k LONG, v STRING, event_ts TIMESTAMP"
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(scd2_snapshot_sink(snap_dir, "k", ["v"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "event_ts": "2024-01-01 10:00:00"},
+                {"k": 1, "v": "a0", "event_ts": "2024-01-01 09:00:00"},  # older, loses
+                {"k": 2, "v": "b", "event_ts": "2024-01-01 10:00:00"},
+            ]
+        )
+    )
+    drain()
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "v": "A", "event_ts": "2024-01-02 10:00:00"},  # change
+                {"k": 2, "v": "b", "event_ts": "2024-01-02 10:00:00"},  # unchanged
+            ]
+        )
+    )
+    drain()
+
+    got = {
+        (r["k"], str(r["dbt_valid_from"])): (r["v"], r["dbt_valid_to"] and str(r["dbt_valid_to"]))
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): ("a", "2024-01-02 10:00:00"),
+        (1, "2024-01-02 10:00:00"): ("A", None),
+        (2, "2024-01-01 10:00:00"): ("b", None),
+    }
