@@ -40,3 +40,41 @@ def test_dedup_clusters_singletons_and_canonical(spark):
         for r in dedup_clusters(pairs, all_ids=all_ids).collect()
     }
     assert rows == {1: (1, True), 2: (2, True), 5: (2, False), 9: (2, False)}
+
+
+# --- property-based: random graphs vs a pure-Python union-find ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_cc_matches_union_find(spark, edges):
+    from dbt_repo_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)

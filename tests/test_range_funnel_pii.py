@@ -87,3 +87,32 @@ def test_redact_pii_counts_and_replaces(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
     assert r2["redacted_text"].startswith("clean text")
+
+
+# --- property-based: random intervals/points vs brute force ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 30)), min_size=1, max_size=15),
+    st.integers(1, 20),
+)
+@settings(max_examples=5, deadline=None)
+def test_range_join_property(spark, points, ivs, bucket):
+    pdf = spark.createDataFrame([(i, p) for i, p in enumerate(points)], ["pid", "p"])
+    idf = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(ivs)], ["iv", "s", "e"]
+    )
+    got = {
+        (r["iv"], r["pid"])
+        for r in range_join(pdf, idf, "p", "s", "e", bucket_width=bucket).collect()
+    }
+    want = {
+        (j, i)
+        for j, (s, w) in enumerate(ivs)
+        for i, p in enumerate(points)
+        if s <= p < s + w
+    }
+    assert got == want
