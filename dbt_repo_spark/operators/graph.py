@@ -67,7 +67,9 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)  # truncate lineage; materialize once
+            # lazy: the convergence count below materializes the checkpoint
+            # in the same job — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).count()
         labels = stepped.select("node", "label")
