@@ -143,6 +143,52 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """dbt `snapshot` verb: one SCD2 tick of a warehouse table.
+
+    Reads ``--layer.--table``, diffs against ``analytics.<table>_snapshot``
+    (check strategy on ``--check`` columns), writes the updated snapshot.
+    ``--loaded-at`` defaults to the session's current timestamp; pass it
+    explicitly for deterministic replays.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.plans.snapshot import snapshot_apply
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    spark = _spark("dbt-repo-spark-snapshot")
+    catalog = Catalog(spark, args.warehouse)
+    current = catalog.read(args.layer, args.table)
+    snap_name = f"{args.table}_snapshot"
+    existing = (
+        catalog.read("analytics", snap_name)
+        if catalog.exists("analytics", snap_name)
+        else None
+    )
+    loaded_at = args.loaded_at or str(
+        spark.range(1).select(F.date_format(F.current_timestamp(),
+                                            "yyyy-MM-dd HH:mm:ss")).first()[0]
+    )
+    snap = snapshot_apply(existing, current, args.key, args.check, loaded_at)
+    # materialize before overwrite: the plan reads the table it replaces
+    snap = snap.localCheckpoint(eager=True)
+    catalog.write(snap, "analytics", snap_name, mode="overwrite")
+    opens = snap.filter(F.col("dbt_valid_to").isNull()).count()
+    print(f"analytics.{snap_name}: {snap.count()} versions, {opens} open")
+    return 0
+
+
+def cmd_docs(args) -> int:
+    """dbt `docs`-style DAG listing: model, materialization, deps, tests."""
+    from dbt_repo_spark.models import ALL_MODELS
+
+    for m in ALL_MODELS:
+        deps = ", ".join(m.deps) if m.deps else "-"
+        n_tests = len(getattr(m, "tests", []) or [])
+        print(f"{m.materialized:<12} {m.name:<32} deps: {deps} tests: {n_tests}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_repo_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +222,18 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--trigger-seconds", type=int, default=60)
     st.add_argument("--available-now", action="store_true")
     st.set_defaults(fn=cmd_stream)
+
+    sn = sub.add_parser("snapshot", help="SCD2 snapshot tick of a table")
+    sn.add_argument("--warehouse", required=True)
+    sn.add_argument("--layer", default="raw")
+    sn.add_argument("--table", required=True)
+    sn.add_argument("--key", required=True)
+    sn.add_argument("--check", nargs="+", required=True)
+    sn.add_argument("--loaded-at", default=None)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    dc = sub.add_parser("docs", help="print the model DAG")
+    dc.set_defaults(fn=cmd_docs)
 
     args = p.parse_args(argv)
     return args.fn(args)

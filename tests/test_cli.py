@@ -191,3 +191,37 @@ def test_cli_stream_available_now(spark, tmp_path):
     assert rc == 0
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 1 and out.first().station_id == "st000"
+
+
+def test_cli_snapshot_and_docs(spark, tmp_path, capsys):
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["station_id", "status"]),
+        "raw", "station_state",
+    )
+    rc = main(["snapshot", "--warehouse", wh, "--table", "station_state",
+               "--key", "station_id", "--check", "status",
+               "--loaded-at", "2024-01-01 00:00:00"])
+    assert rc == 0
+    # second tick: one change
+    cat.write(
+        spark.createDataFrame([(1, "a"), (2, "B")], ["station_id", "status"]),
+        "raw", "station_state",
+    )
+    rc = main(["snapshot", "--warehouse", wh, "--table", "station_state",
+               "--key", "station_id", "--check", "status",
+               "--loaded-at", "2024-01-02 00:00:00"])
+    assert rc == 0
+    snap = cat.read("analytics", "station_state_snapshot")
+    assert snap.count() == 3  # 2 opens + 1 closed version of station 2
+    assert snap.filter("dbt_valid_to IS NULL").count() == 2
+    out = capsys.readouterr().out
+    assert "station_state_snapshot: 3 versions, 2 open" in out
+
+    rc = main(["docs"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fact_trips" in out and "incremental" in out
