@@ -151,3 +151,79 @@ def fingerprints(
             "rolling_min_fp"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character chunks with offsets.
+
+    The standard pre-embedding step: stride = chunk_chars - overlap, one
+    output row per (doc, chunk) with its 1-based ``chunk_start`` offset so
+    downstream spans map back to the source. Pure explode(sequence) +
+    substring — scan-speed, no shuffle, and a doc's chunks stay in its
+    input partition (embedding UDFs downstream see contiguous batches).
+
+    Output: (id, chunk_id, chunk_start, chunk_text).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride))
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+        t.alias("__t"),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("long")
+    return out.select(
+        "id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        F.substring(F.col("__t"), start.cast("int"), chunk_chars).alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf = term count in doc; idf = ln((1 + N) / (1 + df)) + 1 (sklearn's
+    smoothed form — never divides by zero, exact in both engines). Two
+    hash-agg shuffles (per-doc-term counts, per-term doc freq) + one
+    join on term + a per-doc top-k window. N arrives as a broadcast
+    single-row join, not a driver round-trip.
+
+    Output: (id, term, tf, tfidf, rank) with rank <= k.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.lit(1) + F.col("n")) / (F.lit(1) + F.col("df"))) + F.lit(1)),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -2101,3 +2101,57 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+@q(
+    "text_chunking",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             unnest(range(0, GREATEST(1,
+               CAST(ceil((len(text) - 64) / 448.0) AS BIGINT)))) AS chunk_id,
+             text
+      FROM documents)
+    SELECT doc_id AS id, chunk_id,
+           chunk_id * 448 + 1 AS chunk_start,
+           substr(text, CAST(chunk_id * 448 + 1 AS INTEGER), 512) AS chunk_text
+    FROM c
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunks with offsets (text.py::chunk_documents).
+
+    512-char chunks, 64-char overlap. Pure explode(sequence)+substring —
+    no shuffle; chunks stay partition-local for downstream embedding.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", chunk_chars=512, overlap=64)
+
+
+@q(
+    "text_tfidf_topk",
+    """
+    WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')) AS term
+                 FROM documents),
+     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+     dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+     s AS (SELECT tf.doc_id AS id, tf.term, tf.tf,
+                  tf.tf * (ln((1 + n.n) / (1 + dfq.dfreq)) + 1) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT id, term, CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (text.py::tfidf_top_terms): two hash-aggs + term join + top-k window.
+    """
+    docs = t(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))

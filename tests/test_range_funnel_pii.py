@@ -116,3 +116,23 @@ def test_range_join_property(spark, points, ivs, bucket):
         if s <= p < s + w
     }
     assert got == want
+
+
+def test_chunk_documents_boundaries(spark):
+    from dbt_repo_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "x" * 5), (2, "a" * 10 + "b" * 10 + "c" * 3)], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_chars=10, overlap=2)
+    got = {(r["id"], r["chunk_id"]): (r["chunk_start"], r["chunk_text"])
+           for r in out.collect()}
+    # doc 1 shorter than one chunk -> exactly one chunk
+    assert got[(1, 0)] == (1, "xxxxx")
+    assert len([k for k in got if k[0] == 1]) == 1
+    # doc 2: len 23, stride 8 -> ceil((23-2)/8) = 3 chunks at 1, 9, 17
+    assert got[(2, 0)] == (1, "a" * 10)
+    assert got[(2, 1)] == (9, "aa" + "b" * 8)
+    assert got[(2, 2)] == (17, "bbbbccc")
+    # consecutive chunks overlap by exactly 2 chars
+    assert got[(2, 0)][1][-2:] == got[(2, 1)][1][:2]
