@@ -227,3 +227,51 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction + top
+    bigram share, per document, WITHOUT a shuffle.
+
+    The top-bigram count is a per-row array fold (sort the bigram array,
+    longest equal run = mode count) instead of an explode + groupBy —
+    repetition scoring stays a scan-speed projection like the rest of the
+    quality battery; the oracle computes the same numbers relationally.
+
+    Output: (id, n_tokens, dup_token_frac, top_bigram_share, is_repetitive).
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(F.array_sort(bigrams), init, step, lambda acc: acc["best"])
+    dup_frac = (n_tok - n_dist) / n_tok
+    top_share = F.try_divide(top_count, n_tok - 1)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_share.alias("top_bigram_share"),
+        (
+            (dup_frac > 0.3) | (F.coalesce(top_share, F.lit(0.0)) > 0.18)
+        ).alias("is_repetitive"),
+    )

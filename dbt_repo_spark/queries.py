@@ -2155,3 +2155,36 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     out = text.tfidf_top_terms(docs, "doc_id", "text", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+     base AS (SELECT doc_id, len(w) AS n_tok,
+                     len(list_distinct(w)) AS n_dist, w
+              FROM toks),
+     bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                                 i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM toks WHERE len(w) >= 2),
+     bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+     top AS (SELECT doc_id, MAX(c) AS top_c FROM bgc GROUP BY 1)
+    SELECT base.doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           (n_tok - n_dist) / CAST(n_tok AS DOUBLE) AS dup_token_frac,
+           top_c / CAST(n_tok - 1 AS DOUBLE) AS top_bigram_share,
+           ((n_tok - n_dist) / CAST(n_tok AS DOUBLE) > 0.3
+            OR COALESCE(top_c / CAST(n_tok - 1 AS DOUBLE), 0.0) > 0.18)
+             AS is_repetitive
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filters (text.py::repetition_scores): duplicate-
+    token fraction + top-bigram share as a shuffle-free array fold; the
+    oracle computes the same statistics relationally (explode + groupBy).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, "doc_id", "text")
