@@ -54,6 +54,8 @@ HEADLINE = [
     "range_join_order_windows",
     "text_pii_redaction",
     "funnel_signup_purchase",
+    "scd2_event_state",
+    "text_tfidf_topk",
 ]
 
 RUNS = 3
