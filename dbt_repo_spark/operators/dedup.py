@@ -416,3 +416,39 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_containment(
+    train_sh: DataFrame, eval_sh: DataFrame
+) -> DataFrame:
+    """Benchmark-decontamination check: per eval doc, the fraction of its
+    shingles that appear ANYWHERE in the training corpus.
+
+    Inputs are (id, shingle) relations (``shingles``; hashed keys shuffle
+    8 bytes — same counts). The train side collapses to its DISTINCT
+    shingle set first, so the join is eval-shingles x train-vocabulary (a
+    semi-join — matches count once no matter how often the corpus repeats
+    a shingle), never eval x train-rows. At 100 TB the train vocabulary is
+    the big side: the join shuffles on shingle, counts partial-aggregate
+    map-side, and the output is |eval docs| rows.
+
+    Output: (id, n_shingles, n_shared, containment).
+    """
+    vocab = train_sh.select("shingle").distinct()
+    sizes = eval_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        eval_sh.join(vocab, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        sizes.join(shared, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -2188,3 +2188,41 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return text.repetition_scores(docs, "doc_id", "text")
+
+
+@q(
+    "decontaminate_eval_ngrams",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+     sh AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+            FROM toks),
+     ev AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+     vocab AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0),
+     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+     shared AS (SELECT ev.doc_id, COUNT(*) AS n_shared
+                FROM ev SEMI JOIN vocab USING (shingle) GROUP BY 1)
+    SELECT sizes.doc_id AS id, n_shingles,
+           COALESCE(n_shared, 0) AS n_shared,
+           COALESCE(n_shared, 0) / CAST(n_shingles AS DOUBLE) AS containment
+    FROM sizes LEFT JOIN shared ON sizes.doc_id = shared.doc_id
+    """,
+)
+def decontaminate_eval_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (dedup.py::ngram_containment): every 5th
+    document plays the benchmark; its 3-gram containment against the rest
+    of the corpus' distinct shingle vocabulary flags leakage. Semi-join on
+    hashed shingles — counts match the oracle's string shingles exactly.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", n=3, as_hash=True)
+    ev = sh.filter(F.col("id") % 5 == 0)
+    tr = sh.filter(F.col("id") % 5 != 0)
+    return dedup.ngram_containment(tr, ev).select(
+        "id", "n_shingles", "n_shared", "containment"
+    )
