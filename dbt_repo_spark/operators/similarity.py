@@ -383,3 +383,35 @@ def embedding_near_duplicates(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def preprocess_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Embedding preprocessing battery: L2 norm, normalized stats, int8
+    quantization — pure array-expression projection, no shuffle.
+
+    Quantization is symmetric absmax int8 (q = floor(x * 127 / absmax
+    + 0.5)): every operation (mul/div/floor) is IEEE-correctly-rounded,
+    so the int codes are bit-identical across engines — the oracle
+    compares an md5 over the comma-joined codes. Zero vectors quantize to
+    all-zero with scale NULL.
+
+    Output: (id, dim, l2_norm, mean_val, absmax, q_md5).
+    """
+    v = _dvec(F.col(vec_col))
+    dim = F.size(v)
+    l2 = F.sqrt(dot(v, v))
+    mean = F.try_divide(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), dim)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        absmax > 0,
+        F.transform(v, lambda x: F.floor(x * 127.0 / absmax + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    q_csv = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+    return df.select(
+        F.col(id_col).alias("id"),
+        dim.cast("long").alias("dim"),
+        l2.alias("l2_norm"),
+        mean.alias("mean_val"),
+        absmax.alias("absmax"),
+        F.md5(q_csv).alias("q_md5"),
+    )

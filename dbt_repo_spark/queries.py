@@ -2226,3 +2226,29 @@ def decontaminate_eval_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment(tr, ev).select(
         "id", "n_shingles", "n_shared", "containment"
     )
+
+
+@q(
+    "embed_preprocess",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+     s AS (SELECT vec_id, len(e) AS dim,
+                  sqrt(list_dot_product(e, e)) AS l2_norm,
+                  list_sum(e) / len(e) AS mean_val,
+                  list_max(list_transform(e, x -> abs(x))) AS absmax, e
+           FROM v)
+    SELECT vec_id AS id, CAST(dim AS BIGINT) AS dim, l2_norm, mean_val, absmax,
+           md5(array_to_string(list_transform(e,
+                 x -> CAST(CAST(floor(x * 127.0 / absmax + 0.5) AS INTEGER)
+                           AS VARCHAR)), ',')) AS q_md5
+    FROM s
+    """,
+)
+def embed_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing (similarity.py::preprocess_vectors): L2
+    norm + stats + absmax-int8 quantization, scan-speed projection. All
+    float ops are IEEE-correctly-rounded (mul/div/sqrt/floor), so even
+    the quantized codes hash identically across engines.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.preprocess_vectors(emb, "vec_id", "embedding")
