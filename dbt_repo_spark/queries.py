@@ -2252,3 +2252,42 @@ def embed_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.preprocess_vectors(emb, "vec_id", "embedding")
+
+
+@q(
+    "window_time_range",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_total,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: trailing 30-day per-customer totals.
+
+    RANGE BETWEEN on epoch seconds — a VALUE-based frame, not a row
+    count: same-timestamp orders share a frame and gaps shrink it. One
+    shuffle on the customer key; the frame is evaluated by a sliding
+    aggregate within the sorted partition (no self-join). Decimal-cast
+    sum for cross-engine exactness.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias(
+            "trailing_30d_total"
+        ),
+        F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
+    )
