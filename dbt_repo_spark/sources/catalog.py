@@ -42,8 +42,8 @@ class Catalog:
                    for f in os.listdir(p)) or any(
             os.path.isdir(os.path.join(p, f)) for f in os.listdir(p))
 
-    def read(self, layer: str, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(layer, name))
+    def read(self, layer: str, name: str, fmt: str = "parquet") -> DataFrame:
+        return self.spark.read.format(fmt).load(self.path(layer, name))
 
     def write(
         self,
@@ -53,6 +53,7 @@ class Catalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         sort_within_partitions: list[str] | None = None,
+        fmt: str = "parquet",
     ) -> None:
         """Partitioned + clustered sink (S9).
 
@@ -60,14 +61,16 @@ class Catalog:
         (src/realtime_pubsub_to_spark.py:199-207): ``partition_by`` maps to
         hive-style directory partitioning (→ partition pruning at scan) and
         ``sort_within_partitions`` to a per-file sort (→ parquet row-group
-        min/max skipping on the clustered key).
+        min/max skipping on the clustered key). ``fmt`` may be any Spark
+        batch sink (parquet default; orc keeps the columnar/stats story,
+        csv/json are interchange-only — no pruning, no types on read).
         """
         if sort_within_partitions:
             df = df.sortWithinPartitions(*sort_within_partitions)
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(layer, name))
+        writer.format(fmt).save(self.path(layer, name))
 
     def write_bucketed(
         self,

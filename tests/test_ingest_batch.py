@@ -104,3 +104,22 @@ def test_historic_trips_load(spark, tmp_path):
     # overwrite semantics (S8): re-load keeps count
     out = historic_trips_load(spark, str(csv_dir / "*.csv"), catalog)
     assert out.count() == 2
+
+
+def test_catalog_orc_and_csv_roundtrip(spark, tmp_path):
+    """S7/S8 generalized: the catalog writes/reads ORC (columnar alt) and
+    CSV (interchange) through the same path API."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["k", "s", "v"])
+    cat.write(df, "raw", "t_orc", fmt="orc")
+    back = cat.read("raw", "t_orc", fmt="orc")
+    assert back.schema == df.schema  # orc preserves types
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]
+
+    cat.write(df.withColumn("v", F.col("v").cast("string")), "raw", "t_csv", fmt="csv")
+    n = cat.read("raw", "t_csv", fmt="csv").count()
+    assert n == 2
