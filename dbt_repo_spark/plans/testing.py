@@ -85,3 +85,50 @@ def run_tests(df: DataFrame, spec: dict) -> list[TestResult]:
             else:  # pragma: no cover
                 raise ValueError(f"unknown test spec {t!r} for column {column}")
     return results
+
+
+def profile_columns(df, cols: list[str]):
+    """One-pass column profile: rows / nulls / distincts / min / max.
+
+    The dbt-docs statistics surface as an engine op: ONE aggregate job
+    computes every column's stats (Catalyst plans the multi-distinct via
+    expand — C passes over each row, still one shuffle), then the single
+    wide row is unpivoted driver-free into (column, stat...) rows.
+    Numeric min/max surface as doubles, string min/max as strings —
+    never cross-rendered (engine-specific float formatting would poison
+    cross-engine comparison).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs = []
+    numeric = {
+        f.name: isinstance(f.dataType, T.NumericType) for f in df.schema.fields
+    }
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            (F.min(c).cast("double") if numeric[c] else F.lit(None).cast("double")).alias(f"{c}__min_num"),
+            (F.max(c).cast("double") if numeric[c] else F.lit(None).cast("double")).alias(f"{c}__max_num"),
+            (F.min(c).cast("string") if not numeric[c] else F.lit(None).cast("string")).alias(f"{c}__min_str"),
+            (F.max(c).cast("string") if not numeric[c] else F.lit(None).cast("string")).alias(f"{c}__max_str"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min_num").alias("min_num"),
+                F.col(f"{c}__max_num").alias("max_num"),
+                F.col(f"{c}__min_str").alias("min_str"),
+                F.col(f"{c}__max_str").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")

@@ -2291,3 +2291,44 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
     )
+
+
+@q(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (plans/testing.py::profile_columns): dbt-docs-style
+    stats for three orders columns in ONE aggregate job + in-plan unpivot.
+    """
+    from dbt_repo_spark.plans.testing import profile_columns
+
+    orders = t(spark, sf_dir, "orders")
+    out = profile_columns(orders, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return out.select(
+        "column", "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num", "max_num", "min_str", "max_str",
+    )
