@@ -2332,3 +2332,92 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+@q(
+    "training_data_pipeline_v2",
+    r"""
+    WITH RECURSIVE
+    q AS (SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                 length(text) AS n_chars
+          FROM documents),
+    keepq AS (SELECT doc_id, text FROM q
+              WHERE len(w) >= 10 AND alpha / n_chars > 0.5
+                AND len(list_filter(w, x ->
+                      list_contains(['the','a','of','and','is'], x)))
+                    / CAST(len(w) AS DOUBLE) > 0.01),
+    red AS (SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii,
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS rtext
+            FROM keepq),
+    toks AS (SELECT doc_id, list_filter(string_split(rtext, ' '), x -> x <> '') AS w
+             FROM red),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+           FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    edges AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.3),
+    bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    cc(node, label) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node),
+    noncanon AS (SELECT node FROM cc GROUP BY node HAVING node <> MIN(label)),
+    kept AS (SELECT red.doc_id, red.n_pii, red.rtext
+             FROM red ANTI JOIN noncanon ON red.doc_id = noncanon.node)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(kept.rtext, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens,
+           CAST(SUM(kept.n_pii) AS BIGINT) AS n_pii_redacted
+    FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+    GROUP BY d.source
+    """,
+)
+def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline, every stage an engine operator:
+    quality gate (text.quality_scores) → email scrub (text.redact_pii
+    patterns) → near-dup CLUSTERS on the scrubbed text (dedup.jaccard_pairs
+    → graph.dedup_clusters) → keep one canonical doc per cluster → corpus
+    stats per source. The oracle rebuilds the whole chain in SQL including
+    the recursive-CTE connected components — full value parity, proving
+    the stages compose without semantic drift.
+    """
+    from dbt_repo_spark.operators.graph import dedup_clusters as clusters
+
+    docs = t(spark, sf_dir, "documents")
+    q_ = text.quality_scores(docs, "doc_id", "text").filter("passes_quality")
+    keep = docs.join(q_.select("doc_id"), "doc_id")
+    pat, tag = text.PII_PATTERNS["email"]
+    red = keep.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(pat)).alias("n_pii"),
+        F.regexp_replace("text", pat, tag).alias("rtext"),
+    )
+    sh = dedup.shingles(red, "doc_id", "rtext", n=3, as_hash=True)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.3)
+    cl = clusters(pairs, all_ids=red.select("doc_id"), id_col="doc_id")
+    kept = red.join(
+        cl.filter("is_canonical").select("doc_id"), "doc_id"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(dedup.tokens(F.col("rtext")))).cast("long").alias("n_tokens"),
+        F.sum("n_pii").cast("long").alias("n_pii_redacted"),
+    )
