@@ -178,6 +178,20 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_seed(args) -> int:
+    """dbt `seed` verb: load a CSV (header + inferred schema) into a
+    warehouse layer as a table — the generic form of ingest-trips."""
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.sources.readers import read_csv_glob
+
+    spark = _spark("dbt-repo-spark-seed")
+    catalog = Catalog(spark, args.warehouse)
+    df = read_csv_glob(spark, args.csv)
+    catalog.write(df, args.layer, args.table)
+    print(f"{args.layer}.{args.table}: {df.count()} rows")
+    return 0
+
+
 def cmd_docs(args) -> int:
     """dbt `docs`-style DAG listing: model, materialization, deps, tests."""
     from dbt_repo_spark.models import ALL_MODELS
@@ -231,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--check", nargs="+", required=True)
     sn.add_argument("--loaded-at", default=None)
     sn.set_defaults(fn=cmd_snapshot)
+
+    sd = sub.add_parser("seed", help="load a CSV into a warehouse table")
+    sd.add_argument("--csv", required=True)
+    sd.add_argument("--warehouse", required=True)
+    sd.add_argument("--table", required=True)
+    sd.add_argument("--layer", default="raw")
+    sd.set_defaults(fn=cmd_seed)
 
     dc = sub.add_parser("docs", help="print the model DAG")
     dc.set_defaults(fn=cmd_docs)

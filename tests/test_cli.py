@@ -225,3 +225,13 @@ def test_cli_snapshot_and_docs(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "fact_trips" in out and "incremental" in out
+
+
+def test_cli_seed(spark, tmp_path, capsys):
+    csv = tmp_path / "ref.csv"
+    csv.write_text("code,label\n1,a\n2,b\n")
+    wh = str(tmp_path / "wh")
+    assert main(["seed", "--csv", str(csv), "--warehouse", wh, "--table", "codes"]) == 0
+    from dbt_repo_spark.sources.catalog import Catalog
+    back = Catalog(spark, wh).read("raw", "codes")
+    assert back.count() == 2 and set(back.columns) == {"code", "label"}
