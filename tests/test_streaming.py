@@ -221,3 +221,34 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     q = start_status_ingest(spark, landing, out, ckpt, trigger={"availableNow": True})
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 6
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to purchases within 60s on a REAL pair of streams:
+    in-window purchase matches, out-of-window one doesn't."""
+    import json
+
+    from dbt_repo_spark.streaming.joins import interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    (clicks_dir / "c.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user": 1, "click_ts": "2024-01-01 10:00:00", "page": "a"},
+        {"user": 2, "click_ts": "2024-01-01 10:00:00", "page": "b"},
+    ]))
+    (buys_dir / "b.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user": 1, "buy_ts": "2024-01-01 10:00:30", "amount": 5.0},   # in window
+        {"user": 2, "buy_ts": "2024-01-01 10:05:00", "amount": 9.0},   # too late
+    ]))
+    clicks = spark.readStream.schema("user LONG, click_ts TIMESTAMP, page STRING").json(str(clicks_dir))
+    buys = spark.readStream.schema("user LONG, buy_ts TIMESTAMP, amount DOUBLE").json(str(buys_dir))
+    joined = interval_join(clicks, buys, "user", "click_ts", "buy_ts", 60)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user, page, amount FROM ssj").collect()
+    assert [(r["user"], r["page"], r["amount"]) for r in rows] == [(1, "a", 5.0)]
