@@ -2421,3 +2421,67 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(dedup.tokens(F.col("rtext")))).cast("long").alias("n_tokens"),
         F.sum("n_pii").cast("long").alias("n_pii_redacted"),
     )
+
+
+@q(
+    "correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL interface: orders more
+    than 2x their customer's average. Catalyst DECORRELATES this into an
+    aggregate + equi-join (no per-row re-execution) — the same plan a
+    hand-written groupBy+join would produce, from the declarative form.
+    The 2x margin keeps the predicate far from any float-summation-order
+    boundary (value parity verified at sf0.01).
+    """
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM v_orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@q(
+    "lateral_join_topk",
+    """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON true
+    WHERE c.c_custkey % 100 = 0
+    """,
+)
+def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 orders per (sampled) customer.
+
+    Catalyst rewrites the lateral limit into a per-key window under a
+    join — the declarative form of top_k_per_group, straight from SQL.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM v_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t ON true
+        WHERE c.c_custkey % 100 = 0
+        """
+    )
