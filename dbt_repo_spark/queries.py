@@ -2485,3 +2485,90 @@ def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 100 = 0
         """
     )
+
+
+@q(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^n dimension subsets in one expand+agg."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", 14, 2).alias("revenue")
+    )
+
+
+@q(
+    "null_ordering",
+    """
+    WITH e AS (SELECT event_id,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+                      user_id
+               FROM events WHERE event_id % 3 = 0)
+    SELECT event_id, v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY v ASC NULLS FIRST, event_id) AS rn_nf,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY v DESC NULLS LAST, event_id) AS rn_nl
+    FROM e
+    """,
+)
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering — a real dialect-drift trap:
+    Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST, so every
+    nullable sort in this engine spells the placement out (as both sides
+    of this query do).
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    e = ev.select("event_id", v.alias("v"), "user_id")
+    w_nf = Window.partitionBy("user_id").orderBy(
+        F.col("v").asc_nulls_first(), F.col("event_id")
+    )
+    w_nl = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc_nulls_last(), F.col("event_id")
+    )
+    return e.select(
+        "event_id", "v",
+        F.row_number().over(w_nf).alias("rn_nf"),
+        F.row_number().over(w_nl).alias("rn_nl"),
+    )
+
+
+@q(
+    "window_value_offsets",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY epoch(o_orderdate), o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate), o_orderkey)
+    """,
+)
+def window_value_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value frames: last_value needs the explicit
+    unbounded-following frame (the default frame ends at CURRENT ROW,
+    where last_value degenerates to the current row's value — in both
+    engines, which is exactly the kind of footgun the oracle pins down).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.unix_timestamp("o_orderdate"), "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
