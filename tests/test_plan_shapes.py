@@ -92,3 +92,25 @@ def test_hash_split_no_shuffle(spark):
                     "event_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_range_join_query_plans_equi(spark):
+    """The registered range-join query must stay a bucketed equi-join —
+    a regression to BroadcastNestedLoop would be quadratic at scale."""
+    plan = _plan(spark, "range_join_order_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_funnel_and_scd2_no_cartesian(spark):
+    for name in ("funnel_signup_purchase", "scd2_event_state"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate+join, not a per-row subquery execution."""
+    plan = _plan(spark, "correlated_subquery")
+    assert "HashAggregate" in plan
+    assert "Join" in plan
