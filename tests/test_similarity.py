@@ -89,3 +89,40 @@ def test_incremental_minhash_equals_full_run_restriction(spark, sf_dir):
         else:
             norm_want.add((a, b) if b % 4 == 0 else (b, a))
     assert got == norm_want and len(got) > 0
+
+
+def test_trained_codebook_recall_not_worse(spark, sf_dir):
+    """Spherical-k-means codebook: unit-norm centroids, working probe
+    path, and usable recall vs exact brute force. (On the isotropic
+    synthetic corpus training cannot BEAT arbitrary centroids — see
+    train_centroids docstring — so the bar is absolute, not relative.)"""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") < 8
+
+    def neighbor_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = neighbor_sets(similarity.cosine_topk(emb, pred, k=5))
+
+    def recall(codebook):
+        got = neighbor_sets(
+            similarity.ivf_topk(emb, pred, k=5, n_centroids=8, nprobe=3,
+                                codebook=codebook)
+        )
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    trained = similarity.train_centroids(emb, n_centroids=8, iters=2)
+    assert len(trained) == 8 and len(trained[0]) == len(trained[1])
+    import math
+    for c in trained:  # spherical: every centroid is unit-norm
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    r_trained = recall(trained)
+    assert r_trained > 0.5, r_trained
