@@ -32,7 +32,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
     Keys absent here (dedup_minhash_lsh, dedup_simhash, embed_lsh_topk,
-    multimodal_features) are non-SQL-expressible (seeded xxhash64 /
-    approximate recall / mapInPandas) → driver records rows-only checks.
+    multimodal_features, bpe_tokenize, ...) are non-SQL-expressible
+    (seeded xxhash64 / approximate recall / mapInPandas / iterative merge
+    learning) → driver records rows-only checks.
     """
     return dict(ORACLES)

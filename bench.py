@@ -56,6 +56,10 @@ HEADLINE = [
     "funnel_signup_purchase",
     "scd2_event_state",
     "text_tfidf_topk",
+    # round-1 continuation: recursive SQL, vocab ids, BPE tokenizer
+    "recursive_order_chain",
+    "vocab_dense_ids",
+    "bpe_tokenize",
 ]
 
 RUNS = 3

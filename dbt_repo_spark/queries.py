@@ -2572,3 +2572,120 @@ def window_value_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+# =========================================================================
+# Recursive CTE, dense vocab ids, BPE tokenizer (round-1 continuation)
+# =========================================================================
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_key
+  FROM {orders}
+  WHERE o_custkey % 20 = 0
+),
+chain AS (
+  SELECT o_custkey, o_orderkey, next_key, 1 AS depth, price AS cum_spend
+  FROM nxt WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, n.next_key, c.depth + 1,
+         CAST(c.cum_spend + n.price AS DECIMAL(14,2))
+  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
+)
+SELECT o_orderkey AS order_id, CAST(depth AS BIGINT) AS depth,
+       CAST(cum_spend AS DOUBLE) AS cum_spend
+FROM chain
+"""
+
+
+@q("recursive_order_chain", _RECURSIVE_CHAIN_SQL.format(orders="orders"))
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL interface (Spark 4 UnionLoop).
+
+    Walks each sampled customer's order chain (first order -> next by
+    date) accumulating depth and exact-decimal cumulative spend; the
+    oracle is the equivalent single-statement recursive SQL in DuckDB.
+
+    Two deliberate physical choices (measured at sf0.1, 6.1s -> 3.4s):
+    the lead-linked order list (`nxt`) is computed ONCE and persisted —
+    inlined in the CTE the UnionLoop recomputes the window per iteration
+    — and the recursive step BROADCASTs it, so each of the ~max-chain-
+    length iterations is a map-side hash join of the shrinking frontier
+    with zero per-iteration shuffle. State = one frontier row per live
+    chain. For plain linear accumulation the window form (window_running)
+    is still the one-pass scale path; this is the declarative/general
+    recursion surface (hierarchies, BOM walks), complementing
+    operators/graph.py's pointer-jumping closure.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    ).persist()
+    nxt.createOrReplaceTempView("v_nxt")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT o_custkey, o_orderkey, next_key, 1 AS depth, price AS cum_spend
+          FROM v_nxt WHERE rn = 1
+          UNION ALL
+          SELECT /*+ BROADCAST(n) */ n.o_custkey, n.o_orderkey, n.next_key,
+                 c.depth + 1, CAST(c.cum_spend + n.price AS DECIMAL(14,2))
+          FROM chain c JOIN v_nxt n ON n.o_orderkey = c.next_key
+        )
+        SELECT o_orderkey AS order_id, CAST(depth AS BIGINT) AS depth,
+               CAST(cum_spend AS DOUBLE) AS cum_spend
+        FROM chain
+        """
+    )
+
+
+@q(
+    "vocab_dense_ids",
+    """
+    SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+    FROM (SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS term
+          FROM documents)
+    """,
+)
+def vocab_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense vocabulary ids via the scalable two-phase rank
+    (operators/ids.py::dense_ids): range-shuffle + per-partition offsets,
+    NO Exchange SinglePartition — the oracle's row_number() OVER (ORDER BY
+    term) is exactly what this avoids materializing on one node.
+    """
+    from dbt_repo_spark.operators.ids import dense_ids
+
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    return dense_ids(terms, "term", id_col="term_id")
+
+
+@q("bpe_tokenize")  # iterative merge learning: not SQL-expressible → rows-only
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer: distributed word counts -> driver merge learning ->
+    broadcast Arrow-batched apply (operators/bpe.py). Deterministic
+    tie-breaking makes the learned vocab reproducible across cluster
+    sizes; the corpus-touching work is one word-count shuffle plus one
+    mapInPandas scan.
+    """
+    from dbt_repo_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(bpe.word_counts(docs, "text"), num_merges=200)
+    seg = bpe.segment(docs, merges, "doc_id", "text")
+    return seg.select(
+        "doc_id",
+        "n_pieces",
+        F.size(F.array_distinct("pieces")).cast("long").alias("n_distinct_pieces"),
+    )

@@ -45,6 +45,34 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in duration/slide
+    overlapping windows. ``F.window(ts, duration, slide)`` expands rows
+    window-count-fold BEFORE the shuffle — the replication factor is the
+    overlap ratio, so keep duration/slide small at scale (2-4x is the
+    usual telemetry shape); state in streaming mode is bounded by
+    watermark + window count per key exactly like tumbling.
+    """
+    aggs = aggs or []
+    out = df.groupBy(*keys, F.window(ts_col, duration, slide).alias("w")).agg(
+        F.count("*").alias("n_events"), *aggs
+    )
+    agg_cols = [c for c in out.columns if c not in (*keys, "w")]
+    return out.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *agg_cols,
+    )
+
+
 def session_aggregate(
     df: DataFrame,
     ts_col: str,
