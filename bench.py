@@ -60,6 +60,8 @@ HEADLINE = [
     "recursive_order_chain",
     "vocab_dense_ids",
     "bpe_tokenize",
+    "sliding_window_counts",
+    "groupwise_ols_slope",
 ]
 
 RUNS = 3

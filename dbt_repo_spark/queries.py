@@ -2689,3 +2689,88 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.size(F.array_distinct("pieces")).cast("long").alias("n_distinct_pieces"),
     )
+
+
+@q(
+    "sliding_window_counts",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 - k.k * 300)
+               AS window_start,
+             value
+      FROM events, (SELECT unnest(range(2)) AS k) k
+    )
+    SELECT event_type, window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY event_type, window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min hopping windows (streaming/windows.py::
+    sliding_counts — same operator runs under a watermark on a stream).
+
+    Every event belongs to exactly duration/slide = 2 windows; the oracle
+    expands each event to its 2 aligned window starts and GROUPs — which
+    is literally the physical plan Spark's F.window(duration, slide)
+    generates (an Expand node before the hash-agg), so the parity check
+    pins the expansion semantics, boundary alignment included.
+    """
+    from dbt_repo_spark.streaming.windows import sliding_counts
+
+    ev = t(spark, sf_dir, "events")
+    out = sliding_counts(
+        ev, "ts", ["event_type"], "10 minutes", "5 minutes",
+        aggs=[dsum("value").alias("sum_value")],
+    )
+    # window struct fields come back non-UTC-normalized identical in both
+    return out.select(
+        "event_type", "window_start", "window_end", "n_events", "sum_value"
+    )
+
+
+@q(
+    "groupwise_ols_slope",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             epoch(o_orderdate)::BIGINT // 86400 AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT o_custkey, x - MIN(x) OVER (PARTITION BY o_custkey) AS xc, y
+      FROM base
+    ),
+    s AS (
+      SELECT o_custkey, COUNT(*) AS n, SUM(xc) AS sx, SUM(y) AS sy,
+             SUM(xc * xc) AS sxx, SUM(xc * y) AS sxy
+      FROM c GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(n AS BIGINT) AS n_obs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def groupwise_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS spend trend via applyInPandas (operators/fit.py).
+
+    The cross-engine exactness rule pushed through the Python boundary:
+    inputs are pre-cast to integer day-index and cent-value, all sums are
+    integer-exact on both engines (NumPy int64 / DuckDB HUGEINT), and the
+    single double division at the end is bit-identical. One shuffle on
+    the key; closed-form fit per Arrow batch; no driver collect.
+    """
+    from dbt_repo_spark.operators.fit import groupwise_ols
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("day_idx"),
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("cents"),
+    )
+    return groupwise_ols(o, "o_custkey", "day_idx", "cents")
