@@ -17,6 +17,10 @@ Materializations (SURVEY.md §2.11 D1-D5):
   fact_station_status_history.sql:24-26). The target snapshot is read
   BEFORE the write so the model never reads its own writes (§7.3 risk 1);
   md5 keys are non-null so anti-join ≡ NOT IN (§7.3 risk 3).
+  Strategies beyond the reference: ``insert_overwrite`` (dynamic partition
+  replace) and ``merge`` (upsert by unique_key via staged rewrite,
+  partition-scoped when partition_by is set — dbt's
+  incremental_strategy='merge' on top of immutable parquet).
 """
 
 from __future__ import annotations
@@ -43,18 +47,18 @@ class Model:
     unique_key: str | None = None
     partition_by: list[str] | None = None
     cluster_by: list[str] | None = None
-    incremental_strategy: str = "append"  # append (anti-join) | insert_overwrite
+    incremental_strategy: str = "append"  # append (anti-join) | insert_overwrite | merge
     tests: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.materialized not in MATERIALIZATIONS:
             raise ValueError(f"unknown materialization {self.materialized!r}")
-        if self.incremental_strategy not in ("append", "insert_overwrite"):
+        if self.incremental_strategy not in ("append", "insert_overwrite", "merge"):
             raise ValueError(
                 f"unknown incremental_strategy {self.incremental_strategy!r}"
             )
         if self.materialized == "incremental":
-            if self.incremental_strategy == "append" and not self.unique_key:
+            if self.incremental_strategy in ("append", "merge") and not self.unique_key:
                 raise ValueError(f"incremental model {self.name} needs unique_key")
             if self.incremental_strategy == "insert_overwrite" and not self.partition_by:
                 raise ValueError(
@@ -189,6 +193,31 @@ class ModelRunner:
                 )
             finally:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return self.catalog.read(m.layer, m.name)
+        if target_exists and m.incremental_strategy == "merge":
+            # Upsert (dbt incremental_strategy='merge'): keep target rows
+            # whose key is NOT in the batch, union the batch, staged-swap.
+            # With partition_by the rewrite is scoped to the partitions the
+            # batch touches (untouched partitions are never read or moved);
+            # unpartitioned targets pay a full rewrite — that is inherent
+            # to upsert-on-immutable-files, and the reason the reference's
+            # own incremental models are append-only (fact_station_status
+            # .sql:30-32). MERGE exists for the correction/backfill case.
+            target = self.catalog.read(m.layer, m.name)
+            if m.partition_by:
+                parts = df.select(*m.partition_by).distinct()
+                target = target.join(
+                    F.broadcast(parts), m.partition_by, "left_semi"
+                )
+            keys = df.select(m.unique_key).distinct()
+            kept = target.join(keys, m.unique_key, "left_anti")
+            merged = kept.unionByName(df)
+            self.catalog.overwrite_staged(
+                merged, m.layer, m.name,
+                partition_by=m.partition_by,
+                sort_within_partitions=m.cluster_by,
+                replace_partitions_only=bool(m.partition_by),
+            )
             return self.catalog.read(m.layer, m.name)
         if target_exists:
             # is_incremental() branch: anti-join against {{ this }} keys,

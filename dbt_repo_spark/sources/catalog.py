@@ -157,6 +157,66 @@ class Catalog:
         )
         return n_files
 
+    def overwrite_staged(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+        replace_partitions_only: bool = False,
+        fmt: str = "parquet",
+    ) -> None:
+        """Overwrite a table whose CURRENT CONTENTS feed the plan.
+
+        Spark refuses ``mode("overwrite")`` into a path the query also
+        reads (and would corrupt it if it didn't); the safe shape is the
+        same staged write + directory swap ``compact`` uses: materialize
+        to ``<path>__staging`` first — the read of the old data completes
+        during this job — then swap. Crash before the swap leaves the
+        original table intact.
+
+        ``replace_partitions_only=True`` swaps only the hive partition
+        directories present in the staged output (the merge-into-
+        partitions scale path: a batch touching 1 day of a year-
+        partitioned table moves one directory, the other 364 are never
+        read, written, or moved).
+        """
+        final = self.path(layer, name)
+        staging = final + "__staging"
+        old = final + "__old"
+        for p in (staging, old):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(fmt).save(staging)
+        if replace_partitions_only and partition_by and os.path.isdir(final):
+            depth = len(partition_by)
+            leaves = []
+            for root, dirs, _files in os.walk(staging):
+                rel = os.path.relpath(root, staging)
+                parts = [] if rel == "." else rel.split(os.sep)
+                if len(parts) == depth and all("=" in c for c in parts):
+                    leaves.append(rel)
+                    dirs[:] = []
+            for rel in leaves:
+                dst = os.path.join(final, rel)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(staging, rel), dst)
+            shutil.rmtree(staging)
+        else:
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(staging, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+
     def register_views(self, layer: str | None = None) -> None:
         """Expose catalog tables as ``layer_name`` temp views for spark.sql."""
         layers = [layer] if layer else LAYERS

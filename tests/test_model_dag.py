@@ -378,3 +378,79 @@ def test_generic_tests_catch_violations(spark, tmp_path):
     child = spark.createDataFrame([Row(fk=1), Row(fk=99)])
     res = relationships(child, "fk", parent, "pk")
     assert not res.passed and res.violations == 1
+
+
+def test_merge_strategy_upserts(spark, tmp_path):
+    """merge: batch rows replace same-key target rows, new keys insert,
+    untouched keys survive; idempotent on re-run."""
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+
+    @model(
+        "state",
+        deps=("raw_rows",),
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="k",
+    )
+    def state(ctx) -> "DataFrame":
+        return ctx["raw_rows"]
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    r = ModelRunner(
+        spark, catalog,
+        {"raw_rows": spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])},
+    )
+    r.add(state)
+    assert {(x.k, x.v) for x in r.run()["state"].collect()} == {(1, "a"), (2, "b")}
+    # k=2 updated, k=3 inserted, k=1 untouched
+    r.sources["raw_rows"] = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    got = {(x.k, x.v) for x in r.run()["state"].collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotent: same batch again → same state
+    assert {(x.k, x.v) for x in r.run()["state"].collect()} == got
+
+
+def test_merge_strategy_partition_scoped(spark, tmp_path):
+    """Partitioned merge physically rewrites only the partitions the batch
+    touches: the untouched partition's files keep their inodes."""
+    import os
+
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+
+    @model(
+        "part_state",
+        deps=("raw_rows",),
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="k",
+        partition_by=["d"],
+    )
+    def part_state(ctx) -> "DataFrame":
+        return ctx["raw_rows"]
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    r = ModelRunner(
+        spark, catalog,
+        {"raw_rows": spark.createDataFrame(
+            [Row(k=1, v="a", d="2025-01-01"), Row(k=2, v="b", d="2025-01-02")]
+        )},
+    )
+    r.add(part_state)
+    r.run()
+    tdir = catalog.path("analytics", "part_state")
+
+    def inodes(day):
+        p = os.path.join(tdir, f"d={day}")
+        return {f: os.stat(os.path.join(p, f)).st_ino
+                for f in os.listdir(p) if f.startswith("part-")}
+
+    day1_before = inodes("2025-01-01")
+    # batch touches only day 2 (update k=2, insert k=3)
+    r.sources["raw_rows"] = spark.createDataFrame(
+        [Row(k=2, v="B", d="2025-01-02"), Row(k=3, v="c", d="2025-01-02")]
+    )
+    got = {(x.k, x.v, str(x.d)) for x in r.run()["part_state"].collect()}
+    assert got == {
+        (1, "a", "2025-01-01"), (2, "B", "2025-01-02"), (3, "c", "2025-01-02"),
+    }
+    assert inodes("2025-01-01") == day1_before, "untouched partition was rewritten"
