@@ -62,6 +62,8 @@ HEADLINE = [
     "bpe_tokenize",
     "sliding_window_counts",
     "groupwise_ols_slope",
+    "stats_battery",
+    "text_quality_classifier",
 ]
 
 RUNS = 3

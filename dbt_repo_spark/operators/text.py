@@ -275,3 +275,45 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (dup_frac > 0.3) | (F.coalesce(top_share, F.lit(0.0)) > 0.18)
         ).alias("is_repetitive"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Fasttext-shaped quality classifier: hashed bag-of-words features ×
+    a weight table, folded per document WITHOUT a shuffle.
+
+    Each token hashes to one of 256 buckets (two md5 hex chars → ascii
+    arithmetic — portable to any ANSI engine, unlike xxhash64) and the
+    bucket's integer centi-weight is accumulated in a per-row array fold;
+    the document score is one exact integer sum ÷ 100, so scoring is a
+    scan-speed projection with cross-engine-identical results. The weight
+    function here is a deterministic hash-derived STUB standing in for
+    trained parameters — a real model swaps in a broadcast weight array
+    (same plumbing, same plan shape); the gate/threshold mechanics are
+    the real, tested part.
+
+    Output: (id, n_tokens, score, keep).
+    """
+    toks = tokens(F.col(text_col))
+
+    def weight_centi(x):
+        h = F.md5(x)
+        b = (
+            F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1))
+        ) % 256
+        return ((b * 37 + 11) % 101 - 50).cast("long")
+
+    score_int = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + weight_centi(x)
+    )
+    score = (score_int.cast("double") / F.lit(100.0)).alias("score")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score,
+        (score_int > F.lit(int(threshold * 100))).alias("keep"),
+    )

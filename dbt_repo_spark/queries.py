@@ -2774,3 +2774,113 @@ def groupwise_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("o_totalprice", 14, 2) * 100).cast("long").alias("cents"),
     )
     return groupwise_ols(o, "o_custkey", "day_idx", "cents")
+
+
+@q(
+    "stats_battery",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             AS var_qty,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+             AS stddev_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             AS covar_qty_cents,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_qty
+    FROM s
+    """,
+)
+def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (var/stddev/covar/corr/regr_slope) with
+    the exactness rule applied: builtins like corr() accumulate floats in
+    partition order (non-deterministic across engines AND cluster
+    layouts), so every statistic here is derived from integer-exact sums
+    (qty is integer-valued; price exact cents via DECIMAL) and becomes
+    deterministic double arithmetic on identical operands — same bits on
+    Spark, DuckDB, or any partitioning. One map-side-partial hash-agg
+    carries seven sums per group; everything after is constant-space.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")
+    y = (dec("l_extendedprice", 14, 2) * 100).cast("decimal(38,0)")
+    s = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    dvar = (n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double")
+    dcov = (n * sxy - sx * sy).cast("double") / (n * (n - 1)).cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        dvar.alias("var_qty"),
+        F.sqrt(dvar).alias("stddev_qty"),
+        dcov.alias("covar_qty_cents"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_qty_price"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double")
+        ).alias("slope_cents_per_qty"),
+    )
+
+
+@q(
+    "text_quality_classifier",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(words, t ->
+               ((ascii(substr(md5(t), 1, 1)) * 131
+                 + ascii(substr(md5(t), 2, 1))) % 256 * 37 + 11) % 101 - 50
+             )) AS BIGINT) AS score_int
+      FROM w
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(score_int, 0) AS DOUBLE) / 100.0 AS score,
+           COALESCE(score_int, 0) > 0 AS keep
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier
+    (operators/text.py::hashed_linear_score): md5-bucketed bag-of-words ×
+    integer centi-weights, per-row fold, no shuffle — exact parity with
+    the relational oracle because the only float op is one division of an
+    exact integer sum.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return text.hashed_linear_score(docs, "doc_id", "text")
