@@ -64,6 +64,7 @@ HEADLINE = [
     "groupwise_ols_slope",
     "stats_battery",
     "text_quality_classifier",
+    "shipping_priority_topk",
 ]
 
 RUNS = 3

@@ -203,6 +203,21 @@ def cmd_docs(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the optimized/physical plan of a registry query — the scale
+    review loop (`.explain("formatted")`) as a first-class verb."""
+    from dbt_repo_spark.queries import QUERIES
+    from dbt_repo_spark.session import get_spark
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; one of: {', '.join(sorted(QUERIES))}")
+        return 2
+    spark = get_spark(app_name="dbt-repo-spark-explain")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_repo_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -255,6 +270,13 @@ def main(argv: list[str] | None = None) -> int:
 
     dc = sub.add_parser("docs", help="print the model DAG")
     dc.set_defaults(fn=cmd_docs)
+
+    ex = sub.add_parser("explain", help="print a registry query's plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    ex.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -2884,3 +2884,49 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return text.hashed_linear_score(docs, "doc_id", "text")
+
+
+@q(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      AND l.l_shipdate >= TIMESTAMP '1997-06-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter -> two fact joins -> agg ->
+    global top-10. The plan to want at 100 TB: both date filters reach
+    the parquet scans (PushedFilters), the filtered customer side
+    broadcasts, the orders-lineitem join shuffles on the already-grouped
+    key, and the ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-
+    partition top-10 then a 10-row driver merge — never a global sort).
+    Ties broken by orderkey so the top-10 set is deterministic.
+    """
+    cut = F.lit("1997-06-15").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= cut)
+    rev = (dec("l_extendedprice", 14, 2) * (F.lit(1) - dec("l_discount", 12, 2))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -235,3 +235,12 @@ def test_cli_seed(spark, tmp_path, capsys):
     from dbt_repo_spark.sources.catalog import Catalog
     back = Catalog(spark, wh).read("raw", "codes")
     assert back.count() == 2 and set(back.columns) == {"code", "label"}
+
+
+def test_cli_explain(capsys):
+    from dbt_repo_spark.__main__ import main
+
+    assert main(["explain", "pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out and "HashAggregate" in out
+    assert main(["explain", "no_such_query"]) == 2

@@ -123,3 +123,32 @@ def test_catalog_orc_and_csv_roundtrip(spark, tmp_path):
     cat.write(df.withColumn("v", F.col("v").cast("string")), "raw", "t_csv", fmt="csv")
     n = cat.read("raw", "t_csv", fmt="csv").count()
     assert n == 2
+
+
+def test_read_with_quarantine_splits_bad_json(spark, tmp_path):
+    """PERMISSIVE scan: clean rows parse, malformed records land in the
+    quarantine with their original bytes, nothing is dropped."""
+    from pyspark.sql import types as T
+
+    from dbt_repo_spark.sources.readers import read_with_quarantine
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"station_id": "s1", "bikes": 3}\n'
+        'THIS IS NOT JSON\n'
+        '{"station_id": "s2", "bikes": "not_a_number"}\n'
+        '{"station_id": "s3", "bikes": 7}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("station_id", T.StringType()),
+         T.StructField("bikes", T.LongType())]
+    )
+    good, bad = read_with_quarantine(spark, str(p), schema, fmt="json")
+    assert {(r.station_id, r.bikes) for r in good.collect()} == {
+        ("s1", 3), ("s3", 7)
+    }
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("NOT JSON" in b for b in bad_rows)
+    assert any("not_a_number" in b for b in bad_rows)  # original bytes kept

@@ -114,3 +114,15 @@ def test_correlated_subquery_decorrelates(spark):
     plan = _plan(spark, "correlated_subquery")
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_shipping_priority_topk_shape(spark):
+    plan = _plan(spark, "shipping_priority_topk")
+    # global ORDER BY + LIMIT must compile to per-partition top-k + driver
+    # merge, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    # the mktsegment-filtered customer side broadcasts
+    assert "BroadcastHashJoin" in plan
+    # both date predicates reach their scans
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
