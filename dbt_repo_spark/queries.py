@@ -2930,3 +2930,47 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@q(
+    "full_outer_reconciliation",
+    """
+    WITH by_status AS (
+      SELECT o_custkey, COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    by_priority AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.n_open, 0) AS n_open,
+           COALESCE(b.n_urgent, 0) AS n_urgent,
+           (a.o_custkey IS NULL OR b.o_custkey IS NULL) AS one_sided
+    FROM by_status a
+    FULL OUTER JOIN by_priority b ON a.o_custkey = b.o_custkey
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation of two aggregates — the audit shape
+    (rows present on one side only are the finding). Shuffle on the key
+    with both sides pre-aggregated so the exchange carries one row per
+    key per side, not the fact table.
+    """
+    o = t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_open"))
+    )
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return a.join(b, "o_custkey", "full_outer").select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        (F.col("n_open").isNull() | F.col("n_urgent").isNull()).alias("one_sided"),
+    )

@@ -237,3 +237,60 @@ def scd2_snapshot_sink(
         os.replace(staged, snapshot_dir)
 
     return write_batch
+
+
+def upsert_sink(
+    catalog,
+    layer: str,
+    name: str,
+    unique_key: str,
+    order_by: str,
+    partition_by: list[str] | None = None,
+) -> "Callable[[DataFrame, int], None]":
+    """foreachBatch sink maintaining a latest-state (upsert) table.
+
+    The streaming twin of the runner's incremental_strategy='merge': each
+    micro-batch reduces to its latest row per key (by ``order_by``, ties
+    broken by the remaining columns for determinism on replay), then
+    upserts into the catalog table via the same partition-scoped staged
+    rewrite (Catalog.overwrite_staged). Combined with a checkpoint this
+    gives effectively-once maintenance of a "current state per key"
+    table — the streaming-native form of the reference's
+    fact_station_status_latest view (fact_station_status_latest.sql:
+    11-18,32), computed incrementally instead of re-windowing history
+    every query.
+
+    State volume per tick: |batch| + the touched slice of the target —
+    with partition_by on a stable key prefix the untouched partitions are
+    never read or rewritten.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        other = [
+            c for c in batch_df.columns if c not in (unique_key, order_by)
+        ]
+        w = Window.partitionBy(unique_key).orderBy(
+            F.col(order_by).desc(), *[F.col(c).desc() for c in other]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not catalog.exists(layer, name):
+            catalog.write(latest, layer, name, mode="overwrite", partition_by=partition_by)
+            return
+        target = catalog.read(layer, name)
+        if partition_by:
+            parts = latest.select(*partition_by).distinct()
+            target = target.join(F.broadcast(parts), partition_by, "left_semi")
+        kept = target.join(latest.select(unique_key), unique_key, "left_anti")
+        catalog.overwrite_staged(
+            kept.unionByName(latest), layer, name,
+            partition_by=partition_by,
+            replace_partitions_only=bool(partition_by),
+        )
+
+    return write_batch

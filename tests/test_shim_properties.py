@@ -163,3 +163,27 @@ def test_surrogate_key_matches_duckdb_md5(spark, batch):
         ).fetchone()[0]
         assert got[i] == want, (s, ts, n)
     con.close()
+
+
+def test_approx_percentile_within_documented_error(spark):
+    """approx_percentile(accuracy=a) guarantees rank error <= n/a: check
+    the sketch lands within the rank tolerance of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import t
+
+    ev = t(spark, "/root/testdata/sf0.01", "events")
+    acc = 1000
+    row = ev.agg(
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("approx"),
+        F.expr("percentile(value, 0.9)").alias("exact"),
+        F.count("value").alias("n"),
+    ).first()
+    # rank tolerance n/acc around p90 -> bound the value by the exact
+    # percentiles at the tolerance edges
+    eps = 1.0 / acc
+    lo, hi = ev.agg(
+        F.expr(f"percentile(value, {0.9 - eps})"),
+        F.expr(f"percentile(value, {0.9 + eps})"),
+    ).first()
+    assert lo <= row.approx <= hi, (row.approx, lo, hi, row.exact)

@@ -252,3 +252,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT user, page, amount FROM ssj").collect()
     assert [(r["user"], r["page"], r["amount"]) for r in rows] == [(1, "a", 5.0)]
+
+
+def test_streaming_upsert_sink_latest_state(spark, tmp_path):
+    """upsert_sink maintains a latest-per-key table across two drains:
+    later events replace, unseen keys insert, redelivery is harmless."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.streaming.ingest import upsert_sink
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()),
+         T.StructField("ts", T.TimestampType()),
+         T.StructField("v", T.LongType())]
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_sink(catalog, "analytics", "latest_state", "k", "ts")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = dt.datetime(2025, 1, 1)
+
+    def row(k, minute, v):
+        return json.dumps({"k": k, "ts": (base + dt.timedelta(minutes=minute)).isoformat(), "v": v})
+
+    (src / "b1.jsonl").write_text("\n".join(
+        [row("a", 1, 10), row("b", 1, 20), row("a", 5, 11)]  # a: later wins
+    ))
+    drain()
+    got = {(r.k, r.v) for r in catalog.read("analytics", "latest_state").collect()}
+    assert got == {("a", 11), ("b", 20)}
+
+    (src / "b2.jsonl").write_text("\n".join(
+        [row("b", 9, 21), row("c", 2, 30), row("a", 5, 11)]  # redelivery of a@5
+    ))
+    drain()
+    got = {(r.k, r.v) for r in catalog.read("analytics", "latest_state").collect()}
+    assert got == {("a", 11), ("b", 21), ("c", 30)}
