@@ -277,6 +277,66 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Corpus-trained bigram language model + per-document mean NLL.
+
+    The CCNet/Gopher-style quality signal the reference's pipeline lacks:
+    train an add-k-smoothed bigram LM on the corpus itself and score every
+    document by mean negative log-likelihood (log-perplexity); outlier
+    documents (boilerplate, gibberish, wrong language) sit in the tails.
+
+    Scale shape: the corpus-sized work is ONE explode into (doc, w1, w2)
+    occurrences, one hash-agg to the Zipf-bounded distinct-bigram table,
+    and ONE join of occurrences against that table on (w1, w2). Prefix
+    counts c1 and vocabulary size derive from the tiny count tables, never
+    from a second corpus pass; AQE broadcasts the count table when it fits.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), NLL = -ln P.
+    Output: (id, n_bigrams, avg_nll) — avg_nll rounded to 6 (float score).
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w"))
+    n = F.size("w")
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("w1"),
+                    F.slice("w", 2, n - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    counts = c12.join(c1, "w1")
+    vocab = toks.select(F.explode("w").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    nll = -F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    per_doc = (
+        bg.join(counts, ["w1", "w2"])
+        .crossJoin(vocab)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_bg"), F.avg(nll).alias("avg_nll"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bg"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("avg_nll", 6).alias("avg_nll"),
+        )
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     id_col: str,

@@ -2104,6 +2104,42 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_bigram_lm",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+     bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2),
+     c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+     c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+     v AS (SELECT COUNT(DISTINCT x) AS v
+           FROM (SELECT unnest(w) AS x FROM toks)),
+     per_doc AS (
+       SELECT bg.doc_id, COUNT(*) AS n_bg,
+              AVG(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))) AS avg_nll
+       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+       GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bg, 0) AS BIGINT) AS n_bigrams,
+           round(p.avg_nll, 6) AS avg_nll
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM, per-doc mean NLL (log-perplexity)
+    quality signal (text.py::bigram_lm_scores). One corpus explode + one
+    Zipf-bounded count join; prefix counts and vocab derive from the count
+    table, not a second corpus pass.
+    """
+    from dbt_repo_spark.session import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return text.bigram_lm_scores(docs, "doc_id", "text")
+
+
+@q(
     "text_chunking",
     """
     WITH c AS (

@@ -136,3 +136,24 @@ def test_chunk_documents_boundaries(spark):
     assert got[(2, 2)] == (17, "bbbbccc")
     # consecutive chunks overlap by exactly 2 chars
     assert got[(2, 0)][1][-2:] == got[(2, 1)][1][:2]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from dbt_repo_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    # corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1; c1(a)=3 c1(b)=2; V=4 (a,b,c,x); k=.5
+    import math
+
+    p_ab = -math.log((3 + 0.5) / (3 + 0.5 * 4))
+    p_ba = -math.log((1 + 0.5) / (2 + 0.5 * 4))
+    p_bc = -math.log((1 + 0.5) / (2 + 0.5 * 4))
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_nll"] - (2 * p_ab + p_ba) / 3) < 1e-6
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[2]["avg_nll"] - (p_ab + p_bc) / 2) < 1e-6
+    # single-token doc: no bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
