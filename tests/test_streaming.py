@@ -304,3 +304,88 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     drain()
     got = {(r.k, r.v) for r in catalog.read("analytics", "latest_state").collect()}
     assert got == {("a", 11), ("b", 21), ("c", 30)}
+
+
+def _run_sessionize_scenario(spark, tmp_path, sessionize):
+    """Shared scenario for the two sessionizer implementations: a session
+    closes only when the WATERMARK passes last_event + gap (event-time
+    timer), the open session survives a checkpointed restart, and
+    within-batch gaps split sessions immediately."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return "\n".join(
+            json.dumps(
+                {
+                    "user_id": u,
+                    "ts": (base + dt.timedelta(minutes=m)).isoformat(),
+                    "value": float(v),
+                }
+            )
+            for u, m, v in specs
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            sessionize(stream, gap_minutes=10, delay="2 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1: events at 0,5 then a 20-min in-batch gap -> session [0,5] closes
+    # in-batch; [25] stays open (watermark only reaches 25-2=23).
+    (src / "a.jsonl").write_text(rows([(1, 0, 1.0), (1, 5, 2.0), (1, 25, 4.0)]))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    r = got.collect()[0]
+    assert (r.user_id, r.n_events, r.total_value) == (1, 2, 3.0)
+    assert r.session_end == base + dt.timedelta(minutes=5)
+
+    # restart: u2 event at minute 60 pushes the watermark to 58, far past
+    # u1's open-session timer (25+10=35) -> the timer fires and emits the
+    # checkpoint-restored open session; u2's own session stays open.
+    (src / "b.jsonl").write_text(rows([(2, 60, 9.0)]))
+    run_once()
+    got = {(r.user_id, r.n_events): r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {(1, 2), (1, 1)}
+    assert got[(1, 1)].total_value == 4.0
+    assert got[(1, 1)].session_start == base + dt.timedelta(minutes=25)
+
+
+def test_sessionize_event_time_timer(spark, tmp_path):
+    from dbt_repo_spark.streaming.stateful import sessionize
+
+    _run_sessionize_scenario(spark, tmp_path, sessionize)
+
+
+def test_sessionize_tws_state_v2(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas twin — runs where protobuf
+    (the state-protocol dependency) is installed."""
+    from dbt_repo_spark.streaming.stateful import has_tws_deps, sessionize_tws
+
+    if not has_tws_deps():
+        pytest.skip("google.protobuf not installed (tws state protocol)")
+    _run_sessionize_scenario(spark, tmp_path, sessionize_tws)
