@@ -126,3 +126,35 @@ def test_shipping_priority_topk_shape(spark):
     # both date predicates reach their scans
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime semi-join reduction: a selective dim-side filter injects a
+    bloom filter that prunes the fact scan BEFORE the join shuffle
+    (InjectRuntimeFilter, default-on). The application-side threshold is
+    10GB in production — right for the 100 TB target, where this turns a
+    full-fact shuffle into a filtered one; here it's scaled down to the
+    fixture size to pin the plan shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join: filter matters
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
