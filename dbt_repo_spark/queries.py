@@ -1157,6 +1157,58 @@ def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "histogram_equidepth",
+    """
+    WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+                      quantile_cont(o_totalprice, 0.50) AS b2,
+                      quantile_cont(o_totalprice, 0.75) AS b3
+               FROM orders)
+    SELECT CAST(1 + CAST(o_totalprice > b1 AS INTEGER)
+                  + CAST(o_totalprice > b2 AS INTEGER)
+                  + CAST(o_totalprice > b3 AS INTEGER) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram: exact quantile boundaries from one
+    aggregate, broadcast to a single bucketing pass (boundary comparisons,
+    not width_bucket, for cross-engine portability). The boundary agg is a
+    percentile over the full table — one shuffle of partial TDigest-free
+    exact state; the bucketing pass is scan-speed with map-side partial
+    counts. Equi-depth layout is the basis for range-partition planning
+    and skew diagnosis at scale.
+    """
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("b1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("b2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("b3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.lit(1)
+        + (p > F.col("b1")).cast("int")
+        + (p > F.col("b2")).cast("int")
+        + (p > F.col("b3")).cast("int")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(p).alias("lo"),
+            F.max(p).alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@q(
     "pivot_event_counts",
     """
     SELECT user_id,

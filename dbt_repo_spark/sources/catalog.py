@@ -110,6 +110,38 @@ class Catalog:
         """Read a table registered in the session catalog (bucket-aware)."""
         return self.spark.table(f"{layer}_{name}")
 
+    def analyze(
+        self, layer: str, name: str, columns: list[str] | None = None
+    ) -> dict[str, int | None]:
+        """Compute table + column statistics for the cost-based optimizer.
+
+        Runs ``ANALYZE TABLE`` on the session-catalog table registered by
+        ``write_bucketed`` (path-only tables carry no stats slot — their
+        estimates come from file sizes). Row count and per-column
+        min/max/NDV/null-count feed CBO join reordering and build-side
+        selection (``spark.sql.cbo.enabled``); post-filter cardinality
+        estimates are what file-size-based estimation cannot see. At
+        100 TB the difference is broadcast-vs-shuffle picked from the
+        FILTERED cardinality rather than the raw scan size. Returns the
+        recorded {rowCount, sizeInBytes}.
+        """
+        tbl = f"{layer}_{name}"
+        self.spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        stats: dict[str, int | None] = {"rowCount": None, "sizeInBytes": None}
+        for row in self.spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+            if row.col_name == "Statistics":
+                # e.g. "12345 bytes, 678 rows"
+                for part in row.data_type.split(","):
+                    part = part.strip()
+                    if part.endswith("rows"):
+                        stats["rowCount"] = int(part.split()[0])
+                    elif part.endswith("bytes"):
+                        stats["sizeInBytes"] = int(part.split()[0])
+        return stats
+
     def compact(
         self,
         layer: str,

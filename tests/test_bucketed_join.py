@@ -69,3 +69,33 @@ def test_bucketed_single_table_agg_avoids_shuffle(spark, bucketed_catalog):
     agg = l.groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_analyze_records_stats_for_cbo(spark, bucketed_catalog):
+    """ANALYZE TABLE fills the catalog stats slot (exact rowCount, size,
+    per-column NDV/min/max) and, with CBO on, the optimizer carries a
+    row-count estimate instead of a file-size guess."""
+    cat = bucketed_catalog
+    n = cat.read_table("analytics", "orders_b").count()
+    stats = cat.analyze("analytics", "orders_b", ["o_orderkey", "o_totalprice"])
+    assert stats["rowCount"] == n
+    assert stats["sizeInBytes"] and stats["sizeInBytes"] > 0
+
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED analytics_orders_b o_orderkey"
+        ).collect()
+    }
+    assert int(col["distinct_count"]) > 0
+    assert col["min"] is not None and col["max"] is not None
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        q = spark.table("analytics_orders_b").filter("o_totalprice < 1000")
+        row_count = (
+            q._jdf.queryExecution().optimizedPlan().stats().rowCount().toString()
+        )
+        assert row_count.startswith("Some(")  # estimate present, not None
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
