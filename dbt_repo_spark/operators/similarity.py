@@ -487,3 +487,178 @@ def train_centroids(
         norms[norms == 0] = 1.0
         cmat = new / norms[:, None]
     return [list(map(float, row)) for row in cmat]
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    sample_n: int = 2048,
+    iters: int = 4,
+):
+    """Per-subspace k-means codebooks for product quantization.
+
+    PQ training needs ksub=2^nbits centroids per subspace over a SAMPLE
+    (thousands of points suffice — Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011); the sample is collected
+    once to the driver and the m small k-means run in NumPy there. The
+    corpus never moves: only the (m × ksub × dsub) codebook array — a few
+    KB — ships back out as a broadcast. Deterministic: seeds from the
+    first ksub sample vectors per subspace, no RNG.
+
+    Returns a (m, ksub, dsub) float64 ndarray over NORMALIZED vectors.
+    """
+    import numpy as np
+
+    ksub = 1 << nbits
+    sample = np.array(
+        [
+            r.v
+            for r in _normalized(emb, "id", "v", id_col, vec_col)
+            .orderBy("id")
+            .limit(sample_n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            # euclidean assignment within the subspace
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 50,
+    codebooks=None,
+) -> DataFrame:
+    """Product-quantization ANN top-k: encode → ADC scan → exact rerank.
+
+    The MEMORY scale path of the ANN family: each normalized corpus
+    vector is encoded as m sub-space codebook indices (m bytes at
+    nbits<=8 — 32× smaller than float64×dim), so a 100 TB embedding
+    corpus scans as ~3 TB of codes. Scoring is asymmetric distance
+    computation: each query precomputes an (m × ksub) lookup table of
+    partial dot products, and a corpus code scores with m table gathers
+    + a sum — one NumPy gather per Arrow batch, no decode. The top
+    ``rerank`` candidates per query are then exact-reranked against raw
+    vectors, which bounds the approximation to recall loss inside the
+    candidate set only.
+
+    Plan shape: codes are produced by one mapInPandas over the corpus;
+    the ADC scan broadcasts only the query LUTs (m×ksub×|queries|
+    doubles); candidates shuffle ≤ rerank×|queries| rows into the exact
+    rerank join. No shuffle touches raw corpus vectors until the
+    candidate join prunes them to the rerank set.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, id_col, vec_col, m=m, nbits=nbits
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_, ksub, dsub = books.shape
+
+    corpus = _normalized(emb, "id", "v", id_col, vec_col)
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            n = mat.shape[0]
+            codes = np.empty((n, m_), dtype=np.int32)
+            for j in range(m_):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"neighbor_id": pdf["id"].to_numpy(), "code": list(codes)})
+
+    codes = corpus.mapInPandas(encode, schema="neighbor_id long, code array<int>")
+
+    queries = (
+        _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
+        .orderBy("query_id")
+        .collect()
+    )
+    qids = np.array([r.query_id for r in queries], dtype=np.int64)
+    qmat = np.array([r.qv for r in queries], dtype=np.float64)
+    # LUT[q, j, c] = <q_subvec_j, codebook[j][c]> ; approx score = sum_j LUT[q, j, code_j]
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m_)],
+        axis=1,
+    )  # (nq, m, ksub)
+    nq = len(qids)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            cmat = np.array(list(pdf["code"]), dtype=np.int64)  # (n, m)
+            nid = pdf["neighbor_id"].to_numpy()
+            n = cmat.shape[0]
+            take = min(rerank, n)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                scores = luts[qi][np.arange(m_)[None, :], cmat].sum(axis=1)
+                mask = nid != qids[qi]
+                idx = np.nonzero(mask)[0]
+                top = idx[np.argpartition(-scores[idx], take - 1)[:take]] if len(idx) > take else idx
+                out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                out_n.append(nid[top])
+                out_s.append(scores[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    cand = codes.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, approx double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = cand.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") <= rerank
+    ).drop("rn", "approx")
+
+    qdf = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cand.join(corpus.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("raw_score", dot(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )

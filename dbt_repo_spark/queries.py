@@ -904,6 +904,17 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("embed_pq_topk")  # approximate recall by construction → rows-only check
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (similarity.py::pq_topk): m-byte
+    codes (32× memory compression), ADC lookup-table scan, exact rerank
+    of the candidate set. The memory scale path of the ANN family."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, F.col("vec_id") < 10, k=5, m=8, nbits=4, rerank=100
+    )
+
+
 @q(
     "dedup_embed_cosine",
     """

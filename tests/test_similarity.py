@@ -126,3 +126,17 @@ def test_trained_codebook_recall_not_worse(spark, sf_dir):
         assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
     r_trained = recall(trained)
     assert r_trained > 0.5, r_trained
+
+
+def test_pq_recall_and_code_size(spark):
+    """PQ ADC + exact rerank: high recall vs brute force, and codes are m
+    small ints (the 32x memory-compression representation)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = _pairs(similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5))
+    pq = _pairs(
+        similarity.pq_topk(emb, F.col("vec_id") < 10, k=5, m=8, nbits=4, rerank=100)
+    )
+    assert len(exact & pq) / len(exact) >= 0.85
+
+    books = similarity.train_pq_codebooks(emb, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)  # dim 64 -> 8 subspaces of 8, 16 cents
