@@ -426,6 +426,69 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "supplier_diversity",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct-supplier count per part family, with a
+    NOT IN blamed-supplier subquery. The NOT IN compiles to a left-anti
+    join against the (broadcast) negative-balance key set; count distinct
+    expands to the standard two-phase aggregate. s_suppkey is never NULL
+    in the fixture so anti-join matches NOT IN exactly (SURVEY §7.3.3).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "exists_not_exists",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_shipdate > TIMESTAMP '1998-06-30 00:00:00')
+    """,
+)
+def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: correlated EXISTS and NOT EXISTS against the same
+    fact — a semi join chained into an anti join on the same key, the
+    decorrelation stressor. Both subquery scans carry their own pushed
+    filter, so each side of the chain prunes before its shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    late = li.filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .join(late, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@q(
     "left_join_null_handling",
     """
     SELECT o_orderkey,
