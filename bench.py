@@ -65,6 +65,12 @@ HEADLINE = [
     "stats_battery",
     "text_quality_classifier",
     "shipping_priority_topk",
+    # round-1 continuation 2: LM scoring, histogram, Q16/Q21 shapes, PQ ANN
+    "text_bigram_lm",
+    "histogram_equidepth",
+    "supplier_diversity",
+    "exists_not_exists",
+    "embed_pq_topk",
 ]
 
 RUNS = 3

@@ -58,3 +58,84 @@ def dense_ids(
     )
     indexed = vals.rdd.map(lambda r: r[0]).zipWithIndex()
     return spark.createDataFrame(indexed, schema=out_schema)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> list[float | None]:
+    """Exact linear-interpolation quantiles WITHOUT a single-node buffer.
+
+    Spark's ``percentile`` aggregate is exact but materializes every
+    value in the final reducer — the global-percentile call is an
+    Exchange-SinglePartition in disguise and dies first at scale. This is
+    the distributed-exact shape: range-shuffle the values (ordered
+    partitions), count per partition (tiny job), locate each target rank
+    in its partition from the cumulative offsets, and extract just those
+    positions with one per-partition scan. No node ever holds more than
+    its slice; the driver receives |probs| values.
+
+    Interpolation matches ``percentile``/DuckDB ``quantile_cont``:
+    h = p·(n-1); v = v_lo + (h - lo)·(v_hi - v_lo).
+    """
+    import bisect
+    import math
+
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # Everything stays JVM-side: sorted-within-ordered-partitions values
+    # get a monotonically_increasing_id in the same stage (record number
+    # is consecutive within a partition), so (partition, local position)
+    # is pure column arithmetic — no RDD, no Python row boundary.
+    vals = (
+        df.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .repartitionByRange(nparts, F.col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        parts = (
+            vals.groupBy("pid")
+            .agg(F.count("*").alias("c"), F.min("mid").alias("mid0"))
+            .orderBy("pid")
+            .collect()
+        )
+        n = sum(r.c for r in parts)
+        if n == 0:
+            return [None] * len(probs)
+        offsets = []  # global index of each partition's first row
+        acc = 0
+        for r in parts:
+            offsets.append(acc)
+            acc += r.c
+        ranks = sorted(
+            {r for p in probs for r in (math.floor(p * (n - 1)), math.ceil(p * (n - 1)))}
+        )
+        # global rank -> the exact mid literal of that row
+        mids, mid_to_rank = [], {}
+        for r in ranks:
+            i = bisect.bisect_right(offsets, r) - 1
+            mid = parts[i].mid0 + (r - offsets[i])
+            mids.append(mid)
+            mid_to_rank[mid] = r
+        picked = {
+            mid_to_rank[row.mid]: row.v
+            for row in vals.where(F.col("mid").isin(mids)).collect()
+        }
+    finally:
+        vals.unpersist()
+    out = []
+    for p in probs:
+        h = p * (n - 1)
+        lo = math.floor(h)
+        hi = math.ceil(h)
+        v_lo, v_hi = picked[lo], picked[hi]
+        out.append(float(v_lo + (h - lo) * (v_hi - v_lo)))
+    return out

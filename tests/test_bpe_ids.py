@@ -78,3 +78,27 @@ def test_dense_ids_dense_and_deterministic_at_scale(spark):
     assert ids == list(range(len(out)))  # dense, 0-based, no gaps
     by_term = sorted(out, key=lambda r: r["term"])
     assert [r["tid"] for r in by_term] == list(range(len(out)))  # rank order
+
+
+def test_exact_quantiles_match_percentile_aggregate(spark):
+    """Distributed exact quantiles == Spark's buffered percentile agg,
+    bit for bit, including edge probabilities and interpolation."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.ids import exact_quantiles
+
+    df = (
+        spark.range(10_007)
+        .select(((F.col("id") * 2654435761) % 1_000_003).alias("x"))
+        .withColumn("x", F.col("x").cast("double") / 7.0)
+        .repartition(13)
+    )
+    probs = [0.0, 0.001, 0.25, 0.5, 0.75, 0.99, 1.0]
+    mine = exact_quantiles(df, "x", probs)
+    ref = df.agg(
+        *[F.percentile("x", F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
+    ).collect()[0]
+    assert all(mine[i] == ref[f"p{i}"] for i in range(len(probs)))
+
+    empty = spark.range(1).filter("id < 0").select(F.col("id").cast("double").alias("x"))
+    assert exact_quantiles(empty, "x", [0.5]) == [None]

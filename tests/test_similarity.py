@@ -140,3 +140,60 @@ def test_pq_recall_and_code_size(spark):
 
     books = similarity.train_pq_codebooks(emb, m=8, nbits=4)
     assert books.shape == (8, 16, 8)  # dim 64 -> 8 subspaces of 8, 16 cents
+
+
+def test_distinct_sketch_rollup_mergeable(spark):
+    """HLL sketch table: unioning per-day sketches estimates the range
+    distinct within documented error, and equals the estimate computed
+    directly over the range (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.sketches import (
+        distinct_sketch_table,
+        union_distinct_estimate,
+    )
+
+    from dbt_repo_spark.queries import t
+
+    ev = t(spark, "/root/testdata/sf0.01", "events")
+    sk = distinct_sketch_table(ev, "user_id", "ts", "day").cache()
+
+    est = union_distinct_estimate(sk).collect()[0]["approx_distinct"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+    # mergeability: union-of-daily == direct sketch over the same rows
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).collect()[0][0]
+    assert est == direct
+
+    # range query touches only the sketch table
+    half = union_distinct_estimate(
+        sk, F.col("period") < "2024-01-15"
+    ).collect()[0]["approx_distinct"]
+    assert 0 < half <= est
+
+
+def test_heavy_hitters_exact_via_candidates(spark):
+    """MG candidate + exact verify equals brute-force GROUP BY/HAVING on
+    an adversarially skewed key column."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.sketches import heavy_hitters
+
+    base = spark.range(10_000).select((F.col("id") % 997).alias("k"))
+    hot = spark.range(2_000).select(F.lit(42).alias("k"))
+    warm = spark.range(500).select(F.lit(7).alias("k"))
+    df = base.union(hot).union(warm).repartition(16)
+
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", theta=0.01).collect()}
+    n = df.count()
+    want = {
+        (r.k, r.cnt)
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0.01 * n)
+        .collect()
+    }
+    assert got == want
+    assert (42, 2010) in got  # 2000 hot + 10 from base residue class
