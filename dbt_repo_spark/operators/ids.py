@@ -7,15 +7,15 @@ The scalable shape is the classic two-phase rank:
 
 1. range-shuffle the distinct values so partition *i* holds a contiguous,
    sorted slice (``repartitionByRange`` + ``sortWithinPartitions``), then
-2. number rows per partition and add each partition's cumulative offset
-   (``zipWithIndex`` does both in one pass: a tiny count-per-partition
-   job, then a map — no second shuffle, no driver collect of data).
+2. number rows per partition (``monotonically_increasing_id`` assigned in
+   the same stage as the sort is consecutive within each partition) and
+   add each partition's cumulative offset (a 1-row-per-partition count
+   job, then a broadcast-map column lookup — no second shuffle, no
+   driver collect of data, no Python row boundary).
 
 The result is exactly ``rank-by-value - 1``: deterministic regardless of
 where the range sampler happens to place partition boundaries, because
-range partitions are themselves ordered. This is the one sanctioned RDD
-drop-down in the engine — per-partition index arithmetic is imperative by
-nature and has no Catalyst expression.
+range partitions are themselves ordered.
 
 No reference equivalent (the reference's keys are md5 surrogates,
 `models/facts/fact_trips.sql:9-16`); dense ids are a training-data
@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType
 
 
 def dense_ids(
@@ -42,22 +42,46 @@ def dense_ids(
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # JVM-side two-phase rank: monotonically_increasing_id in the same
+    # stage as the per-partition sort gives consecutive record numbers
+    # within each ordered partition; a 1-row-per-partition count job
+    # yields the cumulative offsets, applied as a broadcast map lookup.
+    # No RDD, no Python row boundary (the previous zipWithIndex form
+    # round-tripped every value through pickle — same wall-clock at
+    # fixture scale where job overhead dominates, but the serialization
+    # cost grows with the vocab while this path's does not).
+    # The eager localCheckpoint pins the partition layout: _mid must not
+    # be recomputed under a re-sampled range shuffle, and downstream
+    # actions read the materialized blocks instead of re-shuffling.
     vals = (
         df.select(value_col)
         .where(F.col(value_col).isNotNull())
         .distinct()
         .repartitionByRange(n, F.col(value_col))
         .sortWithinPartitions(value_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    field = vals.schema[value_col]
-    out_schema = StructType(
-        [
-            StructField(value_col, field.dataType, field.nullable),
-            StructField(id_col, LongType(), False),
-        ]
+    parts = (
+        vals.groupBy("_pid")
+        .agg(F.count("*").alias("c"), F.min("_mid").alias("mid0"))
+        .orderBy("_pid")
+        .collect()
     )
-    indexed = vals.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(indexed, schema=out_schema)
+    base: list = []  # flattened (pid, offset - mid0) pairs for create_map
+    acc = 0
+    for r in parts:
+        base.extend([F.lit(r._pid), F.lit(acc - r.mid0)])
+        acc += r.c
+    if not base:
+        return vals.select(
+            value_col, F.lit(0).cast(LongType()).alias(id_col)
+        ).where(F.lit(False))
+    shift = F.create_map(*base)[F.col("_pid")]
+    return vals.select(
+        value_col, (F.col("_mid") + shift).cast(LongType()).alias(id_col)
+    )
 
 
 def exact_quantiles(
