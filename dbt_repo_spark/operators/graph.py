@@ -123,3 +123,66 @@ def dedup_clusters(
         )
         cc = cc.unionByName(singletons)
     return cc.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list.
+
+    Authority scoring for link/citation/reference graphs (which documents
+    are load-bearing in a crawl; which records everything points at) —
+    the iterative-algorithm twin of connected_components. Per round: one
+    O(|E|) join of ranks onto out-edges, one hash-agg of contributions,
+    plus redistribution of dangling-node mass (nodes with no out-edges)
+    so total rank stays 1 and the result matches the textbook definition.
+    Out-degrees are computed once; lineage is cut every round with a
+    localCheckpoint so round N's plan stays one join deep. Rounds are a
+    fixed ``iters`` (power iteration converges geometrically at rate
+    ``damping``; 10-20 rounds is standard).
+
+    Returns (node, rank) with sum(rank) == 1.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    links = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

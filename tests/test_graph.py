@@ -78,3 +78,31 @@ def test_cc_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """DataFrame PageRank == dense NumPy power iteration on the same
+    graph (incl. a dangling node), and ranks sum to 1."""
+    import numpy as np
+
+    from dbt_repo_spark.operators.graph import pagerank
+
+    #   0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 ; 4 is dangling (in-only)
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, damping=0.85, iters=20).collect()}
+
+    n = 5
+    M = np.zeros((n, n))
+    deg = {}
+    for s, d in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    for s, d in edge_list:
+        M[d, s] = 1.0 / deg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        dangling = sum(r[i] for i in range(n) if i not in deg)
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
