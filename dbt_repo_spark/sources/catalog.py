@@ -42,8 +42,20 @@ class Catalog:
                    for f in os.listdir(p)) or any(
             os.path.isdir(os.path.join(p, f)) for f in os.listdir(p))
 
-    def read(self, layer: str, name: str, fmt: str = "parquet") -> DataFrame:
-        return self.spark.read.format(fmt).load(self.path(layer, name))
+    def read(
+        self, layer: str, name: str, fmt: str = "parquet", merge_schema: bool = False
+    ) -> DataFrame:
+        """Read a table; ``merge_schema=True`` reconciles files written
+        under evolved schemas (a column added by a later append reads as
+        NULL in older files). Schema merge lists every file footer — at
+        100 TB that is a real planning cost, so it is opt-in here and the
+        steady state should promote the union schema into the writer, not
+        pay the merge on every read.
+        """
+        reader = self.spark.read.format(fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(self.path(layer, name))
 
     def write(
         self,

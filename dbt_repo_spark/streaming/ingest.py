@@ -72,19 +72,26 @@ GBFS_STATUS_SCHEMA = T.StructType(
 )
 
 
-def file_payload_source(spark: SparkSession, landing_dir: str) -> DataFrame:
+def file_payload_source(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-drop landing source: each text file is one feed payload.
 
     Substitutes the Pub/Sub subscription (S4, src/realtime_pubsub_to_spark
     .py:99-115) with the engine-native unbounded byte-payload stream; the
     payload column matches ``CAST(data AS STRING)`` at :124.
+
+    ``max_files_per_trigger`` is the backpressure knob: after an outage a
+    landing dir holds hours of backlog, and without a cap the first
+    micro-batch tries to process all of it in one transaction (state
+    growth, checkpoint stall, executor OOM at scale). Capped, the stream
+    drains the backlog across bounded batches at the sink's sustainable
+    rate.
     """
-    return (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .load(landing_dir)
-        .select(F.col("value").alias("payload"))
-    )
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(landing_dir).select(F.col("value").alias("payload"))
 
 
 def parse_status_stream(payloads: DataFrame) -> DataFrame:

@@ -189,3 +189,25 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     feats = extract_media_features(df.select("media_id", "media_type", "content"))
     assert feats.count() == 4
     assert {f.name for f in feats.schema.fields} >= {"media_id", "n_bytes", "checksum"}
+
+
+def test_catalog_schema_evolution_merge(spark, tmp_path):
+    """An append under an evolved schema (new column) reads back with the
+    unified schema under merge_schema=True; old rows carry NULL."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("tag"))
+    cat.write(v1, "raw", "evolving", mode="overwrite")
+    v2 = spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+    )
+    cat.write(v2, "raw", "evolving", mode="append")
+
+    merged = cat.read("raw", "evolving", merge_schema=True)
+    assert {f.name for f in merged.schema.fields} == {"id", "tag", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[0].score is None and rows[4].score == 1.5
+    assert merged.count() == 5

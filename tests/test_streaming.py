@@ -389,3 +389,29 @@ def test_sessionize_tws_state_v2(spark, tmp_path):
     if not has_tws_deps():
         pytest.skip("google.protobuf not installed (tws state protocol)")
     _run_sessionize_scenario(spark, tmp_path, sessionize_tws)
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch: a 4-file backlog with a
+    2-file cap drains in >= 2 batches under availableNow."""
+    from dbt_repo_spark.streaming.ingest import file_payload_source
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(4):
+        (landing / f"p{i}.json").write_text(json.dumps({"n": i}))
+
+    batches = []
+    stream = file_payload_source(spark, str(landing), max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(batches) == 4
+    assert len([b for b in batches if b > 0]) >= 2
+    assert max(batches) <= 2
