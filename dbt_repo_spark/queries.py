@@ -1355,6 +1355,98 @@ def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "regex_battery",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)@[a-z]+', 1) AS email_user,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+           CAST(regexp_matches(text, '[A-Z][a-z]+ [A-Z][a-z]+') AS BOOLEAN)
+             AS has_name_pair,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+    FROM documents
+    """,
+)
+def regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function battery: extract (group), global replace, match
+    predicate, extract-all count. Patterns restricted to the syntax
+    subset where Java regex (Spark) and RE2-ish DuckDB agree.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)@[a-z]+", 1).alias("email_user"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("digits_masked"),
+        F.col("text").rlike(r"[A-Z][a-z]+ [A-Z][a-z]+").alias("has_name_pair"),
+        F.size(F.regexp_extract_all("text", F.lit(r"([0-9]+)")))
+        .cast("long")
+        .alias("n_numbers"),
+    )
+
+
+@q(
+    "group_concat_sorted",
+    """
+    SELECT o_custkey AS customer_id,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: collect_set → array_sort → array_join.
+    collect_list order is partition-dependent; sorting before joining is
+    the only cross-engine-stable (and run-to-run-stable) form — the same
+    reason the exact-stats battery derives from order-independent sums.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q(
+    "null_safe_join",
+    """
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k
+               FROM orders),
+         r AS (SELECT DISTINCT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                                    ELSE o_orderstatus END AS k
+               FROM orders)
+    SELECT l.o_orderkey, l.k AS join_key
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics incremental
+    merges need when the business key is nullable. Still a hash join
+    (null-safe equality is a valid equi-join key in Catalyst), not a
+    nested loop.
+    """
+    o = t(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    right = o.select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("rk")
+    ).distinct()
+    return left.join(right, left["k"].eqNullSafe(right["rk"])).select(
+        "o_orderkey", F.col("k").alias("join_key")
+    )
+
+
+@q(
     "string_battery",
     """
     SELECT o_orderkey,

@@ -158,3 +158,10 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe is a valid equi-join key: no nested-loop fallback."""
+    plan = _plan(spark, "null_safe_join", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
