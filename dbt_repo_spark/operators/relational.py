@@ -53,6 +53,7 @@ def asof_join(
     probe_ts: str,
     ref_ts: str,
     ref_value_cols: list[str],
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """AS-OF join: for each probe row, the latest reference row with
     ``ref_ts <= probe_ts`` on the same key.
@@ -65,12 +66,20 @@ def asof_join(
     same-instant reference row IS visible to the probe row (<=, matching
     DuckDB ASOF JOIN semantics, which this operator is oracle-tested
     against).
+
+    ``tolerance_seconds`` expires stale matches: a reference older than
+    the tolerance yields NULLs, the semantics quote/trade joins need
+    (pandas ``merge_asof(tolerance=...)``). Implemented by carrying the
+    matched reference timestamp through the same window — no extra
+    shuffle.
     """
     p = probe.withColumn("__is_probe", F.lit(1)).withColumn("__ts", F.col(probe_ts))
     r_cols = [F.col(c).alias(f"__ref_{c}") for c in ref_value_cols]
-    r = reference.select(
-        F.col(key), F.col(ref_ts).alias("__ts"), *r_cols
-    ).withColumn("__is_probe", F.lit(0))
+    r = (
+        reference.select(F.col(key), F.col(ref_ts).alias("__ts"), *r_cols)
+        .withColumn("__is_probe", F.lit(0))
+        .withColumn("__ref_ts", F.col("__ts"))
+    )
     # unionByName fills columns present on only one side with NULL, which is
     # exactly the carry-forward seed the window needs.
     unioned = p.unionByName(r, allowMissingColumns=True)
@@ -81,13 +90,29 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
+        F.last("__ref_ts", ignorenulls=True).over(w).alias("__matched_ts"),
         *[
             F.last(f"__ref_{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
             for c in ref_value_cols
         ],
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("double") - F.col("__matched_ts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        filled = filled.select(
+            "*",
+            *[
+                F.when(fresh, F.col(f"__filled_{c}"))
+                .alias(f"__tol_{c}")
+                for c in ref_value_cols
+            ],
+        )
+        picked = "__tol_"
+    else:
+        picked = "__filled_"
     out_cols = [c for c in probe.columns] + [
-        F.col(f"__filled_{c}").alias(f"ref_{c}") for c in ref_value_cols
+        F.col(f"{picked}{c}").alias(f"ref_{c}") for c in ref_value_cols
     ]
     return filled.filter(F.col("__is_probe") == 1).select(*out_cols)
 

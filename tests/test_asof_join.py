@@ -59,3 +59,40 @@ def test_asof_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the whole operator is ONE hash-partitioned exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_tolerance_expires_stale_matches(spark):
+    """tolerance_seconds: a reference older than the tolerance yields
+    NULL (pandas merge_asof semantics); fresh matches are unchanged."""
+    import datetime as dt
+
+    from dbt_repo_spark.operators.relational import asof_join
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ref = spark.createDataFrame(
+        [(1, ts(0), 100.0), (1, ts(60), 200.0)], ["k", "rts", "px"]
+    )
+    probe = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(59)), (1, ts(61)), (1, ts(200))], ["k", "pts"]
+    )
+    out = {
+        r.pts: r.ref_px
+        for r in asof_join(
+            probe, ref, "k", "pts", "rts", ["px"], tolerance_seconds=600
+        ).collect()
+    }
+    assert out[ts(5)] == 100.0      # 5 min old: fresh
+    assert out[ts(59)] is None      # 59 min old: expired
+    assert out[ts(61)] == 200.0     # 1 min old: fresh
+    assert out[ts(200)] is None     # 140 min old: expired
+
+    # without tolerance the stale rows still match (backward semantics)
+    no_tol = {
+        r.pts: r.ref_px
+        for r in asof_join(probe, ref, "k", "pts", "rts", ["px"]).collect()
+    }
+    assert no_tol[ts(59)] == 100.0 and no_tol[ts(200)] == 200.0
