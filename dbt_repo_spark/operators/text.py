@@ -298,6 +298,13 @@ def bigram_lm_scores(
     """
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w"))
     n = F.size("w")
+    # The exploded bigram table feeds the count aggregation AND the
+    # scoring join, so the scan→tokenize→explode chain is recomputed per
+    # branch. Persisting it here measured SLOWER at bench scale (0.37s →
+    # 0.60s at sf0.1: cache materialization dominates the cheap pipelined
+    # recompute — same finding as the minhash inverted-index join); at
+    # corpus scale, persist/checkpoint bg before calling if the explode
+    # is the dominant cost.
     bg = (
         toks.filter(n >= 2)
         .select(

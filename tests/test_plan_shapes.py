@@ -165,3 +165,114 @@ def test_null_safe_join_is_hash_join(spark):
     plan = _plan(spark, "null_safe_join", "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Shuffle budgets: Exchange-node count per oracle query at sf0.001,
+# pinned at the current (reviewed) plan. A refactor that ADDS a shuffle
+# fails here; removing one is an improvement — update the budget down.
+EXCHANGE_BUDGETS = {
+    "array_battery": 0,
+    "asof_purchase_last_signup_value": 2,
+    "case_when_bucketing": 1,
+    "correlated_subquery": 2,
+    "cube_agg": 1,
+    "customer_orders": 2,
+    "date_spine": 1,
+    "datetime_battery": 0,
+    "decontaminate_eval_ngrams": 8,
+    "dedup_clusters": 0,
+    "dedup_embed_cosine": 3,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 10,
+    "dim_distinct": 1,
+    "distinct_count": 2,
+    "embed_cosine_topk": 4,
+    "embed_preprocess": 0,
+    "events_asof_last_signup": 1,
+    "events_dedup_count": 2,
+    "exists_not_exists": 2,
+    "explode_tokens": 2,
+    "full_outer_reconciliation": 2,
+    "funnel_signup_purchase": 12,
+    "fuzzy_match_levenshtein": 1,
+    "group_concat_sorted": 1,
+    "grouping_sets_agg": 1,
+    "groupwise_ols_slope": 1,
+    "heavy_hitters_events": 3,
+    "histogram_equidepth": 1,
+    "incremental_antijoin": 1,
+    "json_extract_props": 1,
+    "lateral_join_topk": 2,
+    "latest_per_key": 1,
+    "left_join_null_handling": 1,
+    "map_battery": 0,
+    "mart_region_revenue": 5,
+    "multimodal_frames": 0,
+    "null_ordering": 1,
+    "null_safe_join": 2,
+    "pack_sequences": 1,
+    "percentile_battery": 1,
+    "pivot_event_counts": 2,
+    "pricing_summary": 1,
+    "profile_orders": 2,
+    "range_join_order_windows": 2,
+    "recursive_order_chain": 2,
+    "regex_battery": 0,
+    "rollup_agg": 3,
+    "safe_math": 1,
+    "salted_join_skew": 2,
+    "sample_cap_per_user": 1,
+    "sample_hash_split": 1,
+    "sample_stratified_events": 1,
+    "sample_weighted_orders": 0,
+    "scalar_subquery": 2,
+    "scd2_event_state": 1,
+    "semi_join_exists": 1,
+    "session_windows": 1,
+    "sessions_daily": 1,
+    "set_except": 2,
+    "set_intersect": 2,
+    "set_union": 1,
+    "shipping_priority_topk": 3,
+    "sliding_window_counts": 1,
+    "stats_battery": 1,
+    "stg_projection": 0,
+    "string_battery": 0,
+    "supplier_diversity": 4,
+    "surrogate_keys": 0,
+    "text_bigram_lm": 15,
+    "text_chunking": 0,
+    "text_fingerprints": 0,
+    "text_lang_id": 0,
+    "text_pii_redaction": 0,
+    "text_quality": 0,
+    "text_quality_classifier": 0,
+    "text_repetition": 0,
+    "text_tfidf_topk": 8,
+    "text_token_stats": 0,
+    "text_top_terms": 1,
+    "timeseries_gapfill": 4,
+    "top_k_per_group": 1,
+    "training_data_pipeline": 5,
+    "training_data_pipeline_v2": 7,
+    "trip_metrics": 1,
+    "tumbling_window_counts": 1,
+    "typed_null_filter": 0,
+    "unpivot_measures": 0,
+    "vocab_dense_ids": 0,
+    "window_offsets": 1,
+    "window_running": 1,
+    "window_time_range": 1,
+    "window_value_offsets": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, name):
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = plan.count("Exchange ")
+    assert got <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {EXCHANGE_BUDGETS[name]} - "
+        "a shuffle crept into this plan"
+    )
