@@ -1355,6 +1355,37 @@ def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "variant_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(props ->> 'missing') AS BIGINT) AS n_missing,
+           CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse once
+    (binary variant encoding), path-extract with variant_get — the
+    open-schema alternative to from_json-with-declared-StructType when
+    event properties drift. Absent paths are NULL (try_variant_get), so
+    the aggregation semantics match string-JSON extraction exactly; the
+    variant binary form is what makes repeated multi-path extraction
+    cheaper than re-parsing the string per path.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.try_variant_get(F.col("v"), "$.missing", "string")).alias(
+            "n_missing"
+        ),
+        F.max(k).alias("max_k"),
+    )
+
+
+@q(
     "regex_battery",
     """
     SELECT doc_id,

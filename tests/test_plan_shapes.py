@@ -258,6 +258,7 @@ EXCHANGE_BUDGETS = {
     "trip_metrics": 1,
     "tumbling_window_counts": 1,
     "typed_null_filter": 0,
+    "variant_json_extract": 1,
     "unpivot_measures": 0,
     "vocab_dense_ids": 0,
     "window_offsets": 1,
@@ -276,3 +277,43 @@ def test_exchange_budget(spark, name):
         f"{name}: {got} exchanges > budget {EXCHANGE_BUDGETS[name]} - "
         "a shuffle crept into this plan"
     )
+
+
+def test_dynamic_partition_pruning_on_catalog_table(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim scans only the
+    partitions the dim's filter selects — the plan carries a
+    dynamicpruning subquery in the fact's PartitionFilters. At 100 TB
+    this is the difference between scanning one day and scanning the
+    table when the predicate arrives through a join."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import t
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = t(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    cat.write(ev, "analytics", "events_p", partition_by=["event_date"])
+    # DPP requires a SELECTIVE predicate on the build side (a bare limit
+    # doesn't qualify) — this mirrors the real shape: dim filtered, fact
+    # pruned through the join
+    dates = (
+        ev.select("event_date")
+        .distinct()
+        .filter(F.col("event_date") < F.lit("2024-01-04").cast("date"))
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+    try:
+        fact = cat.read("analytics", "events_p")
+        plan = (
+            fact.join(F.broadcast(dates), "event_date")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "dynamicpruning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
