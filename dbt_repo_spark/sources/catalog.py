@@ -261,6 +261,118 @@ class Catalog:
             if os.path.isdir(old):
                 shutil.rmtree(old)
 
+    def delete_where(
+        self,
+        layer: str,
+        name: str,
+        predicate,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Row-level DELETE on an immutable-parquet table (GDPR shape).
+
+        Deleting rows from parquet is a rewrite BY DEFINITION; the scale
+        lever is scoping it. With ``partition_by``, only the hive
+        partitions that actually CONTAIN matching rows are rewritten (one
+        scan finds the affected partition values, the rewrite reads and
+        swaps just those directories — untouched partitions keep their
+        files, inode-checked in tests). Unpartitioned tables pay the full
+        rewrite. Returns the number of rows deleted.
+        """
+        df = self.read(layer, name)
+        n_match = df.filter(predicate).count()
+        if n_match == 0:
+            return 0
+        if partition_by:
+            affected = (
+                df.filter(predicate).select(*partition_by).distinct().collect()
+            )
+            import functools
+            import operator
+
+            from pyspark.sql import functions as F
+
+            cond = functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                    )
+                    for r in affected
+                ],
+            )
+            kept = df.filter(cond).filter(~predicate)
+            self.overwrite_staged(
+                kept,
+                layer,
+                name,
+                partition_by=partition_by,
+                replace_partitions_only=True,
+            )
+        else:
+            self.overwrite_staged(df.filter(~predicate), layer, name)
+        return n_match
+
+    def update_where(
+        self,
+        layer: str,
+        name: str,
+        predicate,
+        assignments: dict,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Row-level UPDATE: same partition-scoped rewrite as
+        ``delete_where``, with matching rows rewritten under
+        ``assignments`` (column -> Column expression) instead of dropped.
+        Updates MUST NOT move rows across partitions (asserted: assigning
+        to a partition column raises). Returns rows updated.
+        """
+        from pyspark.sql import functions as F
+
+        if partition_by and set(assignments) & set(partition_by):
+            raise ValueError(
+                "update_where cannot assign to partition columns "
+                f"({set(assignments) & set(partition_by)}) — rows would "
+                "move between partitions; delete + append instead."
+            )
+        df = self.read(layer, name)
+        n_match = df.filter(predicate).count()
+        if n_match == 0:
+            return 0
+        def apply_assignments(d):
+            for col, expr in assignments.items():
+                d = d.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
+            return d
+
+        if partition_by:
+            import functools
+            import operator
+
+            affected = (
+                df.filter(predicate).select(*partition_by).distinct().collect()
+            )
+            cond = functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                    )
+                    for r in affected
+                ],
+            )
+            rewritten = apply_assignments(df.filter(cond))
+            self.overwrite_staged(
+                rewritten,
+                layer,
+                name,
+                partition_by=partition_by,
+                replace_partitions_only=True,
+            )
+        else:
+            self.overwrite_staged(apply_assignments(df), layer, name)
+        return n_match
+
     def register_views(self, layer: str | None = None) -> None:
         """Expose catalog tables as ``layer_name`` temp views for spark.sql."""
         layers = [layer] if layer else LAYERS

@@ -69,3 +69,82 @@ def test_compact_unpartitioned(spark, tmp_path):
     n = cat.compact("analytics", "tiny")
     assert n == 1
     assert cat.read("analytics", "tiny").count() == 6
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    """DELETE rewrites only partitions containing matches: untouched
+    partition files keep their inodes; matching rows are gone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    cat.write(df, "analytics", "mut", partition_by=["p"])
+
+    def inodes(part):
+        d = os.path.join(cat.path("analytics", "mut"), f"p={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+
+    before_p3 = inodes(3)
+    n = cat.delete_where(
+        "analytics", "mut", (F.col("id") % 4 == 1) & (F.col("id") < 50),
+        partition_by=["p"],
+    )
+    assert n == 13  # ids 1,5,...,49
+    out = cat.read("analytics", "mut")
+    assert out.count() == 87
+    assert out.filter((F.col("id") % 4 == 1) & (F.col("id") < 50)).count() == 0
+    # partition p=3 had no matches: same files, same inodes
+    assert inodes(3) == before_p3
+    # no-op delete returns 0 and changes nothing
+    assert cat.delete_where("analytics", "mut", F.col("id") < 0, ["p"]) == 0
+
+
+def test_update_where_partition_scoped(spark, tmp_path):
+    """UPDATE rewrites matching rows in place, refuses partition-column
+    assignments, and leaves non-matching partitions' files untouched."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).alias("p"), F.lit("user@x.com").alias("email")
+    )
+    cat.write(df, "analytics", "mut2", partition_by=["p"])
+
+    d0 = os.path.join(cat.path("analytics", "mut2"), "p=0")
+    before = {f: os.stat(os.path.join(d0, f)).st_ino for f in os.listdir(d0)
+              if not f.startswith(".")}
+
+    n = cat.update_where(
+        "analytics", "mut2",
+        (F.col("p") == 1) & (F.col("id") < 20),
+        {"email": F.lit("[redacted]")},
+        partition_by=["p"],
+    )
+    assert n == 10
+    out = cat.read("analytics", "mut2")
+    assert out.filter(F.col("email") == "[redacted]").count() == 10
+    assert out.count() == 40
+    after = {f: os.stat(os.path.join(d0, f)).st_ino for f in os.listdir(d0)
+             if not f.startswith(".")}
+    assert after == before  # p=0 untouched
+
+    with _pytest.raises(ValueError):
+        cat.update_where("analytics", "mut2", F.col("id") < 5,
+                         {"p": F.lit(9)}, partition_by=["p"])
