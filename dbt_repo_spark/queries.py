@@ -710,6 +710,122 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "set_except_intersect_all",
+    """
+    WITH a AS (SELECT o_custkey AS custkey FROM orders
+               WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_custkey AS custkey FROM orders
+               WHERE o_totalprice > 100000)
+    SELECT 'except_all' AS op, custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+    GROUP BY custkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+    GROUP BY custkey
+    """,
+)
+def set_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL (bag semantics: row
+    multiplicities subtract / take-min instead of collapsing) —
+    exceptAll/intersectAll compile to hash aggregates over (row, count),
+    not to the distinct-then-join shape of the set variants.
+    """
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    return ea.unionByName(ia)
+
+
+@q(
+    "small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) / 7.0 AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: correlated AGGREGATE subquery against the same
+    fact (per-part average quantity) — decorrelates into a per-part
+    aggregate joined back, never a per-row subquery. The brand filter
+    prunes the part side before the join.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_bound")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_bound"))
+    )
+    return joined.agg(
+        (F.sum(dec("l_extendedprice", 14, 2)) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@q(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: IN over a grouped-HAVING subquery on the fact —
+    the qualifying-keys aggregate runs once, semi-joins the orders, and
+    the outer 3-table join aggregates only surviving rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(big, "o_orderkey", "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast("double").alias("total_qty"))
+    )
+
+
+@q(
     "set_except",
     """
     SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0

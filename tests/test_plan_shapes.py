@@ -259,6 +259,9 @@ EXCHANGE_BUDGETS = {
     "tumbling_window_counts": 1,
     "typed_null_filter": 0,
     "variant_json_extract": 1,
+    "set_except_intersect_all": 2,
+    "small_quantity_revenue": 4,
+    "large_volume_customers": 5,
     "unpivot_measures": 0,
     "vocab_dense_ids": 0,
     "window_offsets": 1,
