@@ -136,27 +136,67 @@ class ModelRunner:
             visit(s)
         return [n for n in order if n in needed]
 
-    def run(self, selected: list[str] | None = None, full_refresh: bool = False) -> dict[str, DataFrame]:
+    def run(
+        self,
+        selected: list[str] | None = None,
+        full_refresh: bool = False,
+        parallelism: int = 1,
+    ) -> dict[str, DataFrame]:
         """Build every model in dependency order; returns name → DataFrame.
 
         Returned frames for persisted models re-read from storage so
         downstream consumers scan the materialized (partition-pruned,
         clustered) parquet rather than recomputing the plan.
+
+        ``parallelism > 1`` materializes INDEPENDENT models concurrently
+        (dbt's --threads): the Spark driver schedules jobs from multiple
+        threads into one shared cluster, so sibling models overlap their
+        scans/shuffles instead of leaving the cluster idle between
+        driver-side planning phases. Dependency order is preserved — a
+        model is submitted only after everything it refs has
+        materialized (wave-free: each model waits on exactly its own
+        deps, not on its topological generation).
         """
-        built: dict[str, DataFrame] = {}
-        for name in self._order(selected):
-            m = self.models[name]
-            ctx: dict = {"spark": self.spark}
-            for d in m.deps:
-                if d in built:
-                    ctx[d] = built[d]
-                elif d in self.sources:
-                    ctx[d] = self.sources[d]
-                else:
-                    raise KeyError(f"model {name}: unresolved dependency {d!r}")
-            df = m.fn(ctx)
-            built[name] = self._materialize(m, df, full_refresh)
-        return built
+        order = self._order(selected)
+        if parallelism <= 1:
+            built: dict[str, DataFrame] = {}
+            for name in order:
+                built[name] = self._build_one(name, built, full_refresh)
+            return built
+
+        from concurrent.futures import Future, ThreadPoolExecutor
+
+        futures: dict[str, Future] = {}
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+
+            def make_task(name: str):
+                def task():
+                    deps_built = {
+                        d: futures[d].result()
+                        for d in self.models[name].deps
+                        if d in futures
+                    }
+                    return self._build_one(name, deps_built, full_refresh)
+
+                return task
+
+            for name in order:  # topo order: deps' futures exist first
+                futures[name] = pool.submit(make_task(name))
+            return {name: f.result() for name, f in futures.items()}
+
+    def _build_one(
+        self, name: str, built: dict[str, DataFrame], full_refresh: bool
+    ) -> DataFrame:
+        m = self.models[name]
+        ctx: dict = {"spark": self.spark}
+        for d in m.deps:
+            if d in built:
+                ctx[d] = built[d]
+            elif d in self.sources:
+                ctx[d] = self.sources[d]
+            else:
+                raise KeyError(f"model {name}: unresolved dependency {d!r}")
+        return self._materialize(m, m.fn(ctx), full_refresh)
 
     def _materialize(self, m: Model, df: DataFrame, full_refresh: bool) -> DataFrame:
         if m.materialized == "ephemeral":
@@ -180,19 +220,13 @@ class ModelRunner:
             # reprocess), replacing just those partitions beats the
             # NOT-IN/anti-join — no scan of the existing target at all.
             # Dynamic mode rewrites only partitions present in ``df``.
-            prev = self.spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
+            self.catalog.write(
+                df, m.layer, m.name,
+                mode="overwrite",
+                partition_by=m.partition_by,
+                sort_within_partitions=m.cluster_by,
+                dynamic_partition_overwrite=True,  # per-writer: thread-safe
             )
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                self.catalog.write(
-                    df, m.layer, m.name,
-                    mode="overwrite",
-                    partition_by=m.partition_by,
-                    sort_within_partitions=m.cluster_by,
-                )
-            finally:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             return self.catalog.read(m.layer, m.name)
         if target_exists and m.incremental_strategy == "merge":
             # Upsert (dbt incremental_strategy='merge'): keep target rows

@@ -66,6 +66,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         sort_within_partitions: list[str] | None = None,
         fmt: str = "parquet",
+        dynamic_partition_overwrite: bool = False,
     ) -> None:
         """Partitioned + clustered sink (S9).
 
@@ -82,6 +83,10 @@ class Catalog:
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if dynamic_partition_overwrite:
+            # per-writer option (not the session conf): thread-safe under
+            # a parallel model runner, and scoped to exactly this write
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.format(fmt).save(self.path(layer, name))
 
     def write_bucketed(

@@ -454,3 +454,18 @@ def test_merge_strategy_partition_scoped(spark, tmp_path):
         (1, "a", "2025-01-01"), (2, "B", "2025-01-02"), (3, "c", "2025-01-02"),
     }
     assert inodes("2025-01-01") == day1_before, "untouched partition was rewritten"
+
+
+def test_full_dag_runs_parallel_matches_sequential(runner):
+    """parallelism>1 materializes independent models concurrently via
+    driver threads; results are identical to the sequential run and
+    dependency order holds (a model sees its deps materialized)."""
+    seq_run = runner.run()
+    # materialize the sequential results BEFORE the parallel re-run
+    # overwrites the same table files
+    seq = {n: df.orderBy(*df.columns).collect() for n, df in seq_run.items()}
+    par_run = runner.run(parallelism=4, full_refresh=True)
+    assert set(par_run) == set(seq)
+    for name, rows in seq.items():
+        df = par_run[name]
+        assert df.orderBy(*df.columns).collect() == rows, name
