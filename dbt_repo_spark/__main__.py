@@ -80,7 +80,11 @@ def _runner(spark: SparkSession, warehouse: str):
 def cmd_run(args) -> int:
     spark = _spark("dbt-repo-spark-run")
     runner = _runner(spark, args.warehouse)
-    built = runner.run(selected=args.select or None, full_refresh=args.full_refresh)
+    built = runner.run(
+        selected=args.select or None,
+        full_refresh=args.full_refresh,
+        parallelism=args.threads,
+    )
     for name in built:
         m = runner.models[name]
         print(f"OK {m.materialized:<12} {name}")
@@ -226,6 +230,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--warehouse", required=True)
     r.add_argument("--select", nargs="*", default=None)
     r.add_argument("--full-refresh", action="store_true")
+    r.add_argument("--threads", type=int, default=1,
+                   help="materialize independent models concurrently")
     r.set_defaults(fn=cmd_run)
 
     tst = sub.add_parser("test", help="run declared data tests")

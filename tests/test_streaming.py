@@ -415,3 +415,91 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     assert sum(batches) == 4
     assert len([b for b in batches if b > 0]) >= 2
     assert max(batches) <= 2
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an unmatched left event
+    emits with NULL right columns once the watermark passes its join
+    window (state eviction proves completion, not a timeout guess)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dbt_repo_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    ldir = tmp_path / "clicks"; ldir.mkdir()
+    rdir = tmp_path / "buys"; rdir.mkdir()
+
+    def row(m, uid, eid):
+        return json.dumps({"user_id": uid, "ts": (base + dt.timedelta(minutes=m)).isoformat(), "event_id": eid})
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    # u1 click at 0 matched by buy at 2; u2 click at 1 never matched.
+    # Late rows at minute 60 push both watermarks far past every window.
+    (ldir / "a.jsonl").write_text("\n".join([row(0, 1, 10), row(1, 2, 11), row(60, 9, 12)]))
+    (rdir / "a.jsonl").write_text("\n".join([row(2, 1, 20), row(60, 9, 21)]))
+
+    left = spark.readStream.schema(schema).json(str(ldir)).withColumnRenamed("ts", "l_ts").withColumnRenamed("event_id", "l_id")
+    right = spark.readStream.schema(schema).json(str(rdir)).withColumnRenamed("ts", "r_ts").withColumnRenamed("event_id", "r_id")
+    joined = interval_join(
+        left, right, "user_id", "l_ts", "r_ts",
+        max_delay_seconds=300, watermark_delay="1 minutes", how="leftOuter",
+    )
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    q = (joined.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.l_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[10].r_id == 20          # matched within 5 min
+    assert 11 in rows and rows[11].r_id is None  # unmatched -> NULL emit
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates are suppressed only
+    within the watermark horizon — the SAME key recurring after the
+    watermark passes is a NEW row (bounded state without permanent
+    suppression; plain dropDuplicates would suppress it forever)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    src = tmp_path / "src"; src.mkdir()
+
+    def row(m, key):
+        return json.dumps({"k": key, "ts": (base + dt.timedelta(minutes=m)).isoformat()})
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def drain(fname, lines):
+        (src / fname).write_text("\n".join(lines))
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (stream.withWatermark("ts", "5 minutes")
+             .dropDuplicatesWithinWatermark(["k"])
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: key 7 twice within horizon -> one row survives
+    drain("a.jsonl", [row(0, 7), row(1, 7), row(2, 8)])
+    # batch 2: another key advances the watermark to ~115 (eviction
+    # happens at batch END, so the recurrence must arrive in a LATER
+    # batch than the one that moved the watermark)
+    drain("b.jsonl", [row(120, 9)])
+    # batch 3: key 7 recurs past the horizon -> NEW row
+    drain("c.jsonl", [row(125, 7)])
+    got = spark.read.parquet(out).groupBy("k").count().collect()
+    counts = {r.k: r["count"] for r in got}
+    assert counts[8] == 1
+    assert counts[7] == 2  # once per horizon, NOT permanently suppressed
