@@ -67,8 +67,16 @@ class Catalog:
         sort_within_partitions: list[str] | None = None,
         fmt: str = "parquet",
         dynamic_partition_overwrite: bool = False,
+        compression: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Partitioned + clustered sink (S9).
+
+        ``compression`` picks the parquet codec per write (e.g. "zstd" —
+        denser than the snappy default for cold data; at 100 TB the
+        codec choice is tens of TB). ``max_records_per_file`` bounds
+        file size so a skewed partition can't produce a single giant
+        file that one task must scan.
 
         Mirrors the reference's DAY-partition + cluster-by-station layout
         (src/realtime_pubsub_to_spark.py:199-207): ``partition_by`` maps to
@@ -87,6 +95,10 @@ class Catalog:
             # per-writer option (not the session conf): thread-safe under
             # a parallel model runner, and scoped to exactly this write
             writer = writer.option("partitionOverwriteMode", "dynamic")
+        if compression:
+            writer = writer.option("compression", compression)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         writer.format(fmt).save(self.path(layer, name))
 
     def write_bucketed(

@@ -211,3 +211,40 @@ def test_catalog_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[0].score is None and rows[4].score == 1.5
     assert merged.count() == 5
+
+
+def test_catalog_write_codec_and_file_size_knobs(spark, tmp_path):
+    """compression picks the parquet codec (zstd denser than snappy on
+    repetitive data); maxRecordsPerFile bounds rows per file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(50_000).select(
+        F.col("id"), F.lit("the same repetitive text payload " * 4).alias("body")
+    ).coalesce(1)
+
+    cat.write(df, "raw", "snappy_t")
+    cat.write(df, "raw", "zstd_t", compression="zstd")
+
+    def table_bytes(name):
+        d = cat.path("raw", name)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert table_bytes("zstd_t") < table_bytes("snappy_t")
+    zfiles = [f for f in os.listdir(cat.path("raw", "zstd_t")) if f.endswith(".parquet")]
+    assert any(f.endswith(".zstd.parquet") for f in zfiles)
+
+    cat.write(df, "raw", "bounded_t", max_records_per_file=10_000)
+    n_files = len(
+        [f for f in os.listdir(cat.path("raw", "bounded_t")) if f.endswith(".parquet")]
+    )
+    assert n_files >= 5  # 50k rows / 10k cap
+    assert cat.read("raw", "bounded_t").count() == 50_000
