@@ -1833,6 +1833,89 @@ def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", theta=0.005)
 
 
+@q(
+    "next_event_training_pairs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             array_agg(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+      FROM events)
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           array_to_string(context, ' ') AS context,
+           event_type AS label
+    FROM seq WHERE len(context) = 3
+    """,
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training pairs: per user, a sliding window of
+    the 3 preceding event types as context and the current event as
+    label — the sequence-model dataset builder (one window pass, shuffle
+    on user_id only; contexts joined to strings so the pair table is
+    flat for tokenization downstream).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.collect_list("event_type").over(w).alias("ctx"),
+            F.col("event_type").alias("label"),
+        )
+        .filter(F.size("ctx") == 3)
+        .select(
+            "user_id", "event_id", F.array_join("ctx", " ").alias("context"), "label"
+        )
+    )
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS src, next_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    lead() per user, transition counts, and row-normalized probabilities
+    via a window over the aggregate — journey analysis / sequence-prior
+    estimation in two shuffles (user_id, then src type).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src"))
+        ).alias("p"),
+    )
+
+
 @q("graph_pagerank_parts")  # iterative power method → rows-only check
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py::pagerank) over the order→part

@@ -170,6 +170,8 @@ def test_null_safe_join_is_hash_join(spark):
 # Shuffle budgets: Exchange-node count per oracle query at sf0.001,
 # pinned at the current (reviewed) plan. A refactor that ADDS a shuffle
 # fails here; removing one is an improvement — update the budget down.
+# recursive_order_chain is excluded: its UnionLoop prints per-iteration
+# sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "asof_purchase_last_signup_value": 2,
@@ -216,7 +218,6 @@ EXCHANGE_BUDGETS = {
     "pricing_summary": 1,
     "profile_orders": 2,
     "range_join_order_windows": 2,
-    "recursive_order_chain": 2,
     "regex_battery": 0,
     "rollup_agg": 3,
     "safe_math": 1,
@@ -259,6 +260,8 @@ EXCHANGE_BUDGETS = {
     "tumbling_window_counts": 1,
     "typed_null_filter": 0,
     "variant_json_extract": 1,
+    "next_event_training_pairs": 1,
+    "event_transition_matrix": 3,
     "set_except_intersect_all": 2,
     "small_quantity_revenue": 4,
     "large_volume_customers": 5,
