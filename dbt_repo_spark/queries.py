@@ -2798,6 +2798,71 @@ def embed_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "anomaly_trailing_zscore",
+    """
+    WITH v AS (SELECT user_id, event_id, ts,
+                      CAST(value AS DECIMAL(18,6)) AS dv
+               FROM events),
+     f AS (SELECT user_id, CAST(event_id AS BIGINT) AS event_id, ts,
+                  CAST(dv AS DOUBLE) AS value,
+                  CAST(SUM(dv) OVER w AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(dv * dv AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2,
+                  CAST(COUNT(*) OVER w AS BIGINT) AS n
+           FROM v
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, value,
+           n AS n_baseline,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+    FROM f WHERE n >= 8 AND (s2 - s1 * s1 / n) > 0
+    """,
+)
+def anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each event scored
+    against its user's PRECEDING 24h baseline (RANGE frame ending 1
+    second before the row — the point never scores against itself).
+    Mean/std derive from decimal-exact trailing sums, so the doubles
+    agree bit-for-bit cross-engine before the single rounded division.
+    One shuffle on user_id; the frame slides inside the sorted
+    partition — no self-join against the baseline.
+    """
+    ev = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, -1)
+    )
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum((dv * dv).cast("decimal(38,12)")).over(w).cast("double")
+    n = F.count("*").over(w).cast("long")
+    f = ev.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        n.alias("n"),
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    return (
+        f.filter((F.col("n") >= 8) & (var_num > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("n").alias("n_baseline"),
+            F.round(
+                (F.col("value") - F.col("s1") / F.col("n"))
+                / F.sqrt(var_num / (F.col("n") - 1)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@q(
     "window_time_range",
     """
     SELECT o_custkey, o_orderkey,
