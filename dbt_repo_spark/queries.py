@@ -1673,6 +1673,45 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "entity_resolution_docs",
+    """
+    WITH RECURSIVE
+      d AS (SELECT doc_id, lang, substr(text, 1, 24) AS head,
+                   length(text) AS n_chars
+            FROM documents),
+      edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 AND abs(a.n_chars - b.n_chars) <= 50
+                WHERE levenshtein(a.head, b.head) <= 12),
+      bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+      cc(node, label) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node
+      )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM cc GROUP BY node
+    """,
+)
+def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity resolution: banded fuzzy match (lang band + length
+    filter + levenshtein) emits the pair relation; connected components
+    with pointer jumping (operators/graph.py) closes it transitively;
+    the min-id member of each cluster is canonical. The full
+    record-linkage shape — blocking, comparison, clustering — in three
+    reusable operators; oracle = the identical chain as one recursive
+    SQL statement.
+    """
+    from dbt_repo_spark.operators.graph import dedup_clusters
+
+    pairs = QUERIES["fuzzy_match_levenshtein"](spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+@q(
     "fuzzy_match_levenshtein",
     """
     WITH d AS (SELECT doc_id, lang, substr(text, 1, 24) AS head,

@@ -260,6 +260,7 @@ EXCHANGE_BUDGETS = {
     "tumbling_window_counts": 1,
     "typed_null_filter": 0,
     "variant_json_extract": 1,
+    "entity_resolution_docs": 0,
     "anomaly_trailing_zscore": 1,
     "next_event_training_pairs": 1,
     "event_transition_matrix": 3,
