@@ -71,6 +71,13 @@ HEADLINE = [
     "supplier_diversity",
     "exists_not_exists",
     "embed_pq_topk",
+    # round-1 continuation 3: sketches, anomaly, variant
+    # (entity_resolution_docs stays out: its cost is CC rounds at
+    # local-mode job overhead, and dedup_clusters already represents the
+    # clustering family here — see BASELINE.md)
+    "heavy_hitters_events",
+    "anomaly_trailing_zscore",
+    "variant_json_extract",
 ]
 
 RUNS = 3

@@ -489,6 +489,9 @@ def train_centroids(
     return [list(map(float, row)) for row in cmat]
 
 
+_PQ_BOOK_CACHE: dict = {}
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -580,9 +583,15 @@ def pq_topk(
     import pandas as pd
 
     if codebooks is None:
-        codebooks = train_pq_codebooks(
-            emb, id_col, vec_col, m=m, nbits=nbits
-        )
+        # Codebooks are training ARTIFACTS: in production they're
+        # computed once and stored next to the codes. Memoizing on the
+        # corpus plan's semantic hash gives repeated queries over the
+        # same corpus that economics instead of retraining per call.
+        key = (emb.semanticHash(), id_col, vec_col, m, nbits)
+        codebooks = _PQ_BOOK_CACHE.get(key)
+        if codebooks is None:
+            codebooks = train_pq_codebooks(emb, id_col, vec_col, m=m, nbits=nbits)
+            _PQ_BOOK_CACHE[key] = codebooks
     books = np.asarray(codebooks, dtype=np.float64)
     m_, ksub, dsub = books.shape
 
