@@ -43,12 +43,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ship_package(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the physical INT64 nanos and convert to a
-        # microsecond timestamp (values are µs-aligned — lossless).
+        # events.ts is parquet TIMESTAMP(NANOS). Spark <4.1's vectorized
+        # reader rejects it, so we ask for the physical INT64 nanos
+        # (legacy conf) and convert; Spark >=4.1 reads it natively as
+        # TIMESTAMP_NTZ (ignoring the conf), which we cast to the session
+        # timestamp type (tz=UTC — value-preserving). Values are
+        # µs-aligned, so both paths are lossless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -3630,3 +3635,7 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
         (F.col("n_open").isNull() | F.col("n_urgent").isNull()).alias("one_sided"),
     )
+
+
+# Extension registries (import side-effect populates QUERIES/ORACLES).
+from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
