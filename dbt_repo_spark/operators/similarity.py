@@ -87,6 +87,32 @@ def cosine_topk(
     )
 
 
+def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Attach per-query recall@k vs an exact result to an approximate one.
+
+    Self-validating output for approximate ANN registry queries: every
+    row carries ``recall_at_k`` = |approx ∩ exact| / k for its query, so
+    a rows-only harness check still observes retrieval quality (a recall
+    collapse changes the values, not just the count). Both inputs are
+    (query_id, neighbor_id, ...) relations; the exact side is k rows per
+    query by construction.
+    """
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        approx.join(hits, "query_id", "left")
+        .withColumn(
+            "recall_at_k",
+            F.round(F.coalesce(F.col("__n_hit"), F.lit(0)) / F.lit(k), 4),
+        )
+        .drop("__n_hit")
+    )
+
+
 def cosine_topk_vectorized(
     emb: DataFrame,
     query_pred: Column,
@@ -179,6 +205,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join + exact rerank in-bucket.
 
@@ -186,12 +213,25 @@ def lsh_bucket_topk(
     Queries only score corpus rows sharing their bucket → candidate count
     ~ corpus/2^n_planes per query. Recall is approximate by construction
     (driver records a rows-only check for this operator).
+
+    ``multiprobe=h`` additionally probes every bucket within Hamming
+    distance ≤ h of the query's own bucket (the standard multi-probe LSH
+    refinement — a near-neighbor that straddles one hyperplane lands one
+    bit away). The QUERY side fans out to Σ C(n_planes, i) bucket keys —
+    the corpus is still bucketed exactly once and the join stays an
+    equi-join on the bucket key, so scored fraction grows to
+    ~(1 + n_planes·h)/2^n_planes while the corpus-side plan is unchanged.
     """
+    from itertools import combinations
+
     planes = [_hyperplane(j, dim) for j in range(n_planes)]
 
-    def bucket_key(v: Column) -> Column:
+    def bucket_key(v: Column, flip: tuple[int, ...] = ()) -> Column:
         bits = [
-            F.when(dot(v, F.array(*[F.lit(c) for c in planes[j]])) >= 0, "1").otherwise("0")
+            F.when(
+                dot(v, F.array(*[F.lit(c) for c in planes[j]])) >= 0,
+                "0" if j in flip else "1",
+            ).otherwise("1" if j in flip else "0")
             for j in range(n_planes)
         ]
         return F.concat(*bits)
@@ -201,8 +241,15 @@ def lsh_bucket_topk(
     corpus = _normalized(emb, "neighbor_id", "cv", id_col, vec_col).withColumn(
         "bucket", bucket_key(F.col("cv"))
     )
-    queries = _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col).withColumn(
-        "bucket", bucket_key(F.col("qv"))
+    flips: list[tuple[int, ...]] = [()]
+    for h in range(1, multiprobe + 1):
+        flips.extend(combinations(range(n_planes), h))
+    queries = (
+        _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[bucket_key(F.col("qv"), fl) for fl in flips])),
+        )
     )
     scored = (
         corpus.join(F.broadcast(queries), "bucket")

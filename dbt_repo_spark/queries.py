@@ -1014,15 +1014,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_minhash_lsh")  # non-SQL-expressible (xxhash64 seeds) → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs on unigram shingles, exact-verified.
+    """MinHash+LSH near-dup pairs on bigram shingles, exact-verified.
 
     The scale path for dedup: shuffle size is O(docs x bands), independent
-    of shingle frequency skew.
+    of shingle frequency skew. Output is self-validating: every row
+    carries corpus-level recall vs the exact inverted-index join at the
+    same (n, threshold) — precision is 1.0 by construction because every
+    candidate is exact-Jaccard verified — so the rows-only harness check
+    observes retrieval quality, not just a count.
     """
     docs = t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(
+    lsh = dedup.minhash_dedup(
         docs, "doc_id", "text", threshold=0.2, n=2, num_perm=64, bands=16, rows=4
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    sh = dedup.shingles(docs, "doc_id", "text", n=2, as_hash=True)
+    n_true = dedup.jaccard_pairs(sh, threshold=0.2).agg(
+        F.count("*").alias("__n_true")
+    )
+    n_found = lsh.agg(F.count("*").alias("__n_found"))
+    return (
+        lsh.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_true))
+        .withColumn(
+            "pair_recall",
+            F.round(
+                F.col("__n_found") / F.greatest(F.col("__n_true"), F.lit(1)), 4
+            ),
+        )
+        .drop("__n_found", "__n_true")
+    )
 
 
 @q("dedup_simhash")  # non-SQL-expressible (xxhash64 bit votes) → rows-only check
@@ -1058,9 +1078,18 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("embed_lsh_topk")  # approximate recall by construction → rows-only check
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-k (the sub-linear scale path)."""
+    """Sign-LSH bucketed ANN top-k (the sub-linear scale path).
+
+    Output is self-validating: each row carries recall@k vs the exact
+    brute-force neighbors computed in the same plan, so the rows-only
+    harness check observes retrieval quality, not just the row count.
+    """
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucket_topk(emb, F.col("vec_id") < 10, k=5, n_planes=4)
+    approx = similarity.lsh_bucket_topk(
+        emb, F.col("vec_id") < 10, k=5, n_planes=4, multiprobe=1
+    )
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
 @q("embed_cosine_topk_np")  # fp summation order differs from SQL → rows-only
@@ -1080,12 +1109,15 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: coarse-quantize corpus, probe nprobe lists, rerank.
 
     Scored fraction ≈ nprobe/n_centroids of the corpus; one shuffle on the
-    int cluster key.
+    int cluster key. Output rows carry recall@k vs the exact neighbors
+    (self-validating rows-only check).
     """
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
+    approx = similarity.ivf_topk(
         emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=4
     )
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
 @q("embed_pq_topk")  # approximate recall by construction → rows-only check
@@ -1104,9 +1136,11 @@ def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.load_or_train_pq_codebooks(
         emb, os.path.basename(os.path.normpath(sf_dir)), m=8, nbits=4
     )
-    return similarity.pq_topk(
+    approx = similarity.pq_topk(
         emb, F.col("vec_id") < 10, k=5, m=8, nbits=4, rerank=100, codebooks=books
     )
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
 @q(

@@ -197,3 +197,49 @@ def test_heavy_hitters_exact_via_candidates(spark):
     }
     assert got == want
     assert (42, 2010) in got  # 2000 hot + 10 from base residue class
+
+
+def test_registry_ann_queries_emit_pinned_recall(spark):
+    """The approximate ANN registry queries carry a self-validating
+    recall@k column; pin the floors so a recall collapse fails loudly
+    (the driver's rows-only check sees values, not just counts)."""
+    import statistics
+
+    from dbt_repo_spark.queries import QUERIES
+
+    floors = {"embed_lsh_topk": 0.5, "embed_ivf_topk": 0.85, "embed_pq_topk": 0.85}
+    for name, floor in floors.items():
+        rows = QUERIES[name](spark, SF).collect()
+        per_q = dict({(r.query_id, r.recall_at_k) for r in rows})
+        assert len(per_q) == 10, name
+        assert statistics.mean(per_q.values()) >= floor, (name, per_q)
+
+
+def test_registry_minhash_query_emits_pair_recall(spark):
+    """dedup_minhash_lsh emits corpus-level recall vs the exact join at
+    the same (n, threshold); precision is 1.0 by construction (every
+    candidate is exact-verified)."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    recalls = {r.pair_recall for r in rows}
+    assert len(recalls) == 1  # corpus-level metric, constant per run
+    assert recalls.pop() >= 0.9
+
+
+def test_lsh_multiprobe_strictly_widens_candidates(spark):
+    """multiprobe=1 probes Hamming-1 buckets: recall is >= the single
+    bucket probe and each (query, neighbor) appears at most once."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def hits(mp):
+        got = similarity.lsh_bucket_topk(
+            emb, F.col("vec_id") < 10, k=5, n_planes=4, multiprobe=mp
+        ).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in got]
+        assert len(pairs) == len(set(pairs))
+        return len(e & set(pairs))
+
+    assert hits(1) >= hits(0)
