@@ -48,8 +48,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (legacy conf) and convert; Spark >=4.1 reads it natively as
         # TIMESTAMP_NTZ (ignoring the conf), which we cast to the session
         # timestamp type (tz=UTC — value-preserving). Values are
-        # µs-aligned, so both paths are lossless.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs-aligned, so both paths are lossless. The conf is legacy and
+        # may disappear from a future Spark entirely — tolerate that
+        # (the native-read branch below needs no conf).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

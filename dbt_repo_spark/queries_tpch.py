@@ -8,16 +8,20 @@ pattern, asserted where load-bearing in tests/test_plan_shapes.py):
 - Q14: broadcast dim join + conditional decimal aggregate (one fact scan).
 - Q13: LEFT join with a compound (equi + residual) condition, then a
   re-aggregation of an aggregate — two shuffles, both on pruned columns.
-- Q15: aggregate reused twice (revenue view + its max) — the scalar
-  subquery must not rescan the fact.
+- Q15: aggregate reused twice (revenue view + its max) — a rank window
+  over the aggregate keeps the fact scanned once (Catalyst does NOT
+  reuse the exchange across the broadcast boundary, so the naive
+  agg-vs-its-own-max form rescans; asserted single-scan in tests).
 - Q19: disjunctive OR-of-ANDs predicate — partial pushdown (the
   supersets of each disjunct reach the scan) + broadcast join.
 - Q22: anti join + a scalar-subquery threshold computed from a second
   pruned scan of the same table.
 - Q7/Q8/Q9: multi-way star joins where every dim side is broadcast and
   the single fact shuffle carries only the group-by columns.
-- Q11: same-table aggregate vs aggregate-of-total comparison.
-- Q2: correlated MIN subquery decorrelated into a per-key min join.
+- Q11: same-table aggregate vs aggregate-of-total comparison — window
+  grand total over the per-key aggregate, one fact scan, no join.
+- Q2: correlated MIN subquery decorrelated into a per-key window min
+  (one fact scan; dim-filtered before the window shuffle).
 
 Exactness follows the queries.py rules: decimal sums cast to double,
 single final double division, int32→long where DuckDB yields BIGINT.
@@ -132,11 +136,16 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-shaped: supplier(s) hitting the quarter's max revenue.
-    The revenue aggregate is built once and compared against its own max
-    via a broadcast single-row cross join — the fact table is scanned
-    once for the aggregate, never again for the max. Double equality is
-    exact: both sides derive from the same decimal-sum-cast value.
-    """
+    The max is a rank window over the POST-AGGREGATE relation, so the
+    fact table is scanned exactly once (asserted in
+    tests/test_plan_shapes.py::test_top_revenue_supplier_single_fact_scan
+    — the naive aggregate-vs-its-own-max formulation rescans lineitem
+    per use because Catalyst does not reuse the exchange across the
+    broadcast boundary). The window's single-partition sort touches only
+    |suppliers| aggregated rows, never fact rows; rank (not row_number)
+    keeps max ties, matching the SQL equality semantics exactly."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -144,12 +153,16 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_disc_price()).cast("double").alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = (
+        revenue.withColumn(
+            "__rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        )
+        .filter(F.col("__rnk") == 1)
+        .drop("__rnk")
+    )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
-        .select("s_suppkey", "s_name", "total_revenue")
+    return s.join(F.broadcast(top), s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", "total_revenue"
     )
 
 
@@ -407,20 +420,26 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-shaped: parts whose traded value exceeds a fixed
-    fraction of total traded value. Per-part aggregate compared against
-    a broadcast grand-total scalar — two scans of the same pruned
-    column, one keyed shuffle. Threshold double*0.002 is one double
-    multiply of identical operands → identical bits cross-engine.
+    fraction of total traded value. The fact is scanned ONCE: the
+    per-part decimal aggregate feeds both the output value and — via a
+    window sum over the aggregated relation — the grand total (decimal
+    addition is associative, so summing the per-part decimal partials
+    equals the direct decimal total bit-for-bit; both cast to double
+    only at the end, and threshold double*0.002 is one double multiply
+    of identical operands → identical bits cross-engine). The window's
+    single partition holds |parts| aggregated rows, never fact rows —
+    at 100 TB that beats a second full fact scan outright.
     """
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem")
     partval = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
-        F.sum(dec("l_extendedprice", 14, 2)).cast("double").alias("part_value")
+        F.sum(dec("l_extendedprice", 14, 2)).alias("pv_dec")
     )
-    total = li.agg(
-        (F.sum(dec("l_extendedprice", 14, 2)).cast("double") * 0.002).alias("threshold")
-    )
+    total = F.sum("pv_dec").over(Window.partitionBy())
     return (
-        partval.join(F.broadcast(total))
+        partval.withColumn("threshold", total.cast("double") * 0.002)
+        .withColumn("part_value", F.col("pv_dec").cast("double"))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("part_key", "part_value")
     )
@@ -442,30 +461,26 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2-shaped: for every size-10 part, the supplier(s) offering
     its minimum unit price — a correlated MIN subquery, decorrelated
-    into a per-key min aggregate joined back on (key, price). The size
-    filter semi-reduces the fact through the broadcast part dim BEFORE
-    the min aggregate, so the per-key agg runs on the filtered subset —
-    same result (the subquery is correlated to surviving parts only)
-    but ~1/50th the aggregate input. Unit price is one double division,
+    into a per-key window min (ONE fact scan, one shuffle on the part
+    key) instead of agg + self-join-back (which scans the fact twice).
+    The size filter semi-reduces the fact through the broadcast part dim
+    BEFORE the window, so only surviving parts' rows shuffle — same
+    result (the subquery is correlated to surviving parts only) but
+    ~1/50th the window input. Unit price is one double division,
     identical in both engines; equality on it is exact.
     """
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").withColumn(
         "unit_price", F.col("l_extendedprice") / F.col("l_quantity")
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select("p_partkey", "p_name")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    li10 = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop(
-        "p_partkey"
-    )
-    minp = li10.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("unit_price").alias("min_unit_price")
-    )
+    li10 = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
     return (
-        li10.join(
-            minp,
-            (li10.l_partkey == minp.mk) & (li10.unit_price == minp.min_unit_price),
-        )
-        .join(F.broadcast(p), li10.l_partkey == p.p_partkey)
+        li10.withColumn("min_unit_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_unit_price"))
         .join(F.broadcast(s), li10.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey",

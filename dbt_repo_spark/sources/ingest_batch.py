@@ -47,6 +47,47 @@ def drop_nested_station_field(df: DataFrame, field: str) -> DataFrame:
     return df.withColumn("data", F.struct(rebuilt.alias("stations")))
 
 
+def archive_loaded_sources(
+    landing_dir: str,
+    archive_dir: str | None = None,
+    pattern: str = "**/*",
+) -> list[str]:
+    """S11: retire landing files AFTER a successful load.
+
+    Mirrors the reference's post-load source deletion
+    (src/pyspark_gbfs_raw_load.py:117-121 — delete_blobs_in_prefix after
+    the BigQuery write succeeds), with a safer default: when
+    ``archive_dir`` is given, files MOVE there preserving their relative
+    layout (the audit-friendly production shape); with ``archive_dir=None``
+    they are deleted outright like the reference. Per-file failures are
+    best-effort skipped — the reference logs-and-continues too — so a
+    half-archived landing dir never fails the load that already
+    committed. Returns the retired source paths.
+
+    This is deliberately a DRIVER-side filesystem op, not a Spark job:
+    landing-file counts are ingest-tick bound (thousands, not billions).
+    On object stores the same contract maps to a bulk move/delete by
+    prefix.
+    """
+    import shutil
+    from pathlib import Path
+
+    root = Path(landing_dir)
+    retired: list[str] = []
+    for src in sorted(p for p in root.glob(pattern) if p.is_file()):
+        try:
+            if archive_dir is None:
+                src.unlink()
+            else:
+                dst = Path(archive_dir) / src.relative_to(root)
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.move(str(src), str(dst))
+            retired.append(str(src))
+        except OSError:  # pragma: no cover - racing cleanup is best-effort
+            continue
+    return retired
+
+
 def gbfs_raw_load(
     spark: SparkSession,
     landing_dir: str,
@@ -54,6 +95,8 @@ def gbfs_raw_load(
     table: str,
     drop_fields: tuple[str, ...] = ("station_area",),
     serialize_data: bool = False,
+    archive_dir: str | None = None,
+    retire_sources: bool = False,
 ) -> DataFrame:
     """S1 scan → P15 drift-drop → P14 ingest ts → optional to_json → S7 append.
 
@@ -61,7 +104,10 @@ def gbfs_raw_load(
     ``data_json`` string (src/pyspark_gbfs_raw_load.py:102-104) — the
     reference's fallback for feeds whose nesting the warehouse rejects;
     the staging model re-extracts with json path functions.
-    Returns the DataFrame re-read from the raw layer.
+    ``retire_sources=True`` archives (or, with ``archive_dir=None``,
+    deletes) the landing files after the write commits — S11, the
+    reference's delete-after-load step. Returns the DataFrame re-read
+    from the raw layer.
     """
     df = read_json_dir(spark, landing_dir)
     for fld in drop_fields:
@@ -70,7 +116,12 @@ def gbfs_raw_load(
     if serialize_data:
         df = df.withColumn("data_json", F.to_json("data")).drop("data")
     catalog.write(df, "raw", table, mode="append")
-    return catalog.read("raw", table)
+    out = catalog.read("raw", table)
+    if retire_sources:
+        # only after the write above committed — a failed write raises
+        # before reaching this point, leaving the landing dir intact
+        archive_loaded_sources(landing_dir, archive_dir)
+    return out
 
 
 TRIP_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"  # historical_bucket_to_bq.py:80-81

@@ -248,3 +248,58 @@ def test_catalog_write_codec_and_file_size_knobs(spark, tmp_path):
     )
     assert n_files >= 5  # 50k rows / 10k cap
     assert cat.read("raw", "bounded_t").count() == 50_000
+
+
+def test_archive_loaded_sources_moves_then_deletes(spark, tmp_path):
+    """S11 (src/pyspark_gbfs_raw_load.py:117-121): after a successful
+    load, landing files retire — archived with relative layout preserved,
+    or deleted outright when no archive dir is given. The loaded table is
+    unaffected either way."""
+    from dbt_repo_spark.sources.ingest_batch import archive_loaded_sources
+
+    landing = _landing(tmp_path, FEED)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    archive = tmp_path / "archive"
+    out = gbfs_raw_load(
+        spark, landing, catalog, "station_status",
+        archive_dir=str(archive), retire_sources=True,
+    )
+    assert out.count() == 1
+    # file moved, landing empty, relative layout kept
+    assert (archive / "2025" / "01" / "feed.json").is_file()
+    import pathlib
+    assert not any(p.is_file() for p in pathlib.Path(landing).rglob("*"))
+    # table still reads after the sources are gone
+    assert catalog.read("raw", "station_status").count() == 1
+
+    # delete mode (the reference's exact semantics)
+    landing2 = _landing(tmp_path / "second", FEED)
+    retired = None
+    gbfs_raw_load(spark, landing2, catalog, "station_status", retire_sources=True)
+    assert not any(p.is_file() for p in pathlib.Path(landing2).rglob("*"))
+    assert catalog.read("raw", "station_status").count() == 2
+
+    # best-effort helper returns the retired paths
+    landing3 = _landing(tmp_path / "third", FEED)
+    retired = archive_loaded_sources(landing3)
+    assert len(retired) == 1 and retired[0].endswith("feed.json")
+
+
+def test_gbfs_raw_load_failure_keeps_sources(spark, tmp_path, monkeypatch):
+    """If the write raises, retirement never runs — the landing dir is
+    intact for the retry (the reference only deletes after a successful
+    BigQuery write)."""
+    import pathlib
+
+    import pytest
+
+    landing = _landing(tmp_path, FEED)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated sink failure")
+
+    monkeypatch.setattr(catalog, "write", boom)
+    with pytest.raises(RuntimeError, match="simulated sink failure"):
+        gbfs_raw_load(spark, landing, catalog, "station_status", retire_sources=True)
+    assert any(p.is_file() for p in pathlib.Path(landing).rglob("*"))

@@ -325,3 +325,73 @@ def test_dynamic_partition_pruning_on_catalog_table(spark, tmp_path):
         assert "dynamicpruning" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+# --- TPC-H-shaped queries (queries_tpch.py): the optimizer patterns the
+# module docstring claims, pinned so they can't silently regress. ---
+
+
+def test_top_revenue_supplier_single_fact_scan(spark):
+    """Q15 shape: the revenue aggregate feeds both the join and its own
+    max via a rank window — lineitem must appear exactly once in the
+    physical plan (the naive agg-vs-max formulation scans it 2-4x)."""
+    plan = _plan(spark, "top_revenue_supplier", "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_predicate_partial_pushdown(spark):
+    """Q19 shape: the OR-of-ANDs predicate must push the per-side
+    supersets below the join — the lineitem scan carries the quantity
+    disjunction, the part side the brand/size union — and the join
+    broadcasts the dim."""
+    plan = _plan(spark, "disjunctive_predicate_revenue")
+    li_scan = next(
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    )
+    assert "Or(" in li_scan  # quantity disjunction reached the fact scan
+    p_scan = next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l
+    )
+    assert "Brand#11" in p_scan and "Brand#22" in p_scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        ("promo_revenue_share", 1),  # Q14: part dim broadcasts
+        ("nation_pair_trade", 5),  # Q7: supplier+nation x2+orders+customer
+        ("national_market_share", 6),  # Q8: full star
+        ("product_profit_by_nation_year", 4),  # Q9
+        ("min_price_supplier_per_part", 1),  # Q2
+    ],
+)
+def test_tpch_star_joins_broadcast_all_dims(spark, name, min_bhj):
+    """Every dim side of the star joins must broadcast: a SortMergeJoin
+    here would shuffle the fact on the join key at 100 TB."""
+    plan = _plan(spark, name, "simple")
+    assert plan.count("BroadcastHashJoin") >= min_bhj, name
+    assert "SortMergeJoin" not in plan, name
+    assert plan.count("lineitem.parquet") <= 1, name  # fact scanned once
+
+
+def test_important_parts_share_single_scan_no_join(spark):
+    """Q11 shape: per-part aggregate + window grand total — one fact
+    scan, zero joins (the agg-vs-broadcast-total formulation scanned the
+    fact twice through a nested-loop one-row join)."""
+    plan = _plan(spark, "important_parts_share", "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_customer_order_distribution_two_pruned_shuffles(spark):
+    """Q13 shape: LEFT join with residual + re-aggregation — both
+    exchanges must carry only pruned columns (no wide rows)."""
+    plan = _plan(spark, "customer_order_distribution")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("o_comment" not in l for l in reads)
+    assert all("c_address" not in l and "c_phone" not in l for l in reads)
