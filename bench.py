@@ -72,12 +72,15 @@ HEADLINE = [
     "exists_not_exists",
     "embed_pq_topk",
     # round-1 continuation 3: sketches, anomaly, variant
-    # (entity_resolution_docs stays out: its cost is CC rounds at
-    # local-mode job overhead, and dedup_clusters already represents the
-    # clustering family here — see BASELINE.md)
     "heavy_hitters_events",
     "anomaly_trailing_zscore",
     "variant_json_extract",
+    # round-2 additions: composed ER + cleaning pipelines (now on the
+    # LSH candidate path), multimodal decode, multi-probe LSH ANN
+    "entity_resolution_docs",
+    "training_data_pipeline_v2",
+    "multimodal_features",
+    "embed_lsh_topk",
 ]
 
 RUNS = 3

@@ -106,6 +106,59 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via PREFIX FILTERING — sub-quadratic.
+
+    Same output as ``jaccard_pairs`` (every pair with Jaccard ≥ t), but
+    the candidate join touches only each document's PREFIX: order every
+    doc's shingles by ascending global document frequency (rarest
+    first; ties broken by shingle value so the order is total and
+    deterministic), keep the first ``|d| − ⌈t·|d|⌉ + 1``. If
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the intersection cannot hide
+    entirely in the last ⌈t·|A|⌉ − 1 positions of either doc — under a
+    shared global order the two prefixes must collide (the prefix-filter
+    lemma behind AllPairs / PPJoin, Bayardo et al. WWW'07, and its
+    MapReduce form in Vernica et al. SIGMOD'10). Candidates are then
+    exact-verified by set intersection.
+
+    Scale: the self-join shuffles Σ df_prefix(shingle)² co-occurrence
+    rows — prefixes hold each doc's RAREST shingles, exactly the ones
+    with small df, so the frequency skew that makes the naive inverted
+    index quadratic (stopword shingles with df ~ |corpus|) is excluded
+    by construction at any t high enough to matter (at t→0 the prefix
+    is the whole doc and this degrades gracefully to ``jaccard_pairs``).
+    """
+    from pyspark.sql import Window
+
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    df_ = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    ranked = (
+        sh.join(df_, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "shingle")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+
+
 def _perm_hashes(num_perm: int, independent: bool = False) -> list[Column]:
     """P hash slots from TWO base hashes (Kirsch-Mitzenmacher).
 
