@@ -1071,6 +1071,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "similarity_join_prefix",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+           FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.25
+    """,
+)
+def similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    family, dedup.jaccard_pairs_prefix): candidates only from each doc's
+    rarest-|d|−⌈t·|d|⌉+1 shingles under a global frequency order, then
+    exact verification. The oracle is the naive quadratic inverted-index
+    join — value parity proves the prefix filter loses no pair. This is
+    the exact-join scale path for high thresholds: the candidate shuffle
+    excludes high-df (stopword) shingles by construction, the skew that
+    makes the naive join Σ df² quadratic.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", n=2, as_hash=True)
+    return dedup.jaccard_pairs_prefix(sh, threshold=0.25).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 @q("dedup_simhash")  # non-SQL-expressible (xxhash64 bit votes) → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 signatures per document (banded Hamming join ready)."""
@@ -1801,6 +1840,16 @@ def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-linkage shape — blocking, comparison, clustering — in three
     reusable operators; oracle = the identical chain as one recursive
     SQL statement.
+
+    Why pair generation here is NOT MinHash-LSH (unlike dedup_clusters):
+    an edit-distance predicate admits no Jaccard-recall bound — a pair
+    at levenshtein ≤ 12 over 24-char heads can share ZERO character
+    n-grams (12 alternating substitutions break every 3-gram), so LSH
+    candidates would silently drop true matches and break parity. The
+    scale path for edit distance is the blocking equi-join itself
+    ((lang, length-bucket) band keys — already a band-bucket join whose
+    per-block comparator cost is block-size bounded); tighter guarantees
+    need pigeonhole segment indexing (PassJoin), not MinHash.
     """
     from dbt_repo_spark.operators.graph import dedup_clusters
 

@@ -230,6 +230,7 @@ EXCHANGE_BUDGETS = {
     "scd2_event_state": 1,
     "semi_join_exists": 1,
     "session_windows": 1,
+    "similarity_join_prefix": 23,
     "sessions_daily": 1,
     "set_except": 2,
     "set_intersect": 2,
