@@ -1874,7 +1874,7 @@ def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded fuzzy string match with composite blocking.
 
-    The equi-key is (lang, length-bucket): one side keeps its own
+    The equi-key is (lang, length-bucket, salt): one side keeps its own
     50-char bucket, the other explodes to {b-1, b, b+1}, so every pair
     within the ±50-char tolerance meets in EXACTLY one bucket and
     nothing outside it is ever generated. Blocking on lang alone put
@@ -1883,17 +1883,33 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite key cuts candidates to the tolerance diagonal and spreads
     them across buckets (32s → 2.0s, identical result set — blocking is
     physical, the oracle's logical pair definition is unchanged).
+
+    The SALT component (hash(doc_id) mod 8 on one side, exploded 0..7 on
+    the other) splits each block across 8 join keys: block keys number
+    only #langs × #length-buckets (~160), so the unsalted shuffle join
+    lands whole blocks — and their |block|² comparator work — on single
+    tasks. Salting multiplies the replicated side's rows ×8 (doc-count
+    bound, cheap) and buys ×8 comparator parallelism with NO broadcast
+    assumption — the same plan survives when neither side fits in memory
+    (measured at sf0.1: 4.4s → 0.7s; pair set identical).
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 24).alias("head"),
         F.length("text").alias("n_chars"),
     )
+    from dbt_repo_spark.session import fan_out
+
+    n_salt = 8
     bkt = F.floor(F.col("n_chars") / 50)
-    a = d.withColumn("bucket", bkt)
-    b = d.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1)))
+    a = fan_out(d.withColumn("bucket", bkt)).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+    )
+    b = d.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1))).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
     a, b = a.alias("a"), b.alias("b")
     return (
-        a.join(b, ["lang", "bucket"])
+        a.join(b, ["lang", "bucket", "salt"])
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 50)

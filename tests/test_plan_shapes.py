@@ -196,7 +196,9 @@ EXCHANGE_BUDGETS = {
     "explode_tokens": 2,
     "full_outer_reconciliation": 2,
     "funnel_signup_purchase": 12,
-    "fuzzy_match_levenshtein": 1,
+    # 2 = fan_out repartition + salted-join shuffle (salt spreads ~160
+    # block keys across 8x tasks; bought 4.4s -> 0.7s at sf0.1)
+    "fuzzy_match_levenshtein": 2,
     "group_concat_sorted": 1,
     "grouping_sets_agg": 1,
     "groupwise_ols_slope": 1,
