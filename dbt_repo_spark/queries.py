@@ -1958,7 +1958,8 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH snapped AS (
       SELECT user_id,
-             to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS bucket_ts,
+             CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600)
+                  AS TIMESTAMP) AS bucket_ts,
              ts, value
       FROM events),
     picked AS (
@@ -3518,8 +3519,8 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH expanded AS (
       SELECT event_type,
-             to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300 - k.k * 300)
-               AS window_start,
+             CAST(to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300
+                               - k.k * 300) AS TIMESTAMP) AS window_start,
              value
       FROM events, (SELECT unnest(range(2)) AS k) k
     )

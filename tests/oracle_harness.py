@@ -21,6 +21,24 @@ from dbt_repo_spark.queries import ORACLES, QUERIES
 from dbt_repo_spark.sources.readers import TPCH_TABLES
 
 
+def _dtype_class(dtype) -> str:
+    """Canonical dtype class, driver-strict on timezone-awareness.
+
+    The driver's canonicalizer compares pandas schemas before hashing, so
+    a tz-aware oracle column vs a naive Spark column (e.g. DuckDB
+    ``to_timestamp`` → TIMESTAMPTZ) is a schema FAIL even when the
+    instants agree. Width-only differences (int32/int64, float32/float64)
+    collapse to one class — the value comparison catches real drift.
+    """
+    if isinstance(dtype, pd.DatetimeTZDtype):
+        return f"datetime-tz[{dtype.tz}]"
+    kind = getattr(dtype, "kind", "O")
+    return {
+        "M": "datetime", "m": "timedelta", "i": "int", "u": "int",
+        "f": "float", "b": "bool",
+    }.get(kind, "object")
+
+
 def _norm_value(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
@@ -75,6 +93,18 @@ def compare(name: str, spark, sf_dir: str) -> dict:
         "spark_cols": sorted(spark_df.columns),
         "duck_cols": sorted(duck_df.columns),
     }
+    if result["cols_match"]:
+        spark_dtypes = {c: _dtype_class(spark_df[c].dtype) for c in spark_df.columns}
+        duck_dtypes = {c: _dtype_class(duck_df[c].dtype) for c in duck_df.columns}
+        result["dtypes_match"] = spark_dtypes == duck_dtypes
+        if not result["dtypes_match"]:
+            result["dtype_diffs"] = {
+                c: (spark_dtypes[c], duck_dtypes[c])
+                for c in spark_dtypes
+                if spark_dtypes[c] != duck_dtypes[c]
+            }
+    else:
+        result["dtypes_match"] = False
     if result["rows_match"] and result["cols_match"]:
         a, b = _normalize(spark_df), _normalize(duck_df)
         result["values_match"] = a == b

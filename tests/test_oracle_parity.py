@@ -15,6 +15,7 @@ ORACLE_QUERIES = sorted(ORACLES)
 def test_oracle_parity(name, spark, sf_dir):
     result = compare(name, spark, sf_dir)
     assert result["cols_match"], f"column mismatch: {result}"
+    assert result["dtypes_match"], f"dtype mismatch: {result}"
     assert result["rows_match"], f"row-count mismatch: {result}"
     assert result["values_match"], f"value mismatch: {result}"
 
