@@ -96,21 +96,33 @@ def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFra
     collapse changes the values, not just the count). Both inputs are
     (query_id, neighbor_id, ...) relations; the exact side is k rows per
     query by construction.
+
+    Recall is anchored on the EXACT side's query set: a query whose
+    approximate bucket came back empty still contributes one marker row
+    (null neighbor, recall 0) instead of silently vanishing, so a
+    per-query recall collapse is visible in values, not only in counts.
     """
-    hits = (
-        approx.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("__n_hit"))
-    )
-    return (
-        approx.join(hits, "query_id", "left")
-        .withColumn(
-            "recall_at_k",
-            F.round(F.coalesce(F.col("__n_hit"), F.lit(0)) / F.lit(k), 4),
+    # One reference to the exact subtree: left-join its (query, neighbor)
+    # pairs against the approx pairs and fold hit counts per query. The
+    # exact side has every query (k rows each), so this also yields
+    # recall 0 for queries whose approximate bucket came back empty.
+    per_query = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
         )
-        .drop("__n_hit")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(k), 4).alias(
+                "recall_at_k"
+            )
+        )
     )
+    # RIGHT join on the exact query set: a query with no approximate rows
+    # surfaces as a null-neighbor marker row instead of disappearing.
+    return approx.join(per_query, "query_id", "right")
 
 
 def cosine_topk_vectorized(
@@ -614,18 +626,31 @@ def load_or_train_pq_codebooks(
     ``dbt_repo_spark/fixtures/``; every later call (including fresh
     processes, e.g. the bench) is a pure file read, so the ANN query
     plan contains no training collect.
+
+    The filename carries a cheap corpus fingerprint (row count + id-hash
+    fold, one column-pruned aggregate) so regenerated data at the same
+    path retrains instead of silently reusing stale codebooks; a
+    read-only package install falls back to in-memory training instead
+    of raising on the save.
     """
     import numpy as np
 
+    n_rows, id_fold = emb.agg(
+        F.count("*"), F.sum(F.crc32(F.col(id_col).cast("string")) % F.lit(1000003))
+    ).first()
+    fp = f"n{n_rows}_h{int(id_fold or 0) % 10**9}"
     safe = "".join(ch if ch.isalnum() else "_" for ch in corpus_key)
-    path = _FIXTURES_DIR / f"pq_codebooks_{safe}_m{m}_b{nbits}.npy"
+    path = _FIXTURES_DIR / f"pq_codebooks_{safe}_{fp}_m{m}_b{nbits}.npy"
     if path.exists():
         return np.load(path)
     books = train_pq_codebooks(emb, id_col, vec_col, m=m, nbits=nbits)
-    _FIXTURES_DIR.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp.npy")
-    np.save(tmp, books)
-    tmp.replace(path)
+    try:
+        _FIXTURES_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.npy")
+        np.save(tmp, books)
+        tmp.replace(path)
+    except OSError:
+        pass  # read-only install: keep the in-memory codebooks
     return books
 
 

@@ -1148,6 +1148,9 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is self-validating: each row carries recall@k vs the exact
     brute-force neighbors computed in the same plan, so the rows-only
     harness check observes retrieval quality, not just the row count.
+    The audit uses the JVM expression-path exact scan: at fixture scale
+    (2k vectors) codegen'd HOF scoring beats an Arrow round-trip; at
+    production scale the audit would be sampled or run offline.
     """
     emb = t(spark, sf_dir, "embeddings")
     approx = similarity.lsh_bucket_topk(
