@@ -34,7 +34,11 @@ HEADLINE = [
     "incremental_antijoin",
     "explode_tokens",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # round-3 swap: pair generation benches on the LSH scale path
+    # (dedup_pairs_scale); the quadratic inverted-index join stays in the
+    # registry as its oracle twin (dedup_ngram_jaccard) but is no longer
+    # a headline plan — no Σ df(shingle)² join ships on the bench.
+    "dedup_pairs_scale",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",

@@ -1110,6 +1110,50 @@ def similarity_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_pairs_scale",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+           FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+)
+def dedup_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the LSH SCALE PATH, exact-verified, checked
+    against the quadratic inverted-index oracle.
+
+    The headline-bench representative of pair generation (replacing the
+    Σ df(shingle)² inverted-index join, which stays in the registry as
+    ``dedup_ngram_jaccard``, the oracle twin): 128 independent MinHash
+    permutations banded rows=2 × 64 bands. A true pair at jaccard ≥ 0.5
+    misses with probability ≤ (1 − 0.5²)^64 ≈ 1e-8 (a rare oracle
+    mismatch would be that expected variance, not a logic bug), while
+    the r=2 S-curve passes ~10× fewer low-jaccard candidates than rows=1
+    banding (896k vs 8.3M at sf0.1) into exact verification. No shuffle
+    is keyed on a raw shingle anywhere in the plan (pinned by
+    test_no_quadratic_shingle_join_on_headline).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5, n=2,
+        num_perm=128, bands=64, rows=2, independent=True,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @q("dedup_simhash")  # non-SQL-expressible (xxhash64 bit votes) → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 signatures per document (banded Hamming join ready)."""
@@ -2562,7 +2606,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1−t)^64 ≈ 1, then exact verification) — the plan shuffles O(docs ×
     64) banding rows, never the Σ df(shingle)² inverted-index self-join.
     Oracle is DuckDB's recursive CTE over the quadratic Jaccard>=0.3 edge
-    list, which the verified candidate set provably reproduces.
+    list, which the verified candidate set reproduces with per-true-pair
+    miss probability ≤ (1−0.3)^64 ≈ 1.3e-10 — a rare oracle mismatch
+    here would be that expected variance, not a logic bug.
     """
     from dbt_repo_spark.operators.graph import dedup_clusters as clusters
 

@@ -186,6 +186,7 @@ EXCHANGE_BUDGETS = {
     "dedup_embed_cosine": 3,
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 10,
+    "dedup_pairs_scale": 12,
     "dim_distinct": 1,
     "distinct_count": 2,
     "embed_cosine_topk": 4,
@@ -277,6 +278,32 @@ EXCHANGE_BUDGETS = {
     "window_time_range": 1,
     "window_value_offsets": 1,
 }
+
+
+# The sole headline query allowed to shuffle on a raw shingle key:
+# dedup_minhash_lsh's SAMPLED ground-truth recall audit re-runs the exact
+# inverted-index join on a seeded 50% document sample — the audit metric
+# is the point, and at production scale the sample fraction shrinks.
+_SHINGLE_JOIN_EXEMPT = {"dedup_minhash_lsh"}
+
+
+def test_no_quadratic_shingle_join_on_headline(spark):
+    """No headline bench query may execute the Σ df(shingle)² inverted-
+    index self-join: its shuffle key would be the raw shingle, whose
+    frequency skew (stopword shingles with df ~ |corpus|) is what makes
+    the naive join quadratic at 100 TB. The quadratic form survives only
+    as the oracle twin (dedup_ngram_jaccard, off the bench) and the
+    sampled audit exempted above."""
+    import bench
+
+    for name in bench.HEADLINE:
+        if name in _SHINGLE_JOIN_EXEMPT or name == "recursive_order_chain":
+            continue
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(shingle" not in plan, (
+            f"{name}: raw-shingle shuffle in headline plan"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
