@@ -131,6 +131,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    with_residual: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list.
 
@@ -145,7 +146,13 @@ def pagerank(
     fixed ``iters`` (power iteration converges geometrically at rate
     ``damping``; 10-20 rounds is standard).
 
-    Returns (node, rank) with sum(rank) == 1.
+    Returns (node, rank) with sum(rank) == 1. With ``with_residual=True``
+    every row also carries ``l1_residual`` = Σ|rank_k − rank_{k−1}|
+    between the final two iterations — an in-plan convergence
+    certificate (power iteration contracts at rate ``damping``, so a
+    non-converged or diverging run is visible in the output values, not
+    just to someone re-running the algorithm). The residual join touches
+    only the two node-count-sized, lineage-truncated rank relations.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -161,7 +168,9 @@ def pagerank(
     links = e.join(out_deg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    prev = ranks
     for _ in range(iters):
+        prev = ranks
         contribs = (
             links.join(ranks, links["src"] == ranks["node"])
             .groupBy("dst")
@@ -185,4 +194,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    if with_residual:
+        resid = (
+            ranks.select("node", "rank")
+            .join(prev.withColumnRenamed("rank", "__prev"), "node")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1_residual")
+            )
+        )
+        return ranks.crossJoin(F.broadcast(resid))
     return ranks

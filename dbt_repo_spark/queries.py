@@ -2181,6 +2181,11 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders. Per round one O(|E|) join + hash-agg with dangling-mass
     redistribution; lineage cut per round. Validated against dense NumPy
     power iteration in tests (1e-12 agreement incl. dangling nodes).
+
+    Self-validating rows-only output: every row carries ``l1_residual``
+    (Σ|Δrank| between the final two iterations, floor pinned in
+    test_graph) so the driver's values-hash observes convergence, not
+    just the top-20 ids.
     """
     from dbt_repo_spark.operators.graph import pagerank
 
@@ -2190,10 +2195,14 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("src"),
         (F.col("l_partkey") + F.lit(1_000_000_000)).alias("dst"),
     )
-    ranks = pagerank(edges, iters=5)
+    ranks = pagerank(edges, iters=5, with_residual=True)
     return (
         ranks.filter(F.col("node") >= 1_000_000_000)
-        .select((F.col("node") - 1_000_000_000).alias("part_id"), "rank")
+        .select(
+            (F.col("node") - 1_000_000_000).alias("part_id"),
+            "rank",
+            F.round("l1_residual", 8).alias("l1_residual"),
+        )
         .orderBy(F.col("rank").desc(), "part_id")
         .limit(20)
     )
@@ -2205,25 +2214,48 @@ def distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL sketches of user_id, unioned into a range estimate. The sketch
     table is |days| rows × KB; range distincts never rescan the fact.
     Union-of-daily equals a direct sketch of the range (mergeability —
-    asserted in tests)."""
+    asserted in tests).
+
+    Self-validating rows-only output: the row also carries the exact
+    COUNT(DISTINCT) and the relative error (floor pinned in tests). The
+    exact audit is fixture-scale self-validation — at 100 TB you audit
+    sampled periods, not the full range."""
     from dbt_repo_spark.operators.sketches import (
         distinct_sketch_table,
         union_distinct_estimate,
     )
 
     ev = t(spark, sf_dir, "events")
-    return union_distinct_estimate(distinct_sketch_table(ev, "user_id", "ts", "day"))
+    est = union_distinct_estimate(distinct_sketch_table(ev, "user_id", "ts", "day"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ),
+    )
 
 
 @q("approx_distinct_sketch")  # HLL++ estimate is engine-specific → rows-only
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: approx_count_distinct (HLL++) next to the exact
     count — the 100 TB path for distinct-cardinality dashboards (no
-    shuffle of the full key set, fixed-size sketch merge)."""
+    shuffle of the full key set, fixed-size sketch merge). Each row
+    carries ``rel_err`` vs the exact count (floor pinned in tests) so
+    the rows-only check observes estimator quality in the value hash."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ),
     )
 
 
@@ -2382,31 +2414,52 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(media, width=64, height=64).drop("content")
 
 
-@q("streaming_parse_dedup")  # streaming parser driven in batch mode → rows-only
+@q(
+    "streaming_parse_dedup",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS station_id,
+           date_trunc('minute', ts) AS report_time,
+           CAST(MAX(event_id) % 20 AS BIGINT) AS bikes_available,
+           bool_or(event_type <> 'error') AS is_renting
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def streaming_parse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST2 semantics through the REAL streaming parser, batch-driven.
 
     GBFS-shaped JSON payloads are synthesized from the events table (one
-    feed snapshot per minute, one station per user), every payload is
-    delivered TWICE (at-least-once bus), and the stream's
+    feed snapshot per minute, one station per user-minute), every
+    payload is delivered TWICE (at-least-once bus), and the stream's
     from_json → explode → watermark → dropDuplicates pipeline must
-    collapse the redelivery: output rows == distinct (station_id,
-    report_time) pairs.
+    collapse the redelivery to exactly one row per (station_id,
+    report_time).
+
+    The per-station values are aggregated deterministically per
+    (user, minute) BEFORE payload synthesis, so every redelivered copy
+    is byte-identical and the whole round trip — JSON encode → stream
+    parse → dedup — has a batch-SQL DuckDB twin over the same events
+    table (full rows+schema+hash check, not rows-only: the oracle
+    proves the parser neither drops, duplicates, nor corrupts a field).
     """
     from dbt_repo_spark.streaming import parse_status_stream
 
     ev = t(spark, sf_dir, "events").withColumn(
         "minute", F.date_trunc("minute", "ts")
     )
-    snapshots = ev.groupBy("minute").agg(
+    per_station = ev.groupBy("minute", "user_id").agg(
+        F.max("event_id").alias("max_eid"),
+        F.bool_or(F.col("event_type") != "error").alias("renting"),
+    )
+    snapshots = per_station.groupBy("minute").agg(
         F.collect_list(
             F.struct(
                 F.col("user_id").cast("string").alias("station_id"),
                 F.unix_timestamp("minute").alias("last_reported"),
-                (F.col("event_id") % 20).alias("num_bikes_available"),
-                (20 - F.col("event_id") % 20).alias("num_docks_available"),
+                (F.col("max_eid") % 20).alias("num_bikes_available"),
+                (20 - F.col("max_eid") % 20).alias("num_docks_available"),
                 F.lit(True).alias("is_installed"),
-                (F.col("event_type") != "error").alias("is_renting"),
+                F.col("renting").alias("is_renting"),
                 F.lit(True).alias("is_returning"),
             )
         ).alias("stations")

@@ -106,3 +106,35 @@ def test_pagerank_matches_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_pagerank_residual_certificate(spark):
+    """with_residual attaches the L1 delta of the final two iterations:
+    bounded by the power-iteration contraction (≤ 2·damping^k), strictly
+    smaller at more iterations, and identical on every output row."""
+    from dbt_repo_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    r5 = pagerank(edges, damping=0.85, iters=5, with_residual=True).collect()
+    res5 = {row.l1_residual for row in r5}
+    assert len(res5) == 1  # one scalar, broadcast to every row
+    (res5,) = res5
+    assert 0.0 <= res5 <= 2 * 0.85**5
+    r10 = pagerank(edges, damping=0.85, iters=10, with_residual=True).collect()
+    (res10,) = {row.l1_residual for row in r10}
+    assert res10 < res5
+
+
+def test_registry_sketch_and_pagerank_quality_floors(spark, sf_dir):
+    """The self-validating metric columns of the rows-only registry
+    queries stay within their estimator bounds: HLL++ rel_err ≤ 3×rsd,
+    sketch-rollup rel_err ≤ 5% (lgK=12), pagerank residual ≤ 2·d^5."""
+    from dbt_repo_spark.queries import QUERIES
+
+    for row in QUERIES["approx_distinct_sketch"](spark, sf_dir).collect():
+        assert row.rel_err <= 0.06, row
+    (roll,) = QUERIES["distinct_sketch_rollup"](spark, sf_dir).collect()
+    assert roll.rel_err <= 0.05, roll
+    rows = QUERIES["graph_pagerank_parts"](spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.l1_residual <= 2 * 0.85**5 for r in rows)
