@@ -83,6 +83,9 @@ HEADLINE = [
     # LSH candidate path), multimodal decode, multi-probe LSH ANN
     "entity_resolution_docs",
     "training_data_pipeline_v2",
+    # round-3 addition: PassJoin pigeonhole-segment fuzzy match (exact
+    # lev<=2 pairs at 0.2% of the quadratic comparator work)
+    "fuzzy_match_passjoin",
     "multimodal_features",
     "embed_lsh_topk",
 ]

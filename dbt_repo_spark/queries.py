@@ -1895,8 +1895,12 @@ def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates would silently drop true matches and break parity. The
     scale path for edit distance is the blocking equi-join itself
     ((lang, length-bucket) band keys — already a band-bucket join whose
-    per-block comparator cost is block-size bounded); tighter guarantees
-    need pigeonhole segment indexing (PassJoin), not MinHash.
+    per-block comparator cost is block-size bounded). PassJoin pigeonhole
+    segment indexing (implemented: dedup.passjoin_pairs /
+    ``fuzzy_match_passjoin``) gives the tighter candidate bound, but
+    only where k ≪ string length — at THIS predicate's k=12 over
+    24-char heads the 13 segments collapse to 1-2 chars and the filter
+    is vacuous, so band blocking stays the right plan here.
     """
     from dbt_repo_spark.operators.graph import dedup_clusters
 
@@ -1968,6 +1972,35 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             "edit_distance",
         )
+    )
+
+
+@q(
+    "fuzzy_match_passjoin",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 32) AS head FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 2
+    """,
+)
+def fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tight-threshold fuzzy match via PassJoin pigeonhole segments
+    (dedup.passjoin_pairs): lev ≤ 2 over 32-char heads, 3 segments of
+    10-11 chars each. Unlike the MinHash family this is EXACT by
+    construction (the pigeonhole argument is a guarantee, not a
+    probability), and unlike the length-band blocking of
+    ``fuzzy_match_levenshtein`` the candidate set is bounded by pinned
+    near-aligned substring collisions, not by |length-band|² — the
+    oracle is the full quadratic levenshtein join. Applicable because
+    k ≪ |head|; the loose k=12 predicate keeps band blocking (segments
+    would collapse to 1-2 chars — see the operator docstring).
+    """
+    docs = t(spark, sf_dir, "documents")
+    heads = docs.select("doc_id", F.substring("text", 1, 32).alias("head"))
+    return dedup.passjoin_pairs(heads, "doc_id", "head", k=2).withColumn(
+        "edit_distance", F.col("edit_distance").cast("int")
     )
 
 

@@ -187,6 +187,7 @@ EXCHANGE_BUDGETS = {
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 10,
     "dedup_pairs_scale": 12,
+    "fuzzy_match_passjoin": 8,
     "dim_distinct": 1,
     "distinct_count": 2,
     "embed_cosine_topk": 4,

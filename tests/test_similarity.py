@@ -258,3 +258,49 @@ def test_prefix_filter_join_equals_quadratic_join(spark):
         (r.id_a, r.id_b) for r in dedup.jaccard_pairs_prefix(sh, 0.2).collect()
     }
     assert pref == exact and len(exact) > 0
+
+
+def test_passjoin_equals_quadratic_levenshtein(spark):
+    """passjoin_pairs returns exactly the brute-force lev≤k pairs on a
+    corpus engineered to stress the pigeonhole: substitutions in each
+    segment, ±k insertions/deletions (length drift), identical strings,
+    strings shorter than k+1 segments, and unrelated strings."""
+    from itertools import combinations
+
+    from dbt_repo_spark.operators import dedup
+
+    base = "the quick brown fox jumps over it"  # 33 chars
+    rows = [
+        (0, base),
+        (1, base),                                 # identical → d=0
+        (2, base[:10] + "X" + base[11:]),          # 1 sub in seg0
+        (3, base[:20] + "Y" + base[21:]),          # 1 sub in seg1
+        (4, base[:5] + base[6:]),                  # 1 deletion → len-1
+        (5, "ZZ" + base),                          # 2 insertions at front
+        (6, base[:12] + "AB" + base[14:]),         # 2 subs mid
+        (7, "completely different string here"),
+        (8, "ab"),                                 # shorter than k+1 segs
+        (9, "ac"),                                 # d=1 vs id 8
+        (10, base[:8] + "Q" + base[9:25] + "R" + base[26:]),  # subs in 2 segs
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in dedup.passjoin_pairs(df, "id", "s", k=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want and len(want) >= 6
