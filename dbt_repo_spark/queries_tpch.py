@@ -143,7 +143,15 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per use because Catalyst does not reuse the exchange across the
     broadcast boundary). The window's single-partition sort touches only
     |suppliers| aggregated rows, never fact rows; rank (not row_number)
-    keeps max ties, matching the SQL equality semantics exactly."""
+    keeps max ties, matching the SQL equality semantics exactly.
+
+    Caveat at extreme key cardinality: the unpartitioned window funnels
+    the aggregated relation through ONE task — fine for |suppliers| up
+    to tens of millions, its own bottleneck beyond that. The scale-out
+    alternative is to localCheckpoint the post-aggregate relation and
+    derive the scalar max with a plain two-level (partial→global)
+    aggregate + broadcast join back — still one fact scan, no
+    single-task sort — at the cost of materializing |suppliers| rows."""
     from pyspark.sql import Window
 
     li = t(spark, sf_dir, "lineitem").filter(
@@ -428,7 +436,11 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at the end, and threshold double*0.002 is one double multiply
     of identical operands → identical bits cross-engine). The window's
     single partition holds |parts| aggregated rows, never fact rows —
-    at 100 TB that beats a second full fact scan outright.
+    the trade vs a second full fact scan favors the window while |parts|
+    fits one task (up to tens of millions of keys). Beyond that the
+    scale-out form is localCheckpoint(partval) + a two-level
+    partial→global decimal sum broadcast back — still one fact scan,
+    no single-task window.
     """
     from pyspark.sql import Window
 

@@ -309,6 +309,10 @@ def test_no_quadratic_shingle_join_on_headline(spark):
 
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
 def test_exchange_budget(spark, name):
+    # a relation persisted by an earlier test (e.g. the shared minhash
+    # index) swaps InMemoryTableScan into the plan and shifts the
+    # exchange count — pin the budget against the cold plan
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     got = plan.count("Exchange ")
