@@ -86,6 +86,9 @@ HEADLINE = [
     # round-3 addition: PassJoin pigeonhole-segment fuzzy match (exact
     # lev<=2 pairs at 0.2% of the quadratic comparator work)
     "fuzzy_match_passjoin",
+    # round-3 addition: IVF-PQ composed ANN (probe-bounded compute +
+    # code-bounded memory in one fused Arrow stage)
+    "embed_ivfpq_topk",
     "multimodal_features",
     "embed_lsh_topk",
 ]

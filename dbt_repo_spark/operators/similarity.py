@@ -384,6 +384,139 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 50,
+    codebooks=None,
+    coarse=None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the production composition of the two scale axes.
+
+    IVF bounds COMPUTE (each query scores only its ``nprobe`` of
+    ``n_centroids`` inverted lists, ~nprobe/n_centroids of the corpus);
+    PQ bounds MEMORY (scored vectors are m-byte codes via ADC lookup
+    tables, 32× smaller than float64 raws). One fused Arrow stage over
+    the corpus does coarse assignment (batch × centroids matmul), PQ
+    encode, and per-query ADC scoring of ONLY the rows whose cluster is
+    in that query's probe set — at rest the (cluster, codes) table is
+    what you'd store, and the scan reads nothing else. The top
+    ``rerank`` candidates per query then exact-rerank against raw
+    vectors, bounding approximation to recall loss inside the candidate
+    set (surfaced by the registry query's recall@k column).
+
+    Plan shape: corpus scan → mapInPandas (assign+encode+ADC, broadcast
+    LUTs + probe sets) → window top-rerank → candidate join to raw
+    vectors → window top-k. Shuffles carry ≤ rerank×|queries| candidate
+    rows + the final k×|queries|; raw vectors cross no shuffle until
+    pruned to candidates. Coarse centroids follow ``ivf_topk``'s
+    deterministic stand-in (first n_centroids corpus vectors) unless a
+    trained codebook is passed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = _normalized(emb, "id", "v", id_col, vec_col)
+    if coarse is None:
+        coarse = [
+            row.v for row in corpus.orderBy("id").limit(n_centroids).collect()
+        ]
+    cmat = np.array(coarse, dtype=np.float64)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, id_col, vec_col, m=m, nbits=nbits)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_, ksub, dsub = books.shape
+
+    queries = (
+        _normalized(emb.filter(query_pred), "query_id", "qv", id_col, vec_col)
+        .orderBy("query_id")
+        .collect()
+    )
+    qids = np.array([r.query_id for r in queries], dtype=np.int64)
+    qmat = np.array([r.qv for r in queries], dtype=np.float64)
+    probes = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m_)],
+        axis=1,
+    )  # (nq, m, ksub)
+    nq = len(qids)
+
+    def assign_encode_scan(batches):
+        cols = np.arange(m_)[None, :]
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            nid = pdf["neighbor_id"].to_numpy()
+            n = mat.shape[0]
+            cluster = np.argmax(mat @ cmat.T, axis=1)
+            codes = np.empty((n, m_), dtype=np.int64)
+            for j in range(m_):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                hit = np.nonzero(
+                    np.isin(cluster, probes[qi]) & (nid != qids[qi])
+                )[0]
+                if not len(hit):
+                    continue
+                scores = luts[qi][cols, codes[hit]].sum(axis=1)
+                take = min(rerank, len(hit))
+                top = (
+                    hit[np.argpartition(-scores, take - 1)[:take]]
+                    if len(hit) > take
+                    else hit
+                )
+                sc = luts[qi][cols, codes[top]].sum(axis=1)
+                out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+                out_n.append(nid[top])
+                out_s.append(sc)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "approx": np.concatenate(out_s),
+                    }
+                )
+
+    cand = corpus.withColumnRenamed("id", "neighbor_id").mapInPandas(
+        assign_encode_scan, schema="query_id long, neighbor_id long, approx double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        cand.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= rerank)
+        .drop("rn", "approx")
+    )
+    qdf = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cand.join(corpus.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("raw_score", dot(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -1232,6 +1232,31 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
+@q("embed_ivfpq_topk")  # approximate recall by construction → rows-only check
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (similarity.py::ivfpq_topk): the production
+    composition — IVF probing bounds compute (~nprobe/n_centroids of the
+    corpus scored per query), PQ codes bound memory (32× smaller scan),
+    one fused Arrow stage does assign+encode+ADC, exact rerank bounds
+    the approximation. Codebooks are the precomputed fixture artifacts
+    shared with embed_pq_topk. Output rows carry recall@k vs the exact
+    brute-force neighbors (self-validating rows-only check; floor pinned
+    in test_similarity).
+    """
+    import os
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = similarity.load_or_train_pq_codebooks(
+        emb, os.path.basename(os.path.normpath(sf_dir)), m=8, nbits=4
+    )
+    approx = similarity.ivfpq_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=4,
+        m=8, nbits=4, rerank=100, codebooks=books,
+    )
+    exact = similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
+    return similarity.with_recall_vs_exact(approx, exact, k=5)
+
+
 @q("embed_pq_topk")  # approximate recall by construction → rows-only check
 def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.py::pq_topk): m-byte

@@ -28,6 +28,23 @@ def test_ivf_recall(spark):
     assert len(exact & ivf) / len(exact) >= 0.85
 
 
+def test_ivfpq_recall_and_registry_floor(spark):
+    """IVF-PQ (fused assign+encode+ADC) keeps usable recall vs exact
+    brute force, and the registry query's self-validating recall@k
+    column respects the pinned floor on every query row."""
+    from dbt_repo_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = _pairs(similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5))
+    ivfpq = _pairs(
+        similarity.ivfpq_topk(emb, F.col("vec_id") < 10, k=5, rerank=100)
+    )
+    assert len(exact & ivfpq) / len(exact) >= 0.8
+    rows = QUERIES["embed_ivfpq_topk"](spark, SF).collect()
+    recalls = [r.recall_at_k for r in rows]
+    assert min(recalls) >= 0.4 and sum(recalls) / len(recalls) >= 0.7
+
+
 def test_cosine_pairs_symmetric_and_thresholded(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     pairs = similarity.cosine_pairs(emb, threshold=0.4)
