@@ -652,3 +652,52 @@ def ngram_containment(
             ),
         )
     )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document duplicated-passage fraction (substring-level dedup
+    signal, after Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better": boilerplate shows up as word n-grams shared
+    verbatim across documents, even when whole-document hashes differ).
+
+    Two aggregates and one join, all keyed on the 8-byte hashed shingle:
+    (1) distinct word n-grams per doc (``shingles``), (2) document
+    frequency per n-gram, (3) join back and count, per doc, the n-grams
+    with df >= 2. A doc whose duplicated fraction exceeds
+    ``flag_threshold`` is flagged for span-level dedup or dropping.
+
+    100 TB: the join output is Σ df (one row per (doc, distinct-gram)
+    instance) — LINEAR in corpus size, never the Σ df² of the pair join.
+    Per-key fan-in equals df(gram) <= |docs| for boilerplate n-grams; the
+    df side is one row per key, so AQE skew-join splits the probe side
+    freely and replicating the 1-row build partition is free. Keys are
+    xxhash64 longs — uniformly spread across partitions by construction.
+
+    Output: (id, n_grams, dup_grams, dup_fraction, is_dup_heavy),
+    docs with fewer than ``n`` tokens carry no n-grams and are absent.
+    """
+    sh = shingles(df, id_col, text_col, n=n, as_hash=True)
+    gram_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(gram_df, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_grams"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "dup_grams",
+            (F.col("dup_grams") / F.col("n_grams")).alias("dup_fraction"),
+            (F.col("dup_grams") / F.col("n_grams") >= F.lit(flag_threshold)).alias(
+                "is_dup_heavy"
+            ),
+        )
+    )

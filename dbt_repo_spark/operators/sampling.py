@@ -170,3 +170,58 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def mixture_sample(
+    df: DataFrame, domain_col: str, weights: dict[str, float], id_col: str
+) -> DataFrame:
+    """Largest feasible sample matching a target domain mixture exactly.
+
+    The domain-rebalancing primitive of training-corpus assembly (the
+    DoReMi / SlimPajama "data mixture" step): given target proportions
+    ``weights`` (summing to ~1), emit the LARGEST subset whose per-domain
+    counts hit floor(w_d * T) rows, where T = floor(min_d n_d / w_d) is
+    the total the scarcest domain supports. Selection within a domain is
+    by md5(id) rank — content-addressed, so membership is reproducible
+    across runs, engines, and partition layouts, and growing one domain
+    never perturbs another domain's picks.
+
+    Plan: one per-domain count (partial-agg'd map-side, |domains| rows),
+    the T/k_d arithmetic on that tiny relation, broadcast back, and one
+    rank-filter per domain. The per-domain row_number funnels each
+    domain through one task — fine while |domains| is dozens-to-hundreds
+    of web/book/code-scale buckets but a skew bottleneck if a single
+    domain is ~the whole corpus; at that scale swap the window for the
+    two-phase range-partitioned rank of ``ids.dense_ids`` (same output,
+    no single-task stage). Cheaper still, when EXACT counts are not
+    required: filter on the hash VALUE (md5 < rate-quantile), which is
+    shuffle-free but binomially approximate per domain.
+    """
+    domains = sorted(weights)
+    wmap = F.create_map(
+        *[F.lit(x) for d in domains for x in (d, float(weights[d]))]
+    )
+    counts = (
+        df.filter(F.col(domain_col).isin(domains))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", wmap[F.col(domain_col)])
+    )
+    t_total = counts.agg(
+        F.floor(F.min(F.col("__n") / F.col("__w"))).alias("__T")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(t_total))
+        .select(
+            domain_col,
+            F.floor(F.col("__w") * F.col("__T")).cast("long").alias("__k"),
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy(_hash_order(id_col), F.col(id_col))
+    return (
+        df.filter(F.col(domain_col).isin(domains))
+        .join(F.broadcast(quotas), domain_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__k")
+    )

@@ -907,3 +907,101 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical k-means,
+    then mark, WITHIN each cluster, every vector that has cosine >=
+    ``threshold`` with a lower-id cluster-mate as a duplicate (keep-min-id
+    is this engine's deterministic stand-in for the paper's
+    keep-farthest-from-centroid tie-break).
+
+    Scale shape: the quadratic comparison never touches the corpus — it
+    runs per CLUSTER, and cluster count grows with the corpus (SemDeDup
+    uses 50k clusters for LAION-scale) so cluster SIZE stays ~constant;
+    total work is O(n_clusters x avg_size²) with one shuffle on the int
+    cluster key. The codebook is trained on a sample (train_centroids)
+    and inlined as literals — no training shuffle in this plan.
+
+    Self-validation: intra-cluster qualifying pairs are a SUBSET of the
+    exact all-pairs near-dup set by construction, so pair_recall =
+    |intra| / |exact| measures exactly what clustering loses (cross-
+    cluster near-dups). Emitted as a constant column; the exact subtree
+    is fixture-scale audit work you would sample or run offline at 100 TB.
+
+    Output: (id, cluster, is_duplicate, pair_recall).
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebook = train_centroids(
+        emb, id_col, vec_col, n_centroids=n_clusters, iters=iters
+    )
+    cmat_np = np.array(codebook, dtype=np.float64)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["cv0"]), dtype=np.float64)
+            cluster = np.argmax(mat @ cmat_np.T, axis=1).astype("int32")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": cluster,
+                    "v": list(mat / norms[:, None]),
+                }
+            )
+
+    assigned = (
+        emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("cv0"))
+        .mapInPandas(assign_batches, schema="id long, cluster int, v array<double>")
+        .persist()
+    )
+    intra = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("raw", dot(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("raw") >= F.lit(threshold))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+    )
+    dups = intra.select(F.col("id_b").alias("id")).distinct()
+    exact_n = (
+        cosine_pairs(emb, threshold, id_col, vec_col)
+        .agg(F.count("*").alias("__n_exact"))
+    )
+    recall = (
+        intra.agg(F.count("*").alias("__n_intra"))
+        .crossJoin(F.broadcast(exact_n))
+        .select(
+            F.when(
+                F.col("__n_exact") > 0,
+                F.round(F.col("__n_intra") / F.col("__n_exact"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("pair_recall")
+        )
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
+        )
+        .crossJoin(F.broadcast(recall))
+    )

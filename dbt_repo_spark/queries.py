@@ -3959,5 +3959,99 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_dup_passages",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+     sh AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 5
+                     THEN list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(list_slice(w, i, i + 4), ' '))
+                     ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+            FROM toks),
+     gram AS (SELECT shingle, COUNT(*) AS gdf FROM sh GROUP BY 1)
+    SELECT sh.doc_id AS id, COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE gdf >= 2) AS dup_grams,
+           COUNT(*) FILTER (WHERE gdf >= 2) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_fraction,
+           COUNT(*) FILTER (WHERE gdf >= 2) / CAST(COUNT(*) AS DOUBLE) >= 0.5
+             AS is_dup_heavy
+    FROM sh JOIN gram USING (shingle) GROUP BY 1
+    """,
+)
+def text_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage fraction per doc (dedup.py::duplicated_ngram_stats):
+    the substring-level dedup signal — share of a doc's distinct word
+    5-grams that recur verbatim elsewhere in the corpus. Complements the
+    whole-doc families (exact/MinHash/SimHash): boilerplate headers and
+    templated spans score high here while the document hash stays unique.
+    Linear Σ df join on hashed shingles — see the operator docstring for
+    the 100 TB skew analysis.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_stats(docs, "doc_id", "text", n=5)
+
+
+@q(
+    "sample_domain_mixture",
+    """
+    WITH w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+               FROM (VALUES ('en', 0.4), ('fr', 0.2), ('es', 0.2),
+                            ('de', 0.1), ('zh', 0.1)) AS v(lang, wt)),
+     c AS (SELECT lang, wt, COUNT(*) AS n
+           FROM documents JOIN w USING (lang) GROUP BY 1, 2),
+     tot AS (SELECT CAST(FLOOR(MIN(n / wt)) AS BIGINT) AS t_max FROM c),
+     k AS (SELECT lang, CAST(FLOOR(wt * t_max) AS BIGINT) AS k_d
+           FROM c CROSS JOIN tot),
+     r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                              doc_id) AS rn
+           FROM documents JOIN w USING (lang))
+    SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= k_d
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus assembly (sampling.py::mixture_sample): the
+    largest subset of documents whose language shares hit the 40/20/20/
+    10/10 target exactly (floor arithmetic), membership content-addressed
+    by md5(doc_id) so the draw is reproducible across engines and runs.
+    The mixture math runs on a |domains|-row relation; only the
+    per-domain rank touches the corpus.
+    """
+    from dbt_repo_spark.operators.sampling import mixture_sample
+
+    docs = t(spark, sf_dir, "documents")
+    weights = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+    return mixture_sample(docs, "lang", weights, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@q("dedup_semantic")  # k-means assignment + sampled-centroid seed → rows-only
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (similarity.py::semantic_dedup):
+    spherical-k-means cluster the embedding space, then near-dup-mark
+    within clusters only — the embedding-space analogue of the LSH
+    band bucket, trading the all-pairs O(n²) for O(Σ cluster_size²)
+    with cluster size held ~constant by scaling cluster count.
+
+    Rows-only check by construction (assignment depends on the trained
+    codebook), but self-validating: every row carries pair_recall =
+    intra-cluster qualifying pairs / exact all-pairs near-dups — the
+    exact subtree is the fixture-scale audit (floor pinned in
+    test_similarity). Threshold 0.4 matches dedup_embed_cosine's exact
+    twin so the audit set is non-empty on the isotropic fixture
+    embeddings (at the paper's 0.9+ on real embeddings the same plan
+    applies; on isotropic noise no pair reaches it).
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, n_clusters=16, threshold=0.4, iters=2
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

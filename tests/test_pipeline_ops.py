@@ -1,0 +1,96 @@
+"""Unit properties of the corpus-assembly operators added in round 3:
+duplicated-passage detection (dedup.duplicated_ngram_stats) and target
+domain-mixture sampling (sampling.mixture_sample). Oracle parity for the
+registry twins (text_dup_passages, sample_domain_mixture) runs in
+test_oracle_parity; these tests pin the semantic invariants the SQL
+comparison alone would not surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.dedup import duplicated_ngram_stats
+from dbt_repo_spark.operators.sampling import mixture_sample
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_passage_fraction_known_corpus(spark):
+    boiler = "terms of service apply to all users here"  # 8 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "completely unrelated words one two three four five six"),
+        (4, "tiny doc"),  # < 5 tokens -> no n-grams, absent from output
+    ]
+    out = {
+        r["id"]: r
+        for r in duplicated_ngram_stats(
+            _docs(spark, rows), "doc_id", "text", n=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # 12 tokens -> 8 distinct 5-grams; the 4 grams fully inside the
+    # 8-token boilerplate prefix are shared between docs 1 and 2.
+    for d in (1, 2):
+        assert out[d]["n_grams"] == 8
+        assert out[d]["dup_grams"] == 4
+        assert math.isclose(out[d]["dup_fraction"], 0.5)
+        assert bool(out[d]["is_dup_heavy"])  # threshold is >= 0.5
+    assert out[3]["dup_grams"] == 0 and not out[3]["is_dup_heavy"]
+
+
+def test_dup_passage_fraction_within_unit_interval(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = (
+        duplicated_ngram_stats(docs, "doc_id", "text", n=5)
+        .filter((F.col("dup_fraction") < 0) | (F.col("dup_fraction") > 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mixture_sample_hits_floor_quotas(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+    n_by = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    t_max = math.floor(min(n_by[d] / w for d, w in weights.items()))
+    got = {
+        r["lang"]: r["c"]
+        for r in mixture_sample(docs, "lang", weights, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == {d: math.floor(w * t_max) for d, w in weights.items()}
+    # every quota is feasible
+    for d in weights:
+        assert got[d] <= n_by[d]
+
+
+def test_mixture_sample_membership_content_addressed(spark, sf_dir):
+    """Growing one domain must not perturb another domain's picks below
+    its quota boundary: membership is ranked by md5(id), not by data
+    order or partitioning."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 0.5, "fr": 0.5}
+    base = mixture_sample(docs, "lang", weights, "doc_id")
+    # same input repartitioned arbitrarily -> identical membership
+    shuffled = mixture_sample(docs.repartition(13), "lang", weights, "doc_id")
+    a = {(r["doc_id"]) for r in base.select("doc_id").collect()}
+    b = {(r["doc_id"]) for r in shuffled.select("doc_id").collect()}
+    assert a == b
+
+
+def test_mixture_sample_ignores_unlisted_domains(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(docs, "lang", {"en": 0.7, "zh": 0.3}, "doc_id")
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} == {
+        "en",
+        "zh",
+    }

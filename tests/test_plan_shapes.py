@@ -185,6 +185,7 @@ EXCHANGE_BUDGETS = {
     "dedup_clusters": 0,
     "dedup_embed_cosine": 3,
     "dedup_exact": 1,
+    "dedup_semantic": 11,
     "dedup_ngram_jaccard": 10,
     "dedup_pairs_scale": 12,
     "fuzzy_match_passjoin": 8,
@@ -227,6 +228,7 @@ EXCHANGE_BUDGETS = {
     "safe_math": 1,
     "salted_join_skew": 2,
     "sample_cap_per_user": 1,
+    "sample_domain_mixture": 6,
     "sample_hash_split": 1,
     "sample_stratified_events": 1,
     "sample_weighted_orders": 0,
@@ -248,6 +250,7 @@ EXCHANGE_BUDGETS = {
     "surrogate_keys": 0,
     "text_bigram_lm": 15,
     "text_chunking": 0,
+    "text_dup_passages": 5,
     "text_fingerprints": 0,
     "text_lang_id": 0,
     "text_pii_redaction": 0,

