@@ -91,6 +91,11 @@ HEADLINE = [
     "embed_ivfpq_topk",
     "multimodal_features",
     "embed_lsh_topk",
+    # round-3 additions 2: substring-level dup signal, target-mixture
+    # sampling, SemDeDup semantic dedup
+    "text_dup_passages",
+    "sample_domain_mixture",
+    "dedup_semantic",
 ]
 
 RUNS = 3

