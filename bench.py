@@ -96,6 +96,7 @@ HEADLINE = [
     "text_dup_passages",
     "sample_domain_mixture",
     "dedup_semantic",
+    "quantile_sketch_rollup",
 ]
 
 RUNS = 3

@@ -105,3 +105,87 @@ def heavy_hitters(df: DataFrame, key_col: str, theta: float = 0.001) -> DataFram
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > theta * n)
     )
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    time_col: str,
+    grain: str = "day",
+    k: int = 32,
+) -> DataFrame:
+    """Per-(keys, period) quantile-grid sketches: (keys, period, n_rows,
+    grid) where ``grid`` holds the k+1 evenly-spaced quantiles of
+    ``value_col`` (a compressed CDF; rank error ≤ 1/k per sketch, plus
+    percentile_approx's own bounded error while building).
+
+    The quantile analogue of ``distinct_sketch_table``: one hash-agg pass
+    at ingest, output sized by group count not data size, maintained
+    incrementally (a restated partition overwrites one row). Spark ships
+    no storable quantile sketch (approx_percentile's summary is
+    plan-internal), so the stored form is the grid itself — unlike raw
+    percentiles, grids ARE mergeable with bounded error because each
+    carries its row count (see ``merge_quantile_estimate``).
+    """
+    probs = F.array(*[F.lit(i / k) for i in range(k + 1)])
+    period = F.date_trunc(grain, F.col(time_col)).alias("period")
+    return df.groupBy(*key_cols, period).agg(
+        F.count("*").alias("n_rows"),
+        F.percentile_approx(value_col, probs, F.lit(10000)).alias("grid"),
+    )
+
+
+def merge_quantile_estimate(
+    sketches: DataFrame,
+    key_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Quantiles over any union of sketch rows — without rescanning facts.
+
+    Each grid cell [g_{i-1}, g_i] holds n_rows/k of its group's mass;
+    assigning that weight to the cell's upper endpoint makes each sketch a
+    weighted empirical CDF, and merging is just pooling the weighted
+    points: sort per rollup key, running-sum the weights, and read the
+    smallest point whose cumulative mass reaches p·total. Work is
+    O(|sketch rows| × (k+1)) — periods times a constant, NOT data size;
+    the per-key window runs over that tiny pooled relation.
+
+    Rank error: ≤ 1/k per source sketch (weight quantized to its upper
+    endpoint) — the merged estimate stays within max_g(1/k_g) ranks of
+    exact, independent of how many sketches pool.
+
+    Output: one row per (keys, prob): (keys..., prob, value_est).
+    """
+    from pyspark.sql import Window
+
+    pts = (
+        sketches.select(
+            *key_cols,
+            F.col("n_rows"),
+            (F.size("grid") - 1).alias("__k"),
+            F.posexplode("grid").alias("pos", "x"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("pos") == 0, F.lit(0.0)).otherwise(
+                F.col("n_rows") / F.col("__k")
+            ),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("x", "pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    pts = pts.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "total", F.sum("w").over(w_tot)
+    )
+    probs_df = F.explode(F.array(*[F.lit(p) for p in probs])).alias("prob")
+    return (
+        pts.select(*key_cols, "x", "cum", "total", probs_df)
+        .filter(F.col("cum") >= F.col("prob") * F.col("total") - F.lit(1e-9))
+        .groupBy(*key_cols, "prob")
+        .agg(F.min("x").alias("value_est"))
+    )

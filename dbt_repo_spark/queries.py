@@ -4053,5 +4053,55 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("quantile_sketch_rollup")  # grid-quantized estimate → rows-only check
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-and-merge quantile sketches (sketches.py::quantile_sketch_table
+    + merge_quantile_estimate): per-(event_type, day) quantile grids built
+    once at ingest, merged into per-event_type p50/p90/p99 over the whole
+    range by pooling |periods|×(k+1) weighted points — the quantile
+    analogue of distinct_sketch_rollup, answering range quantiles without
+    rescanning the fact.
+
+    Self-validating rows-only check: each row carries rank_err =
+    |F_exact(value_est) − p|, the achieved rank distance measured against
+    the true CDF — bounded by 1/k + the build accuracy (floor pinned in
+    test_similarity). The exact-CDF audit subtree is fixture-scale work
+    you would sample at 100 TB; the stored sketches and the merge are
+    what scale.
+    """
+    from dbt_repo_spark.operators.sketches import (
+        merge_quantile_estimate,
+        quantile_sketch_table,
+    )
+
+    probs = [0.5, 0.9, 0.99]
+    ev = t(spark, sf_dir, "events")
+    sk = quantile_sketch_table(ev, ["event_type"], "value", "ts", "day", k=32)
+    est = merge_quantile_estimate(sk, ["event_type"], probs)
+    sizes = ev.groupBy("event_type").agg(F.count("*").alias("__n"))
+    below = (
+        ev.join(F.broadcast(est), "event_type")
+        .filter(F.col("value") <= F.col("value_est"))
+        .groupBy("event_type", "prob")
+        .agg(F.count("*").alias("__below"))
+    )
+    return (
+        est.join(below, ["event_type", "prob"], "left")
+        .join(F.broadcast(sizes), "event_type")
+        .select(
+            "event_type",
+            "prob",
+            F.round("value_est", 6).alias("value_est"),
+            F.round(
+                F.abs(
+                    F.coalesce("__below", F.lit(0)) / F.col("__n")
+                    - F.col("prob")
+                ),
+                6,
+            ).alias("rank_err"),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

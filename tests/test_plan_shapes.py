@@ -222,6 +222,7 @@ EXCHANGE_BUDGETS = {
     "pivot_event_counts": 2,
     "pricing_summary": 1,
     "profile_orders": 2,
+    "quantile_sketch_rollup": 10,
     "range_join_order_windows": 2,
     "regex_battery": 0,
     "rollup_agg": 3,
@@ -436,3 +437,4 @@ def test_customer_order_distribution_two_pruned_shuffles(spark):
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads and all("o_comment" not in l for l in reads)
     assert all("c_address" not in l and "c_phone" not in l for l in reads)
+

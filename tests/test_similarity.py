@@ -344,3 +344,50 @@ def test_semantic_dedup_registry_floor_and_subset(spark):
     # every duplicate is the greater id of at least one exact near-dup pair
     greater_ids = {p.id_b for p in exact}
     assert dup_ids <= greater_ids
+
+
+def test_quantile_sketch_rollup_rank_error_floor(spark):
+    """Merged per-day quantile grids answer whole-range quantiles within
+    the 1/k rank bound (k=32 -> 0.03125), certified in-plan by rank_err
+    = |F_exact(est) - p| against the true CDF."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["quantile_sketch_rollup"](spark, SF).collect()
+    assert len(rows) == 15  # 5 event types x 3 probs
+    assert max(r.rank_err for r in rows) <= 1 / 32 + 1e-6
+
+
+def test_quantile_sketch_merge_matches_unsplit_sketch(spark):
+    """Mergeability: pooling per-day grids must estimate the same
+    quantiles as one grid built over the whole range (within one grid
+    cell's rank mass on each side -> values within neighboring cells)."""
+    from dbt_repo_spark.operators.sketches import (
+        merge_quantile_estimate,
+        quantile_sketch_table,
+    )
+    from dbt_repo_spark.queries import t as load
+
+    ev = load(spark, SF, "events")
+    probs = [0.25, 0.5, 0.75, 0.9]
+    split = quantile_sketch_table(ev, [], "value", "ts", "day", k=32)
+    whole = quantile_sketch_table(ev, [], "value", "ts", "year", k=32)
+    est_split = {
+        r.prob: r.value_est
+        for r in merge_quantile_estimate(split, [], probs).collect()
+    }
+    est_whole = {
+        r.prob: r.value_est
+        for r in merge_quantile_estimate(whole, [], probs).collect()
+    }
+    n = ev.count()
+    vals = sorted(r.value for r in ev.select("value").collect())
+
+    def rank(x):
+        import bisect
+
+        return bisect.bisect_right(vals, x) / n
+
+    for p in probs:
+        # both estimates within 2/k rank mass of the target
+        assert abs(rank(est_split[p]) - p) <= 2 / 32 + 1e-6, p
+        assert abs(rank(est_whole[p]) - p) <= 2 / 32 + 1e-6, p
