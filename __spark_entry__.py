@@ -17,47 +17,60 @@ from dbt_repo_spark.queries import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Driver-side correctness evidence ledger. The driver checks a bounded
-# window (first ~50 registry entries) per round, so ``queries()`` orders
-# entries never-driver-checked first, then this-round rechecks, then
-# least-recently-verified. Refresh per round from CORRECTNESS_r{N}.json.
-_CHECKED_R01 = {
-    "pricing_summary", "stg_projection", "typed_null_filter", "surrogate_keys",
-    "latest_per_key", "sessions_daily", "mart_region_revenue", "trip_metrics",
-    "customer_orders", "dim_distinct", "date_spine", "incremental_antijoin",
-    "semi_join_exists", "supplier_diversity", "exists_not_exists",
-    "left_join_null_handling", "case_when_bucketing", "json_extract_props",
-    "explode_tokens", "datetime_battery", "safe_math", "scalar_subquery",
-    "set_union", "set_intersect", "set_except_intersect_all",
-    "small_quantity_revenue", "large_volume_customers", "set_except",
-    "window_running", "top_k_per_group", "rollup_agg", "distinct_count",
-    "events_dedup_count", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "embed_cosine_topk",
-    "embed_lsh_topk", "embed_cosine_topk_np", "embed_ivf_topk",
-    "embed_pq_topk", "dedup_embed_cosine", "text_lang_id", "text_quality",
-    "text_token_stats", "text_fingerprints", "multimodal_frames",
-    "events_asof_last_signup",
-}
-_CHECKED_R02 = {
-    "similarity_join_prefix", "multimodal_features",
-    "asof_purchase_last_signup_value", "percentile_battery",
-    "histogram_equidepth", "pivot_event_counts", "unpivot_measures",
-    "window_offsets", "variant_json_extract", "regex_battery",
-    "group_concat_sorted", "null_safe_join", "string_battery",
-    "array_battery", "entity_resolution_docs", "fuzzy_match_levenshtein",
-    "grouping_sets_agg", "timeseries_gapfill", "map_battery",
-    "heavy_hitters_events", "next_event_training_pairs",
-    "event_transition_matrix", "graph_pagerank_parts",
-    "distinct_sketch_rollup", "approx_distinct_sketch", "salted_join_skew",
-    "tumbling_window_counts", "session_windows", "training_data_pipeline",
-    "multimodal_resize", "streaming_parse_dedup", "sample_stratified_events",
-    "sample_cap_per_user", "sample_hash_split", "pack_sequences",
-    "dedup_clusters", "range_join_order_windows", "text_pii_redaction",
-    "funnel_signup_purchase", "scd2_event_state", "dedup_incremental_minhash",
-    "sample_weighted_orders", "text_top_terms", "text_bigram_lm",
-    "text_chunking", "text_tfidf_topk", "text_repetition",
-    "decontaminate_eval_ngrams", "embed_preprocess", "anomaly_trailing_zscore",
-}
+# Driver-side correctness evidence ledger, derived AUTOMATICALLY from the
+# CORRECTNESS_r{N}.json files the driver commits each round (the r02
+# verdict flagged the hand-maintained set as easy to forget — this can't
+# be). The driver checks a bounded window (first ~50 registry entries)
+# per round, so ``queries()`` orders entries: never-driver-checked first,
+# then queries whose LATEST driver record failed or that changed this
+# round, then least-recently-verified.
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
+
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+
+
+def _check_history() -> tuple[dict[str, int], set[str]]:
+    """(latest round each query was driver-checked, names whose latest
+    record was a hard failure)."""
+    latest: dict[str, int] = {}
+    status: dict[str, tuple[int, bool]] = {}
+    for path in sorted(_glob.glob(_os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        for name, rec in data.items():
+            latest[name] = max(latest.get(name, 0), rnd)
+            if name in ORACLES:
+                # Oracle contract: full rows+schema+hash green. A query
+                # that GAINED an oracle after a rows-only record also
+                # lands here and is queued for a full re-check.
+                ok = bool(
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                )
+            else:
+                # Rows-only contract: the driver records err="no_oracle"
+                # with the observed row count; a traceback or a missing
+                # count is the failure signal.
+                ok = (
+                    rec.get("err") in (None, "no_oracle")
+                    and rec.get("spark_rows") is not None
+                )
+            if name not in status or rnd >= status[name][0]:
+                status[name] = (rnd, ok)
+    failed = {n for n, (_, ok) in status.items() if not ok}
+    return latest, failed
+
 
 # Never checked: lead the window with the TPC-H-shape rewrites (materially
 # rewritten in r02, only local-oracle evidence so far), then the rest.
@@ -69,12 +82,13 @@ _NEVER_CHECKED_FIRST = [
     "disjunctive_predicate_revenue", "idle_customer_outreach",
 ]
 
-# Changed/failed this round — re-verify right after the never-checked set:
+# Changed this round — re-verify right after the never-checked set:
 # timeseries_gapfill (r02 FAIL: oracle TIMESTAMPTZ drift, oracle fixed r03),
 # fuzzy_match_levenshtein (PassJoin segment blocking), streaming_parse_dedup
 # (gains a batch DuckDB twin), sketches/pagerank (gain in-plan error
 # metrics), embed_pq_topk (shared recall-audit scan), dedup_clusters /
-# dedup_ngram_jaccard (headline plan moved to the scale path).
+# dedup_ngram_jaccard (headline plan moved to the scale path). Queries
+# whose latest driver record FAILED are appended automatically.
 _RECHECK_THIS_ROUND = [
     "timeseries_gapfill", "fuzzy_match_levenshtein", "streaming_parse_dedup",
     "approx_distinct_sketch", "distinct_sketch_rollup",
@@ -93,23 +107,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so a bounded driver check window reaches every operator:
     never-driver-checked first (TPC-H rewrites leading), then queries
-    changed this round, then round-1 greens (least recently verified),
-    then round-2 greens.
+    changed this round or whose latest driver record failed, then
+    least-recently-verified (older rounds first).
     """
-    checked = _CHECKED_R01 | _CHECKED_R02
-    recheck = set(_RECHECK_THIS_ROUND)
+    latest, failed = _check_history()
+    recheck = list(_RECHECK_THIS_ROUND) + sorted(
+        failed - set(_RECHECK_THIS_ROUND)
+    )
 
-    def rank(item: tuple[int, str]) -> tuple[int, int]:
+    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = item
-        if name in _NEVER_CHECKED_FIRST:
-            return (0, _NEVER_CHECKED_FIRST.index(name))
-        if name not in checked:
-            return (1, idx)
+        if name not in latest:
+            if name in _NEVER_CHECKED_FIRST:
+                return (0, _NEVER_CHECKED_FIRST.index(name), idx)
+            return (1, 0, idx)
         if name in recheck:
-            return (2, _RECHECK_THIS_ROUND.index(name))
-        if name in _CHECKED_R01:
-            return (3, idx)
-        return (4, idx)
+            return (2, recheck.index(name), idx)
+        return (3, latest[name], idx)
 
     ordered = sorted(enumerate(QUERIES), key=rank)
     return {name: QUERIES[name] for _, name in ordered}

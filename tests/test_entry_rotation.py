@@ -1,0 +1,51 @@
+"""The driver checks only a bounded prefix of ``queries()`` per round, so
+the rotation in __spark_entry__ must (a) surface never-checked and
+failed/changed queries first and (b) stay in sync with the committed
+CORRECTNESS_r{N}.json ledger WITHOUT hand-maintenance (the r02 verdict
+flagged the manual set as the failure mode)."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod
+
+importlib.reload(entry_mod)
+
+
+def test_rotation_covers_registry_exactly():
+    from dbt_repo_spark.queries import QUERIES
+
+    ordered = entry_mod.queries()
+    assert set(ordered) == set(QUERIES)
+    assert len(ordered) == len(QUERIES)
+
+
+def test_never_checked_and_failed_lead_the_window():
+    latest, failed = entry_mod._check_history()
+    ordered = list(entry_mod.queries())
+    never = {n for n in ordered if n not in latest}
+    prefix = ordered[: len(never)]
+    assert set(prefix) == never, "never-driver-checked queries must lead"
+    # every latest-failed query sits before any green least-recently-
+    # verified entry
+    greens = [n for n in ordered if n in latest and n not in failed
+              and n not in entry_mod._RECHECK_THIS_ROUND]
+    first_green = ordered.index(greens[0])
+    for name in failed:
+        assert ordered.index(name) < first_green, name
+
+
+def test_history_classifies_rows_only_records():
+    """A clean rows-only record (err='no_oracle', count present) is NOT a
+    failure; a recorded traceback or a missing count is."""
+    latest, failed = entry_mod._check_history()
+    # r02 recorded clean rows-only rows for these (after the r01 fix):
+    assert "multimodal_features" not in failed
+    assert "dedup_minhash_lsh" not in failed
+    # timeseries_gapfill hard-failed in r02 (oracle tz drift, since fixed;
+    # stays queued for re-check until a green round lands)
+    if latest.get("timeseries_gapfill", 0) == 2:
+        assert "timeseries_gapfill" in failed
