@@ -225,3 +225,46 @@ def mixture_sample(
         .filter(F.col("__rn") <= F.col("__k"))
         .drop("__rn", "__k")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    token_count_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Assemble a corpus hitting a target TOKEN mixture under a budget.
+
+    Production LLM mixtures are specified in tokens, not documents (a
+    domain of long books and a domain of short posts with equal doc
+    counts are nothing alike). Per domain, documents are taken greedily
+    in md5(id) order while the running token sum stays within the
+    domain's share ``w_d * token_budget``; the document that would cross
+    the boundary is excluded, so every run under- rather than over-fills
+    and membership is reproducible (content-addressed order, engine-
+    portable arithmetic: exact integer token sums).
+
+    Same single-task-per-domain window caveat as ``mixture_sample`` —
+    a running sum per domain; swap in a two-phase (per-range partial
+    sums + offsets) scan at single-giant-domain scale.
+    """
+    domains = sorted(weights)
+    wmap = F.create_map(
+        *[F.lit(x) for d in domains for x in (d, float(weights[d]))]
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_order(id_col), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(domain_col).isin(domains))
+        .withColumn(
+            "__cum", F.sum(token_count_col).over(w)
+        )
+        .filter(
+            F.col("__cum")
+            <= wmap[F.col(domain_col)] * F.lit(float(token_budget))
+        )
+        .drop("__cum")
+    )

@@ -4103,5 +4103,44 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_token_budget_mixture",
+    """
+    WITH w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+               FROM (VALUES ('en', 0.4), ('fr', 0.2), ('es', 0.2),
+                            ('de', 0.1), ('zh', 0.1)) AS v(lang, wt)),
+     d AS (SELECT doc_id, lang, wt,
+                  CAST(len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents JOIN w USING (lang)),
+     r AS (SELECT doc_id, lang, n_tokens, wt,
+                  SUM(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS cum
+           FROM d)
+    SELECT doc_id, lang, n_tokens FROM r WHERE cum <= wt * 10000.0
+    """,
+)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly (sampling.py::token_budget_mixture):
+    greedily fill each language's share of a 10k-token budget in
+    md5(doc_id) order — the mixture knob production LLM pipelines
+    actually turn (token shares, not document counts). Exact integer
+    token sums make the draw engine-portable and reproducible.
+    """
+    from dbt_repo_spark.operators.sampling import token_budget_mixture
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast(
+            "long"
+        ),
+    )
+    weights = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+    return token_budget_mixture(
+        docs, "lang", weights, "doc_id", "n_tokens", 10000
+    ).select("doc_id", "lang", "n_tokens")
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -94,3 +94,33 @@ def test_mixture_sample_ignores_unlisted_domains(spark, sf_dir):
         "en",
         "zh",
     }
+
+
+def test_token_budget_mixture_respects_budget(spark, sf_dir):
+    from dbt_repo_spark.operators.sampling import token_budget_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast(
+            "long"
+        ),
+    )
+    weights = {"en": 0.4, "fr": 0.2, "es": 0.2, "de": 0.1, "zh": 0.1}
+    budget = 10000
+    out = token_budget_mixture(docs, "lang", weights, "doc_id", "n_tokens", budget)
+    got = {
+        r["lang"]: r["tok"]
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    for d, w in weights.items():
+        assert got[d] <= w * budget  # never over-fills
+        # greedy fill: adding ONE more doc (the first excluded) would
+        # cross the boundary, so the fill is maximal for this order
+    # a domain's membership is independent of other domains' data
+    sub = token_budget_mixture(
+        docs.filter(F.col("lang") != "zh"), "lang", weights, "doc_id",
+        "n_tokens", budget,
+    )
+    a = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    b = {r["doc_id"] for r in sub.filter(F.col("lang") == "en").collect()}
+    assert a == b

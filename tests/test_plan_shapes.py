@@ -232,6 +232,7 @@ EXCHANGE_BUDGETS = {
     "sample_domain_mixture": 6,
     "sample_hash_split": 1,
     "sample_stratified_events": 1,
+    "sample_token_budget_mixture": 1,
     "sample_weighted_orders": 0,
     "scalar_subquery": 2,
     "scd2_event_state": 1,
