@@ -204,3 +204,37 @@ def pagerank(
         )
         return ranks.crossJoin(F.broadcast(resid))
     return ranks
+
+
+def canonical_by_quality(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivorship: keep the BEST document per near-dup
+    cluster, not the lowest id.
+
+    Production dedup keeps the longest / highest-quality member of each
+    duplicate group (the rest are truncations, scrapes, or boilerplate
+    variants of it); min-id keep is only the deterministic default when
+    no quality signal exists. Output is (doc_id, cluster_id, quality,
+    keep) for EVERY document — singletons are their own cluster and
+    always kept — so ``filter(keep)`` is the deduplicated corpus.
+
+    Scale: clustering is the pointer-jumping CC (log-round); the argmax
+    is one row_number window per cluster — near-dup clusters are small
+    by construction (bounded by how often content repeats), so the
+    window never sees a giant partition. Ties break on lowest id for
+    engine-portable determinism.
+    """
+    from pyspark.sql import Window
+
+    cc = dedup_clusters(pairs, all_ids=docs.select(id_col), id_col=id_col)
+    scored = cc.drop("is_canonical").join(
+        docs.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return scored.withColumn("keep", F.row_number().over(w) == F.lit(1))

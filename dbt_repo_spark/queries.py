@@ -4142,5 +4142,59 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens")
 
 
+@q(
+    "dedup_canonical_quality",
+    """
+    WITH RECURSIVE
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      edges AS (SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.3),
+      bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+      cc(node, label) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node
+      ),
+      lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
+      alln AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id,
+                      d.n_chars
+               FROM documents d LEFT JOIN lab USING (doc_id))
+    SELECT doc_id, cluster_id, n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS keep
+    FROM alln
+    """,
+)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship (graph.py::canonical_by_quality):
+    near-dup clusters via the LSH scale path + pointer-jumping CC, then
+    keep the LONGEST member of each cluster (n_chars as the quality
+    signal; production swaps in a model score) — the keep/drop decision
+    an actual cleaning pipeline ships, covering every document including
+    singletons. Oracle reproduces the full chain as one recursive CTE
+    with the same (1−t)^64 candidate-miss bound as dedup_clusters.
+    """
+    from dbt_repo_spark.operators.graph import canonical_by_quality
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.3, n=3)
+    return canonical_by_quality(pairs, docs, "doc_id", "n_chars")
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

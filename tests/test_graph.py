@@ -138,3 +138,22 @@ def test_registry_sketch_and_pagerank_quality_floors(spark, sf_dir):
     assert roll.rel_err <= 0.05, roll
     rows = QUERIES["graph_pagerank_parts"](spark, sf_dir).collect()
     assert rows and all(0.0 <= r.l1_residual <= 2 * 0.85**5 for r in rows)
+
+
+def test_canonical_by_quality_keeps_best_per_cluster(spark):
+    """Every cluster keeps exactly one doc, and it is the max-quality
+    (tie: min id) member; singletons always keep themselves."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_canonical_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500  # every document gets a keep/drop decision
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1, cid
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert kept[0].doc_id == best.doc_id, cid

@@ -184,6 +184,7 @@ EXCHANGE_BUDGETS = {
     "decontaminate_eval_ngrams": 8,
     "dedup_clusters": 0,
     "dedup_embed_cosine": 3,
+    "dedup_canonical_quality": 4,
     "dedup_exact": 1,
     "dedup_semantic": 11,
     "dedup_ngram_jaccard": 10,
