@@ -97,6 +97,8 @@ HEADLINE = [
     "sample_domain_mixture",
     "dedup_semantic",
     "quantile_sketch_rollup",
+    "sample_token_budget_mixture",
+    "dedup_canonical_quality",
 ]
 
 RUNS = 3

@@ -384,3 +384,61 @@ def hashed_linear_score(
         score,
         (score_int > F.lit(int(threshold * 100))).alias("keep"),
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick feature encoder (Weinberger et al. 2009): token
+    instances hash into a fixed ``dim``-bucket signed count vector — the
+    constant-memory featurizer for linear/GBDT baselines over unbounded
+    vocabularies (no vocab build, no dictionary shuffle, new tokens never
+    resize anything).
+
+    Bucket and sign come from md5 hex-char arithmetic (portable to any
+    ANSI engine, so the oracle reproduces vectors bit-for-bit; xxhash64
+    would be faster but engine-private). The plan is the scalable shape
+    of the trick: explode tokens → per-(doc, bucket) partial-aggregated
+    sum of signs → per-doc canonical sparse encoding. Both shuffles
+    carry (doc, bucket) pairs — bounded by dim per doc, NOT vocabulary
+    size. The sparse vector is emitted as a canonical "b:v" string plus
+    its md5, because the driver's value comparison needs hashable
+    scalars, and summary stats (nnz, l1) for direct assertions.
+
+    Output: (id, nnz, l1, sig_md5); docs with no surviving buckets
+    (no tokens, or all signs cancelled) are absent — identically in the
+    SQL twin.
+    """
+    tok = F.explode(tokens(F.col(text_col))).alias("tok")
+    h = F.md5(F.col("tok"))
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)))
+        % F.lit(dim)
+    ).alias("bucket")
+    sign = F.when(
+        F.ascii(F.substring(h, 3, 1)) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    per_bucket = (
+        df.select(F.col(id_col).alias("id"), tok)
+        .select("id", bucket, sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    enc = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bucket"), F.col("val")))
+            ),
+            lambda kv: F.concat_ws(":", kv["bucket"], kv["val"]),
+        ),
+        ",",
+    )
+    return per_bucket.groupBy("id").agg(
+        F.count("*").alias("nnz"),
+        F.sum(F.abs("val")).alias("l1"),
+        F.md5(enc).alias("sig_md5"),
+    )

@@ -4196,5 +4196,35 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_by_quality(pairs, docs, "doc_id", "n_chars")
 
 
+@q(
+    "text_feature_hashing",
+    """
+    WITH tok AS (SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '),
+                                                         x -> x <> '')) AS tok
+                 FROM documents),
+     h AS (SELECT id,
+                  (ascii(substring(md5(tok), 1, 1)) * 131
+                   + ascii(substring(md5(tok), 2, 1))) % 64 AS bucket,
+                  CASE WHEN ascii(substring(md5(tok), 3, 1)) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM tok),
+     pb AS (SELECT id, bucket, CAST(SUM(s) AS BIGINT) AS val
+            FROM h GROUP BY 1, 2 HAVING SUM(s) <> 0)
+    SELECT id, COUNT(*) AS nnz, CAST(SUM(abs(val)) AS BIGINT) AS l1,
+           md5(string_agg(bucket || ':' || val, ',' ORDER BY bucket)) AS sig_md5
+    FROM pb GROUP BY id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (text.py::feature_hash_vectors): 64-dim
+    signed token-count vectors with no vocabulary build — the
+    constant-memory encoder for classifier baselines over unbounded
+    token spaces. Vector emitted as canonical-encoding md5 plus nnz/l1
+    so the oracle compares bit-for-bit.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return text.feature_hash_vectors(docs, "doc_id", "text", dim=64)
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -124,3 +124,39 @@ def test_token_budget_mixture_respects_budget(spark, sf_dir):
     a = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
     b = {r["doc_id"] for r in sub.filter(F.col("lang") == "en").collect()}
     assert a == b
+
+
+def test_feature_hashing_matches_python_reference(spark):
+    """The 64-bucket signed-count vectors must equal a plain-Python
+    reimplementation of the same md5 bucket/sign arithmetic."""
+    import hashlib
+    from collections import defaultdict
+
+    from dbt_repo_spark.operators.text import feature_hash_vectors
+
+    rows = [(1, "alpha beta alpha gamma"), (2, "one two three"), (3, "")]
+    out = {
+        r["id"]: r
+        for r in feature_hash_vectors(
+            _docs(spark, rows), "doc_id", "text", dim=64
+        ).collect()
+    }
+
+    def ref(text):
+        acc = defaultdict(int)
+        for tok in [w for w in text.split(" ") if w]:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            b = (ord(h[0]) * 131 + ord(h[1])) % 64
+            acc[b] += 1 if ord(h[2]) % 2 == 0 else -1
+        return {b: v for b, v in acc.items() if v != 0}
+
+    for doc_id, text_val in rows:
+        expect = ref(text_val)
+        if not expect:
+            assert doc_id not in out
+            continue
+        got = out[doc_id]
+        assert got["nnz"] == len(expect)
+        assert got["l1"] == sum(abs(v) for v in expect.values())
+        enc = ",".join(f"{b}:{v}" for b, v in sorted(expect.items()))
+        assert got["sig_md5"] == hashlib.md5(enc.encode()).hexdigest()

@@ -254,6 +254,7 @@ EXCHANGE_BUDGETS = {
     "text_bigram_lm": 15,
     "text_chunking": 0,
     "text_dup_passages": 5,
+    "text_feature_hashing": 2,
     "text_fingerprints": 0,
     "text_lang_id": 0,
     "text_pii_redaction": 0,
@@ -440,3 +441,16 @@ def test_customer_order_distribution_two_pruned_shuffles(spark):
     assert reads and all("o_comment" not in l for l in reads)
     assert all("c_address" not in l and "c_phone" not in l for l in reads)
 
+
+
+def test_headline_names_registered():
+    """Every bench headline entry must resolve in the registry — a rename
+    that orphans a headline name should fail here, not in the driver's
+    bench run."""
+    import bench
+
+    from dbt_repo_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
