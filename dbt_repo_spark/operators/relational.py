@@ -206,3 +206,42 @@ def incremental_append(
         return new_df
     keys = existing_df.select(unique_key).distinct()
     return new_df.join(keys, unique_key, "left_anti")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Group-wise winsorization: clamp ``value_col`` to its group's
+    [p_lo, p_hi] exact percentiles — the robust-statistics guard for
+    metric pipelines (a fat-fingered 1e9 stops dominating every mean
+    downstream) and for feature normalization ahead of training.
+
+    Plan shape chosen for scale: percentile bounds come from a GROUP BY
+    aggregate (map-side partial, |groups| rows) broadcast-joined back,
+    NOT a percentile-over-window — the window form funnels each group
+    through one task, the aggregate+join form keeps the fact scan fully
+    parallel regardless of group skew. Adds ``value_winsorized`` and
+    ``clipped``; exact interpolated percentiles parity-check bit-for-bit
+    (see percentile_battery).
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("__lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            "value_winsorized",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .withColumn(
+            "clipped",
+            (F.col(value_col) < F.col("__lo"))
+            | (F.col(value_col) > F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -4226,5 +4226,33 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.feature_hash_vectors(docs, "doc_id", "text", dim=64)
 
 
+@q(
+    "events_winsorized",
+    """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY 1)
+    SELECT event_id, event_type, value,
+           least(greatest(value, lo), hi) AS value_winsorized,
+           (value < lo OR value > hi) AS clipped
+    FROM events JOIN b USING (event_type)
+    """,
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization (relational.py::winsorize): clamp each
+    event's value to its type's exact [5%, 95%] percentile band. Bounds
+    from a |groups|-row aggregate broadcast back — the fact scan stays
+    fully parallel under group skew (no percentile-over-window single
+    task). Exact interpolated percentiles make the oracle bit-for-bit.
+    """
+    from dbt_repo_spark.operators.relational import winsorize
+
+    ev = t(spark, sf_dir, "events")
+    return winsorize(ev, "value", ["event_type"], 0.05, 0.95).select(
+        "event_id", "event_type", "value", "value_winsorized", "clipped"
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

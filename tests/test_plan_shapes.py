@@ -195,6 +195,7 @@ EXCHANGE_BUDGETS = {
     "embed_cosine_topk": 4,
     "embed_preprocess": 0,
     "events_asof_last_signup": 1,
+    "events_winsorized": 2,
     "events_dedup_count": 2,
     "exists_not_exists": 2,
     "explode_tokens": 2,
