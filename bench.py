@@ -99,6 +99,13 @@ HEADLINE = [
     "quantile_sketch_rollup",
     "sample_token_budget_mixture",
     "dedup_canonical_quality",
+    # round-3 continuation: skyline (windows, not the n^2 dominance
+    # join), triangle census (degree-oriented, not the cubic join),
+    # collocation lift (vocab-bounded pair fan-out), count-min sketch
+    "pareto_frontier_docs",
+    "graph_triangle_census",
+    "token_cooccurrence_lift",
+    "countmin_user_counts",
 ]
 
 RUNS = 3

@@ -206,6 +206,98 @@ def pagerank(
     return ranks
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    ``n_nodes, n_edges, n_wedges, n_triangles`` and the global clustering
+    coefficient ``3·triangles / wedges`` — the standard density/cohesion
+    diagnostic for co-occurrence and similarity graphs (how clique-ish is
+    my near-dup graph; is this co-purchase graph community-structured or
+    random).
+
+    Scale shape — degree-ordered orientation (Cohen's MapReduce triangle
+    algorithm): orient each undirected edge from its lower-(degree, id)
+    endpoint to the higher; every triangle {a<b<c} then appears as
+    exactly one wedge a→b, a→c joined to the closing edge b→c... in fact
+    wedges are generated from each node's OUT-neighbors only, and
+    out-degree is bounded by O(√m) on any graph (a node of degree d > √m
+    has most neighbors of degree ≥ its own rank, which caps how many
+    edges orient OUT of it). Total wedge count is Σ outdeg² ≤ m^1.5 —
+    the hub that would generate deg² ≈ |V|² unordered wedges generates
+    almost none, because nearly all its edges orient INTO it. Join plan:
+    oriented edges self-joined on the wedge pivot (one shuffle on src),
+    then a semi-join against the oriented edge set (one shuffle on the
+    (b,c) pair) — no all-pairs anywhere. ``n_wedges`` counts unordered
+    neighbor pairs Σ C(deg,2) (the clustering-coefficient denominator),
+    computed from the degree relation alone.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low (deg, id) -> high (deg, id); ties broken by id make the
+    # order total, so each edge gets exactly one direction
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("s").alias("pivot"), F.col("t").alias("x"))
+    e2 = oriented.select(F.col("s").alias("pivot"), F.col("t").alias("y"))
+    wedges = e1.join(e2, "pivot").filter(F.col("x") < F.col("y"))
+    # the closing edge may be oriented either way between x and y
+    closing = oriented.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    summary = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.try_divide(F.lit(3) * F.col("n_triangles"), F.col("n_wedges")).alias(
+            "clustering_coeff"
+        ),
+    )
+
+
 def canonical_by_quality(
     pairs: DataFrame,
     docs: DataFrame,

@@ -208,6 +208,125 @@ def incremental_append(
     return new_df.join(keys, unique_key, "left_anti")
 
 
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partition_cols: list[str],
+) -> DataFrame:
+    """Skyline / Pareto frontier per partition: rows not dominated by any
+    other row in the same partition, where p dominates q iff
+    ``x_p >= x_q AND y_p >= y_q`` with at least one strict. The
+    multi-objective data-selection primitive (e.g. keep documents no
+    other document beats on BOTH length and quality).
+
+    The textbook form is a NOT-EXISTS self-join — O(n²) compares, the
+    shape that dies first at scale (that form IS this operator's DuckDB
+    oracle). Here dominance is decided by two window maxima instead:
+
+    - ``max(y) OVER (ORDER BY x RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED
+      FOLLOWING)`` — the best y among rows with strictly larger x
+      (``x_col`` must be integral for the +1 range bound to mean
+      "strictly greater");
+    - ``max(y) OVER (PARTITION BY x)`` — the best y among x-ties.
+
+    q is dominated iff the first max >= y_q (larger x, no-worse y) or
+    the second max > y_q (equal x, strictly better y). One range
+    shuffle + sort per partition, O(n log n); windows partition on
+    ``partition_cols`` so no global single-task sort appears (a global
+    frontier would need one ordering anyway — partition by a grouping
+    key, or range-repartition on x and take per-range frontiers first:
+    the frontier is a monotone subset, so per-range frontiers union to
+    a superset that one tiny second pass reduces).
+    """
+    w_gt = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(x_col))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy(*partition_cols, x_col)
+    return (
+        df.withColumn("__max_y_gt", F.max(y_col).over(w_gt))
+        .withColumn("__max_y_eq", F.max(y_col).over(w_eq))
+        .filter(
+            (F.col("__max_y_gt").isNull() | (F.col(y_col) > F.col("__max_y_gt")))
+            & (F.col(y_col) >= F.col("__max_y_eq"))
+        )
+        .drop("__max_y_gt", "__max_y_eq")
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    prec: int = 18,
+    scale: int = 6,
+) -> DataFrame:
+    """Mean-impute NULLs in ``value_col`` from the group's non-NULL mean —
+    the standard missing-feature fill ahead of training.
+
+    Group means come from a GROUP BY aggregate (map-side partial,
+    |groups| rows) broadcast back to the fact — same scale shape as
+    ``winsorize``: the scan stays fully parallel under group skew and no
+    mean-over-window recomputes per row. The mean is an exact-decimal
+    sum divided by a BIGINT count (module rule in queries.py), so the
+    imputed value is bit-identical across engines/parallelism. Adds
+    ``{value_col}_imputed`` and ``was_imputed``; a group with zero
+    non-NULL values keeps NULL (nothing to learn from).
+    """
+    d = F.col(value_col).cast(f"decimal({prec},{scale})")
+    means = df.groupBy(*group_cols).agg(
+        (F.sum(d).cast("double") / F.count(value_col)).alias("__mean")
+    )
+    return (
+        df.join(F.broadcast(means), group_cols)
+        .withColumn(
+            f"{value_col}_imputed", F.coalesce(F.col(value_col), F.col("__mean"))
+        )
+        .withColumn("was_imputed", F.col(value_col).isNull() & F.col("__mean").isNotNull())
+        .drop("__mean")
+    )
+
+
+def collapse_runs(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    state_col: str,
+) -> DataFrame:
+    """Gaps-and-islands run-length compression: collapse consecutive rows
+    with the same ``state_col`` per key into one row per run. The
+    change-log compaction for snapshot-shaped streams (a sensor
+    reporting the same state 10k times becomes one row per state
+    change) — the batch twin of streaming ``changes_only``.
+
+    Two windows over ONE shuffle on ``keys`` (same partitioning, sort
+    reused): a lag marks change points, a running sum of change flags
+    numbers the runs, then a groupBy on (keys, run_id) — also
+    co-partitioned, so Catalyst reuses the exchange — emits run start /
+    end / length. State compare is null-safe (eqNullSafe), so NULL-state
+    runs collapse too.
+    """
+    ord_cols = [F.col(c) for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ord_cols)
+    changed = F.when(
+        F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.withColumn(
+        "run_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy(*keys, "run_id").agg(
+        # every row in a run carries the same state, so min == the state
+        # (and is deterministic where first() is flagged as not)
+        F.min(state_col).alias(state_col),
+        F.min(order_by[0]).alias("run_start"),
+        F.max(order_by[0]).alias("run_end"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -189,3 +189,80 @@ def merge_quantile_estimate(
         .groupBy(*key_cols, "prob")
         .agg(F.min("x").alias("value_est"))
     )
+
+
+def _cm_bucket(key: Column, d: Column, width: int) -> Column:
+    """Row d's count-min bucket for ``key``: first 8 md5 hex chars of
+    ``key|d`` as an integer, mod width. md5 is identical everywhere, so
+    sketches built by different engines (or the DuckDB oracle) agree
+    counter-for-counter — unlike xxhash64, whose seed is engine-private.
+    """
+    h = F.md5(F.concat_ws("|", key.cast("string"), d.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(width)
+    )
+
+
+def countmin_table(
+    df: DataFrame,
+    key_col: str,
+    time_col: str | None = None,
+    grain: str = "day",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-period count-min sketch of ``key_col`` frequencies:
+    (period?, d, bucket, cnt) — the point-FREQUENCY companion to the HLL
+    distinct table and the quantile grid: "how often did key k occur in
+    any date range" from KB-sized state, without storing the key set.
+
+    One pass: each row fans out to ``depth`` (d, bucket) cells (a
+    ×depth explode of 16-byte tuples, not of payloads) and a hash-agg
+    counts cells — at most |periods|·depth·width output rows regardless
+    of key cardinality. Counters are mergeable by plain addition (they
+    are sums), so restated partitions overwrite one period's rows and
+    range queries sum cell-wise — same maintenance story as the other
+    sketch tables. Estimate guarantees (Cormode-Muthukrishnan): est ≥
+    true always; est ≤ true + εN with probability 1−δ for width = e/ε,
+    depth = ln(1/δ).
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    period_cols = (
+        [F.date_trunc(grain, F.col(time_col)).alias("period")] if time_col else []
+    )
+    rows = df.select(F.col(key_col).cast("string").alias("__k"), *period_cols, d)
+    group = (["period"] if time_col else []) + ["d", "bucket"]
+    return (
+        rows.withColumn("bucket", _cm_bucket(F.col("__k"), F.col("d"), width))
+        .groupBy(*group)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` from a count-min
+    sketch table (any period subset): adds ``cm_est`` = min over the
+    ``depth`` rows of the (merged) counter each probe key hashes to.
+
+    The sketch merges period rows cell-wise first (≤ depth·width rows),
+    then BROADCASTS to the probe side — estimating frequencies for a
+    billion probe keys costs one map-side join against KBs of state; the
+    fact table and its key set are never touched. An absent cell reads
+    as 0 (nothing ever hashed there), keeping est ≥ true intact.
+    """
+    merged = sketch.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    fan = probes.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    ).withColumn("bucket", _cm_bucket(F.col(key_col), F.col("d"), width))
+    probe_cols = [c for c in probes.columns]
+    return (
+        fan.join(F.broadcast(merged), ["d", "bucket"], "left")
+        .groupBy(*probe_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
+    )

@@ -442,3 +442,72 @@ def feature_hash_vectors(
         F.sum(F.abs("val")).alias("l1"),
         F.md5(enc).alias("sig_md5"),
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50,
+    top_pairs: int = 100,
+) -> DataFrame:
+    """Token co-occurrence association mining: for the ``vocab_size`` most
+    document-frequent tokens, score every token pair by LIFT —
+    ``n_docs · df(a,b) / (df(a) · df(b))`` — and keep the ``top_pairs``
+    strongest. The collocation/phrase-discovery primitive (PMI is
+    ``ln(lift)``; ranking by lift ranks by PMI, and keeping the raw ratio
+    keeps the score one exact-integer division — bit-identical across
+    engines, no transcendental drift).
+
+    Scale shape: the pair join is the quadratic risk, so fan-out is
+    bounded BEFORE any pair exists — per-doc distinct tokens are
+    semi-joined against the top-V vocabulary (V chosen by df rank, ties
+    by token), capping pair generation at C(V,2) per document no matter
+    how long documents get. Shuffles: per-doc distinct tokens (hash-agg),
+    df count (hash-agg on ≤V tokens), one self-join on doc id, one pair
+    hash-agg on ≤C(V,2) keys, and a broadcast of the V-row vocabulary.
+    The final top-k is a TakeOrderedAndProject, not a global sort.
+    """
+    doc_tok = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .distinct()
+    )
+    dfreq = doc_tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # top-V by (df, tok): orderBy+limit plans as TakeOrderedAndProject —
+    # per-partition heaps merged at the driver, never a one-task sort of
+    # the full (possibly enormous) vocabulary
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("tok")).limit(vocab_size)
+    in_vocab = doc_tok.join(F.broadcast(vocab.select("tok")), "tok")
+    a = in_vocab.select("id", F.col("tok").alias("tok_a"))
+    b = in_vocab.select("id", F.col("tok").alias("tok_b"))
+    pair_df = (
+        a.join(b, "id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("df_ab"))
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    scored = (
+        pair_df.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_ab",
+            "df_a",
+            "df_b",
+            (
+                F.col("n_docs").cast("double")
+                * F.col("df_ab")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(top_pairs)

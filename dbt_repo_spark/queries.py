@@ -4254,5 +4254,315 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "window_rank_battery",
+    """
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window battery: ntile / percent_rank / cume_dist /
+    nth_value per user over event time (§2.8 window-function surface
+    beyond the W1/O2 shapes already covered).
+
+    One shuffle+sort on user_id serves all four functions (same window
+    spec → one Window node). Ordering is (ts, event_id) — unique — so
+    rank ratios are deterministic; pct_rank/cume_dist are single
+    divisions of identical integers in both engines → identical bits.
+    ntile is cast long to match DuckDB's BIGINT.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.nth_value("value", 2).over(w_full).alias("second_value"),
+    )
+
+
+@q(
+    "collapse_event_runs",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, run_id, MIN(event_type) AS event_type,
+           MIN(ts) AS run_start, MAX(ts) AS run_end, COUNT(*) AS n_rows
+    FROM runs GROUP BY user_id, run_id
+    """,
+)
+def collapse_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length compression
+    (relational.py::collapse_runs): consecutive same-type events per user
+    collapse to one row per run — the batch twin of the streaming
+    changes_only operator, and the standard change-log compaction for
+    snapshot-shaped feeds.
+
+    Lag flag + running sum + groupBy all share ONE shuffle on user_id
+    (the run groupBy is co-partitioned, Catalyst reuses the exchange).
+    """
+    from dbt_repo_spark.operators.relational import collapse_runs
+
+    ev = t(spark, sf_dir, "events")
+    return collapse_runs(ev, ["user_id"], ["ts", "event_id"], "event_type")
+
+
+@q(
+    "impute_event_values",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CASE WHEN value < 5.0 THEN NULL ELSE value END AS value_raw
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value_raw AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value_raw) AS mean_v
+      FROM base GROUP BY 1)
+    SELECT event_id, event_type, value_raw,
+           COALESCE(value_raw, mean_v) AS value_imputed,
+           (value_raw IS NULL AND mean_v IS NOT NULL) AS was_imputed
+    FROM base JOIN m USING (event_type)
+    """,
+)
+def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean NULL imputation (relational.py::impute_group_mean): the
+    standard missing-feature fill ahead of training. NULLs are
+    synthesized deterministically (value < 5 → NULL, ~10% of rows) so
+    the fill path is actually exercised; the group mean comes from a
+    |groups|-row aggregate broadcast back — same scale shape as
+    winsorize, no mean-over-window, scan stays parallel under skew. The
+    mean is an exact-decimal sum / BIGINT count → bit-identical fill.
+    """
+    from dbt_repo_spark.operators.relational import impute_group_mean
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") < 5.0, F.lit(None)).otherwise(F.col("value")).alias(
+            "value_raw"
+        ),
+    )
+    return impute_group_mean(ev, "value_raw", ["event_type"]).select(
+        "event_id",
+        "event_type",
+        "value_raw",
+        F.col("value_raw_imputed").alias("value_imputed"),
+        "was_imputed",
+    )
+
+
+@q(
+    "pareto_frontier_docs",
+    """
+    WITH m AS (
+      SELECT lang, doc_id, n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n_chars
+               AS alpha_ratio
+      FROM documents)
+    SELECT lang, doc_id, n_chars, alpha_ratio
+    FROM m q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m p
+      WHERE p.lang = q.lang
+        AND p.n_chars >= q.n_chars AND p.alpha_ratio >= q.alpha_ratio
+        AND (p.n_chars > q.n_chars OR p.alpha_ratio > q.alpha_ratio))
+    """,
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier (relational.py::pareto_frontier) over
+    (length, alphabetic ratio): documents no other same-language document
+    beats on BOTH axes — multi-objective data selection without a
+    scalarized score.
+
+    The oracle is the O(n²) NOT-EXISTS dominance join; the engine plan
+    is two windows over one range shuffle on lang — O(n log n), no
+    self-join — exactly the asymptotic gap that matters when the
+    candidate pool is the whole corpus.
+    """
+    from dbt_repo_spark.operators.relational import pareto_frontier
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / F.col("n_chars")
+        ).alias("alpha_ratio"),
+    )
+    return pareto_frontier(docs, "n_chars", "alpha_ratio", ["lang"]).select(
+        "lang", "doc_id", "n_chars", "alpha_ratio"
+    )
+
+
+@q(
+    "graph_triangle_census",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, COUNT(*) AS deg
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           3 * n_triangles /
+             (SELECT SUM(deg * (deg - 1)) / 2 FROM deg) AS clustering_coeff
+    FROM tri
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (graph.py::triangle_stats) of the part
+    co-occurrence graph — parts are adjacent when some order contains
+    both (per-order pair fan-out is basket-size-bounded: max 13 at
+    fixture scale; cap baskets first if a pathological feed appears).
+
+    The oracle counts triangles by the cubic triple self-join; the
+    engine orients edges low→high (degree, id) first, bounding wedge
+    generation by Σ outdeg² ≤ m^1.5 — the hub that would emit deg²
+    wedges emits ~none. Exact integer output, so the asymptotically
+    different plans must agree bit-for-bit.
+    """
+    from dbt_repo_spark.operators.graph import triangle_stats
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(edges, "u", "v")
+
+
+@q(
+    "token_cooccurrence_lift",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents)),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+    vocab AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 50),
+    iv AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+              FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, df_ab, va.df AS df_a, vb.df AS df_b,
+           CAST(n_docs AS DOUBLE) * df_ab / (va.df * vb.df) AS lift
+    FROM pairs
+    JOIN vocab va ON va.tok = pairs.tok_a
+    JOIN vocab vb ON vb.tok = pairs.tok_b
+    CROSS JOIN n
+    ORDER BY lift DESC, tok_a, tok_b LIMIT 100
+    """,
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by co-occurrence lift
+    (text.py::cooccurrence_lift): strongest token-pair associations
+    among the 50 most document-frequent tokens. Lift = N·df(a,b) /
+    (df(a)·df(b)) is monotone in PMI but stays one exact-integer
+    division — rankable and oracle-checkable with no transcendental
+    drift.
+
+    The pair join's fan-out is capped BEFORE pairs exist (per-doc
+    distinct tokens semi-joined to the broadcast top-V vocabulary →
+    ≤ C(V,2) pairs per doc regardless of document length); top-V and
+    top-pairs both plan as TakeOrderedAndProject, never a one-task sort.
+    """
+    from dbt_repo_spark.operators.text import cooccurrence_lift
+
+    docs = t(spark, sf_dir, "documents")
+    return cooccurrence_lift(docs, "doc_id", "text", vocab_size=50, top_pairs=100)
+
+
+@q(
+    "countmin_user_counts",
+    """
+    WITH probe AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 20),
+    d AS (SELECT unnest(range(4)) AS d),
+    sk AS (
+      SELECT d,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+                                       CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 256 AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN d GROUP BY 1, 2),
+    fan AS (
+      SELECT p.user_id, p.exact_cnt, d.d,
+             CAST(CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || '|' ||
+                                       CAST(d.d AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 256 AS BIGINT) AS bucket
+      FROM probe p CROSS JOIN d)
+    SELECT user_id, exact_cnt,
+           MIN(COALESCE(cnt, 0)) AS cm_est,
+           MIN(COALESCE(cnt, 0)) - exact_cnt AS overcount
+    FROM fan LEFT JOIN sk USING (d, bucket)
+    GROUP BY user_id, exact_cnt
+    """,
+)
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates
+    (sketches.py::countmin_table / countmin_estimate): per-day 4×256
+    counter sketches of user activity, merged cell-wise across days,
+    probed for the 20 most active users, with the exact count and the
+    (provably ≥ 0) overcount alongside.
+
+    The sketch hash is md5-derived, so the DuckDB oracle rebuilds the
+    IDENTICAL sketch and the estimate — not just the exact side — is
+    value-checked: a full oracle for an approximate structure. Estimate
+    state is KB-sized and broadcast; the probe side never shuffles.
+    """
+    from dbt_repo_spark.operators.sketches import countmin_estimate, countmin_table
+
+    ev = t(spark, sf_dir, "events")
+    sketch = countmin_table(ev, "user_id", time_col="ts")
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+    )
+    return countmin_estimate(sketch, probes, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

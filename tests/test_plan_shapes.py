@@ -286,6 +286,20 @@ EXCHANGE_BUDGETS = {
     "window_running": 1,
     "window_time_range": 1,
     "window_value_offsets": 1,
+    # round-3 continuation: rank battery + islands share one user_id
+    # shuffle each; impute is agg+broadcast-back; pareto is ONE lang
+    # shuffle (the n² NOT-EXISTS twin lives only in the oracle);
+    # triangle census's 3 single-partition exchanges are the final
+    # single-row census aggregates; cooccurrence's exchanges are all on
+    # vocab-bounded (<=C(V,2)-row) relations after the top-V semi-join;
+    # count-min estimates join a broadcast KB-sized merged sketch.
+    "window_rank_battery": 1,
+    "collapse_event_runs": 1,
+    "impute_event_values": 2,
+    "pareto_frontier_docs": 1,
+    "graph_triangle_census": 10,
+    "token_cooccurrence_lift": 19,
+    "countmin_user_counts": 4,
 }
 
 
@@ -442,6 +456,43 @@ def test_customer_order_distribution_two_pruned_shuffles(spark):
     assert reads and all("o_comment" not in l for l in reads)
     assert all("c_address" not in l and "c_phone" not in l for l in reads)
 
+
+
+def test_pareto_frontier_no_self_join_no_global_sort(spark):
+    """The skyline query must plan as windows over a lang-partitioned
+    shuffle: no dominance self-join (the oracle's O(n²) shape) and no
+    single-partition exchange (a global frontier sort would bottleneck
+    one task)."""
+    plan = _plan(spark, "pareto_frontier_docs")
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_cooccurrence_topk_plans_take_ordered(spark):
+    """Both top-k stages (top-V vocabulary, top-pairs output) must plan
+    as TakeOrderedAndProject — per-partition heaps, never a one-task
+    full sort of the vocabulary or the pair set."""
+    plan = _plan(spark, "token_cooccurrence_lift")
+    assert "TakeOrderedAndProject" in plan
+    # the vocab relation joins back broadcast — pair fan-out is bounded
+    # before any pair exists
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_estimate_broadcasts_sketch(spark):
+    """Probing the count-min sketch must broadcast the merged (KB-sized)
+    counter relation — the probe side never shuffles to meet the
+    sketch."""
+    plan = _plan(spark, "countmin_user_counts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_rank_battery_single_window_pass(spark):
+    """All four rank-family functions share one window spec: exactly one
+    exchange, one sort."""
+    plan = _plan(spark, "window_rank_battery")
+    assert plan.count("Exchange ") == 1
 
 
 def test_headline_names_registered():

@@ -1,0 +1,176 @@
+"""Unit properties of the round-3 continuation operators: Pareto
+frontier, run-length collapse, group-mean imputation, triangle census,
+co-occurrence lift, and the count-min sketch family. Oracle parity for
+the registry twins runs in test_oracle_parity; these pin the semantic
+invariants the SQL comparison alone would not surface (dominance
+definition edge cases, sketch guarantees, orientation correctness on
+known graphs).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.graph import triangle_stats
+from dbt_repo_spark.operators.relational import (
+    collapse_runs,
+    impute_group_mean,
+    pareto_frontier,
+)
+from dbt_repo_spark.operators.sketches import countmin_estimate, countmin_table
+
+
+# ---------------------------------------------------------------- pareto
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "grp string, id long, x long, y double")
+
+
+def _brute_frontier(rows):
+    out = set()
+    for g, i, x, y in rows:
+        dominated = any(
+            pg == g
+            and px >= x
+            and py >= y
+            and (px > x or py > y)
+            for pg, _, px, py in rows
+        )
+        if not dominated:
+            out.add(i)
+    return out
+
+
+def test_pareto_frontier_matches_brute_force_with_ties(spark):
+    rows = [
+        ("a", 1, 10, 1.0),
+        ("a", 2, 10, 2.0),   # dominates 1 (same x, higher y)
+        ("a", 3, 5, 3.0),
+        ("a", 4, 12, 0.5),
+        ("a", 5, 12, 0.5),   # exact duplicate of 4 -> both kept
+        ("a", 6, 3, 3.0),    # dominated by 3 (same y, lower x)
+        ("b", 7, 1, 1.0),    # other partition: alone -> kept
+    ]
+    got = {
+        r["id"]
+        for r in pareto_frontier(_pts(spark, rows), "x", "y", ["grp"]).collect()
+    }
+    assert got == _brute_frontier(rows) == {2, 3, 4, 5, 7}
+
+
+def test_pareto_frontier_random_matches_brute_force(spark):
+    # deterministic pseudo-random grid with many x-ties
+    rows = [
+        ("g", i, (i * 7919) % 13, float((i * 104729) % 17))
+        for i in range(120)
+    ]
+    got = {
+        r["id"]
+        for r in pareto_frontier(_pts(spark, rows), "x", "y", ["grp"]).collect()
+    }
+    assert got == _brute_frontier(rows)
+
+
+# ------------------------------------------------------------- collapse
+
+
+def test_collapse_runs_compresses_and_preserves_counts(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+        (2, 1, None), (2, 2, None), (2, 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, state string")
+    out = collapse_runs(df, ["k"], ["seq"], "state").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    # k=1: runs a(2), b(1), a(1) — the repeated state re-opens a new run
+    k1 = sorted(by_key[1], key=lambda r: r["run_id"])
+    assert [(r["state"], r["n_rows"]) for r in k1] == [("a", 2), ("b", 1), ("a", 1)]
+    assert (k1[0]["run_start"], k1[0]["run_end"]) == (1, 2)
+    # k=2: the NULL run collapses too (null-safe compare)
+    k2 = sorted(by_key[2], key=lambda r: r["run_id"])
+    assert [(r["state"], r["n_rows"]) for r in k2] == [(None, 2), ("x", 1)]
+    # compression is lossless on row counts
+    assert sum(r["n_rows"] for r in out) == len(rows)
+
+
+# -------------------------------------------------------------- impute
+
+
+def test_impute_group_mean_fills_only_nulls_exactly(spark):
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = impute_group_mean(df, "v", ["g"]).collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert {r["v_imputed"] for r in a} == {1.0, 2.0, 3.0}
+    assert [r["was_imputed"] for r in a if r["v"] is None] == [True]
+    # a group with no non-NULL values stays NULL and is NOT flagged
+    b = [r for r in out if r["g"] == "b"][0]
+    assert b["v_imputed"] is None and b["was_imputed"] is False
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_known_graphs(spark):
+    # K4: 4 nodes, 6 edges, 4 triangles, wedges = 4*C(3,2)=12, coeff 1.0
+    k4 = _tri(spark, list(itertools.combinations(range(4), 2)))
+    assert (k4["n_nodes"], k4["n_edges"], k4["n_wedges"], k4["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert k4["clustering_coeff"] == 1.0
+    # path graph: no triangles; duplicate/reversed/self edges are cleaned
+    path = _tri(spark, [(1, 2), (2, 3), (3, 2), (2, 2), (3, 4), (1, 2)])
+    assert (path["n_edges"], path["n_triangles"]) == (3, 0)
+    # star K1,5: wedges C(5,2)=10, no triangles — the hub orients INTO
+    # itself being highest-degree, so it generates zero wedge rows
+    star = _tri(spark, [(0, i) for i in range(1, 6)])
+    assert (star["n_wedges"], star["n_triangles"]) == (10, 0)
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_countmin_never_underestimates_and_is_exact_when_sparse(spark):
+    rows = [(k,) for k in ["a"] * 40 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    sketch = countmin_table(df, "k", depth=4, width=256)
+    probes = df.groupBy("k").agg(F.count("*").alias("exact"))
+    est = {r["k"]: (r["exact"], r["cm_est"]) for r in
+           countmin_estimate(sketch, probes, "k").collect()}
+    for k, (exact, cm) in est.items():
+        assert cm >= exact, f"count-min underestimated {k}"
+    # 3 keys into 4x256 counters: collisions are impossible per row,
+    # so estimates are exact here
+    assert all(cm == exact for exact, cm in est.values())
+
+
+def test_countmin_absent_key_estimates_zero_when_empty_buckets(spark):
+    df = spark.createDataFrame([("x",)], "k string")
+    sketch = countmin_table(df, "k", depth=4, width=256)
+    probes = spark.createDataFrame([("never-seen",)], "k string")
+    [row] = countmin_estimate(sketch, probes, "k").collect()
+    # with one stored key, an absent probe collides in all 4 rows with
+    # probability ~ (1/256)^4 — i.e. the estimate is 0
+    assert row["cm_est"] == 0
+
+
+def test_countmin_merges_across_periods(spark):
+    import datetime
+
+    rows = [("u", datetime.datetime(2024, 1, d, 12)) for d in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    sketch = countmin_table(df, "k", time_col="ts")  # 3 period rows
+    assert sketch.select("period").distinct().count() == 3
+    probes = spark.createDataFrame([("u",)], "k string")
+    [row] = countmin_estimate(sketch, probes, "k").collect()
+    assert row["cm_est"] == 3  # cell-wise sum across periods
