@@ -122,3 +122,44 @@ def resample_ffill(
         F.last("observed_value", ignorenulls=True).over(w_fill).alias("value"),
         F.col("observed_value").isNotNull().alias("is_observed"),
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per key — the
+    capacity-planning / load-profiling primitive (max concurrent
+    sessions, peak open orders, instantaneous fleet size). Intervals are
+    half-open ``[start, end)``: one ending exactly when another starts
+    never overlaps it.
+
+    Sweep line as ONE window pass: each interval emits (+1 at start,
+    −1 at end), events sort by (time, delta) per key — the −1 sorts
+    first, realizing the half-open boundary — and a running sum traces
+    the concurrency profile; its max is the answer. O(n log n) per key
+    against the O(n²) self-join count-overlaps formulation. Ties of
+    identical (time, delta) commute through the running sum, so the max
+    is deterministic under any partition-internal order. The window
+    shuffle and the final groupBy share one hash partitioning on
+    ``key_cols`` (exchange reuse).
+    """
+    starts = intervals.select(
+        *key_cols, F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(
+        *key_cols, F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    profile = starts.unionByName(ends).withColumn(
+        "open", F.sum("delta").over(w)
+    )
+    return profile.groupBy(*key_cols).agg(
+        F.max("open").alias("max_concurrent")
+    )

@@ -4564,5 +4564,226 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_group_split",
+    """
+    WITH su AS (
+      SELECT user_id,
+             CASE WHEN nib < 13 THEN 'train'
+                  WHEN nib < 15 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT DISTINCT user_id,
+                   instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 AS nib
+            FROM events)),
+    ev AS (SELECT e.user_id, su.split FROM events e JOIN su USING (user_id)),
+    leak AS (SELECT COUNT(*) AS leaky_users
+             FROM (SELECT user_id FROM su GROUP BY 1
+                   HAVING COUNT(DISTINCT split) > 1))
+    SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+           leaky_users
+    FROM ev CROSS JOIN leak GROUP BY split, leaky_users
+    """,
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the split is a function of the
+    USER, not the row, so all of a user's events land in one split — the
+    leakage-safe way to split behavioral data (a row-hash split lets a
+    user's history straddle train and test, leaking their pattern).
+
+    Same 13/2/1 md5-nibble assignment as ``sample_hash_split``, applied
+    one level up. ``leaky_users`` — users observed in more than one
+    split — ships IN the output as a certificate (0 by construction;
+    a regression in the assignment becomes a value mismatch, not a
+    silent quality loss). Shuffles: one distinct on user, one count agg;
+    the |users|-row split map joins back on the already-partitioned key.
+    """
+    ev = t(spark, sf_dir, "events")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    su = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(nib < 13, F.lit("train"))
+        .when(nib < 15, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leak = (
+        su.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("leaky_users"))
+    )
+    return (
+        ev.select("user_id")
+        .join(su, "user_id")
+        .crossJoin(F.broadcast(leak))
+        .groupBy("split", "leaky_users")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select("split", "n_users", "n_events", "leaky_users")
+    )
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH first_wk AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS active_week
+      FROM events e JOIN first_wk f USING (user_id)),
+    cohort_sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM first_wk GROUP BY 1),
+    ret AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM active GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           n_active / cohort_size AS retention
+    FROM ret JOIN cohort_sizes USING (cohort_week)
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for each (cohort, week offset) the share of the cohort still active
+    — the standard growth-analytics triangle, a shape the reference's
+    BigQuery marts family implies but never builds.
+
+    Both week truncations are Monday-start in both engines; offsets are
+    exact (difference of two week-truncated dates is a multiple of 7,
+    so the /7 is exact in doubles before the BIGINT cast). Shuffles:
+    per-user min (hash agg), join back on user (same partitioning),
+    distinct on (user, week), one final agg; cohort sizes broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_wk = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(first_wk, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    sizes = first_wk.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    ret = active.groupBy(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+@q(
+    "max_concurrent_sessions",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events),
+    prof AS (
+      SELECT event_type,
+             CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open
+      FROM pts)
+    SELECT event_type, MAX(open) AS max_concurrent
+    FROM prof GROUP BY event_type
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type
+    (timeseries.py::max_concurrency): treat each event as a 5-minute
+    half-open session and sweep-line the +1/−1 boundary points — one
+    window pass, O(n log n) per key, versus the O(n²) self-join
+    count-overlaps formulation. The −1 sorts before the +1 at equal
+    timestamps, realizing [start, end) exactly; equal-(t, delta) ties
+    commute through the running sum, so the max is deterministic.
+    """
+    from dbt_repo_spark.operators.timeseries import max_concurrency
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("e"),
+    )
+    return max_concurrency(ev, ["event_type"], "s", "e")
+
+
+@q(
+    "contingency_event_dow",
+    """
+    WITH o AS (
+      SELECT event_type, isodow(ts) AS dow, COUNT(*) AS observed
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, SUM(observed) AS row_total FROM o GROUP BY 1),
+    c AS (SELECT dow, SUM(observed) AS col_total FROM o GROUP BY 1),
+    n AS (SELECT SUM(observed) AS total FROM o)
+    SELECT event_type, dow, observed,
+           (row_total * col_total) / total AS expected,
+           (observed - (row_total * col_total) / total)
+             * (observed - (row_total * col_total) / total)
+             / ((row_total * col_total) / total) AS contribution
+    FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    """,
+)
+def contingency_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table of event type × ISO day-of-week:
+    observed vs independence-expected counts with per-cell χ²
+    contributions — the categorical-association diagnostic (is traffic
+    mix weekday-dependent), emitted as the CELL table rather than one
+    summed statistic: a cross-engine sum of float contributions would be
+    accumulation-order-dependent, per-cell values are single IEEE
+    expressions over identical integers → bit-identical (same principle
+    as stats_battery's integer-exact moments).
+
+    One hash-agg builds the |types|×7 cell table; margins and N derive
+    from it (never rescan the fact) and join back broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).cast("long").alias("dow")
+    ).agg(F.count("*").alias("observed"))
+    r = o.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    c = o.groupBy("dow").agg(F.sum("observed").alias("col_total"))
+    n = o.agg(F.sum("observed").alias("total"))
+    e = (F.col("row_total") * F.col("col_total")) / F.col("total")
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            e.alias("expected"),
+            ((F.col("observed") - e) * (F.col("observed") - e) / e).alias(
+                "contribution"
+            ),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

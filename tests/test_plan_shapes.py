@@ -300,6 +300,15 @@ EXCHANGE_BUDGETS = {
     "graph_triangle_census": 10,
     "token_cooccurrence_lift": 19,
     "countmin_user_counts": 4,
+    # batch 2: group-split's single-partition exchange is the 1-row
+    # leakage certificate; the sweep-line concurrency query runs its
+    # window AND final agg through ONE event_type exchange;
+    # contingency's margins derive from the |types|×7 cell table and
+    # join back broadcast (single-partition = the 1-row N).
+    "sample_group_split": 7,
+    "cohort_retention": 7,
+    "max_concurrent_sessions": 1,
+    "contingency_event_dow": 10,
 }
 
 
@@ -493,6 +502,15 @@ def test_window_rank_battery_single_window_pass(spark):
     exchange, one sort."""
     plan = _plan(spark, "window_rank_battery")
     assert plan.count("Exchange ") == 1
+
+
+def test_max_concurrency_single_exchange_no_self_join(spark):
+    """The sweep-line concurrency plan must be one event_type exchange
+    feeding window + final agg (exchange reuse), with no interval
+    self-join (the O(n²) count-overlaps shape)."""
+    plan = _plan(spark, "max_concurrent_sessions")
+    assert "Join" not in plan
+    assert plan.count("Exchange ") <= 1
 
 
 def test_headline_names_registered():

@@ -174,3 +174,20 @@ def test_countmin_merges_across_periods(spark):
     probes = spark.createDataFrame([("u",)], "k string")
     [row] = countmin_estimate(sketch, probes, "k").collect()
     assert row["cm_est"] == 3  # cell-wise sum across periods
+
+
+# ------------------------------------------------------- max concurrency
+
+
+def test_max_concurrency_half_open_boundaries(spark):
+    rows = [
+        ("k", 0, 10), ("k", 10, 20),   # touching: never concurrent
+        ("k", 15, 25), ("k", 16, 17),  # 3-way overlap in [16,17)
+        ("q", 0, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    from dbt_repo_spark.operators.timeseries import max_concurrency
+
+    out = {r["g"]: r["max_concurrent"] for r in
+           max_concurrency(df, ["g"], "s", "e").collect()}
+    assert out == {"k": 3, "q": 1}
