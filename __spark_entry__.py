@@ -116,13 +116,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def rank(item: tuple[int, str]) -> tuple[int, int, int]:
+        # Priority: listed never-checked (TPC-H rewrites) → failed/changed
+        # rechecks (a FAIL re-verification must never be pushed out of the
+        # bounded window by this round's newly registered queries) → other
+        # never-checked (including new registrations, registry order) →
+        # least-recently-verified.
         idx, name = item
-        if name not in latest:
-            if name in _NEVER_CHECKED_FIRST:
-                return (0, _NEVER_CHECKED_FIRST.index(name), idx)
-            return (1, 0, idx)
+        if name not in latest and name in _NEVER_CHECKED_FIRST:
+            return (0, _NEVER_CHECKED_FIRST.index(name), idx)
         if name in recheck:
-            return (2, recheck.index(name), idx)
+            return (1, recheck.index(name), idx)
+        if name not in latest:
+            return (2, 0, idx)
         return (3, latest[name], idx)
 
     ordered = sorted(enumerate(QUERIES), key=rank)

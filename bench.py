@@ -106,6 +106,11 @@ HEADLINE = [
     "graph_triangle_census",
     "token_cooccurrence_lift",
     "countmin_user_counts",
+    "cohort_retention",
+    "max_concurrent_sessions",
+    # assembly-side composed pipeline: survivorship -> token mixture ->
+    # packing (the complement of v2's cleaning chain)
+    "training_data_pipeline_v3",
 ]
 
 RUNS = 3

@@ -4785,5 +4785,127 @@ def contingency_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "training_data_pipeline_v3",
+    """
+    WITH RECURSIVE
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+             FROM toks),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      edges AS (SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.3),
+      bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+      cc(node, label) AS (
+        SELECT src, src FROM bidir
+        UNION
+        SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node
+      ),
+      lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node),
+      alln AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id,
+                      d.n_chars, d.lang
+               FROM documents d LEFT JOIN lab USING (doc_id)),
+      surv AS (SELECT a.doc_id, a.lang, len(t.w) AS n_tokens
+               FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) = 1 AS keep
+                     FROM alln) a
+               JOIN toks t USING (doc_id)
+               WHERE a.keep),
+      mix AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM surv),
+      sel AS (SELECT * FROM mix
+              WHERE cum <= CASE lang WHEN 'en' THEN 0.5 ELSE 0.125 END * 2000),
+      packed AS (SELECT doc_id, n_tokens,
+                        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                  AS UBIGINT) % 8 AS BIGINT) AS shard
+                 FROM sel),
+      laid AS (SELECT shard,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS tokens_before
+               FROM packed)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM surv) AS n_survivors,
+           (SELECT COUNT(*) FROM sel) AS n_selected,
+           (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM sel)
+             AS tokens_selected,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT shard,
+                                         CAST(FLOOR(tokens_before / 512) AS BIGINT)
+                                  FROM laid)) AS n_packs
+    """,
+)
+def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembly-side composed pipeline — the complement of v2's cleaning
+    chain: near-dup SURVIVORSHIP (LSH pairs → pointer-jumping CC → keep
+    the longest member) → per-language TOKEN-budget mixture (en 50%,
+    others 12.5% of a 2000-token budget, content-addressed greedy fill)
+    → fixed-budget sequence PACKING (512-token packs across 8 md5
+    shards). One summary row certifies the whole chain: corpus size,
+    survivor count, mixture selection count + exact token total, pack
+    count.
+
+    Every stage is the already-audited operator (canonical_by_quality,
+    token_budget_mixture, pack_token_budget); the oracle replays the
+    chain as one SQL statement — recursive-CTE connected components
+    included — with the same (1−t)^64 LSH candidate-miss bound as
+    dedup_clusters. Scale: the only corpus-sized shuffles are the LSH
+    band join and the per-lang/per-shard windows; summary aggregates are
+    single-row broadcasts.
+    """
+    from dbt_repo_spark.operators.graph import canonical_by_quality
+    from dbt_repo_spark.operators.sampling import (
+        pack_token_budget,
+        token_budget_mixture,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.3, n=3)
+    surv = (
+        canonical_by_quality(pairs, docs, "doc_id", "n_chars")
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(dedup.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    weights = {"en": 0.5, "zh": 0.125, "es": 0.125, "de": 0.125, "fr": 0.125}
+    sel = token_budget_mixture(surv, "lang", weights, "doc_id", "n_tokens", 2000)
+    packs = pack_token_budget(sel, "doc_id", "n_tokens", budget=512, num_shards=8)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_surv = surv.agg(F.count("*").alias("n_survivors"))
+    n_sel = sel.agg(
+        F.count("*").alias("n_selected"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens_selected"),
+    )
+    n_packs = (
+        packs.select("shard", "pack_id")
+        .distinct()
+        .agg(F.count("*").alias("n_packs"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(n_sel))
+        .crossJoin(F.broadcast(n_packs))
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -27,15 +27,21 @@ def test_never_checked_and_failed_lead_the_window():
     latest, failed = entry_mod._check_history()
     ordered = list(entry_mod.queries())
     never = {n for n in ordered if n not in latest}
-    prefix = ordered[: len(never)]
-    assert set(prefix) == never, "never-driver-checked queries must lead"
-    # every latest-failed query sits before any green least-recently-
-    # verified entry
+    recheck = set(entry_mod._RECHECK_THIS_ROUND) | failed
+    # the window head is exactly the never-checked + recheck sets (order
+    # within: listed TPC-H first, then rechecks — a FAIL re-verification
+    # must never be pushed past the ~50-entry driver window by this
+    # round's new registrations — then remaining never-checked)
+    head = ordered[: len(never | recheck)]
+    assert set(head) == never | recheck
+    # every latest-failed query sits in the first 50 (the driver's
+    # bounded check window) and before any green least-recently-verified
+    # entry
     greens = [n for n in ordered if n in latest and n not in failed
               and n not in entry_mod._RECHECK_THIS_ROUND]
     first_green = ordered.index(greens[0])
     for name in failed:
-        assert ordered.index(name) < first_green, name
+        assert ordered.index(name) < min(first_green, 50), name
 
 
 def test_history_classifies_rows_only_records():
