@@ -111,6 +111,13 @@ HEADLINE = [
     # assembly-side composed pipeline: survivorship -> token mixture ->
     # packing (the complement of v2's cleaning chain)
     "training_data_pipeline_v3",
+    # round-3 continuation 2: statistical testing (Welch), exact-integer
+    # normal-equations regression, EWMA recurrence, release audits
+    "welch_ttest",
+    "ols_multifeature_cramer",
+    "ewma_daily_value",
+    "ohlc_resample",
+    "temporal_split_leakage",
 ]
 
 RUNS = 3

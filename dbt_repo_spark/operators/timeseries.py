@@ -124,6 +124,69 @@ def resample_ffill(
     )
 
 
+def ewma_recursive(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+    key_type: str = "string",
+    ord_type: str = "timestamp",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series:
+    ``y_0 = x_0``, ``y_t = (1-α)·y_{t-1} + α·x_t`` over rows ordered by
+    ``ord_col`` within each ``key``.
+
+    An EWMA is a true recurrence — not a windowed aggregate — so it is
+    the one time-series op that earns the Python seam. The power-weight
+    window rewrite (``y_t = Σ wᵢxᵢ`` with ``wᵢ ∝ (1-α)^(t-i)``) was
+    rejected: it needs ``pow(1-α, -i)`` terms that overflow/denormalize
+    past ~3k rows, and a cross-engine float window-sum is
+    accumulation-order-dependent. Instead the recurrence runs verbatim
+    (two multiplies + one add per step, the same IEEE ops a SQL
+    ``WITH RECURSIVE`` oracle performs, bit-identical when α has an
+    exact binary representation — default 0.25).
+
+    Scale: callers pre-aggregate to one row per (key, bucket) FIRST —
+    the JVM hash-agg eats the 100 TB scan and this operator sees
+    |keys|×|buckets| rows. Per-series work is sequential by nature
+    (length bounded by the calendar); parallelism is across series.
+    ``applyInPandas`` is one Python call per key, acceptable here only
+    because series counts are small-by-contract (event types, stations);
+    for high-cardinality keys bucket the groups per fit.py rule 1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    om = 1.0 - a
+    src = df.select(
+        F.col(key).alias("k"),
+        F.col(ord_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o", kind="mergesort")
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                y[i] = om * y[i - 1] + a * x[i]
+        return pd.DataFrame({"k": pdf["k"], "o": pdf["o"], "y": y})
+
+    out = src.groupBy("k").applyInPandas(
+        smooth, schema=f"k {key_type}, o {ord_type}, y double"
+    )
+    return out.select(
+        F.col("k").alias(key),
+        F.col("o").alias(ord_col),
+        F.col("y").alias(out_col),
+    )
+
+
 def max_concurrency(
     intervals: DataFrame,
     key_cols: list[str],

@@ -4907,5 +4907,497 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Statistical testing, time-series features, and release audits (round 3b)
+# =========================================================================
+
+
+def _cents(col: str = "value") -> F.Column:
+    """events.value as exact integer cents, decimal(38,0) so Spark sums
+    mirror DuckDB's SUM(BIGINT)→HUGEINT exactly (stats_battery's rule)."""
+    return (dec(col, 14, 2) * 100).cast("decimal(38,0)")
+
+
+@q(
+    "welch_ttest",
+    """
+    WITH base AS (
+      SELECT isodow(ts) AS dow,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    s AS (
+      SELECT dow,
+             SUM(ia) AS n1, SUM(1 - ia) AS n2,
+             SUM(ia * c) AS s1, SUM((1 - ia) * c) AS s2,
+             SUM(ia * c * c) AS ss1, SUM((1 - ia) * c * c) AS ss2
+      FROM base GROUP BY dow),
+    m AS (
+      SELECT dow, n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) AS u1,
+             CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+               / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE) AS u2
+      FROM s)
+    SELECT dow, CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+           m1 - m2 AS mean_diff_cents,
+           (m1 - m2) / sqrt(u1 + u2) AS t_stat,
+           (u1 + u2) * (u1 + u2)
+             / (u1 * u1 / CAST(n1 - 1 AS DOUBLE)
+                + u2 * u2 / CAST(n2 - 1 AS DOUBLE)) AS dof
+    FROM m
+    """,
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) of purchase vs click
+    value per ISO day-of-week — the A/B-comparison primitive, computed
+    from integer-exact conditional sums (n, Σc, Σc² per arm) so the
+    t statistic and Welch–Satterthwaite dof are single IEEE expressions
+    over identical operands on any engine or partitioning.
+
+    One filtered scan → one 7-group hash agg carrying six sums (both
+    arms in the same pass via indicator products — never two scans);
+    everything after is constant-space per group. Scale: the shuffle
+    carries 7×6 integers regardless of fact size.
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    ia = (F.col("event_type") == "purchase").cast("int")
+    c = _cents()
+    s = (
+        ev.select(
+            (F.expr("weekday(ts)") + 1).cast("long").alias("dow"),
+            ia.alias("ia"),
+            c.alias("c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum("ia").alias("n1"),
+            F.sum(F.lit(1) - F.col("ia")).alias("n2"),
+            F.sum(F.col("ia") * F.col("c")).alias("s1"),
+            F.sum((F.lit(1) - F.col("ia")) * F.col("c")).alias("s2"),
+            F.sum(F.col("ia") * F.col("c") * F.col("c")).alias("ss1"),
+            F.sum((F.lit(1) - F.col("ia")) * F.col("c") * F.col("c")).alias("ss2"),
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, ss1, ss2 = F.col("s1"), F.col("s2"), F.col("ss1"), F.col("ss2")
+    m1 = s1.cast("double") / n1.cast("double")
+    m2 = s2.cast("double") / n2.cast("double")
+    u1 = (n1 * ss1 - s1 * s1).cast("double") / (n1 * (n1 - 1)).cast("double") / n1.cast("double")
+    u2 = (n2 * ss2 - s2 * s2).cast("double") / (n2 * (n2 - 1)).cast("double") / n2.cast("double")
+    m = s.select(
+        "dow", n1.cast("long").alias("n_purchase"), n2.cast("long").alias("n_click"),
+        m1.alias("m1"), m2.alias("m2"), u1.alias("u1"), u2.alias("u2"),
+    )
+    mm1, mm2 = F.col("m1"), F.col("m2")
+    uu1, uu2 = F.col("u1"), F.col("u2")
+    return m.select(
+        "dow", "n_purchase", "n_click",
+        (mm1 - mm2).alias("mean_diff_cents"),
+        ((mm1 - mm2) / F.sqrt(uu1 + uu2)).alias("t_stat"),
+        (
+            (uu1 + uu2) * (uu1 + uu2)
+            / (
+                uu1 * uu1 / (F.col("n_purchase") - 1).cast("double")
+                + uu2 * uu2 / (F.col("n_click") - 1).cast("double")
+            )
+        ).alias("dof"),
+    )
+
+
+@q(
+    "ewma_daily_value",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    num AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT event_type, day, rn, CAST(cents AS DOUBLE) AS ewma_cents
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn,
+             0.75 * r.ewma_cents + 0.25 * CAST(n.cents AS DOUBLE)
+      FROM num n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+    SELECT event_type, day, ewma_cents FROM r
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA (α=0.25) of daily revenue — trend smoothing as a
+    true recurrence (operators/timeseries.py:ewma_recursive). The JVM
+    hash-agg reduces the fact to |types|×|days| integer-cent rows; the
+    recurrence y_t = 0.75·y_{t-1} + 0.25·x_t then runs per series in one
+    Arrow batch, bit-identical to the oracle's WITH RECURSIVE because
+    α=0.25 is exact binary and both sides execute the same two-multiply
+    one-add step. Scale: recurrence length is calendar-bounded;
+    parallelism is across series; the 100 TB scan never reaches Python.
+    """
+    from dbt_repo_spark.operators.timeseries import ewma_recursive
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.sum(_cents()).cast("long").alias("cents"))
+    )
+    return ewma_recursive(
+        daily, "event_type", "day", "cents", alpha=0.25, out_col="ewma_cents"
+    )
+
+
+@q(
+    "ohlc_resample",
+    """
+    WITH w AS (
+      SELECT event_type, date_trunc('week', ts) AS week, value,
+             first_value(value) OVER (
+               PARTITION BY event_type, date_trunc('week', ts)
+               ORDER BY ts, event_id) AS open_v,
+             last_value(value) OVER (
+               PARTITION BY event_type, date_trunc('week', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS close_v
+      FROM events)
+    SELECT event_type, week,
+           MIN(open_v) AS open, MAX(value) AS high,
+           MIN(value) AS low, MIN(close_v) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume
+    FROM w GROUP BY event_type, week
+    """,
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC (open-high-low-close + volume) per event type — the
+    market-data downsampling shape. Open/close are first/last value in
+    (ts, event_id) order — the tiebreak key is unique, so the endpoints
+    are deterministic; high/low/volume are plain aggregates. The window
+    and the groupBy share one hash partitioning on (type, week): one
+    shuffle total (exchange reuse), then a per-group sort that at scale
+    is bounded by a single week of one type's events.
+    """
+    ev = t(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", "ts")
+    )
+    wspec = Window.partitionBy("event_type", "week").orderBy("ts", "event_id")
+    wall = wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_type", "week", "value",
+            F.first("value").over(wspec).alias("open_v"),
+            F.last("value").over(wall).alias("close_v"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.min("open_v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close_v").alias("close"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+    )
+
+
+@q(
+    "rolling_corr_daily",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    wins AS (
+      SELECT day,
+        COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+        SUM(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day, CAST(n AS BIGINT) AS n_win,
+      CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      END AS corr_14d
+    FROM wins
+    """,
+)
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day correlation between daily purchase and click
+    revenue — the co-movement diagnostic. Following stats_battery's rule,
+    the sliding window accumulates INTEGER sums (count, Σx, Σy, Σx²,
+    Σy², Σxy — exact under any accumulation order, immune to DuckDB's
+    segment-tree vs Spark's running-frame evaluation order); the
+    correlation is then one IEEE expression per row. Degenerate windows
+    (zero variance) yield NULL via the guard.
+
+    The daily pivot is one hash-agg of the fact; the window then runs
+    over |days| rows on a single task — intentional and documented:
+    calendar-bounded input, never fact-sized (the single-partition
+    window caveat from queries_tpch applies with a ~10⁴-row ceiling).
+    """
+    ev = t(spark, sf_dir, "events")
+    cts = _cents()
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cts).otherwise(F.lit(0).cast("decimal(38,0)"))).cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", cts).otherwise(F.lit(0).cast("decimal(38,0)"))).cast("long").alias("y"),
+    )
+    wv = Window.orderBy("day").rowsBetween(-13, 0)
+    x, y = F.col("x"), F.col("y")
+    wins = daily.select(
+        "day",
+        F.count("*").over(wv).alias("n"),
+        F.sum(x).over(wv).alias("sx"),
+        F.sum(y).over(wv).alias("sy"),
+        F.sum(x * x).over(wv).alias("sxx"),
+        F.sum(y * y).over(wv).alias("syy"),
+        F.sum(x * y).over(wv).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return wins.select(
+        "day",
+        n.cast("long").alias("n_win"),
+        F.when(
+            (n >= 2) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            ),
+        ).alias("corr_14d"),
+    )
+
+
+@q(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2, 3),
+    tot AS (SELECT SUM(n_docs) AS total FROM qi)
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS corpus_share
+    FROM qi CROSS JOIN tot
+    WHERE n_docs < 5
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (lang, source, length-bucket): every QI group small enough to
+    re-identify a document is reported with its size and corpus share —
+    the pre-release privacy check that pairs with text_pii_redaction
+    (value scrubbing) by catching IDENTIFYING COMBINATIONS rather than
+    literal identifiers.
+
+    One hash-agg builds the QI group table; the grand total derives from
+    that table (single-row broadcast back), never a second corpus scan.
+    Scale: shuffle carries |QI-groups| rows; the k filter happens after
+    the total so the share denominator is the full corpus.
+    """
+    docs = t(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    ).agg(F.count("*").alias("n_docs"))
+    tot = qi.agg(F.sum("n_docs").alias("total"))
+    return (
+        qi.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_docs") < 5)
+        .select(
+            "lang", "source", F.col("len_bucket").cast("long").alias("len_bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+                "corpus_share"
+            ),
+        )
+    )
+
+
+@q(
+    "ols_multifeature_cramer",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+             SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM base GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n,
+        n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2) AS det,
+        sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS det1,
+        n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM s)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(det0 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b_intercept,
+           CAST(CAST(det1 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b_qty,
+           CAST(CAST(det2 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b_disc
+    FROM d
+    """,
+)
+def ols_multifeature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group multiple linear regression (price_cents ~ quantity +
+    discount_cents) solved by Cramer's rule on EXACT-INTEGER normal
+    equations: one hash-agg accumulates the 3×3 Gram matrix and
+    right-hand side as nine integer sums, the four 3×3 determinants are
+    evaluated in 128-bit-exact arithmetic (HUGEINT / decimal(38,0)), and
+    the only floating-point ops are three final divisions — coefficients
+    bit-identical across engines and partitionings, no iterative solver,
+    no MLlib. Distributed ML fitting as a pure aggregate.
+
+    Scale: the shuffle carries 10 integers per group independent of fact
+    size. Determinant magnitudes stay < 10³⁸ up to ~10⁹ rows/group with
+    these feature ranges (docstring bound: max term n·s11·s22 ≈
+    n³·E[x1²]·E[x2²]); past that, center features first or fall back to
+    fit.py's bucketed double-precision path.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast(d38).alias("x1"),
+        (dec("l_discount", 12, 2) * 100).cast(d38).alias("x2"),
+        (dec("l_extendedprice", 14, 2) * 100).cast(d38).alias("y"),
+    )
+    s = base.groupBy("l_returnflag").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    s1, s2, s11, s22, s12 = (F.col(c) for c in ("s1", "s2", "s11", "s22", "s12"))
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    # int128 → double via a decimal-string round-trip on BOTH engines:
+    # IEEE 754 mandates correctly-rounded string→binary conversion, and
+    # DuckDB's direct HUGEINT→DOUBLE cast is observably 1 ulp off for
+    # values needing >53 bits (73520350616073113660 → ...868 instead of
+    # the correctly-rounded ...869), so the direct casts would drift.
+    def as_dbl(c: F.Column) -> F.Column:
+        return c.cast("string").cast("double")
+
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (as_dbl(det0) / as_dbl(det)).alias("b_intercept"),
+        (as_dbl(det1) / as_dbl(det)).alias("b_qty"),
+        (as_dbl(det2) / as_dbl(det)).alias("b_disc"),
+    )
+
+
+@q(
+    "temporal_split_leakage",
+    """
+    WITH labeled AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                  THEN 1 ELSE 0 END AS it
+      FROM events),
+    per_user AS (
+      SELECT user_id, SUM(it) AS n_train, SUM(1 - it) AS n_test
+      FROM labeled GROUP BY user_id)
+    SELECT
+      CAST(SUM(n_train) AS BIGINT) AS train_events,
+      CAST(SUM(n_test) AS BIGINT) AS test_events,
+      CAST(SUM(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS train_users,
+      CAST(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS test_users,
+      CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS leaked_users,
+      CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+           AS DOUBLE)
+        / CAST(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS leak_share_of_test
+    FROM per_user
+    """,
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split (cut 2024-01-25) with an entity-leakage
+    certificate: event and user counts per side plus how many users
+    appear on BOTH sides of the cut — the audit that decides between a
+    random split (user overlap expected) and a strict cold-start split
+    (overlap = leakage). Complements sample_group_split, which removes
+    the leakage this query measures.
+
+    Two hash-aggs — per-user indicator sums, then a single-row global
+    reduce — so the only fact-sized shuffle is on user_id; the summary
+    is map-side-combined to one row per partition.
+    """
+    ev = t(spark, sf_dir, "events")
+    it = (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp")).cast("int")
+    per_user = (
+        ev.select(F.col("user_id"), it.alias("it"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("it").alias("n_train"),
+            F.sum(F.lit(1) - F.col("it")).alias("n_test"),
+        )
+    )
+    ntr, nte = F.col("n_train"), F.col("n_test")
+    return per_user.agg(
+        F.sum(ntr).cast("long").alias("train_events"),
+        F.sum(nte).cast("long").alias("test_events"),
+        F.sum(F.when(ntr > 0, 1).otherwise(0)).cast("long").alias("train_users"),
+        F.sum(F.when(nte > 0, 1).otherwise(0)).cast("long").alias("test_users"),
+        F.sum(F.when((ntr > 0) & (nte > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("leaked_users"),
+        (
+            F.sum(F.when((ntr > 0) & (nte > 0), 1).otherwise(0)).cast("double")
+            / F.sum(F.when(nte > 0, 1).otherwise(0)).cast("double")
+        ).alias("leak_share_of_test"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -174,6 +174,13 @@ def test_null_safe_join_is_hash_join(spark):
 # sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
+    "welch_ttest": 1,
+    "ewma_daily_value": 2,
+    "ohlc_resample": 1,
+    "rolling_corr_daily": 2,
+    "k_anonymity_audit": 4,
+    "ols_multifeature_cramer": 1,
+    "temporal_split_leakage": 2,
     "asof_purchase_last_signup_value": 2,
     "case_when_bucketing": 1,
     "correlated_subquery": 2,

@@ -191,3 +191,62 @@ def test_max_concurrency_half_open_boundaries(spark):
     out = {r["g"]: r["max_concurrent"] for r in
            max_concurrency(df, ["g"], "s", "e").collect()}
     assert out == {"k": 3, "q": 1}
+
+
+# ------------------------------------------------------------------ ewma
+
+
+def test_ewma_matches_pandas_ewm_bitwise(spark):
+    """ewma_recursive ≡ pandas ewm(adjust=False).mean() bit-for-bit —
+    an independent implementation of the same recurrence — on unsorted
+    multi-key input with a non-binary-exact alpha."""
+    import datetime
+
+    import pandas as pd
+
+    from dbt_repo_spark.operators.timeseries import ewma_recursive
+
+    rows = []
+    for k, vals in [("a", [10.0, 2.0, 7.0, 7.0, 0.5]), ("b", [3.25]),
+                    ("c", [1e12, -1e12, 5.0, 0.125])]:
+        for i, v in enumerate(vals):
+            rows.append((k, datetime.datetime(2024, 1, 1 + i), v))
+    rows.reverse()  # operator must sort within each series itself
+    df = spark.createDataFrame(rows, "k string, o timestamp, x double")
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in ewma_recursive(df, "k", "o", "x", alpha=0.25).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "o", "x"]).sort_values(["k", "o"])
+    for k, g in pdf.groupby("k"):
+        want = g["x"].ewm(alpha=0.25, adjust=False).mean()
+        for o, w in zip(g["o"], want):
+            assert got[(k, pd.Timestamp(o).to_pydatetime())] == w, (k, o)
+
+
+def test_ols_cramer_matches_numpy_lstsq(spark):
+    """The integer-exact Cramer solve agrees with numpy's least-squares
+    solver on the real fixture data (rtol bounded by the conditioning of
+    the normal equations, not by the engine)."""
+    import numpy as np
+
+    from dbt_repo_spark.queries import QUERIES, t
+
+    got = {
+        r["l_returnflag"]: (r["b_intercept"], r["b_qty"], r["b_disc"])
+        for r in QUERIES["ols_multifeature_cramer"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    pdf = (
+        t(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        x1 = g["l_quantity"].to_numpy(dtype="float64")
+        x2 = np.round(g["l_discount"].to_numpy(dtype="float64") * 100)
+        y = np.round(g["l_extendedprice"].to_numpy(dtype="float64") * 100)
+        A = np.column_stack([np.ones_like(x1), x1, x2])
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        np.testing.assert_allclose(got[flag], beta, rtol=1e-7)
