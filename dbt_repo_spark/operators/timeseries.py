@@ -187,6 +187,70 @@ def ewma_recursive(
     )
 
 
+def holt_recursive(
+    df: DataFrame,
+    key: str,
+    ord_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    gamma: float = 0.5,
+    key_type: str = "string",
+    ord_type: str = "timestamp",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    series: ``l_0 = x_0, b_0 = 0``, then
+
+        ``l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})``
+        ``b_t = γ·(l_t − l_{t-1}) + (1-γ)·b_{t-1}``
+
+    Same design contract as :func:`ewma_recursive` (which see): callers
+    pre-aggregate first, series count is the parallelism, α/γ default to
+    exactly-representable binary fractions so the recurrence is
+    bit-identical to a ``WITH RECURSIVE`` SQL oracle evaluating the same
+    IEEE expression (the oracle inlines l_t into b_t's definition —
+    recomputing the identical expression yields the identical bits).
+    Output adds ``forecast = l_{t-1} + b_{t-1}`` (the one-step-ahead
+    prediction evaluated before the update), NULL at t=0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, g = float(alpha), float(gamma)
+    om, og = 1.0 - a, 1.0 - g
+    src = df.select(
+        F.col(key).alias("k"),
+        F.col(ord_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o", kind="mergesort")
+        x = pdf["x"].to_numpy(dtype="float64")
+        lvl = np.empty_like(x)
+        trd = np.empty_like(x)
+        fc = np.full_like(x, np.nan)
+        if len(x):
+            lvl[0], trd[0] = x[0], 0.0
+            for i in range(1, len(x)):
+                fc[i] = lvl[i - 1] + trd[i - 1]
+                lvl[i] = a * x[i] + om * (lvl[i - 1] + trd[i - 1])
+                trd[i] = g * (lvl[i] - lvl[i - 1]) + og * trd[i - 1]
+        return pd.DataFrame(
+            {"k": pdf["k"], "o": pdf["o"], "l": lvl, "b": trd, "f": fc}
+        )
+
+    out = src.groupBy("k").applyInPandas(
+        smooth, schema=f"k {key_type}, o {ord_type}, l double, b double, f double"
+    )
+    return out.select(
+        F.col("k").alias(key),
+        F.col("o").alias(ord_col),
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        F.col("f").alias("forecast"),
+    )
+
+
 def max_concurrency(
     intervals: DataFrame,
     key_cols: list[str],

@@ -5399,5 +5399,352 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "holt_linear_trend",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    num AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT event_type, day, rn, cents,
+             CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS f
+      FROM num WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.rn, n.cents,
+             0.25 * CAST(n.cents AS DOUBLE) + 0.75 * (r.l + r.b),
+             0.5 * ((0.25 * CAST(n.cents AS DOUBLE) + 0.75 * (r.l + r.b))
+                    - r.l) + 0.5 * r.b,
+             r.l + r.b
+      FROM num n JOIN r ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+    SELECT event_type, day, l AS level, b AS trend, f AS forecast FROM r
+    """,
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend + one-step
+    forecast) of daily revenue per event type
+    (operators/timeseries.py:holt_recursive) — trend-aware smoothing
+    where a plain EWMA lags a drifting series. α=0.25, γ=0.5 are exact
+    binary fractions; the oracle's recursive CTE inlines the level
+    update into the trend update (identical IEEE ops → identical bits).
+    Scale: same contract as ewma_daily_value — the fact reduces to
+    |series|×|days| rows in the JVM before the recurrence.
+    """
+    from dbt_repo_spark.operators.timeseries import holt_recursive
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("cents"))
+    return holt_recursive(daily, "event_type", "day", "cents", alpha=0.25, gamma=0.5)
+
+
+@q(
+    "cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, x,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS s,
+             SUM(x * x) OVER (PARTITION BY event_type) AS sxx,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS pre,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily)
+    SELECT event_type, day,
+           CAST(n * pre - i * s AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_cents,
+           (n * pre - i * s) * (n * pre - i * s) * (n - 1)
+             > 9 * (n * sxx - s * s) * n AS is_alarm
+    FROM w
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue per event type:
+    cusum_t = Σ_{i≤t}(x_i − x̄), alarmed where |cusum_t| > 3σ. The whole
+    statistic is integer-exact — cusum_t·n = n·prefix_t − t·S, and the
+    3σ alarm test is cleared of divisions and square roots by algebra
+    ((n·pre − i·S)²·(n−1) > 9·(n·sxx − S²)·n), so the alarm BOOLEAN is
+    an integer comparison — deterministic on any engine, no float
+    threshold flakiness. The one division (display value) stays < 2⁵³.
+
+    One hash-agg to the daily grid, then one window partitioning carries
+    the whole-series aggregates AND the running prefix (exchange
+    reuse); series length is calendar-bounded.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("x"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d38 = "decimal(38,0)"
+    w = daily.select(
+        "event_type", "day",
+        F.count("*").over(wp).cast(d38).alias("n"),
+        F.sum("x").over(wp).cast(d38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wp).cast(d38).alias("sxx"),
+        F.sum("x").over(wrun).cast(d38).alias("pre"),
+        F.row_number().over(wo).cast(d38).alias("i"),
+    )
+    n, s, sxx = F.col("n"), F.col("s"), F.col("sxx")
+    pre, i = F.col("pre"), F.col("i")
+    dev = n * pre - i * s
+    return w.select(
+        "event_type", "day",
+        (dev.cast("double") / n.cast("double")).alias("cusum_cents"),
+        (dev * dev * (n - 1) > F.lit(9) * (n * sxx - s * s) * n).alias("is_alarm"),
+    )
+
+
+@q(
+    "seasonal_naive_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+      FROM daily)
+    SELECT event_type, day, x AS actual_cents, f AS forecast_cents,
+           abs(x - f) AS abs_err_cents,
+           CAST(abs(x - f) AS DOUBLE) / CAST(x AS DOUBLE) AS ape
+    FROM lagged WHERE f IS NOT NULL
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (forecast_t = actual_{t−7}) with
+    per-day absolute-percentage error — the baseline every fancier
+    forecaster must beat, emitted as the CELL table (per-day errors)
+    rather than one MAPE scalar: a cross-engine float mean is
+    accumulation-order-dependent, per-row APE is a single IEEE division
+    (contingency_event_dow's principle). Aggregate MAPE downstream with
+    the exactness rule if a scalar is needed.
+
+    One hash-agg + one lag window sharing the series partitioning.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("f", F.lag("x", 7).over(wo)).filter(
+        F.col("f").isNotNull()
+    )
+    return lagged.select(
+        "event_type", "day",
+        F.col("x").alias("actual_cents"),
+        F.col("f").alias("forecast_cents"),
+        F.abs(F.col("x") - F.col("f")).alias("abs_err_cents"),
+        (
+            F.abs(F.col("x") - F.col("f")).cast("double")
+            / F.col("x").cast("double")
+        ).alias("ape"),
+    )
+
+
+@q(
+    "gini_by_group",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+             o_orderkey
+      FROM orders),
+    rk AS (
+      SELECT o_orderpriority, x,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY x, o_orderkey) AS i,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+             SUM(x) OVER (PARTITION BY o_orderpriority) AS t
+      FROM base),
+    s AS (
+      SELECT o_orderpriority, MIN(n) AS n, MIN(t) AS t, SUM(i * x) AS six
+      FROM rk GROUP BY o_orderpriority)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           CAST(CAST(2 * six - (n + 1) * t AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * t AS VARCHAR) AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration metric (is revenue dominated by a few big
+    orders?). Rank-weighted form G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+    with a unique (value, orderkey) rank order: numerator and
+    denominator are exact integers, the division is one double op, and
+    the >2⁵³ integers reach double through the decimal-string round-trip
+    (see ols_multifeature_cramer — DuckDB's HUGEINT→DOUBLE cast is 1 ulp
+    off). One shuffle: the rank window and the final agg share the
+    group partitioning. Scale caveat: ranks are a per-group sort —
+    fine while each group fits a task's spill budget (documented
+    single-partition-window ceiling); beyond that, two-phase
+    range-partitioned ranking (vocab_dense_ids' pattern) applies.
+    """
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("x"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wo = wp.orderBy("x", "o_orderkey")
+    d38 = "decimal(38,0)"
+    rk = base.select(
+        "o_orderpriority", "x",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("t"),
+    )
+    s = rk.groupBy("o_orderpriority").agg(
+        F.min("n").cast(d38).alias("n"),
+        F.min("t").cast(d38).alias("t"),
+        F.sum((F.col("i") * F.col("x")).cast(d38)).alias("six"),
+    )
+    n, tt, six = F.col("n"), F.col("t"), F.col("six")
+    num = F.lit(2).cast(d38) * six - (n + 1) * tt
+    den = n * tt
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n_orders"),
+        (
+            num.cast("string").cast("double") / den.cast("string").cast("double")
+        ).alias("gini"),
+    )
+
+
+@q(
+    "psi_value_drift",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                  THEN 1 ELSE 0 END AS it,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) // 5000
+               AS bucket
+      FROM events),
+    cells AS (
+      SELECT event_type, bucket, SUM(it) AS a, SUM(1 - it) AS b
+      FROM base GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(a) AS ta, SUM(b) AS tb
+            FROM cells GROUP BY 1)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(a AS BIGINT) AS n_train, CAST(b AS BIGINT) AS n_test,
+           (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+              - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+             * ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                  / (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) AS psi_contrib
+    FROM cells JOIN tot USING (event_type)
+    WHERE a > 0 AND b > 0
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index cells for value-distribution drift
+    across the 2024-01-25 train/test cut, per event type — the standard
+    ML-ops drift monitor. Both periods bucket in ONE pass (indicator
+    sums, temporal_split_leakage's cut); per-cell PSI contributions are
+    single IEEE expressions over exact integer counts (the float-sum
+    rule: emit cells, aggregate downstream). Buckets with a zero side
+    are excluded (standard practice; their counts still shape the
+    totals). Totals derive from the cell table — never a second fact
+    scan — and join back broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    it = (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp")).cast("int")
+    base = ev.select(
+        "event_type",
+        it.alias("it"),
+        F.expr(
+            "cast(cast(value as decimal(14,2)) * 100 as bigint) div 5000"
+        ).alias("bucket"),
+    )
+    cells = base.groupBy("event_type", "bucket").agg(
+        F.sum("it").alias("a"), F.sum(F.lit(1) - F.col("it")).alias("b")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    a, b = F.col("a"), F.col("b")
+    pa = a.cast("double") / F.col("ta").cast("double")
+    pb = b.cast("double") / F.col("tb").cast("double")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .filter((a > 0) & (b > 0))
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            a.cast("long").alias("n_train"),
+            b.cast("long").alias("n_test"),
+            ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+        )
+    )
+
+
+@q(
+    "multimodal_exact_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS checksum
+      FROM documents)
+    SELECT checksum, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(media_id) AS canonical_media_id,
+           CAST(COUNT(DISTINCT media_type) AS BIGINT) AS n_media_types
+    FROM media GROUP BY checksum
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact-dedup catalog over BINARY media
+    payloads: one row per distinct checksum (md5 of the blob) with copy
+    count and canonical keeper — duplicate groups are the n_copies > 1
+    rows (the fixture has none below sf0.1, so the full catalog is
+    emitted to keep the oracle check non-vacuous) — the first multimodal
+    query with a full value oracle (the synthetic blobs are utf-8 text
+    bytes, so DuckDB's md5(text) hashes identical bytes).
+    The plumbing is the production shape for petabyte media dedup: the
+    blob column is pruned immediately after hashing, so the shuffle
+    carries a 16-byte key + ids, never payload bytes; canonical keep is
+    a min-id agg (same contract as dedup_exact, extended to the
+    multimodal table with its type metadata).
+    """
+    media = multimodal.synthetic_media_from_documents(
+        t(spark, sf_dir, "documents")
+    )
+    return (
+        media.select(
+            "media_id", "media_type", F.md5("content").alias("checksum")
+        )
+        .groupBy("checksum")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("canonical_media_id"),
+            F.countDistinct("media_type").cast("long").alias("n_media_types"),
+        )
+        .select(
+            "checksum",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            "canonical_media_id",
+            "n_media_types",
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

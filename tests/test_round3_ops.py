@@ -250,3 +250,29 @@ def test_ols_cramer_matches_numpy_lstsq(spark):
         A = np.column_stack([np.ones_like(x1), x1, x2])
         beta, *_ = np.linalg.lstsq(A, y, rcond=None)
         np.testing.assert_allclose(got[flag], beta, rtol=1e-7)
+
+
+def test_holt_constant_and_ramp_series(spark):
+    """Holt invariants: a constant series is a fixed point (level == c,
+    trend == 0, forecast == c exactly); on an exact linear ramp the
+    trend estimate converges toward the true slope."""
+    import datetime
+
+    from dbt_repo_spark.operators.timeseries import holt_recursive
+
+    rows = []
+    for i in range(20):
+        rows.append(("const", datetime.datetime(2024, 1, 1 + i), 42.0))
+        rows.append(("ramp", datetime.datetime(2024, 1, 1 + i), 10.0 + 3.0 * i))
+    df = spark.createDataFrame(rows, "k string, o timestamp, x double")
+    out = holt_recursive(df, "k", "o", "x").collect()
+    const = sorted([r for r in out if r["k"] == "const"], key=lambda r: r["o"])
+    assert all(r["level"] == 42.0 and r["trend"] == 0.0 for r in const)
+    assert const[0]["forecast"] is None
+    assert all(r["forecast"] == 42.0 for r in const[1:])
+    ramp = sorted([r for r in out if r["k"] == "ramp"], key=lambda r: r["o"])
+    errs = [abs(r["trend"] - 3.0) for r in ramp]
+    assert errs[-1] < 0.05 and errs[-1] < errs[3]
+    # one-step forecast beats the naive lag-1 forecast once warmed up
+    naive_err = abs((10.0 + 3.0 * 18) - (10.0 + 3.0 * 19))
+    assert abs(ramp[-1]["forecast"] - (10.0 + 3.0 * 19)) < naive_err
