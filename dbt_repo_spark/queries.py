@@ -5662,7 +5662,15 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (standard practice; their counts still shape the
     totals). Totals derive from the cell table — never a second fact
     scan — and join back broadcast.
+
+    The ln evaluates in a mapInPandas stage over the ≤|types|×|buckets|
+    CELL table (never the fact): JVM Math.log is observably 1 ulp off
+    C libm for some arguments, while Python's math.log and DuckDB's ln
+    both call the platform libm — the EWMA seam rule applied to a
+    transcendental. The fact-sized work stays JVM-side.
     """
+    import math
+
     ev = t(spark, sf_dir, "events")
     it = (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp")).cast("int")
     base = ev.select(
@@ -5679,9 +5687,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").alias("ta"), F.sum("b").alias("tb")
     )
     a, b = F.col("a"), F.col("b")
-    pa = a.cast("double") / F.col("ta").cast("double")
-    pb = b.cast("double") / F.col("tb").cast("double")
-    return (
+    joined = (
         cells.join(F.broadcast(tot), "event_type")
         .filter((a > 0) & (b > 0))
         .select(
@@ -5689,8 +5695,25 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").cast("long").alias("bucket"),
             a.cast("long").alias("n_train"),
             b.cast("long").alias("n_test"),
-            ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+            F.col("ta").cast("long").alias("ta"),
+            F.col("tb").cast("long").alias("tb"),
         )
+    )
+
+    def psi_cells(batches):
+        for pdf in batches:
+            pa = pdf["n_train"] / pdf["ta"]
+            pb = pdf["n_test"] / pdf["tb"]
+            pdf = pdf.drop(columns=["ta", "tb"])
+            pdf["psi_contrib"] = [
+                (x - y) * math.log(x / y) for x, y in zip(pa, pb)
+            ]
+            yield pdf
+
+    return joined.mapInPandas(
+        psi_cells,
+        schema="event_type string, bucket long, n_train long, n_test long, "
+        "psi_contrib double",
     )
 
 

@@ -175,6 +175,12 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "holt_linear_trend": 2,
+    "cusum_changepoints": 2,
+    "seasonal_naive_backtest": 2,
+    "gini_by_group": 1,
+    "psi_value_drift": 4,
+    "multimodal_exact_dedup": 2,
     "ewma_daily_value": 2,
     "ohlc_resample": 1,
     "rolling_corr_daily": 2,

@@ -272,7 +272,9 @@ def test_holt_constant_and_ramp_series(spark):
     assert all(r["forecast"] == 42.0 for r in const[1:])
     ramp = sorted([r for r in out if r["k"] == "ramp"], key=lambda r: r["o"])
     errs = [abs(r["trend"] - 3.0) for r in ramp]
-    assert errs[-1] < 0.05 and errs[-1] < errs[3]
+    # geometric convergence from the b_0 = 0 start: ~7% error left after
+    # 20 steps at α=0.25, γ=0.5 (relative to the slope 3.0)
+    assert errs[-1] < 0.25 and errs[-1] < errs[3] / 4
     # one-step forecast beats the naive lag-1 forecast once warmed up
     naive_err = abs((10.0 + 3.0 * 18) - (10.0 + 3.0 * 19))
     assert abs(ramp[-1]["forecast"] - (10.0 + 3.0 * 19)) < naive_err
