@@ -5769,5 +5769,196 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rolling_active_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events),
+    du AS (
+      SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+      FROM events)
+    SELECT d.event_type, d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+    FROM days d
+    JOIN du u ON u.event_type = d.event_type
+             AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1, 2
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per event type (the WAU
+    metric) — COUNT(DISTINCT) over a sliding window, which SQL windows
+    cannot express directly. The oracle uses the O(|days|×|users×days|)
+    range join; the engine uses the contribute-forward rewrite: each
+    distinct (type,user,day) presence explodes into the ≤7 window days
+    it makes the user active in, re-distincts, and counts — every
+    shuffle is hash-partitioned and fan-out is bounded by the window
+    width, so the plan survives a 100× user-count scale-up where the
+    range join's per-day rescan would not. Trailing windows past the
+    observed calendar are clipped by a semi-join against the day grid
+    (itself derived, |types|×|days| rows, broadcast).
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = du.select("event_type", "day").distinct()
+    contrib = du.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day", F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("active_users_7d"))
+    )
+
+
+@q(
+    "co_purchase_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_ord FROM li GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li)
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           CAST(n_co * n AS DOUBLE) / CAST(fa.n_ord * fb.n_ord AS DOUBLE)
+             AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY n_co DESC, part_a, part_b LIMIT 100
+    """,
+)
+def co_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase lift over the order fact: top-100 part
+    pairs by co-occurrence with lift = P(a,b)/(P(a)·P(b)) — association
+    mining as one self-join. The pair join is co-partitioned on
+    l_orderkey (one shuffle feeds both sides) and its fan-out is
+    C(lines_per_order, 2) ≤ 21 per order — order size is schema-bounded,
+    so the pair count is linear in orders, never |parts|². Lift is one
+    double division over exact integer products
+    (token_cooccurrence_lift's rule on the TPC-H fact instead of
+    documents); the top-100 plans as TakeOrderedAndProject with the
+    (n_co, part_a, part_b) tie-break making the cut deterministic.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_co"))
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(
+                freq.select(
+                    F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                freq.select(
+                    F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            (
+                (F.col("n_co") * F.col("n")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@q(
+    "robust_scaler_mad",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS med_cents,
+             COUNT(*) AS n FROM base GROUP BY 1),
+    dev AS (
+      SELECT b.event_type, abs(CAST(b.c AS DOUBLE) - m.med_cents) AS ad
+      FROM base b JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad_cents
+      FROM dev GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events, med_cents, mad_cents,
+           1.4826 * mad_cents AS sigma_robust
+    FROM med JOIN mad USING (event_type)
+    """,
+)
+def robust_scaler_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: exact median and median
+    absolute deviation (σ̂ = 1.4826·MAD) — the outlier-immune
+    normalization pair for feature scaling (pairs with events_winsorized:
+    that clamps, this standardizes). MAD is a nested median, so two
+    aggregate passes are inherent; both are |groups|-row GROUP BY
+    percentiles (never a percentile-over-window single task) and the
+    deviation pass joins the broadcast medians back to the fact. The
+    interpolated exact percentile (F.percentile ↔ quantile_cont, both
+    avg-of-two-order-stats on identical operands) keeps the oracle
+    bit-for-bit; 1.4826 parses to the same double in both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select("event_type", _cents().cast("long").alias("c"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("c", F.lit(0.5)).alias("med_cents"),
+        F.count("*").alias("n"),
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("c").cast("double") - F.col("med_cents")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            "med_cents",
+            "mad_cents",
+            (F.lit(1.4826) * F.col("mad_cents")).alias("sigma_robust"),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -175,6 +175,9 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "rolling_active_users": 5,
+    "co_purchase_lift": 13,
+    "robust_scaler_mad": 5,
     "holt_linear_trend": 2,
     "cusum_changepoints": 2,
     "seasonal_naive_backtest": 2,
