@@ -297,3 +297,77 @@ def changes_only(status: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("x", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("y", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def ewma_stream(
+    events: DataFrame, alpha: float = 0.25, delay: str = "2 minutes"
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma_recursive``: per-key
+    EWMA maintained ONLINE across micro-batches. State is the last
+    smoothed value + count — one fixed-width tuple per key, so the state
+    store is key-cardinality-bound — and survives checkpoint restarts
+    (the equivalence test restarts the query mid-series and the smoothed
+    values stay bit-identical to the batch recurrence over the full
+    input). Rows sort by event time within each micro-batch; the same
+    two-multiply one-add IEEE step as the batch operator makes
+    streaming-equals-batch exact, not approximate, when batches arrive
+    in event order (the watermark drops later-than-delay stragglers,
+    same bound as the ingest dedup).
+
+    Input stream columns: (k STRING, ts TIMESTAMP, x DOUBLE).
+    Output: one smoothed row per input row (append).
+    """
+    a = float(alpha)
+    om = 1.0 - a
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        if state.exists:
+            y, n = state.get
+        else:
+            y, n = 0.0, 0
+        ks, tss, xs, ys = [], [], [], []
+        for ts_v, x in zip(pdf["ts"], pdf["x"].astype("float64")):
+            y = x if n == 0 else om * y + a * x
+            n += 1
+            ks.append(key[0])
+            tss.append(ts_v)
+            xs.append(x)
+            ys.append(y)
+        state.update((float(y), int(n)))
+        yield pd.DataFrame({"k": ks, "ts": tss, "x": xs, "ewma": ys})
+
+    return (
+        events.select("k", "ts", "x")
+        .withWatermark("ts", delay)
+        .groupBy("k")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

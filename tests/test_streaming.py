@@ -503,3 +503,72 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     counts = {r.k: r["count"] for r in got}
     assert counts[8] == 1
     assert counts[7] == 2  # once per horizon, NOT permanently suppressed
+
+
+def test_streaming_ewma_equals_batch_across_restart(spark, tmp_path):
+    """Online EWMA == batch EWMA bit-for-bit over a checkpoint restart:
+    feed minutes 0-4, stop; feed minutes 5-9, restart from the same
+    checkpoint; the concatenated streaming output must equal
+    ewma_recursive over the full series (state — a double — must
+    round-trip the state store exactly)."""
+    import datetime as dt
+    import json
+
+    from dbt_repo_spark.operators.timeseries import ewma_recursive
+    from dbt_repo_spark.streaming.stateful import ewma_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(minutes):
+        lines = []
+        for m in minutes:
+            for k, v in (("a", 10.0 + 3.7 * m), ("b", 100.0 / (m + 1))):
+                lines.append(
+                    json.dumps(
+                        {"k": k, "ts": (base + dt.timedelta(minutes=m)).isoformat(), "x": v}
+                    )
+                )
+        return "\n".join(lines)
+
+    schema = "k STRING, ts TIMESTAMP, x DOUBLE"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            ewma_stream(stream, alpha=0.25)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(rows(range(5)))
+    run_once()
+    (src / "b2.json").write_text(rows(range(5, 10)))
+    run_once()
+
+    got = {
+        (r["k"], r["ts"]): (r["x"], r["ewma"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 20
+    batch_in = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(minutes=m), v)
+            for m in range(10)
+            for k, v in (("a", 10.0 + 3.7 * m), ("b", 100.0 / (m + 1)))
+        ],
+        schema,
+    )
+    want = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in ewma_recursive(batch_in, "k", "ts", "x", alpha=0.25).collect()
+    }
+    for key, (_, ewma) in got.items():
+        assert ewma == want[key], key
