@@ -5960,5 +5960,175 @@ def robust_scaler_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+               AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS BIGINT) AS segment_monetary_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM mart: quintile scores per dimension with deterministic
+    (value, custkey) tie-breaks, rolled up to segment counts and
+    monetary totals (≤125 rows out). The fact reduces to one row per
+    customer FIRST (10-40× smaller), so the three global ntile windows
+    sort the customer relation, not the fact — still a single-task sort
+    by design (quintiles are a global statistic); the documented
+    two-phase rank (vocab_dense_ids) is the >10⁸-customer path.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(
+            (dec("o_totalprice", 14, 2) * 100).cast("decimal(38,0)")
+        ).cast("long").alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey", "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("segment_monetary_cents"),
+    )
+
+
+@q(
+    "attribution_last_touch",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS attributed_value
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent PRIOR non-purchase event type (the as-of
+    IGNORE-NULLS window of events_asof_last_signup, with a 1-PRECEDING
+    frame making "strictly before" structural); purchases with no prior
+    touch attribute to NULL (organic). One shuffle on user_id for the
+    window, then the per-channel rollup — the purchase filter applies
+    after the window but the frame means non-purchase rows never emit
+    output rows, so the aggregate input is purchase-count-sized.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )
+
+
+@q(
+    "share_of_parent_rollup",
+    """
+    WITH agg AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             AS share_of_total
+    FROM agg
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: nation revenue with its share of
+    region and of grand total — the drill-down contribution mart. The
+    star join broadcasts all three dims (mart_region_revenue's plan);
+    the two share windows run over the 25-row AGGREGATE, where exact
+    decimal window sums make the shares deterministic doubles. At any
+    scale the window input is |nations|, never the fact.
+    """
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    agg = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec("o_totalprice", 14, 2)).alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    rev = F.col("rev")
+    return agg.select(
+        "region", "nation",
+        rev.cast("double").alias("revenue"),
+        (rev.cast("double") / F.sum(rev).over(wr).cast("double")).alias(
+            "share_of_region"
+        ),
+        (rev.cast("double") / F.sum(rev).over(wall).cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

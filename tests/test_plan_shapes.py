@@ -175,6 +175,9 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "rfm_segments": 2,
+    "attribution_last_touch": 2,
+    "share_of_parent_rollup": 5,
     "rolling_active_users": 5,
     "co_purchase_lift": 13,
     "robust_scaler_mad": 5,
