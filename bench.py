@@ -118,6 +118,13 @@ HEADLINE = [
     "ewma_daily_value",
     "ohlc_resample",
     "temporal_split_leakage",
+    # round-3 continuation 3: WAU rewrite, market-basket self-join,
+    # robust scaler, RFM, attribution
+    "rolling_active_users",
+    "co_purchase_lift",
+    "robust_scaler_mad",
+    "rfm_segments",
+    "attribution_last_touch",
 ]
 
 RUNS = 3

@@ -6130,5 +6130,69 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "join_key_skew_report",
+    """
+    WITH k AS (SELECT l_partkey AS key, COUNT(*) AS c
+               FROM lineitem GROUP BY 1),
+    top AS (SELECT SUM(c) AS top10_rows
+            FROM (SELECT c FROM k ORDER BY c DESC, key LIMIT 10)),
+    s AS (SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_key_rows,
+                 CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_key_rows
+          FROM k)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_key_rows AS BIGINT) AS max_key_rows,
+           p99_key_rows,
+           CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS skew_ratio,
+           CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+           CAST(CEIL(CAST(max_key_rows * n_keys AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE)) AS BIGINT) AS suggested_salt
+    FROM s CROSS JOIN top
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight report for choosing a
+    join strategy at 100 TB (pairs with salted_join_skew, which applies
+    the mitigation this report recommends): key cardinality, max and p99
+    per-key row counts, max/avg skew ratio, the share held by the top-10
+    keys, and a suggested salt factor (⌈max/avg⌉ — the fan-out needed to
+    level the hottest key to an average-sized task). One hash-agg builds
+    the per-key histogram; every statistic derives from that |keys|-row
+    relation (TakeOrderedAndProject for the top-10, GROUP BY percentile
+    for the p99 — never a second fact scan); ratios are single IEEE
+    divisions over exact integers.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("c"))
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p99_key_rows"),
+    )
+    top = (
+        k.orderBy(F.desc("c"), "key")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    nk, nr, mx = F.col("n_keys"), F.col("n_rows"), F.col("max_key_rows")
+    ratio = (mx * nk).cast("double") / nr.cast("double")
+    return s.crossJoin(F.broadcast(top)).select(
+        nr.cast("long").alias("n_rows"),
+        nk.cast("long").alias("n_keys"),
+        mx.cast("long").alias("max_key_rows"),
+        "p99_key_rows",
+        ratio.alias("skew_ratio"),
+        (F.col("top10_rows").cast("double") / nr.cast("double")).alias(
+            "top10_share"
+        ),
+        F.ceil(ratio).cast("long").alias("suggested_salt"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
