@@ -502,3 +502,54 @@ def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+@q(
+    "returned_item_report",
+    """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                         * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by revenue lost to returned
+    items in one quarter, with nation context — the classic churn-risk
+    report. Both selective predicates (the quarter, returnflag='R')
+    push down to their scans BEFORE the fact-fact join, so the orders
+    side shrinks ~25× and the lineitem side 3× at the parquet reader;
+    the surviving orders broadcast into the lineitem join (quarter-sized
+    — bounded by the date predicate regardless of total history), then
+    customer/nation dims broadcast onto the |returned-orders| aggregate.
+    Top-20 plans as TakeOrderedAndProject with a c_custkey tie-break on
+    the exact-decimal revenue (deterministic cut).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    na = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(cu), rev.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
