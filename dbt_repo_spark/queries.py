@@ -6194,5 +6194,93 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "seasonal_robust_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day,
+             x - lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS d
+      FROM daily),
+    diffs AS (SELECT event_type, day, d FROM lagged WHERE d IS NOT NULL),
+    med AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS med_d
+      FROM diffs GROUP BY 1),
+    mad AS (
+      SELECT d.event_type,
+             quantile_cont(abs(CAST(d.d AS DOUBLE) - m.med_d), 0.5) AS mad_d
+      FROM diffs d JOIN med m USING (event_type) GROUP BY 1)
+    SELECT d.event_type, d.day, d.d AS seasonal_diff_cents,
+           CASE WHEN mad_d > 0
+                THEN (CAST(d.d AS DOUBLE) - med_d) / (1.4826 * mad_d)
+           END AS robust_z,
+           CASE WHEN mad_d > 0
+                THEN abs(CAST(d.d AS DOUBLE) - med_d) > 3 * (1.4826 * mad_d)
+                ELSE CAST(NULL AS BOOLEAN)
+           END AS is_anomaly
+    FROM diffs d JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+)
+def seasonal_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware robust anomaly detection — the composition of
+    two already-audited pieces: the seasonal-naive differencer (d_t =
+    x_t − x_{t−7} removes weekly structure, seasonal_naive_backtest)
+    scored by the MAD robust scaler (robust_scaler_mad), flagging
+    |d − median| > 3·1.4826·MAD. Median/MAD are immune to the anomalies
+    being hunted (a trailing-mean z-score drags its own threshold up —
+    anomaly_trailing_zscore's documented limitation this composition
+    fixes). All group statistics are |types|-row aggregates broadcast
+    back; the boolean compares identical IEEE expressions, so the flag
+    is cross-engine deterministic.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    # diffs feeds three consumers (median, MAD, final scoring); it is
+    # |types|×|days| rows, so materialize once instead of recomputing
+    # the agg+window subtree thrice (triangle_stats' checkpoint rule)
+    diffs = (
+        daily.withColumn("d", F.col("x") - F.lag("x", 7).over(wo))
+        .filter(F.col("d").isNotNull())
+        .select("event_type", "day", "d")
+        .localCheckpoint(eager=True)
+    )
+    med = diffs.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("med_d")
+    )
+    mad = (
+        diffs.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("d").cast("double") - F.col("med_d")), F.lit(0.5)
+            ).alias("mad_d")
+        )
+    )
+    dd = F.col("d").cast("double")
+    scale = F.lit(1.4826) * F.col("mad_d")
+    return (
+        diffs.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "day",
+            F.col("d").alias("seasonal_diff_cents"),
+            F.when(F.col("mad_d") > 0, (dd - F.col("med_d")) / scale).alias(
+                "robust_z"
+            ),
+            F.when(
+                F.col("mad_d") > 0,
+                F.abs(dd - F.col("med_d")) > F.lit(3) * scale,
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
