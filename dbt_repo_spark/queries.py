@@ -6282,5 +6282,155 @@ def seasonal_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "release_audit_pipeline",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 call +47 2255 01' || CAST(doc_id % 10 AS VARCHAR)
+                    || CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents),
+    e AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM seeded),
+    i AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+          FROM e),
+    p AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(t2, '\+\d[\d ]{6,14}\d')) AS n_phone
+          FROM i),
+    pii AS (SELECT CAST(COUNT(*) FILTER (WHERE n_email + n_ipv4 + n_phone > 0)
+                        AS BIGINT) AS pii_docs
+            FROM p),
+    dupg AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1),
+    dup AS (SELECT CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS dup_groups,
+                   CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+                     AS dup_docs
+            FROM dupg),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    qi AS (SELECT CAST(COUNT(*) AS BIGINT) AS risky_qi_groups
+           FROM (SELECT lang, source, n_chars // 100 AS b, COUNT(*) AS n
+                 FROM documents GROUP BY 1, 2, 3) g WHERE n < 5),
+    cells AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) // 5000
+               AS bucket,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                      THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00'
+                      THEN 0 ELSE 1 END) AS b
+      FROM events GROUP BY 1, 2),
+    tots AS (SELECT event_type, SUM(a) AS ta, SUM(b) AS tb
+             FROM cells GROUP BY 1),
+    drift AS (
+      SELECT MAX(abs(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)))
+        AS max_tv_drift
+      FROM cells JOIN tots USING (event_type))
+    SELECT n_docs, dup_groups, dup_docs, pii_docs, risky_qi_groups,
+           max_tv_drift
+    FROM nd CROSS JOIN dup CROSS JOIN pii CROSS JOIN qi CROSS JOIN drift
+    """,
+)
+def release_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-release audit gate — the compliance composition: one certified
+    row with corpus size, exact-duplicate exposure (groups + docs), PII
+    incidence (the seeded redaction battery's counters), k-anonymity
+    risk (QI groups under k=5), and train/test distribution drift as
+    max TOTAL-VARIATION distance per bucket — TV instead of PSI here
+    because a composed certificate must be transcendental-free: |p−q|
+    is one IEEE subtraction over exact counts on both engines, immune
+    to the Java-vs-C ln ulp drift psi_value_drift routes through its
+    libm seam. Every component is the already-audited operator's plan
+    (redact_pii scan, md5 dup groupBy, QI hash-agg, PSI cell table);
+    summaries are single-row broadcasts cross-joined — the fact tables
+    are each scanned once, no collect.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ev = t(spark, sf_dir, "events")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call +47 2255 01"),
+                (F.col("doc_id") % 10).cast("string"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = text.redact_pii(seeded, "doc_id", "text")
+    pii = red.agg(
+        F.sum(
+            F.when(
+                F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pii_docs")
+    )
+    dupg = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("n"))
+    dup = dupg.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("dup_docs"),
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    qi = (
+        docs.groupBy("lang", "source", F.expr("n_chars div 100").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < 5)
+        .agg(F.count("*").cast("long").alias("risky_qi_groups"))
+    )
+    it = (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp")).cast("int")
+    cells = (
+        ev.select(
+            "event_type",
+            it.alias("it"),
+            F.expr(
+                "cast(cast(value as decimal(14,2)) * 100 as bigint) div 5000"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("it").alias("a"), F.sum(F.lit(1) - F.col("it")).alias("b"))
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    drift = (
+        cells.join(F.broadcast(tots), "event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a").cast("double") / F.col("ta").cast("double")
+                    - F.col("b").cast("double") / F.col("tb").cast("double")
+                )
+            ).alias("max_tv_drift")
+        )
+    )
+    return (
+        nd.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(pii))
+        .crossJoin(F.broadcast(qi))
+        .crossJoin(F.broadcast(drift))
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
