@@ -6432,5 +6432,92 @@ def release_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "quantile_normalize",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM events),
+    rankedg AS (
+      SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn
+      FROM events),
+    knots AS (
+      SELECT t.i AS idx, r.value AS kv
+      FROM range(0, 101) AS t(i) CROSS JOIN n
+      JOIN rankedg r ON r.rn = (t.i * (n.c - 1)) // 100),
+    ranked AS (
+      SELECT event_id, event_type, value,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS pr
+      FROM events)
+    SELECT event_id, event_type, value, pr,
+           CASE WHEN pr >= 1.0 THEN k1.kv
+                ELSE k1.kv + (pr * 100 - floor(pr * 100)) * (k2.kv - k1.kv)
+           END AS value_qnorm
+    FROM ranked
+    JOIN knots k1
+      ON k1.idx = CAST(least(floor(pr * 100), 100) AS BIGINT)
+    JOIN knots k2
+      ON k2.idx = CAST(least(floor(pr * 100) + 1, 100) AS BIGINT)
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each value to the GLOBAL distribution
+    at its within-group percent-rank — the cross-feature alignment
+    transform (every event type ends up with the corpus's value
+    distribution while keeping its internal ordering). The inverse CDF
+    is a 101-knot grid of DISCRETE order statistics (value at global
+    rank ⌊i·(n−1)/100⌋ — raw data values selected by integer-exact
+    positions) with linear interpolation between knots. Discrete knots
+    are deliberate: the engines' internal quantile_cont/percentile
+    interpolations differ by 1 ulp at some cut points (measured:
+    2/101 knots on the fixture), while an order statistic is a value
+    both engines agree on bit-for-bit; the between-knot interpolation
+    is then the same IEEE expression on both sides.
+
+    Scale: the knot relation is 101 rows (broadcast); the global rank
+    window is a single-task sort of the value column only — the gini
+    caveat, with the two-phase rank (vocab_dense_ids) as the >10⁹-row
+    path; the per-group rank window shuffles once on the group key.
+    """
+    ev = t(spark, sf_dir, "events")
+    n = ev.agg(F.count("*").alias("c"))
+    rankedg = ev.select(
+        "value", (F.row_number().over(Window.orderBy("value")) - 1).alias("rn")
+    )
+    knots = (
+        spark.range(0, 101)
+        .select(F.col("id").alias("idx"))
+        .crossJoin(F.broadcast(n))
+        .join(
+            rankedg,
+            F.col("rn") == F.expr("idx * (c - 1) div 100"),
+        )
+        .select("idx", F.col("value").alias("kv"))
+    )
+    ranked = ev.select(
+        "event_id", "event_type", "value",
+        F.percent_rank()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("pr"),
+    )
+    pr = F.col("pr")
+    i1 = F.least(F.floor(pr * 100), F.lit(100.0)).cast("long")
+    i2 = F.least(F.floor(pr * 100) + 1, F.lit(100.0)).cast("long")
+    frac = pr * 100 - F.floor(pr * 100)
+    k1 = knots.select(F.col("idx").alias("i1"), F.col("kv").alias("kv1"))
+    k2 = knots.select(F.col("idx").alias("i2"), F.col("kv").alias("kv2"))
+    return (
+        ranked.withColumn("i1", i1)
+        .withColumn("i2", i2)
+        .join(F.broadcast(k1), "i1")
+        .join(F.broadcast(k2), "i2")
+        .select(
+            "event_id", "event_type", "value", "pr",
+            F.when(pr >= 1.0, F.col("kv1"))
+            .otherwise(F.col("kv1") + frac * (F.col("kv2") - F.col("kv1")))
+            .alias("value_qnorm"),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
