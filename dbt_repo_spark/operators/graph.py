@@ -330,3 +330,59 @@ def canonical_by_quality(
         F.col(quality_col).desc(), F.col(id_col)
     )
     return scored.withColumn("keep", F.row_number().over(w) == F.lit(1))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph where every
+    node keeps degree ≥ k — the standard cohesion filter (strip
+    low-engagement fringe before community analysis; find the dense
+    kernel of a near-dup or co-purchase graph).
+
+    Iterative peeling: drop all nodes with degree < k, recompute
+    degrees, repeat until stable. Peeling is ORDER-INDEPENDENT (the
+    k-core is unique), so each round removes the whole violating set at
+    once — round count is bounded by the degeneracy ordering's depth,
+    observed single-digit on co-occurrence graphs. Each round is one
+    degree aggregate + two semi-joins (both hash-partitioned on the
+    node), with lineage truncated per round (connected_components'
+    rule); the convergence check is the one driver-side scalar per
+    round the CC/PageRank loops already sanction. Raises on
+    non-convergence within ``max_rounds`` rather than returning a
+    partial core.
+
+    Returns (node, deg) for every surviving node — ``MIN(deg) >= k`` is
+    the caller-checkable certificate (the registry query emits it).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        if bad.isEmpty():
+            return deg
+        und = (
+            und.join(
+                bad.select(F.col("node").alias("u")), "u", "left_anti"
+            )
+            .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

@@ -6519,5 +6519,37 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("graph_kcore_parts")  # iterative peeling → rows-only + certificate
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense kernel of the part co-occurrence graph: the k-core
+    (graph.py::k_core, k=65 — inside the fixture degree distribution, so
+    peeling removes fringe nodes and cascades without unraveling the
+    whole graph) with a self-validating certificate row —
+    ``min_core_degree >= k`` holds by the k-core definition, so the
+    output itself proves the peeling terminated correctly (the rows-only
+    pattern: no SQL oracle for an iterative fixed point, but the
+    invariant rides in the result). Same edge derivation as
+    graph_triangle_census.
+    """
+    from dbt_repo_spark.operators.graph import k_core
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    core = k_core(edges, "u", "v", k=65)
+    return core.agg(
+        F.lit(65).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_core_nodes"),
+        F.min("deg").cast("long").alias("min_core_degree"),
+        F.sum("deg").cast("long").alias("sum_core_degree"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -157,3 +157,35 @@ def test_canonical_by_quality_keeps_best_per_cluster(spark):
         assert len(kept) == 1, cid
         best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
         assert kept[0].doc_id == best.doc_id, cid
+
+
+def test_k_core_known_graphs(spark):
+    """K5 is its own 4-core; a 5-path has an empty 2-core; K4 + pendant
+    peels to exactly the K4 (cascading removal: the pendant's neighbor
+    keeps its in-clique degree)."""
+    from dbt_repo_spark.operators.graph import k_core
+
+    def run(edges, k):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r["node"]: r["deg"] for r in k_core(df, k=k).collect()}
+
+    import itertools
+
+    k5 = list(itertools.combinations(range(5), 2))
+    assert run(k5, 4) == {n: 4 for n in range(5)}
+    path = [(i, i + 1) for i in range(4)]
+    assert run(path, 2) == {}
+    k4_pendant = list(itertools.combinations(range(4), 2)) + [(3, 9)]
+    assert run(k4_pendant, 3) == {n: 3 for n in range(4)}
+
+
+def test_k_core_cascading_peel(spark):
+    """A chain of triangles: each round's removal exposes the next
+    violator — exercises multi-round convergence."""
+    from dbt_repo_spark.operators.graph import k_core
+
+    # triangle (0,1,2) with a tail 2-3-4-5: 2-core keeps the triangle
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["deg"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
