@@ -137,11 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 16 keys absent here (MinHash/SimHash signatures, the approximate
-    ANN family, SemDeDup, the sketch rollups, multimodal decode, BPE) are
-    non-SQL-expressible — seeded xxhash64, approximate recall by
-    construction, mapInPandas codecs, iterative merge learning — and the
-    driver records rows-only checks. The approximate ones carry in-plan
+    The 17 keys absent here (MinHash/SimHash signatures, the approximate
+    ANN family, SemDeDup, the sketch rollups, multimodal decode, BPE,
+    the k-core fixed point) are non-SQL-expressible — seeded xxhash64,
+    approximate recall by construction, mapInPandas codecs, iterative
+    merge learning, iterative peeling — and the driver records rows-only
+    checks. The approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin
     equivalence-to-exact or reference outputs in tests — see COVERAGE.md
