@@ -125,6 +125,13 @@ HEADLINE = [
     "robust_scaler_mad",
     "rfm_segments",
     "attribution_last_touch",
+    # round-3 continuation 4: composed audits, Q10, quantile alignment,
+    # iterative k-core
+    "returned_item_report",
+    "seasonal_robust_anomaly",
+    "release_audit_pipeline",
+    "quantile_normalize",
+    "graph_kcore_parts",
 ]
 
 RUNS = 3

@@ -6551,5 +6551,75 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "contrastive_training_pairs",
+    """
+    WITH pos AS (
+      SELECT user_id, event_id, event_type AS anchor,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    cand AS (
+      SELECT user_id, event_id, anchor, nxt, c.cand
+      FROM pos CROSS JOIN (
+        SELECT unnest(['click','error','purchase','signup','view']) AS cand) c
+      WHERE nxt IS NOT NULL)
+    SELECT user_id, event_id, anchor, cand AS candidate,
+           CAST(cand = nxt AS BIGINT) AS label
+    FROM cand
+    WHERE cand = nxt
+       OR instr('0123456789abcdef',
+                substr(md5(CAST(event_id AS VARCHAR) || ':' || cand), 1, 1))
+          - 1 < 8
+    """,
+)
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive next-event training pairs with DETERMINISTIC negative
+    sampling: each (anchor → actual-next) positive is joined by ~half of
+    the non-next event types as label-0 negatives, selected by the
+    content-addressed md5-nibble rule (sampling.py's hash_split
+    contract: a pair's inclusion is a pure function of (event_id,
+    candidate) — reproducible run-to-run, engine-portable, no RNG
+    state, and stable as the corpus grows). The candidate fan-out is a
+    literal |vocabulary| array explode — bounded per positive — and the
+    only shuffle is the user-ordered lead window; the sampling filter is
+    a pure projection.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", "event_id",
+        F.col("event_type").alias("anchor"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    types = ["click", "error", "purchase", "signup", "view"]
+    cand = pos.select(
+        "user_id", "event_id", "anchor", "nxt",
+        F.explode(F.array(*[F.lit(s) for s in types])).alias("cand"),
+    )
+    nib = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("cand"),
+                    )
+                ),
+                1, 1,
+            ),
+            16, 10,
+        ).cast("int")
+    )
+    return cand.filter(
+        (F.col("cand") == F.col("nxt")) | (nib < 8)
+    ).select(
+        "user_id", "event_id", "anchor",
+        F.col("cand").alias("candidate"),
+        (F.col("cand") == F.col("nxt")).cast("long").alias("label"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
