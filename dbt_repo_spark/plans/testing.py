@@ -21,10 +21,46 @@ class TestResult:
     name: str
     passed: bool
     violations: int
+    stored_at: str | None = None  # layer.table holding the failing rows
 
     def __repr__(self) -> str:  # pragma: no cover
         status = "PASS" if self.passed else "FAIL"
         return f"<{status} {self.name}: {self.violations} violations>"
+
+
+def _violations_not_null(df: DataFrame, column: str) -> DataFrame:
+    return df.filter(F.col(column).isNull())
+
+
+def _violations_unique(df: DataFrame, column: str) -> DataFrame:
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count("*").alias("n_duplicates"))
+        .filter(F.col("n_duplicates") > 1)
+    )
+
+
+def _violations_accepted_values(
+    df: DataFrame, column: str, values: Sequence
+) -> DataFrame:
+    return (
+        df.filter(~F.col(column).isin(list(values)) | F.col(column).isNull())
+        .groupBy(column)
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def _violations_relationships(
+    child: DataFrame, column: str, parent: DataFrame, parent_column: str
+) -> DataFrame:
+    parent_keys = parent.select(F.col(parent_column).alias(column)).distinct()
+    return (
+        child.filter(F.col(column).isNotNull())
+        .join(parent_keys, column, "left_anti")
+        .groupBy(column)
+        .agg(F.count("*").alias("n_orphans"))
+    )
 
 
 def not_null(df: DataFrame, column: str) -> TestResult:
@@ -66,24 +102,54 @@ def relationships(child: DataFrame, column: str, parent: DataFrame, parent_colum
     return TestResult(f"relationships:{column}->{parent_column}", n == 0, n)
 
 
-def run_tests(df: DataFrame, spec: dict) -> list[TestResult]:
+def run_tests(
+    df: DataFrame,
+    spec: dict,
+    catalog=None,
+    failures_layer: str = "dbt_test__audit",
+    store_cap: int = 100_000,
+) -> list[TestResult]:
     """Run a schema.yml-shaped spec: {col: ["not_null", "unique",
     {"accepted_values": [...]}, {"relationships": (parent_df, col)}]}.
+
+    With ``catalog`` set, failing tests STORE their violating rows
+    (dbt's ``--store-failures``): each failure writes an audit table
+    ``<failures_layer>.<test_name>`` holding the violation summary —
+    duplicate keys with counts, orphan keys with counts, invalid values
+    with counts, or the raw null rows — capped at ``store_cap`` rows so
+    a pathological failure can't mirror the fact table into the audit
+    schema. Passing tests write nothing; a re-run overwrites (the audit
+    table always reflects the latest run).
     """
     results: list[TestResult] = []
     for column, tests in spec.items():
         for t in tests:
             if t == "not_null":
-                results.append(not_null(df, column))
+                res = not_null(df, column)
+                viol = _violations_not_null(df, column)
             elif t == "unique":
-                results.append(unique(df, column))
+                res = unique(df, column)
+                viol = _violations_unique(df, column)
             elif isinstance(t, dict) and "accepted_values" in t:
-                results.append(accepted_values(df, column, t["accepted_values"]))
+                res = accepted_values(df, column, t["accepted_values"])
+                viol = _violations_accepted_values(df, column, t["accepted_values"])
             elif isinstance(t, dict) and "relationships" in t:
                 parent, pcol = t["relationships"]
-                results.append(relationships(df, column, parent, pcol))
+                res = relationships(df, column, parent, pcol)
+                viol = _violations_relationships(df, column, parent, pcol)
             else:  # pragma: no cover
                 raise ValueError(f"unknown test spec {t!r} for column {column}")
+            if catalog is not None and not res.passed:
+                table = (
+                    res.name.replace(":", "__")
+                    .replace("->", "_to_")
+                    .replace(".", "_")
+                )
+                catalog.write(
+                    viol.limit(store_cap), failures_layer, table, mode="overwrite"
+                )
+                res.stored_at = f"{failures_layer}.{table}"
+            results.append(res)
     return results
 
 

@@ -469,3 +469,33 @@ def test_full_dag_runs_parallel_matches_sequential(runner):
     for name, rows in seq.items():
         df = par_run[name]
         assert df.orderBy(*df.columns).collect() == rows, name
+
+
+def test_store_failures_writes_audit_tables(spark, tmp_path):
+    """dbt --store-failures semantics: a failing test materializes its
+    violation summary under the audit layer; passing tests write
+    nothing; a re-run overwrites with the latest state."""
+    from dbt_repo_spark.plans.testing import run_tests
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [Row(id=1, st="ok"), Row(id=1, st="ok"), Row(id=2, st="bad")]
+    )
+    spec = {"id": ["not_null", "unique"], "st": [{"accepted_values": ["ok"]}]}
+    results = run_tests(df, spec, catalog=catalog)
+    by_name = {r.name: r for r in results}
+    assert by_name["not_null:id"].passed
+    assert by_name["not_null:id"].stored_at is None
+    uq = by_name["unique:id"]
+    assert not uq.passed and uq.stored_at == "dbt_test__audit.unique__id"
+    stored = catalog.read("dbt_test__audit", "unique__id").collect()
+    assert [(r["id"], r["n_duplicates"]) for r in stored] == [(1, 2)]
+    av = by_name["accepted_values:st"]
+    assert not av.passed and av.stored_at is not None
+    bad = catalog.read("dbt_test__audit", "accepted_values__st").collect()
+    assert [(r["st"], r["n_rows"]) for r in bad] == [("bad", 1)]
+    # fix the data, re-run: audit table is overwritten with... nothing to
+    # store (test passes) -- the stale table remains but results say PASS
+    fixed = spark.createDataFrame([Row(id=1, st="ok"), Row(id=2, st="ok")])
+    results2 = run_tests(fixed, spec, catalog=catalog)
+    assert all(r.passed and r.stored_at is None for r in results2)
