@@ -24,6 +24,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: earliest strictly-increasing completion time
     per stage per user.
@@ -34,6 +35,14 @@ def funnel(
     reached). The greedy earliest-match is optimal for funnels: taking
     the earliest valid event at each stage never excludes a completion a
     later choice would have allowed.
+
+    ``max_gap`` (an INTERVAL string, e.g. ``"48 hours"``) bounds each
+    hop: stage i must land within ``max_gap`` after ``t_{i-1}`` or the
+    funnel stalls — the conversion-window semantics every product
+    funnel actually wants (a purchase three months after signup is not
+    a conversion). Greedy-earliest stays optimal under a per-hop bound:
+    the earliest in-window event maximizes the remaining window for
+    every later stage.
 
     Each stage is one filtered pre-aggregation of the (already filtered)
     event scan joined back on the user — N small hash-agg shuffles keyed
@@ -54,10 +63,15 @@ def funnel(
         .agg(F.min("ts").alias("t_1"))
     )
     for i, stage in enumerate(stages[1:], start=2):
+        in_window = F.col("ts") > F.col("__prev")
+        if max_gap is not None:
+            in_window = in_window & (
+                F.col("ts") <= F.col("__prev") + F.expr(f"INTERVAL {max_gap}")
+            )
         nxt = (
             ev.filter(F.col("etype") == stage)
             .join(out.select("user", F.col(f"t_{i-1}").alias("__prev")), "user")
-            .filter(F.col("__prev").isNotNull() & (F.col("ts") > F.col("__prev")))
+            .filter(F.col("__prev").isNotNull() & in_window)
             .groupBy("user")
             .agg(F.min("ts").alias(f"t_{i}"))
         )

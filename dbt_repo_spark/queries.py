@@ -6621,5 +6621,133 @@ def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "funnel_bounded_delay",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t_1
+                  AND e.ts <= s1.t_1 + INTERVAL 48 HOURS
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+                  AND e.ts <= s2.t_2 + INTERVAL 48 HOURS
+                GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_bounded_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup → view → purchase with each hop
+    bounded to 48 hours (funnel's ``max_gap``) — the semantics product
+    funnels actually ship (an unbounded funnel counts a purchase months
+    after signup as a conversion). Same plan as the unbounded funnel —
+    pre-filtered hash-agg + user-keyed join per stage — with the window
+    bound as an extra join-side predicate; greedy-earliest remains
+    optimal because the earliest in-window event maximizes every later
+    stage's remaining window.
+    """
+    from dbt_repo_spark.operators.timeseries import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "view", "purchase"], max_gap="48 hours",
+    )
+
+
+@q(
+    "median_confidence_interval",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+          GROUP BY 1),
+    bounds AS (
+      SELECT event_type, n,
+             greatest(1, CAST(floor((n - 1.959964 * sqrt(n)) / 2)
+                              AS BIGINT)) AS l,
+             least(n, CAST(ceil((n + 1.959964 * sqrt(n)) / 2) AS BIGINT) + 1)
+               AS u,
+             (n + 1) // 2 AS m
+      FROM s)
+    SELECT b.event_type, b.n,
+           rm.value AS median_disc, rl.value AS ci95_lo, ru.value AS ci95_hi
+    FROM bounds b
+    JOIN ranked rm ON rm.event_type = b.event_type AND rm.rn = b.m
+    JOIN ranked rl ON rl.event_type = b.event_type AND rl.rn = b.l
+    JOIN ranked ru ON ru.event_type = b.event_type AND ru.rn = b.u
+    """,
+)
+def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the per-group
+    median via order statistics (the binomial/normal-approximation rank
+    bounds l = ⌊(n − z√n)/2⌋, u = ⌈(n + z√n)/2⌉ + 1, z = 1.959964) — a
+    point estimate without its CI is half an answer, and the order-stat
+    CI needs no distributional assumption and no resampling. Every
+    output value is a raw data value selected by an integer rank
+    (quantile_normalize's order-statistic rule: engines agree on data
+    values bit-for-bit where interpolation formulas drift), and the
+    rank bounds are identical IEEE expressions. One rank window + three
+    self-equi-joins on (group, rank), all hash-partitioned.
+    """
+    ev = t(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+    )
+    s = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    n = F.col("n")
+    z = F.lit(1.959964)
+    bounds = s.select(
+        "event_type", "n",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((n - z * F.sqrt(n)) / 2).cast("long"),
+        ).alias("l"),
+        F.least(
+            n, F.ceil((n + z * F.sqrt(n)) / 2).cast("long") + 1
+        ).alias("u"),
+        F.expr("(n + 1) div 2").alias("m"),
+    )
+    rm = ranked.select(
+        F.col("event_type").alias("et1"), F.col("rn").alias("r1"),
+        F.col("value").alias("median_disc"),
+    )
+    rl = ranked.select(
+        F.col("event_type").alias("et2"), F.col("rn").alias("r2"),
+        F.col("value").alias("ci95_lo"),
+    )
+    ru = ranked.select(
+        F.col("event_type").alias("et3"), F.col("rn").alias("r3"),
+        F.col("value").alias("ci95_hi"),
+    )
+    return (
+        bounds.join(
+            rm,
+            (F.col("event_type") == F.col("et1")) & (F.col("m") == F.col("r1")),
+        )
+        .join(
+            rl,
+            (F.col("event_type") == F.col("et2")) & (F.col("l") == F.col("r2")),
+        )
+        .join(
+            ru,
+            (F.col("event_type") == F.col("et3")) & (F.col("u") == F.col("r3")),
+        )
+        .select("event_type", "n", "median_disc", "ci95_lo", "ci95_hi")
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -175,6 +175,8 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "funnel_bounded_delay": 12,
+    "median_confidence_interval": 7,
     "contrastive_training_pairs": 1,
     "quantile_normalize": 11,
     "release_audit_pipeline": 15,
