@@ -572,3 +572,87 @@ def test_streaming_ewma_equals_batch_across_restart(spark, tmp_path):
     }
     for key, (_, ewma) in got.items():
         assert ewma == want[key], key
+
+
+def test_streaming_heavy_hitters_matches_offline_mg(spark, tmp_path):
+    """Online MG across two micro-batches + a checkpoint restart equals
+    the offline Misra-Gries fold over the concatenated arrival order,
+    and never underestimates... rather: true >= mg >= true - N/capacity."""
+    import datetime as dt
+    import json
+
+    from dbt_repo_spark.streaming.stateful import heavy_hitters_stream
+
+    base = dt.datetime(2024, 4, 1, 9, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # skewed key stream: key 7 is hot, 100-199 are noise
+    def mk(minutes, seed):
+        lines = []
+        for m in minutes:
+            keys = [7, 7, 7, 100 + (m * 13 + seed) % 100]
+            for j, k in enumerate(keys):
+                lines.append(json.dumps({
+                    "grp": "g",
+                    "ts": (base + dt.timedelta(minutes=m, seconds=j)).isoformat(),
+                    "key": k,
+                }))
+        return lines
+
+    def run_once():
+        stream = spark.readStream.schema("grp STRING, ts TIMESTAMP, key LONG").json(str(src))
+        q = (heavy_hitters_stream(stream, capacity=4)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    b1, b2 = mk(range(10), 1), mk(range(10, 20), 2)
+    (src / "b1.json").write_text("\n".join(b1))
+    run_once()
+    (src / "b2.json").write_text("\n".join(b2))
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = max(r["batch_max_ts"] for r in rows)
+    got = {r["key"]: r["mg_count"] for r in rows if r["batch_max_ts"] == latest}
+
+    # offline MG over the same arrival order (batch order, ts-sorted)
+    def offline(lines):
+        mg = {}
+        recs = [json.loads(l) for l in lines]
+        recs.sort(key=lambda r: (r["ts"], r["key"]))
+        for r in recs:
+            k = r["key"]
+            if k in mg:
+                mg[k] += 1
+            elif len(mg) < 4:
+                mg[k] = 1
+            else:
+                for kk in list(mg):
+                    mg[kk] -= 1
+                    if mg[kk] == 0:
+                        del mg[kk]
+        return mg
+
+    mg = offline(b1)
+    # continue fold into batch 2 from surviving state
+    recs2 = [json.loads(l) for l in b2]
+    recs2.sort(key=lambda r: (r["ts"], r["key"]))
+    for r in recs2:
+        k = r["key"]
+        if k in mg:
+            mg[k] += 1
+        elif len(mg) < 4:
+            mg[k] = 1
+        else:
+            for kk in list(mg):
+                mg[kk] -= 1
+                if mg[kk] == 0:
+                    del mg[kk]
+    assert got == mg
+    # hot key must survive with the MG bound: true=60, N=80, cap=4
+    assert 7 in got and 60 - 80 / 4 <= got[7] <= 60
