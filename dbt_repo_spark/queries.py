@@ -6749,5 +6749,28 @@ def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("embed_filtered_topk")  # approximate recall by construction → rows-only
+def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: IVF ANN top-k restricted to a
+    label predicate (label = 1) — the retrieval shape production vector
+    stores actually serve ("nearest docs WHERE lang='en' AND
+    license='ok'"). Pre-filtering the corpus BEFORE coarse assignment
+    keeps the probe math honest (post-filtering an unfiltered top-k
+    silently under-returns when the filter is selective — the classic
+    filtered-ANN bug); recall@k is audited against the exact top-k on
+    the SAME filtered corpus, so the in-plan certificate covers the
+    filter path too. Plan: the label predicate reaches the parquet scan
+    (PushedFilters), then the standard IVF bucket join on the shrunken
+    corpus — filter selectivity directly divides scan and score cost.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 1)
+    approx = similarity.ivf_topk(
+        corpus, F.col("vec_id") < 40, k=5, n_centroids=16, nprobe=6
+    )
+    exact = similarity.cosine_topk(corpus, F.col("vec_id") < 40, k=5)
+    return similarity.with_recall_vs_exact(approx, exact, k=5)
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -189,3 +189,43 @@ def test_k_core_cascading_peel(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["deg"] for r in k_core(df, k=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_random_graphs_match_brute_force(spark):
+    """Property: k_core equals sequential brute-force peeling on random
+    graphs (the k-core is unique, so simultaneous and sequential peeling
+    agree) — seeded, multiple shapes and k values."""
+    import random
+
+    from dbt_repo_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        edges = set()
+        for _ in range(rng.randint(n, 3 * n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        k = rng.randint(2, 4)
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for node in list(adj):
+                if len(adj[node]) < k:
+                    for nb in adj.pop(node):
+                        adj[nb].discard(node)
+                    changed = True
+        want = {node: len(nbs) for node, nbs in adj.items()}
+
+        df = spark.createDataFrame(edges or [(0, 1)], "id_a long, id_b long")
+        if not edges:
+            continue
+        got = {r["node"]: r["deg"] for r in k_core(df, k=k).collect()}
+        assert got == want, (trial, k, edges)

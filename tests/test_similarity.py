@@ -391,3 +391,22 @@ def test_quantile_sketch_merge_matches_unsplit_sketch(spark):
         # both estimates within 2/k rank mass of the target
         assert abs(rank(est_split[p]) - p) <= 2 / 32 + 1e-6, p
         assert abs(rank(est_whole[p]) - p) <= 2 / 32 + 1e-6, p
+
+
+def test_filtered_topk_recall_floor_and_filter_honored(spark, sf_dir):
+    """Filtered ANN: every returned neighbor satisfies the metadata
+    filter (pre-filter semantics — no silent under-return), and the
+    in-plan recall@k vs the exact filtered top-k clears the floor."""
+    from dbt_repo_spark.queries import QUERIES, t
+
+    rows = QUERIES["embed_filtered_topk"](spark, sf_dir).collect()
+    assert rows
+    allowed = {
+        r["vec_id"]
+        for r in t(spark, sf_dir, "embeddings").filter("label = 1").collect()
+    }
+    for r in rows:
+        if r["neighbor_id"] is not None:
+            assert r["neighbor_id"] in allowed
+    recalls = [r["recall_at_k"] for r in rows if r["recall_at_k"] is not None]
+    assert recalls and sum(recalls) / len(recalls) >= 0.6
