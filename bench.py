@@ -132,6 +132,22 @@ HEADLINE = [
     "release_audit_pipeline",
     "quantile_normalize",
     "graph_kcore_parts",
+    # round-3 continuation 5: every remaining family benches — stats
+    # testing, drift, recurrences, privacy, market shapes, filtered ANN
+    "join_key_skew_report",
+    "psi_value_drift",
+    "k_anonymity_audit",
+    "cusum_changepoints",
+    "holt_linear_trend",
+    "seasonal_naive_backtest",
+    "gini_by_group",
+    "rolling_corr_daily",
+    "multimodal_exact_dedup",
+    "share_of_parent_rollup",
+    "funnel_bounded_delay",
+    "median_confidence_interval",
+    "contrastive_training_pairs",
+    "embed_filtered_topk",
 ]
 
 RUNS = 3
