@@ -96,6 +96,11 @@ _RECHECK_THIS_ROUND = [
     "dedup_clusters",
 ]
 
+# The round whose driver run is meant to verify the list above: a listed
+# name SELF-RETIRES once a correctness ledger from this round (or later)
+# shows it green, so stale lists can't hog window slots in later rounds.
+_RECHECK_LISTED_FOR_ROUND = 3
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing_summary) on /root/testdata/sf0.001."""
@@ -120,11 +125,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rechecks (a FAIL re-verification must never be pushed out of the
         # bounded window by this round's newly registered queries) → other
         # never-checked (including new registrations, registry order) →
-        # least-recently-verified.
+        # least-recently-verified. A listed recheck SELF-RETIRES once a
+        # ledger from _RECHECK_LISTED_FOR_ROUND or later shows it green —
+        # without this, the hand list would hog priority-1 window slots
+        # in every later round; auto-detected failures never retire.
         idx, name = item
         if name not in latest and name in _NEVER_CHECKED_FIRST:
             return (0, _NEVER_CHECKED_FIRST.index(name), idx)
-        if name in recheck:
+        if name in recheck and (
+            name in failed
+            or latest.get(name, 0) < _RECHECK_LISTED_FOR_ROUND
+        ):
             return (1, recheck.index(name), idx)
         if name not in latest:
             return (2, 0, idx)

@@ -55,3 +55,29 @@ def test_history_classifies_rows_only_records():
     # stays queued for re-check until a green round lands)
     if latest.get("timeseries_gapfill", 0) == 2:
         assert "timeseries_gapfill" in failed
+
+
+def test_listed_rechecks_self_retire_after_green_round(monkeypatch):
+    """Once a ledger from _RECHECK_LISTED_FOR_ROUND (or later) shows a
+    listed recheck green, it drops out of the priority window; failures
+    never retire."""
+    real_latest, real_failed = entry_mod._check_history()
+    target = entry_mod._RECHECK_LISTED_FOR_ROUND
+    fake_latest = dict(real_latest)
+    for n in entry_mod._RECHECK_THIS_ROUND:
+        fake_latest[n] = target  # pretend the r{target} driver checked them
+    # everyone green in the new round except one stubborn failure
+    stubborn = entry_mod._RECHECK_THIS_ROUND[0]
+    fake_failed = {stubborn}
+    monkeypatch.setattr(
+        entry_mod, "_check_history", lambda: (fake_latest, fake_failed)
+    )
+    ordered = list(entry_mod.queries())
+    # the stubborn failure stays up front...
+    assert ordered.index(stubborn) < 50
+    # ...while retired greens sort AFTER every never-checked entry
+    never = [n for n in ordered if n not in fake_latest]
+    if never:
+        last_never = max(ordered.index(n) for n in never)
+        for n in entry_mod._RECHECK_THIS_ROUND[1:]:
+            assert ordered.index(n) > last_never, n
