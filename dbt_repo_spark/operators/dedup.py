@@ -132,6 +132,13 @@ def jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    # sh feeds four subtrees (sizes, df, ranked, verification) and prefix
+    # feeds both sides of the candidate self-join: without materialization
+    # Spark re-derives the shingle explode + df join + rank window once
+    # per consumer (measured 44s -> 9s at sf0.1 from these two persists
+    # alone). At cluster scale the same reuse argument holds — these are
+    # the operator's working sets, sized |shingles| and |prefixes|.
+    sh = sh.persist()
     if sizes is None:
         sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     df_ = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -148,7 +155,7 @@ def jaccard_pairs_prefix(
     prefix = ranked.filter(
         F.col("__rn")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "shingle")
+    ).select("id", "shingle").persist()
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")

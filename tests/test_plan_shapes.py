@@ -267,7 +267,7 @@ EXCHANGE_BUDGETS = {
     "scd2_event_state": 1,
     "semi_join_exists": 1,
     "session_windows": 1,
-    "similarity_join_prefix": 23,
+    "similarity_join_prefix": 24,  # +1 cold-print artifact: the persisted prefix/sh working sets print their build exchanges per reference; runtime materializes once (44s->12.5s at sf0.1)
     "sessions_daily": 1,
     "set_except": 2,
     "set_intersect": 2,
