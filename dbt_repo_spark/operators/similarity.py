@@ -1005,3 +1005,50 @@ def semantic_dedup(
         )
         .crossJoin(F.broadcast(recall))
     )
+
+
+def embed_text_stub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic text-embedding SEAM: the Spark-side plumbing of an
+    embedding-generation stage (Arrow batching, unit normalization,
+    schema) with the model call replaced by a content-addressed fake —
+    component j of a text's vector derives from md5(text || ':' || j),
+    mapped to [-1, 1) and L2-normalized. Swap the inner function for a
+    real encoder (sentence-transformers, an inference endpoint) with
+    the same signature in production — the multimodal ``real_decode``
+    seam contract applied to text. Deterministic by construction:
+    identical text → identical vector, any partitioning, any engine.
+
+    Output: (id, embedding array<float>, norm_prenorm double). The
+    pre-normalization norm rides along as the plumbing's sanity
+    certificate (a constant-ish value near sqrt(dim/3) for the fake;
+    a real encoder's own scale in production).
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def embed_batches(batches):
+        for pdf in batches:
+            vecs, norms = [], []
+            for text in pdf[text_col].astype(str):
+                comps = []
+                for j in range(dim):
+                    h = hashlib.md5(f"{text}:{j}".encode()).hexdigest()
+                    comps.append(int(h[:8], 16) / 2147483648.0 - 1.0)
+                n = math.sqrt(sum(c * c for c in comps))
+                vecs.append([c / n for c in comps] if n > 0 else comps)
+                norms.append(n)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "embedding": vecs, "norm_prenorm": norms}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        embed_batches,
+        schema=f"id long, embedding array<float>, norm_prenorm double",
+    ).withColumnRenamed("id", id_col)

@@ -6772,5 +6772,92 @@ def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
+@q("embed_generate_docs")  # mapInPandas embedding seam → rows-only check
+def embed_generate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION plumbing (similarity.embed_text_stub): chunk
+    the corpus (text.chunk_documents) and run the Arrow-batched
+    embedding stage over every chunk — the model call is the
+    content-addressed deterministic fake behind the production seam
+    (multimodal real_decode's contract for text). Output canonicalizes
+    the vector to hashable columns (dim, pre-norm, md5 signature —
+    multimodal_features' rule) so the driver's rows-only check pins the
+    exact vectors run-to-run. No shuffle anywhere: chunking is
+    explode+substring and embedding is mapInPandas over the scan.
+    """
+    from dbt_repo_spark.operators.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", 256, 32).select(
+        (F.col("id") * 100 + F.col("chunk_id")).alias("cid"), "chunk_text"
+    )
+    emb = similarity.embed_text_stub(chunks, "cid", "chunk_text", dim=16)
+    canon = F.array_join(
+        F.transform("embedding", lambda x: F.cast("string", F.round(x, 6))), ","
+    )
+    return emb.select(
+        "cid",
+        F.size("embedding").alias("dim"),
+        F.round("norm_prenorm", 6).alias("norm_prenorm"),
+        F.md5(canon).alias("embedding_sig"),
+    )
+
+
+@q("rag_retrieval_pipeline")  # composed retrieval → rows-only check
+def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval: chunk the corpus → embed every chunk
+    (the deterministic seam) → embed 5 query documents → exact cosine
+    top-3 supporting chunks per query. The retrieval math is the exact
+    brute-force fold (embed_cosine_topk's operator) — at production
+    scale the chunk index swaps to the IVF/PQ path unchanged, since the
+    chunk embedding table has exactly the embeddings-table shape. One
+    shuffle (the per-query top-k window); the query set broadcasts.
+    Deterministic end to end: content-addressed vectors, unique
+    (score, cid) tie-break.
+    """
+    from dbt_repo_spark.operators.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", 256, 32).select(
+        F.col("id").alias("src_doc"),
+        (F.col("id") * 100 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    chunk_emb = similarity.embed_text_stub(chunks, "cid", "chunk_text", dim=16)
+    queries_df = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), F.col("text")
+    )
+    query_emb = similarity.embed_text_stub(queries_df, "qid", "text", dim=16)
+    scored = (
+        chunk_emb.join(chunks.select("cid", "src_doc"), "cid")
+        .crossJoin(
+            F.broadcast(
+                query_emb.select(
+                    F.col("qid"), F.col("embedding").alias("qv")
+                )
+            )
+        )
+        .withColumn(
+            "raw_score",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "qv", lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw_score"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "qid", "cid", "src_doc",
+            F.round("raw_score", 6).alias("score"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -410,3 +410,36 @@ def test_filtered_topk_recall_floor_and_filter_honored(spark, sf_dir):
             assert r["neighbor_id"] in allowed
     recalls = [r["recall_at_k"] for r in rows if r["recall_at_k"] is not None]
     assert recalls and sum(recalls) / len(recalls) >= 0.6
+
+
+def test_embed_stub_unit_norm_and_content_addressed(spark):
+    """The embedding seam yields unit vectors, content-addressed:
+    identical text → identical vector regardless of id or partition."""
+    from dbt_repo_spark.operators.similarity import embed_text_stub
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "rid long, txt string"
+    ).repartition(3)
+    rows = {r["rid"]: r for r in embed_text_stub(df, "rid", "txt").collect()}
+    for r in rows.values():
+        assert abs(sum(c * c for c in r["embedding"]) - 1.0) < 1e-6
+    assert rows[1]["embedding"] == rows[2]["embedding"]
+    assert rows[1]["embedding"] != rows[3]["embedding"]
+
+
+def test_rag_pipeline_self_retrieval(spark, sf_dir):
+    """A single-chunk query document must retrieve its own chunk at
+    rank 1 with score 1 (the embedding is content-addressed, so the
+    query vector equals its own chunk's vector exactly)."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["rag_retrieval_pipeline"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rs in by_q.items():
+        assert len(rs) == 3
+        top = min(rs, key=lambda r: r["rank"])
+        if top["src_doc"] == qid:  # single-chunk docs self-retrieve
+            assert top["score"] == 1.0
