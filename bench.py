@@ -148,6 +148,8 @@ HEADLINE = [
     "median_confidence_interval",
     "contrastive_training_pairs",
     "embed_filtered_topk",
+    "embed_generate_docs",
+    "rag_retrieval_pipeline",
 ]
 
 RUNS = 3
