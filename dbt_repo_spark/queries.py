@@ -6859,5 +6859,53 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("multimodal_near_dedup")  # seeded signatures → rows-only check
+def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free NEAR-duplicate detection for binary media: SimHash
+    over overlapping byte 4-grams (8 hex chars, stride 4) of the raw
+    payload — the raw-byte near-dup technique that works on any blob
+    without codecs (re-encoded or truncated media hash differently, but
+    appended/prepended junk, padding, and metadata edits are caught) —
+    banded Hamming join, never all-pairs. Every 7th blob is SEEDED with
+    a 2-byte-appended twin (mirrored nowhere else: the fixture has no
+    organic near-dup blobs), so the rows-only check is non-vacuous and
+    the ``is_seeded_twin`` flag makes twin recovery visible in the
+    output; the unit test pins ≥95% seeded-twin recall at the
+    (hamming ≤ 7, 8-band) operating point — the shortest blobs can
+    exceed the radius because a fixed 2-byte edit is a LARGER relative
+    perturbation of a 24-gram signature, the detector's honest length
+    dependence. Extends the multimodal family from exact (checksum
+    catalog) to near-dup.
+    """
+    media = multimodal.synthetic_media_from_documents(
+        t(spark, sf_dir, "documents")
+    )
+    twins = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id"),
+        "media_type",
+        F.concat("content", F.lit(b"!!")).alias("content"),
+    )
+    aug = media.unionByName(twins)
+    hx = F.hex("content")
+    grams = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.length(hx) - 7),
+                F.lit(4),
+            ),
+            lambda i: hx.substr(i, F.lit(8)),
+        ),
+        " ",
+    )
+    hexed = aug.select("media_id", grams.alias("bytegrams"))
+    pairs = dedup.simhash_near_duplicates(
+        hexed, "media_id", "bytegrams", max_hamming=7, chunks=8
+    )
+    return pairs.withColumn(
+        "is_seeded_twin", F.col("id_b") == F.col("id_a") + 1000000
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip

@@ -160,3 +160,19 @@ def test_feature_hashing_matches_python_reference(spark):
         assert got["l1"] == sum(abs(v) for v in expect.values())
         enc = ",".join(f"{b}:{v}" for b, v in sorted(expect.items()))
         assert got["sig_md5"] == hashlib.md5(enc.encode()).hexdigest()
+
+
+def test_multimodal_near_dedup_recovers_seeded_twins(spark, sf_dir):
+    """Byte-level SimHash near-dup over binary payloads: ≥95% of the
+    seeded 2-byte-appended twins are recovered at the (hamming<=7,
+    8-band) operating point, and seeded twins are a subset of all
+    reported pairs (organic byte-similar pairs may also appear)."""
+    from dbt_repo_spark.queries import QUERIES, t
+
+    rows = QUERIES["multimodal_near_dedup"](spark, sf_dir).collect()
+    n_docs = t(spark, sf_dir, "documents").count()
+    n_seeded = len([i for i in range(n_docs) if i % 7 == 0])
+    found = {r["id_a"] for r in rows if r["is_seeded_twin"]}
+    assert len(found) >= 0.95 * n_seeded
+    for r in rows:
+        assert r["hamming"] <= 7
