@@ -6859,6 +6859,41 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "aggregate_battery",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_high_discount,
+           bit_and(CAST(l_linenumber AS BIGINT)) AS band,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS bor,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS bxor,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+             AS n_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def aggregate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/bitwise aggregate battery: every/some (bool_and/bool_or),
+    bit_and/bit_or/bit_xor, and FILTERed counts — order-independent by
+    algebra (AND/OR/XOR are commutative monoids over exact integers and
+    booleans), so unlike float sums these are cross-engine deterministic
+    with no decimal scaffolding. One map-side-combined hash-agg;
+    bit_xor over a key column doubles as a cheap order-insensitive
+    content checksum (the reconciliation trick for comparing table
+    versions without sorting).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.bit_and(F.col("l_linenumber").cast("long")).alias("band"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("bor"),
+        F.bit_xor(F.col("l_orderkey").cast("long")).alias("bxor"),
+        F.count_if(F.col("l_linestatus") == "F").alias("n_finished"),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash
