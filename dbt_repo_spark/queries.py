@@ -6894,6 +6894,85 @@ def aggregate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "asof_nearest_event",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_su,
+             first_value(CASE WHEN event_type = 'signup' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_su
+      FROM events)
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_su IS NULL THEN next_su
+                WHEN next_su IS NULL THEN prev_su
+                WHEN epoch_us(ts) - epoch_us(prev_su)
+                     <= epoch_us(next_su) - epoch_us(ts) THEN prev_su
+                ELSE next_su END AS nearest_signup_ts,
+           CASE WHEN prev_su IS NULL AND next_su IS NULL THEN NULL
+                WHEN prev_su IS NULL
+                  THEN epoch_us(next_su) - epoch_us(ts)
+                WHEN next_su IS NULL
+                  THEN epoch_us(ts) - epoch_us(prev_su)
+                ELSE least(epoch_us(ts) - epoch_us(prev_su),
+                           epoch_us(next_su) - epoch_us(ts)) END AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join: each purchase pairs with its closest
+    signup in time, looking BOTH directions (events_asof_last_signup is
+    backward-only; trade-matching, sensor alignment, and attribution
+    windows often want nearest). One user-partitioned window pass
+    carries both the backward IGNORE-NULLS carry and its forward mirror
+    (1-FOLLOWING frame = strictly after); the tie-break (ties favor the
+    earlier event) and the gap are exact integer microsecond
+    arithmetic. Same single shuffle as the one-directional form.
+    """
+    ev = t(spark, sf_dir, "events")
+    su = F.when(F.col("event_type") == "signup", F.col("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.last(su, ignorenulls=True).over(wb).alias("prev_su"),
+        F.first(su, ignorenulls=True).over(wf).alias("next_su"),
+    ).filter(F.col("event_type") == "purchase")
+    tus = F.unix_micros(F.col("ts"))
+    pus = F.unix_micros(F.col("prev_su"))
+    nus = F.unix_micros(F.col("next_su"))
+    prev_null = F.col("prev_su").isNull()
+    next_null = F.col("next_su").isNull()
+    return w.select(
+        "event_id", "user_id", "ts",
+        F.when(prev_null, F.col("next_su"))
+        .when(next_null, F.col("prev_su"))
+        .when(tus - pus <= nus - tus, F.col("prev_su"))
+        .otherwise(F.col("next_su"))
+        .alias("nearest_signup_ts"),
+        F.when(prev_null & next_null, F.lit(None).cast("long"))
+        .when(prev_null, nus - tus)
+        .when(next_null, tus - pus)
+        .otherwise(F.least(tus - pus, nus - tus))
+        .alias("gap_us"),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

@@ -175,6 +175,7 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "asof_nearest_event": 1,
     "aggregate_battery": 1,
     "funnel_bounded_delay": 12,
     "median_confidence_interval": 7,
