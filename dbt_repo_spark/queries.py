@@ -6973,6 +6973,243 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "trending_users_weekly",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', ts) AS week, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT week, user_id, n,
+             row_number() OVER (PARTITION BY week
+                                ORDER BY n DESC, user_id) AS rk
+      FROM wk)
+    SELECT week, user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def trending_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly trending top-5 users by event count — the leaderboard
+    shape. The per-(week,user) reduce happens BEFORE the rank window,
+    so ranking input is |users|-per-week, never the fact; rank-limit
+    pushdown (WindowGroupLimit) prunes to ≤5 per week map-side. One
+    partitioning serves both the pre-agg and the window.
+    """
+    ev = t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("week").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        wk.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "week", "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@q(
+    "weekly_growth",
+    """
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, week, c,
+             lag(c) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM wk)
+    SELECT event_type, week, c AS revenue_cents, prev AS prev_cents,
+           CASE WHEN prev > 0
+                THEN CAST(c - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+           END AS wow_growth
+    FROM l
+    """,
+)
+def weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the period-comparison
+    mart (growth = Δ/prev as one exact-integer-operand division; first
+    week NULL). Lag window runs over the |types|×|weeks| aggregate.
+    """
+    ev = t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.sum(_cents()).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    l = wk.withColumn("prev", F.lag("c").over(w))
+    return l.select(
+        "event_type", "week",
+        F.col("c").alias("revenue_cents"),
+        F.col("prev").alias("prev_cents"),
+        F.when(
+            F.col("prev") > 0,
+            (F.col("c") - F.col("prev")).cast("double")
+            / F.col("prev").cast("double"),
+        ).alias("wow_growth"),
+    )
+
+
+@q(
+    "interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT epoch_us(ts)
+             - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT CAST(least(gap_us // 600000000, 100) AS BIGINT) AS bucket_10min,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per-user consecutive-event gaps
+    bucketed into 10-minute bins (capped at bin 100) — the burstiness
+    diagnostic that calibrates session-gap thresholds (the 30-minute
+    choice in session_windows should sit in this histogram's valley).
+    One user-partitioned lag window over the fact, then a tiny hash-agg
+    on the bounded bin key; gaps are exact integer microseconds.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy(
+            F.least(F.expr("gap_us div 600000000"), F.lit(100))
+            .cast("long")
+            .alias("bucket_10min")
+        )
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+    )
+
+
+@q(
+    "max_drawdown_netflow",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE
+               WHEN event_type = 'purchase'
+                 THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+               WHEN event_type = 'error'
+                 THEN -CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily),
+    r AS (
+      SELECT day, cum,
+             MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c)
+    SELECT CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM r
+    """,
+)
+def max_drawdown_netflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily NET flow (purchase
+    revenue minus error-event cost) — the peak-to-trough risk metric,
+    fully integer-exact: running sum, running max, and their max gap
+    are all windowed integer folds on the calendar-bounded daily
+    relation (single-task window by design, gini's documented ceiling).
+    """
+    ev = t(spark, sf_dir, "events")
+    cts = _cents()
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cts)
+            .when(F.col("event_type") == "error", -cts)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = daily.select(
+        "day", F.sum("x").over(wrun).alias("cum")
+    ).select("day", "cum", F.max("cum").over(wrun).alias("peak"))
+    return r.agg(
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+
+
+@q(
+    "pareto_8020_customers",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT m, row_number() OVER (ORDER BY m DESC, o_custkey) AS rk,
+             SUM(m) OVER (ORDER BY m DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cust),
+    tot AS (SELECT SUM(m) AS t, COUNT(*) AS n FROM cust)
+    SELECT CAST(MIN(rk) AS BIGINT) AS customers_for_80pct,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(MIN(rk) AS DOUBLE) / CAST(MIN(n) AS DOUBLE)
+             AS share_of_customers
+    FROM r CROSS JOIN tot WHERE cum * 5 >= t * 4
+    """,
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration point: how many customers (and what share
+    of the base) produce 80% of revenue — the 80/20 analysis that pairs
+    with gini_by_group (Gini summarizes the whole Lorenz curve, this
+    reads one point off it). The 80% threshold is the INTEGER
+    comparison cum·5 ≥ total·4 on exact cents — no float cumulative
+    share — and the first qualifying rank is MIN(rk) because the
+    cumulative sum is monotone along the rank order. Customer-level
+    reduce before the global rank window (rfm_segments' caveat).
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum((dec("o_totalprice", 14, 2) * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("m")
+    )
+    w = Window.orderBy(F.desc("m"), F.asc("o_custkey"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    r = cust.select(
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.sum("m").over(wrun).alias("cum"),
+    )
+    tot = cust.agg(
+        F.sum("m").alias("t"), F.count("*").alias("n")
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 5 >= F.col("t") * 4)
+        .agg(
+            F.min("rk").cast("long").alias("customers_for_80pct"),
+            F.min("n").cast("long").alias("n_customers"),
+            (
+                F.min("rk").cast("double") / F.min("n").cast("double")
+            ).alias("share_of_customers"),
+        )
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

@@ -175,6 +175,11 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "trending_users_weekly": 2,
+    "weekly_growth": 2,
+    "interarrival_histogram": 2,
+    "max_drawdown_netflow": 2,
+    "pareto_8020_customers": 5,
     "asof_nearest_event": 1,
     "aggregate_battery": 1,
     "funnel_bounded_delay": 12,
