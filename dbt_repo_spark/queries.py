@@ -7210,6 +7210,191 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cohort_ltv",
+    """
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    sz AS (SELECT cohort, COUNT(*) AS n_users FROM fw GROUP BY 1),
+    p AS (
+      SELECT f.cohort,
+             (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort))
+               // 604800000000 AS off,
+             CAST(CAST(e.value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM events e JOIN fw f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= f.cohort),
+    agg AS (
+      SELECT cohort, CAST(off AS BIGINT) AS week_offset,
+             CAST(SUM(c) AS BIGINT) AS rev_cents
+      FROM p GROUP BY 1, 2)
+    SELECT a.cohort, a.week_offset, a.rev_cents,
+           CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort
+                                       ORDER BY a.week_offset
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort
+                                       ORDER BY a.week_offset
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(s.n_users AS DOUBLE) AS ltv_cents_per_user
+    FROM agg a JOIN sz s USING (cohort)
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup-week cohort by week offset, normalized per cohort user — the
+    growth-accounting companion to cohort_retention (that counts WHO
+    returns, this counts what they SPEND). Cohort assignment is a
+    per-user MIN reduce; the curve is a running integer sum over the
+    |cohorts|×|offsets| aggregate; cohort sizes broadcast back and the
+    per-user division is the only float op.
+    """
+    ev = t(spark, sf_dir, "events")
+    fw = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    sz = fw.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fw, "user_id")
+        .filter(F.col("ts") >= F.col("cohort"))
+        .select(
+            "cohort",
+            (
+                (
+                    F.unix_micros(F.date_trunc("week", "ts"))
+                    - F.unix_micros("cohort")
+                )
+                / F.lit(604800000000)
+            ).cast("long").alias("week_offset"),
+            _cents().alias("c"),
+        )
+    )
+    agg = p.groupBy("cohort", "week_offset").agg(
+        F.sum("c").cast("long").alias("rev_cents")
+    )
+    wrun = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("rev_cents").over(wrun)
+    return agg.join(F.broadcast(sz), "cohort").select(
+        "cohort", "week_offset", "rev_cents",
+        cum.cast("long").alias("cum_rev_cents"),
+        (cum.cast("double") / F.col("n_users").cast("double")).alias(
+            "ltv_cents_per_user"
+        ),
+    )
+
+
+@q(
+    "new_vs_returning",
+    """
+    WITH fw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS first_week
+      FROM events GROUP BY 1),
+    au AS (
+      SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events)
+    SELECT week,
+           CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM au JOIN fw USING (user_id) GROUP BY week
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per week — the acquisition/retention
+    decomposition every growth dashboard leads with. First-seen week is
+    a per-user MIN; weekly actives are a distinct pre-reduce; the split
+    is indicator sums on their join — both inputs are user-keyed, so
+    one hash partitioning serves the join and the reduce.
+    """
+    ev = t(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("first_week")
+    )
+    au = ev.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).distinct()
+    return (
+        au.join(fw, "user_id")
+        .groupBy("week")
+        .agg(
+            F.sum(
+                F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("week") > F.col("first_week"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+        )
+    )
+
+
+@q(
+    "stickiness_ratio",
+    """
+    WITH dau AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    du AS (
+      SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+      FROM events),
+    wau AS (
+      SELECT d.event_type, d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM dau d
+      JOIN du u ON u.event_type = d.event_type
+               AND u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY 1, 2)
+    SELECT event_type, day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (event_type, day)
+    """,
+)
+def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per event type — engagement depth (what share
+    of the trailing week's actives showed up today). WAU reuses
+    rolling_active_users' contribute-forward rewrite; DAU is a distinct
+    pre-reduce; the ratio is one exact-integer-operand division. The
+    oracle keeps the range-join WAU form.
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = du.groupBy("event_type", "day").agg(
+        F.count("*").alias("dau")
+    )
+    days = du.select("event_type", "day").distinct()
+    contrib = du.select(
+        "event_type", "user_id",
+        F.explode(
+            F.sequence(
+                "day", F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).distinct()
+    wau = (
+        contrib.join(F.broadcast(days), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(wau, ["event_type", "day"]).select(
+        "event_type", "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

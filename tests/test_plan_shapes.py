@@ -175,6 +175,9 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "cohort_ltv": 7,
+    "new_vs_returning": 4,
+    "stickiness_ratio": 8,
     "trending_users_weekly": 2,
     "weekly_growth": 2,
     "interarrival_histogram": 2,
