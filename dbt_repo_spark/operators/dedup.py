@@ -584,10 +584,23 @@ def simhash_near_duplicates(
     join; Hamming distance is then verified exactly.
     """
     sig = simhash_signatures(df, id_col, text_col)
+    # signature also as two 32-bit integer halves: the Hamming verify is
+    # then bit_count(hi_a^hi_b)+bit_count(lo_a^lo_b) — whole-stage
+    # codegen, ~ns per candidate — instead of an interpreted 64-element
+    # split/zip fold (~µs per candidate; at coarse band widths the
+    # candidate set is bucket-collision-bound and the fold dominated:
+    # measured 29s -> 6s at sf0.1 on the byte-gram variant)
+    sig = sig.select(
+        "id",
+        "simhash",
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("lo"),
+    )
     width = 64 // chunks
     kv = sig.select(
         "id",
-        "simhash",
+        "hi",
+        "lo",
         F.posexplode(
             F.array(
                 *[
@@ -597,31 +610,20 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    pairs = (
+    hamming = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    return (
         kv.alias("a")
         .join(kv.alias("b"), ["chunk_idx", "chunk"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(hamming <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sig_a"), ""),
-            F.split(F.col("sig_b"), ""),
-            lambda x, y: F.when(x == y, 0).otherwise(1),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

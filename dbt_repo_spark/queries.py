@@ -7434,7 +7434,11 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    hexed = aug.select("media_id", grams.alias("bytegrams"))
+    # the gram projection builds a ~2x-blob string per row and the
+    # signature relation feeds BOTH sides of the banded join plus the
+    # Hamming verify — materialize the grams once (29s -> measured
+    # below at sf0.1 without it, the transform re-ran per consumer)
+    hexed = aug.select("media_id", grams.alias("bytegrams")).persist()
     pairs = dedup.simhash_near_duplicates(
         hexed, "media_id", "bytegrams", max_hamming=7, chunks=8
     )
