@@ -7395,6 +7395,162 @@ def stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "supplier_hhi",
+    """
+    WITH s AS (
+      SELECT p_brand, l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT p_brand, COUNT(*) AS n_suppliers,
+             SUM(rev) AS tot, SUM(rev * rev) AS sumsq
+      FROM s GROUP BY 1)
+    SELECT p_brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi
+    FROM agg
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per brand as the Herfindahl–Hirschman
+    index: HHI = Σ(shareᵢ)² = Σrevᵢ² / (Σrevᵢ)² — the antitrust /
+    supply-risk metric (1/HHI is the effective number of suppliers).
+    Both numerator and denominator are EXACT integer sums (no float
+    share per supplier), so the single division is deterministic; the
+    >2⁵³ integers reach double via the decimal-string round-trip
+    (ols_multifeature_cramer's rule). Two hash-aggs — (brand, supplier)
+    then brand — with the part dim broadcast into the fact scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d38 = "decimal(38,0)"
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum((dec("l_extendedprice", 14, 2) * 100).cast(d38))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    agg = s.groupBy("p_brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("rev").cast(d38)).alias("tot"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev").cast(d38))).alias("sumsq"),
+    )
+    tot_d = F.col("tot").cast("string").cast("double")
+    return agg.select(
+        "p_brand",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        (F.col("sumsq").cast("string").cast("double") / (tot_d * tot_d)).alias(
+            "hhi"
+        ),
+    )
+
+
+@q(
+    "abc_xyz_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    abc AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                  WHEN cum * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot),
+    wk AS (
+      SELECT l_partkey, date_trunc('week', l_shipdate) AS week,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    xyz AS (
+      SELECT l_partkey, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS sq
+      FROM wk GROUP BY 1)
+    SELECT a.l_partkey, a.abc_class,
+           CASE WHEN n < 2 OR s = 0 THEN 'Z'
+                WHEN 4 * n * (n * sq - s * s) <= (n - 1) * s * s THEN 'X'
+                WHEN n * (n * sq - s * s) <= (n - 1) * s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           a.r AS rev_cents,
+           CASE WHEN n >= 2 AND s > 0
+                THEN CAST(n * (n * sq - s * s) AS DOUBLE)
+                     / CAST((n - 1) * s * s AS DOUBLE)
+           END AS demand_cv2
+    FROM abc a JOIN xyz USING (l_partkey)
+    """,
+)
+def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification — the supply-chain segmentation
+    mart: ABC from cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest —
+    pareto_8020's integer-threshold rule, cum·5 ≤ tot·4 etc.), XYZ from
+    weekly-demand variability (X: cv ≤ 0.5, Y: cv ≤ 1, Z beyond — the
+    cv² thresholds cleared of division: 4n(nΣq²−S²) ≤ (n−1)S² ⟺
+    cv² ≤ ¼). Every class boundary is an exact integer comparison, so
+    classification is cross-engine deterministic even for parts sitting
+    exactly on a threshold. The cumulative-share window runs over the
+    |parts| aggregate (rfm's single-task caveat); both classification
+    inputs reduce the fact once each.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((dec("l_extendedprice", 14, 2) * 100).cast(d38))
+        .cast("long")
+        .alias("r")
+    )
+    wrun = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "l_partkey", "r", F.sum(F.col("r").cast(d38)).over(wrun).alias("cum")
+    )
+    tot = rev.agg(F.sum(F.col("r").cast(d38)).alias("t"))
+    cum, tt = F.col("cum"), F.col("t")
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "r",
+        F.when(cum * 5 <= tt * 4, "A")
+        .when(cum * 20 <= tt * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    wk = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("week")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    xyz = wk.groupBy("l_partkey").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("q").cast(d38)).alias("s"),
+        F.sum(F.col("q").cast(d38) * F.col("q").cast(d38)).alias("sq"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    var_num = n * sq - s * s
+    return abc.join(xyz, "l_partkey").select(
+        "l_partkey", "abc_class",
+        F.when((n < 2) | (s == 0), "Z")
+        .when(F.lit(4).cast(d38) * n * var_num <= (n - 1) * s * s, "X")
+        .when(n * var_num <= (n - 1) * s * s, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        F.col("r").alias("rev_cents"),
+        F.when(
+            (n >= 2) & (s > 0),
+            (n * var_num).cast("double") / ((n - 1) * s * s).cast("double"),
+        ).alias("demand_cv2"),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

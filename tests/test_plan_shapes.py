@@ -175,6 +175,8 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "supplier_hhi": 3,
+    "abc_xyz_parts": 8,
     "cohort_ltv": 7,
     "new_vs_returning": 4,
     "stickiness_ratio": 8,
