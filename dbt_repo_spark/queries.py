@@ -7551,6 +7551,52 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "shipping_delay_profile",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5)
+             AS p50_delay_days,
+           quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9)
+             AS p90_delay_days,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_delay_days,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship service-level profile per priority class (the
+    TPC-H-Q12 service-question shape on the columns this schema has):
+    exact p50/p90 ship delays, worst case, and the over-90-day breach
+    count. Delay is a calendar-day integer in both engines; percentiles
+    follow percentile_battery's exact-interpolation rule. The fact-fact
+    join shuffles once on the order key; everything after is a
+    5-group aggregate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.percentile(delay, F.lit(0.5)).alias("p50_delay_days"),
+            F.percentile(delay, F.lit(0.9)).alias("p90_delay_days"),
+            F.max(delay).cast("long").alias("max_delay_days"),
+            F.sum(F.when(delay > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_90d"),
+        )
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

@@ -175,6 +175,7 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "shipping_delay_profile": 2,
     "supplier_hhi": 3,
     "abc_xyz_parts": 8,
     "cohort_ltv": 7,
