@@ -7597,6 +7597,123 @@ def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_readability",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words,
+             greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+               AS n_sents,
+             greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+               AS n_syll
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+             - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch_score
+    FROM b
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability gate a
+    text-quality pipeline runs next to length/stopword heuristics
+    (text_quality): sentence count from terminator characters, syllable
+    count from vowel groups (the standard hyphenation-free
+    approximation), and the classic 206.835 − 1.015·(w/s) − 84.6·(syl/w)
+    formula as single IEEE expressions over exact integer counts. Pure
+    scan-speed regex/string ops — no shuffle, no join.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.lit(1), F.length(F.regexp_replace("text", r"[^.!?]", ""))
+    )
+    n_syll = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+    )
+    b = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return b.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_syll").cast("long").alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+        ).alias("flesch_score"),
+    )
+
+
+@q(
+    "langid_confusion",
+    """
+    WITH tk AS (SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents),
+         s AS (SELECT doc_id, lang,
+                 len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+                 len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+                 len(list_filter(w, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+                 len(list_filter(w, x -> list_contains(['el','la','los','y','es'], x))) AS s_es
+               FROM tk),
+         p AS (SELECT doc_id, lang,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                      WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+               FROM s),
+         cell AS (SELECT lang, lang_pred, COUNT(*) AS n
+                  FROM p GROUP BY 1, 2),
+         row_t AS (SELECT lang, SUM(n) AS row_n FROM cell GROUP BY 1)
+    SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n_docs,
+           CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS row_share,
+           c.lang = c.lang_pred AS is_correct
+    FROM cell c JOIN row_t r USING (lang)
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: the confusion matrix of the marker
+    language-ID heuristic (text_lang_id) against the corpus's labeled
+    ``lang`` column — cells with counts, per-true-language recall
+    shares, and the diagonal flag. The model-quality loop the pipeline
+    operators feed (zh has no marker list, so its row shows exactly
+    where the heuristic routes unsupported languages). Row totals
+    derive from the cell table and broadcast back — evaluation never
+    rescans the corpus.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    p = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cell = p.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    row_t = cell.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return cell.join(F.broadcast(row_t), "lang").select(
+        "lang", "lang_pred",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias(
+            "row_share"
+        ),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash
