@@ -7714,6 +7714,121 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "order_gap_distribution",
+    """
+    WITH g AS (
+      SELECT date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders)
+    SELECT CAST(least(gap // 30, 24) AS BIGINT) AS bucket_30d,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders in 30-day buckets (capped at 2 years)
+    — the reorder-cycle diagnostic that sets replenishment-campaign
+    timing (interarrival_histogram's shape on the ORDER fact). One
+    customer-partitioned lag window, then a bounded-key hash-agg;
+    calendar-day gaps are exact integers.
+    """
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy(
+        F.least(F.expr("gap div 30"), F.lit(24)).cast("long").alias(
+            "bucket_30d"
+        )
+    ).agg(F.count("*").cast("long").alias("n_gaps"))
+
+
+@q(
+    "segment_migration_matrix",
+    """
+    WITH h1 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1),
+    h2 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1),
+    s1 AS (SELECT o_custkey,
+                  ntile(5) OVER (ORDER BY m, o_custkey) AS seg FROM h1),
+    s2 AS (SELECT o_custkey,
+                  ntile(5) OVER (ORDER BY m, o_custkey) AS seg FROM h2),
+    cells AS (
+      SELECT COALESCE(s1.seg, 0) AS seg_before,
+             COALESCE(s2.seg, 0) AS seg_after, COUNT(*) AS n
+      FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+      GROUP BY 1, 2),
+    rt AS (SELECT seg_before, SUM(n) AS row_n FROM cells GROUP BY 1)
+    SELECT c.seg_before, c.seg_after, CAST(c.n AS BIGINT) AS n_customers,
+           CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS row_share
+    FROM cells c JOIN rt r USING (seg_before)
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix: monetary quintile before vs
+    after the 1998 cut, with churn and acquisition as segment 0 (absent
+    in that period) — the lifecycle-transition mart that turns two
+    static RFM snapshots (rfm_segments) into flows (who upgraded,
+    who lapsed, where new customers land). Deterministic quintiles
+    ((m, custkey) tie-break), FULL OUTER join on the customer key, cell
+    counts + per-origin shares from the cell table. Customer-level
+    reduce precedes the global ntile sorts (rfm's documented caveat).
+    """
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    d38 = "decimal(38,0)"
+
+    def half(pred):
+        return (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum((dec("o_totalprice", 14, 2) * 100).cast(d38))
+                .cast("long")
+                .alias("m")
+            )
+            .select(
+                "o_custkey",
+                F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("seg"),
+            )
+        )
+
+    s1 = half(F.col("o_orderdate") < cut).withColumnRenamed("seg", "seg1")
+    s2 = half(F.col("o_orderdate") >= cut).withColumnRenamed("seg", "seg2")
+    cells = (
+        s1.join(s2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("seg1", F.lit(0)).alias("seg_before"),
+            F.coalesce("seg2", F.lit(0)).alias("seg_after"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rt = cells.groupBy("seg_before").agg(F.sum("n").alias("row_n"))
+    return cells.join(F.broadcast(rt), "seg_before").select(
+        "seg_before", "seg_after",
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("n").cast("double") / F.col("row_n").cast("double")).alias(
+            "row_share"
+        ),
+    )
+
+
 @q("multimodal_near_dedup")  # seeded signatures → rows-only check
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash

@@ -175,6 +175,8 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "array_battery": 0,
     "welch_ttest": 1,
+    "order_gap_distribution": 2,
+    "segment_migration_matrix": 12,
     "text_readability": 0,
     "langid_confusion": 6,
     "shipping_delay_profile": 2,
