@@ -1,5 +1,5 @@
 """TPC-H-shaped relational coverage, part 2: the remaining classic query
-shapes (Q2/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q19/Q22 analogues) adapted to the
+shapes (Q2/Q4/Q6/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q19/Q22 analogues) adapted to the
 driver's synthetic star schema (no partsupp / shipmode columns — see
 TESTDATA.md), each with a DuckDB oracle.
 
@@ -551,5 +551,103 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+@q(
+    "order_priority_late_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_late_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: order-priority counts for one quarter's orders
+    that have at least one LATE line. The fixture has no
+    l_commitdate/l_receiptdate (TESTDATA.md), so lateness is witnessed by
+    ``l_shipdate > o_orderdate + 60 days`` — same correlated-EXISTS-with-
+    non-equi-residual decorrelation stressor as the official query.
+
+    100 TB shape: the quarter predicate prunes orders at the scan
+    (~1/28th of history here, bounded regardless of total history), and
+    that pruned side BROADCASTS into the lineitem probe — the fact table
+    is scanned once and never shuffled. The EXISTS materializes as
+    distinct surviving (orderkey, priority) pairs, a shuffle bounded by
+    quarter order count, then a tiny 5-group aggregate. A left_semi with
+    lineitem as the build side would instead shuffle the whole fact —
+    deliberately avoided.
+    """
+    odq = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        li.join(
+            F.broadcast(odq),
+            (li.l_orderkey == odq.o_orderkey)
+            & (li.l_shipdate > odq.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "forecast_revenue_change",
+    f"""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                         * CAST(l_discount AS DECIMAL(12,2))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the what-if revenue delta from dropping a
+    discount band — a pure single-table GLOBAL aggregate (one output
+    row), the only classic shape with no join and no grouping.
+
+    100 TB shape: every predicate (ship-year range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter, and the
+    projection prunes to three columns; the aggregate is a partial
+    per-partition fold plus a single-row final merge — no data shuffle
+    at all beyond the scalar exchange. Exactness: the per-line product
+    is computed in DECIMAL(18,4) and summed exactly, with ONE final
+    cast to double (queries.py decimal rules).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ep = dec("l_extendedprice", 14, 2)
+    disc = dec("l_discount", 12, 2)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((ep * disc).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
     )
 
