@@ -150,6 +150,9 @@ HEADLINE = [
     "embed_filtered_topk",
     "embed_generate_docs",
     "rag_retrieval_pipeline",
+    # round-3 continuation 6: geospatial family (cell-blocked scale path)
+    "geo_radius_pairs",
+    "geo_nearest_supplier",
 ]
 
 RUNS = 3

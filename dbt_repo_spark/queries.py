@@ -7883,3 +7883,4 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
+from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip

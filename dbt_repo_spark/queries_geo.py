@@ -1,0 +1,159 @@
+"""Geospatial registry queries: radius join, nearest-neighbor join, and
+grid density over synthesized (lat, lon) points, each with a brute-force
+DuckDB oracle.
+
+The reference's domain is spatial (GBFS stations + trip endpoints carry
+lat/lon end-to-end: /root/reference/models/facts/fact_trips.sql:30-33),
+but the driver fixture has no coordinate columns — so these queries
+SYNTHESIZE deterministic coordinates from integer keys with pure
+integer-arithmetic-then-one-division formulas that are bit-identical in
+Spark and DuckDB (exact int64 products/mods, one IEEE division by
+1000.0, one exact addition). Customers and suppliers land in a ~111 km x
+~156 km region (lat 40-41, lon -74..-72 — Manhattan-ish density) so a
+2-5 km radius yields a meaningful but bounded pair count.
+
+The Spark side runs the CELL-BLOCKED scale path (operators/geo.py); the
+oracle is the O(|A|x|B|) cross join + haversine — the usual
+exact-oracle-vs-scale-path pairing (cf. dedup_ngram_jaccard vs
+dedup_pairs_scale). The comparison therefore ALSO proves candidate
+COMPLETENESS of the 3x3 cell neighborhood end-to-end, not just distance
+arithmetic.
+
+Float parity: both engines evaluate the same IEEE double expression tree
+(same literal pi/180 constant, same parenthesization — see
+operators/geo.py::haversine_sql); last-ulp trig differences are absorbed
+by the 6-dp round that both the filter and the output use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.geo import (
+    grid_density,
+    haversine_sql,
+    nearest_neighbor_join,
+    radius_join,
+)
+from dbt_repo_spark.queries import q, t
+
+# lat in [40, 41), lon in [-74, -72): different prime multipliers per
+# table decorrelate the two point sets.
+CUST_POINTS_SQL = """
+    SELECT c_custkey AS pid,
+           40.0 + (c_custkey * 7919 % 1000) / 1000.0 AS plat,
+           -74.0 + (c_custkey * 104729 % 2000) / 1000.0 AS plon
+    FROM customer
+"""
+SUPP_POINTS_SQL = """
+    SELECT s_suppkey AS pid,
+           40.0 + (s_suppkey * 104723 % 1000) / 1000.0 AS plat,
+           -74.0 + (s_suppkey * 7907 % 2000) / 1000.0 AS plon
+    FROM supplier
+"""
+_HAV = haversine_sql("c.plat", "c.plon", "s.plat", "s.plon")
+
+
+def _points(
+    spark: SparkSession, sf_dir: str, table: str, key: str, m1: int, m2: int
+) -> DataFrame:
+    k = F.col(key)
+    return t(spark, sf_dir, table).select(
+        k.alias("id"),
+        (F.lit(40.0) + (k * m1 % 1000) / 1000.0).alias("lat"),
+        (F.lit(-74.0) + (k * m2 % 2000) / 1000.0).alias("lon"),
+    )
+
+
+def cust_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir, "customer", "c_custkey", 7919, 104729)
+
+
+def supp_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir, "supplier", "s_suppkey", 104723, 7907)
+
+
+@q(
+    "geo_radius_pairs",
+    f"""
+    WITH c AS ({CUST_POINTS_SQL}), s AS ({SUPP_POINTS_SQL})
+    SELECT c.pid AS left_id, s.pid AS right_id,
+           round({_HAV}, 6) AS dist_km
+    FROM c CROSS JOIN s
+    WHERE round({_HAV}, 6) <= 2.0
+    """,
+)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (customer, supplier) point pairs within 2 km — the "stations
+    within walking distance" shape. Spark runs the grid-cell blocked
+    candidate join with the supplier side BROADCAST (dim-sized): zero
+    shuffle of the 9x-replicated probe side, exact haversine verify.
+    The oracle's cross join certifies cell-neighborhood completeness.
+    """
+    return radius_join(
+        cust_points(spark, sf_dir),
+        supp_points(spark, sf_dir),
+        radius_km=2.0,
+        max_abs_lat_deg=41.0,
+        broadcast_right=True,
+    )
+
+
+@q(
+    "geo_nearest_supplier",
+    f"""
+    WITH c AS ({CUST_POINTS_SQL}), s AS ({SUPP_POINTS_SQL}),
+    pairs AS (
+      SELECT c.pid AS left_id, s.pid AS right_id,
+             round({_HAV}, 6) AS dist_km
+      FROM c CROSS JOIN s
+      WHERE round({_HAV}, 6) <= 5.0),
+    ranked AS (
+      SELECT left_id, right_id, dist_km,
+             CAST(ROW_NUMBER() OVER (PARTITION BY left_id
+                                     ORDER BY dist_km, right_id) AS INTEGER)
+               AS nn_rank
+      FROM pairs)
+    SELECT left_id, right_id, dist_km, nn_rank FROM ranked WHERE nn_rank <= 1
+    """,
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within 5 km per customer (k=1) — the "nearest
+    dock to this ride end" shape. Radius-bounded nearest keeps the
+    candidate set cell-blocked and the per-customer rank window tiny;
+    ties on the rounded distance break by supplier id (deterministic,
+    engine-portable cut). Customers with no supplier in range drop out
+    (inner semantics) in both engines.
+    """
+    return nearest_neighbor_join(
+        cust_points(spark, sf_dir),
+        supp_points(spark, sf_dir),
+        radius_km=5.0,
+        k=1,
+        max_abs_lat_deg=41.0,
+        broadcast_right=True,
+    )
+
+
+@q(
+    "geo_grid_density",
+    f"""
+    WITH c AS ({CUST_POINTS_SQL})
+    SELECT CAST(floor(plon / 0.05) AS BIGINT) AS cell_x,
+           CAST(floor(plat / 0.05) AS BIGINT) AS cell_y,
+           COUNT(*) AS n_points,
+           round(CAST(SUM(CAST(plat AS DECIMAL(24,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_lat,
+           round(CAST(SUM(CAST(plon AS DECIMAL(24,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_lon
+    FROM c GROUP BY 1, 2
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-point count + centroid per 0.05-degree map cell — the
+    demand-heatmap aggregate. Pure two-phase groupBy on derived integer
+    cell ids; centroids via order-independent DECIMAL sums (one final
+    double cast + round) so partition merge order can't change values.
+    """
+    return grid_density(cust_points(spark, sf_dir), cell_deg=0.05)
