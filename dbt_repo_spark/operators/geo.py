@@ -225,6 +225,49 @@ def nearest_neighbor_join(
     )
 
 
+def trip_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key trajectory statistics from a point stream: number of legs,
+    total path length, longest leg — the "how far did this bike travel
+    today" aggregate over GPS pings.
+
+    One window pass per key (shuffle keyed on `key`, sorted by event
+    time + a deterministic tie-break) lags the previous ping; each leg's
+    haversine is rounded to 6 dp and summed through DECIMAL(18,6) so the
+    per-key total is exact and order-independent (a raw double sum's
+    value depends on merge order — queries.py decimal rules). At 100 TB
+    the state is one window partition per key; skewed keys (one device
+    emitting billions of pings) would need time-bucketed pre-aggregation
+    of consecutive legs, which this formulation composes with directly.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    leg = F.round(
+        haversine_km(
+            F.lag(lat).over(w), F.lag(lon).over(w), F.col(lat), F.col(lon)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        df.withColumn("_leg", leg)
+        .filter(F.col("_leg").isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.sum("_leg").cast("double").alias("total_km"),
+            F.max("_leg").cast("double").alias("max_leg_km"),
+        )
+    )
+
+
 def grid_density(
     df: DataFrame,
     cell_deg: float,

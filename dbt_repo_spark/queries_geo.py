@@ -35,6 +35,7 @@ from dbt_repo_spark.operators.geo import (
     haversine_sql,
     nearest_neighbor_join,
     radius_join,
+    trip_stats,
 )
 from dbt_repo_spark.queries import q, t
 
@@ -157,3 +158,46 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     double cast + round) so partition merge order can't change values.
     """
     return grid_density(cust_points(spark, sf_dir), cell_deg=0.05)
+
+
+_TRIP_HAV = haversine_sql("prev_lat", "prev_lon", "plat", "plon")
+
+
+@q(
+    "geo_trip_distance",
+    f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             40.0 + (event_id * 7919 % 1000) / 1000.0 AS plat,
+             -74.0 + (event_id * 104729 % 2000) / 1000.0 AS plon
+      FROM events),
+    l AS (
+      SELECT user_id, plat, plon,
+             lag(plat) OVER w AS prev_lat, lag(plon) OVER w AS prev_lon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    legs AS (
+      SELECT user_id,
+             CAST(round({_TRIP_HAV}, 6) AS DECIMAL(18,6)) AS leg
+      FROM l WHERE prev_lat IS NOT NULL)
+    SELECT user_id, COUNT(*) AS n_legs,
+           CAST(SUM(leg) AS DOUBLE) AS total_km,
+           CAST(MAX(leg) AS DOUBLE) AS max_leg_km
+    FROM legs GROUP BY user_id
+    """,
+)
+def geo_trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory distance over the event stream — consecutive
+    ping legs via one lag window (event-time order, event_id tie-break),
+    haversine per leg, DECIMAL-exact per-user totals. The trajectory
+    composition shape: window + geo + exact aggregation in one plan.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(40.0) + (F.col("event_id") * 7919 % 1000) / 1000.0).alias("lat"),
+        (F.lit(-74.0) + (F.col("event_id") * 104729 % 2000) / 1000.0).alias("lon"),
+    )
+    return trip_stats(
+        ev, key="user_id", ts="ts", order_tiebreak="event_id"
+    )
