@@ -173,6 +173,12 @@ def test_null_safe_join_is_hash_join(spark):
 # recursive_order_chain is excluded: its UnionLoop prints per-iteration
 # sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
+    "order_priority_late_check": 3,
+    "forecast_revenue_change": 1,
+    "geo_radius_pairs": 1,
+    "geo_nearest_supplier": 2,
+    "geo_grid_density": 1,
+    "geo_trip_distance": 1,
     "array_battery": 0,
     "welch_ttest": 1,
     "order_gap_distribution": 2,
