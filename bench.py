@@ -153,6 +153,8 @@ HEADLINE = [
     # round-3 continuation 6: geospatial family (cell-blocked scale path)
     "geo_radius_pairs",
     "geo_nearest_supplier",
+    # round-3 continuation 7: survival analysis family
+    "survival_repeat_purchase",
 ]
 
 RUNS = 3

@@ -7881,6 +7881,86 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "survival_repeat_purchase",
+    """
+    WITH dd AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    rk AS (SELECT o_custkey, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate) AS rn FROM dd),
+    piv AS (SELECT o_custkey,
+            MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_dt,
+            MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_dt
+            FROM rk WHERE rn <= 2 GROUP BY o_custkey),
+    obs AS (SELECT
+            CAST(date_diff('day', CAST(first_dt AS DATE),
+                           CAST(coalesce(second_dt,
+                                (SELECT MAX(o_orderdate) FROM orders))
+                                AS DATE)) AS BIGINT) AS t_dur,
+            CASE WHEN second_dt IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM piv),
+    per_t AS (SELECT t_dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+              COUNT(*) AS c_all FROM obs GROUP BY 1),
+    ar AS (SELECT t, d,
+           CAST(SUM(c_all) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+           FROM per_t),
+    km AS (SELECT t, d, n_at_risk,
+           CASE WHEN MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ASC) = 1 THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d > 0 AND d < n_at_risk
+                                        THEN ln(1 - CAST(d AS DOUBLE)
+                                                / n_at_risk)
+                                        ELSE 0 END)
+                               OVER (ORDER BY t ASC)), 6)
+           END AS survival
+           FROM ar)
+    SELECT t AS duration, d AS n_events, n_at_risk, survival
+    FROM km WHERE d > 0
+    """,
+)
+def survival_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repeat-purchase curve with right-censoring.
+
+    Per customer: duration = days from first order to second order
+    (event) or to the global observation end (censored — one-order
+    customers are NOT dropped and NOT counted as churn events; that is
+    the whole point of the estimator, operators/survival.py). The KM
+    product-limit runs over the |distinct durations| relation (~2.4k
+    rows max here), so its two unpartitioned window passes are bounded
+    regardless of customer count; the per-customer stage is ordinary
+    keyed shuffles.
+    """
+    from dbt_repo_spark.operators.survival import kaplan_meier
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    dd = o.distinct()
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    piv = (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("first_dt"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("second_dt"),
+        )
+    )
+    mx = o.agg(F.max("o_orderdate").alias("censor_dt"))
+    # date-diff (not epoch arithmetic): parquet timestamps surface as
+    # TIMESTAMP_NTZ under a bare Spark 4 session, and day differences on
+    # DATE are timezone-independent in both engines (fixture is
+    # midnight-aligned, so this equals the epoch quotient exactly)
+    obs = piv.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.coalesce("second_dt", "censor_dt").cast("date"),
+            F.col("first_dt").cast("date"),
+        )
+        .cast("long")
+        .alias("t_dur"),
+        F.col("second_dt").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(obs, duration_col="t_dur", event_col="ev")
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip

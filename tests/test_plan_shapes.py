@@ -173,6 +173,7 @@ def test_null_safe_join_is_hash_join(spark):
 # recursive_order_chain is excluded: its UnionLoop prints per-iteration
 # sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
+    "survival_repeat_purchase": 6,
     "order_priority_late_check": 3,
     "forecast_revenue_change": 1,
     "geo_radius_pairs": 1,
