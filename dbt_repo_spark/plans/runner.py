@@ -49,6 +49,11 @@ class Model:
     cluster_by: list[str] | None = None
     incremental_strategy: str = "append"  # append (anti-join) | insert_overwrite | merge
     tests: dict = field(default_factory=dict)
+    tags: tuple[str, ...] = ()
+    # dbt on_schema_change for incrementals: what to do when the batch's
+    # schema drifts from the existing target (ignore = align to target,
+    # append_new_columns = evolve, fail = refuse)
+    on_schema_change: str = "ignore"
 
     def __post_init__(self):
         if self.materialized not in MATERIALIZATIONS:
@@ -57,6 +62,8 @@ class Model:
             raise ValueError(
                 f"unknown incremental_strategy {self.incremental_strategy!r}"
             )
+        if self.on_schema_change not in ("ignore", "append_new_columns", "fail"):
+            raise ValueError(f"unknown on_schema_change {self.on_schema_change!r}")
         if self.materialized == "incremental":
             if self.incremental_strategy in ("append", "merge") and not self.unique_key:
                 raise ValueError(f"incremental model {self.name} needs unique_key")
@@ -76,6 +83,8 @@ def model(
     cluster_by: list[str] | None = None,
     incremental_strategy: str = "append",
     tests: dict | None = None,
+    tags: tuple[str, ...] = (),
+    on_schema_change: str = "ignore",
 ):
     """Decorator registering a DataFrame-builder as a model.
 
@@ -95,6 +104,8 @@ def model(
             cluster_by=cluster_by,
             incremental_strategy=incremental_strategy,
             tests=tests or {},
+            tags=tags,
+            on_schema_change=on_schema_change,
         )
 
     return wrap
@@ -114,6 +125,41 @@ class ModelRunner:
             self.models[m.name] = m
         return self
 
+    def _resolve_selector(self, tokens: list[str]) -> set[str]:
+        """dbt-style graph selectors: ``name`` / ``+name`` (upstream
+        closure — applied to every selection here anyway, since deps must
+        build), ``name+`` (the node plus its transitive DOWNSTREAM
+        consumers — dbt's rebuild-what-this-feeds), ``+name+``, and
+        ``tag:x`` (every model carrying the tag). Unknown plain names are
+        silently skipped (pre-existing tolerance); an unknown tag selects
+        nothing.
+        """
+        children: dict[str, set[str]] = {}
+        for name, m in self.models.items():
+            for d in m.deps:
+                children.setdefault(d, set()).add(name)
+        sel: set[str] = set()
+        for tok in tokens:
+            core = tok.lstrip("+")
+            downstream = core.endswith("+")
+            core = core.rstrip("+")
+            if core.startswith("tag:"):
+                base = {
+                    n for n, m in self.models.items() if core[4:] in m.tags
+                }
+            else:
+                base = {core} if core in self.models else set()
+            sel |= base
+            if downstream:
+                stack = list(base)
+                while stack:
+                    n = stack.pop()
+                    for c in children.get(n, ()):
+                        if c not in sel:
+                            sel.add(c)
+                            stack.append(c)
+        return sel
+
     def _order(self, selected: list[str] | None = None) -> list[str]:
         graph = {
             name: {d for d in m.deps if d in self.models}
@@ -122,7 +168,8 @@ class ModelRunner:
         order = list(TopologicalSorter(graph).static_order())
         if selected is None:
             return order
-        # include upstream closure of the selection
+        # resolve selector tokens, then include the upstream closure
+        # (refs must exist before a selected model can build)
         needed: set[str] = set()
 
         def visit(n: str) -> None:
@@ -132,7 +179,7 @@ class ModelRunner:
             for d in self.models[n].deps:
                 visit(d)
 
-        for s in selected:
+        for s in self._resolve_selector(selected):
             visit(s)
         return [n for n in order if n in needed]
 
@@ -237,7 +284,9 @@ class ModelRunner:
             # to upsert-on-immutable-files, and the reason the reference's
             # own incremental models are append-only (fact_station_status
             # .sql:30-32). MERGE exists for the correction/backfill case.
-            target = self.catalog.read(m.layer, m.name)
+            evolved = m.on_schema_change == "append_new_columns"
+            target = self.catalog.read(m.layer, m.name, merge_schema=evolved)
+            df = self._reconcile_schema(m, df, target)
             if m.partition_by:
                 parts = df.select(*m.partition_by).distinct()
                 target = target.join(
@@ -245,20 +294,25 @@ class ModelRunner:
                 )
             keys = df.select(m.unique_key).distinct()
             kept = target.join(keys, m.unique_key, "left_anti")
-            merged = kept.unionByName(df)
+            merged = kept.unionByName(df, allowMissingColumns=evolved)
             self.catalog.overwrite_staged(
                 merged, m.layer, m.name,
                 partition_by=m.partition_by,
                 sort_within_partitions=m.cluster_by,
                 replace_partitions_only=bool(m.partition_by),
             )
-            return self.catalog.read(m.layer, m.name)
+            # partition-scoped rewrites leave untouched partitions on the
+            # pre-drift schema, so an evolved table still needs the merge
+            return self.catalog.read(m.layer, m.name, merge_schema=evolved)
         if target_exists:
             # is_incremental() branch: anti-join against {{ this }} keys,
             # then append. Key set is projected to ONE column before the
             # join so the scan of the existing target prunes to the key
             # column only (column pruning hits parquet ReadSchema).
-            existing_keys = self.catalog.read(m.layer, m.name).select(m.unique_key)
+            evolved = m.on_schema_change == "append_new_columns"
+            target = self.catalog.read(m.layer, m.name, merge_schema=evolved)
+            df = self._reconcile_schema(m, df, target)
+            existing_keys = target.select(m.unique_key)
             new_rows = df.join(
                 F.broadcast(existing_keys.distinct())
                 if self._small_enough(existing_keys)
@@ -272,14 +326,52 @@ class ModelRunner:
                 partition_by=m.partition_by,
                 sort_within_partitions=m.cluster_by,
             )
-        else:
-            self.catalog.write(
-                df, m.layer, m.name,
-                mode="overwrite",
-                partition_by=m.partition_by,
-                sort_within_partitions=m.cluster_by,
-            )
+            return self.catalog.read(m.layer, m.name, merge_schema=evolved)
+        self.catalog.write(
+            df, m.layer, m.name,
+            mode="overwrite",
+            partition_by=m.partition_by,
+            sort_within_partitions=m.cluster_by,
+        )
         return self.catalog.read(m.layer, m.name)
+
+    def _reconcile_schema(
+        self, m: Model, df: DataFrame, target: DataFrame
+    ) -> DataFrame:
+        """Apply the model's ``on_schema_change`` policy to a drifted
+        incremental batch (dbt semantics on immutable parquet):
+
+        - ``ignore`` (default): align the batch to the TARGET schema —
+          batch-only columns are dropped, target columns the batch lacks
+          become typed NULLs. The table's schema never changes.
+        - ``append_new_columns``: keep batch-only columns (the appended
+          files carry the wider schema; readers use mergeSchema so older
+          files surface NULLs there) and NULL-fill target columns the
+          batch lacks. Columns are never removed.
+        - ``fail``: refuse on any column-set difference.
+
+        Type changes on a SHARED column are out of scope (as in dbt):
+        the batch column is cast to the target's type in both keep modes,
+        so a lossy drift surfaces as nulls/errors at write, not silent
+        schema forks.
+        """
+        t_cols = dict(target.dtypes)
+        d_cols = set(df.columns)
+        if set(t_cols) == d_cols:
+            return df
+        if m.on_schema_change == "fail":
+            raise ValueError(
+                f"incremental model {m.name}: schema drift "
+                f"(batch {sorted(d_cols)} vs target {sorted(t_cols)}) "
+                "with on_schema_change='fail'"
+            )
+        aligned = [
+            (F.col(c).cast(t) if c in d_cols else F.lit(None).cast(t)).alias(c)
+            for c, t in t_cols.items()
+        ]
+        if m.on_schema_change == "append_new_columns":
+            aligned += [F.col(c) for c in df.columns if c not in t_cols]
+        return df.select(aligned)
 
     @staticmethod
     def _small_enough(df: DataFrame) -> bool:

@@ -1,0 +1,135 @@
+"""dbt-parity runner features added round 3: graph selectors
+(``name+`` downstream closure, ``tag:``) and incremental
+``on_schema_change`` drift policies (ignore / append_new_columns /
+fail) on immutable parquet.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.plans.runner import ModelRunner, model
+from dbt_repo_spark.sources.catalog import Catalog
+
+
+def _chain_runner(spark, tmp_path):
+    """a -> b -> c chain plus a tagged side model d."""
+
+    @model("a", deps=("src",), materialized="table", tags=("core",))
+    def a(ctx):
+        return ctx["src"]
+
+    @model("b", deps=("a",), materialized="table")
+    def b(ctx):
+        return ctx["a"].withColumn("x2", F.col("x") * 2)
+
+    @model("c", deps=("b",), materialized="table", tags=("mart",))
+    def c(ctx):
+        return ctx["b"].withColumn("x4", F.col("x2") * 2)
+
+    @model("d", deps=("src",), materialized="table", tags=("mart",))
+    def d(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(5).withColumnRenamed("id", "x")
+    return ModelRunner(spark, cat, {"src": src}).add(a, b, c, d)
+
+
+def test_selector_downstream_closure(spark, tmp_path):
+    r = _chain_runner(spark, tmp_path)
+    # plain name: node + upstream only (pre-existing semantics)
+    assert set(r.run(["b"])) == {"a", "b"}
+    # name+ : node, its consumers, and the upstream needed to build them
+    assert set(r.run(["a+"])) == {"a", "b", "c"}
+    assert set(r.run(["b+"])) == {"a", "b", "c"}
+
+
+def test_selector_tag(spark, tmp_path):
+    r = _chain_runner(spark, tmp_path)
+    # tag:mart selects c and d; upstream closure pulls a, b for c
+    assert set(r.run(["tag:mart"])) == {"a", "b", "c", "d"}
+    assert set(r.run(["tag:core"])) == {"a"}
+    # unknown tag selects nothing
+    assert set(r.run(["tag:nope"])) == set()
+
+
+def _incremental_runner(spark, tmp_path, frame, on_schema_change):
+    holder = {"df": frame}
+
+    @model(
+        "inc",
+        deps=("src",),
+        materialized="incremental",
+        unique_key="k",
+        on_schema_change=on_schema_change,
+    )
+    def inc(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    r = ModelRunner(spark, cat, {"src": holder["df"]}).add(inc)
+    return r, holder
+
+
+def test_on_schema_change_ignore(spark, tmp_path):
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    r, _ = _incremental_runner(spark, tmp_path, batch1, "ignore")
+    r.run(["inc"])
+    # drifted batch: new column `extra`, column `v` gone
+    batch2 = spark.createDataFrame([(3, 9.5)], "k int, extra double")
+    r.sources["src"] = batch2
+    out = r.run(["inc"])["inc"]
+    # target schema unchanged: extra dropped, v NULL-filled for row 3
+    assert set(out.columns) == {"k", "v"}
+    rows = {row.k: row.v for row in out.collect()}
+    assert rows == {1: "a", 2: "b", 3: None}
+
+
+def test_on_schema_change_append_new_columns(spark, tmp_path):
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    r, _ = _incremental_runner(spark, tmp_path, batch1, "append_new_columns")
+    r.run(["inc"])
+    batch2 = spark.createDataFrame([(3, "c", 9.5)], "k int, v string, extra double")
+    r.sources["src"] = batch2
+    out = r.run(["inc"])["inc"]
+    # schema evolved; pre-drift rows surface NULL for the new column
+    assert set(out.columns) == {"k", "v", "extra"}
+    rows = {row.k: (row.v, row.extra) for row in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # anti-join still dedupes on later identical runs (evolved read path)
+    assert r.run(["inc"])["inc"].count() == 3
+
+
+def test_on_schema_change_fail(spark, tmp_path):
+    batch1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    r, _ = _incremental_runner(spark, tmp_path, batch1, "fail")
+    r.run(["inc"])
+    r.sources["src"] = spark.createDataFrame([(2, 1.0)], "k int, extra double")
+    with pytest.raises(ValueError, match="schema drift"):
+        r.run(["inc"])
+
+
+def test_on_schema_change_merge_strategy_evolves(spark, tmp_path):
+    @model(
+        "um",
+        deps=("src",),
+        materialized="incremental",
+        unique_key="k",
+        incremental_strategy="merge",
+        on_schema_change="append_new_columns",
+    )
+    def um(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    r = ModelRunner(spark, cat, {"src": b1}).add(um)
+    r.run(["um"])
+    # upsert k=2 with a new column
+    b2 = spark.createDataFrame([(2, "B", 7.0)], "k int, v string, extra double")
+    r.sources["src"] = b2
+    out = r.run(["um"])["um"]
+    rows = {row.k: (row.v, row.extra) for row in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B", 7.0)}
