@@ -1,6 +1,7 @@
-"""Geospatial registry queries: radius join, nearest-neighbor join, and
-grid density over synthesized (lat, lon) points, each with a brute-force
-DuckDB oracle.
+"""Geospatial registry queries: radius join, nearest-neighbor join,
+grid density, and per-user trajectory distance over synthesized
+(lat, lon) points, each with a DuckDB oracle (brute-force cross join
+for the blocked joins).
 
 The reference's domain is spatial (GBFS stations + trip endpoints carry
 lat/lon end-to-end: /root/reference/models/facts/fact_trips.sql:30-33),
