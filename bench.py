@@ -155,6 +155,7 @@ HEADLINE = [
     "geo_nearest_supplier",
     # round-3 continuation 7: survival analysis family
     "survival_repeat_purchase",
+    "geo_fence_containment",
 ]
 
 RUNS = 3

@@ -225,6 +225,59 @@ def nearest_neighbor_join(
     )
 
 
+def point_in_polygon(
+    lat: Column, lon: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """Ray-casting containment test against a FIXED polygon literal
+    ((lat, lon) vertices, any simple polygon, no antimeridian wrap).
+
+    Compiles to a chain of per-edge crossing terms summed and checked
+    for odd parity — pure +,-,*,/ and comparisons, all whole-stage
+    codegen, no UDF and (unlike the haversine path) NO libm calls: the
+    crossing arithmetic is IEEE-exact, so Spark and an oracle engine
+    evaluating the same expression agree bit-for-bit with no rounding
+    contract needed. The polygon is a broadcast-free literal (a
+    service-area fence is bytes, not a table); for MANY fences, join
+    points to fences via `with_cell` blocking on fence bounding boxes,
+    then apply this test per candidate.
+
+    Geometric edge cases: points exactly ON an edge or vertex get an
+    arbitrary but deterministic side. Callers with adversarial
+    coincidences should nudge fence vertices off the data's coordinate
+    grid (the registry query uses 4-dp vertices against 3-dp points, so
+    no point ever lies on a vertex latitude).
+    """
+    crossings: Column | None = None
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        cond = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
+            lon < (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        term = F.when(cond, F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    return (crossings % 2) == 1
+
+
+def point_in_polygon_sql(
+    lat: str, lon: str, polygon: list[tuple[float, float]]
+) -> str:
+    """SQL fragment evaluating the same ray cast as `point_in_polygon`
+    (same literals, same operation order — bit-identical results)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        cond = (
+            f"(({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
+            f"({lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r}) / {y2 - y1!r} + {x1!r})"
+        )
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
 def trip_stats(
     df: DataFrame,
     key: str,

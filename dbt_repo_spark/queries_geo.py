@@ -35,6 +35,8 @@ from dbt_repo_spark.operators.geo import (
     grid_density,
     haversine_sql,
     nearest_neighbor_join,
+    point_in_polygon,
+    point_in_polygon_sql,
     radius_join,
     trip_stats,
 )
@@ -201,4 +203,40 @@ def geo_trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return trip_stats(
         ev, key="user_id", ts="ts", order_tiebreak="event_id"
+    )
+
+
+# service-area fence: 4-dp vertices against 3-dp synthesized points, so
+# no point lies on a vertex latitude (point_in_polygon edge-case note)
+FENCE = [
+    (40.2005, -73.8005),
+    (40.8005, -73.6005),
+    (40.9005, -72.9005),
+    (40.4005, -72.4005),
+    (40.1005, -73.1005),
+]
+_PIP = point_in_polygon_sql("plat", "plon", FENCE)
+
+
+@q(
+    "geo_fence_containment",
+    f"""
+    WITH c AS ({CUST_POINTS_SQL})
+    SELECT pid AS id, {_PIP} AS inside
+    FROM c
+    """,
+)
+def geo_fence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon geofencing: is each customer point inside the
+    service-area pentagon? Ray-cast containment as a pure-arithmetic
+    projection (scan-speed, zero shuffles, no libm) — because the
+    crossing test is +,-,*,/ only, the DuckDB oracle agrees BIT-FOR-BIT
+    with Spark, no rounding contract involved. The polygon rides the
+    plan as a literal; many-fence workloads candidate-join via cell
+    blocking first (operators/geo.py docstring).
+    """
+    pts = cust_points(spark, sf_dir)
+    return pts.select(
+        F.col("id"),
+        point_in_polygon(F.col("lat"), F.col("lon"), FENCE).alias("inside"),
     )

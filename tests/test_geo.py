@@ -143,3 +143,47 @@ def test_geo_radius_join_broadcasts_dim_side(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_point_in_polygon_known_points(spark):
+    from dbt_repo_spark.operators.geo import point_in_polygon
+
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    pts = [
+        (1, 5.0, 5.0, True),    # center
+        (2, 15.0, 5.0, False),  # above
+        (3, -1.0, -1.0, False), # outside corner
+        (4, 9.999, 9.999, True),
+        (5, 5.0, 10.001, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], "id int, lat double, lon double"
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id", point_in_polygon(F.col("lat"), F.col("lon"), square).alias("inside")
+        ).collect()
+    }
+    assert got == {i: exp for i, _, _, exp in pts}
+
+
+def test_point_in_polygon_concave(spark):
+    from dbt_repo_spark.operators.geo import point_in_polygon
+
+    # concave "C" shape: the notch (right-middle) is OUTSIDE
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (8.0, 10.0),
+            (8.0, 2.0), (2.0, 2.0), (2.0, 10.0), (0.0, 10.0)]
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 1.0, 5.0), (3, 9.0, 5.0), (4, 5.0, 1.0)],
+        "id int, lat double, lon double",
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id", point_in_polygon(F.col("lat"), F.col("lon"), poly).alias("inside")
+        ).collect()
+    }
+    # 5,5 is in the notch (outside); 1,5 bottom bar inside; 9,5 top bar
+    # inside; 5,1 left spine inside
+    assert got == {1: False, 2: True, 3: True, 4: True}

@@ -174,6 +174,7 @@ def test_null_safe_join_is_hash_join(spark):
 # sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
     "survival_repeat_purchase": 6,
+    "geo_fence_containment": 0,
     "order_priority_late_check": 3,
     "forecast_revenue_change": 1,
     "geo_radius_pairs": 1,
