@@ -252,8 +252,13 @@ def point_in_polygon(
     for i in range(n):
         y1, x1 = polygon[i]
         y2, x2 = polygon[(i + 1) % n]
+        # both edge deltas are precomputed in PYTHON doubles: an oracle
+        # engine folding a literal-literal subtraction in exact decimal
+        # (DuckDB does) would otherwise differ from the IEEE fold in the
+        # last ulp, breaking the bit-parity contract
+        dx, dy = x2 - x1, y2 - y1
         cond = ((F.lit(y1) > lat) != (F.lit(y2) > lat)) & (
-            lon < (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            lon < F.lit(dx) * (lat - F.lit(y1)) / F.lit(dy) + F.lit(x1)
         )
         term = F.when(cond, F.lit(1)).otherwise(F.lit(0))
         crossings = term if crossings is None else crossings + term
@@ -270,9 +275,10 @@ def point_in_polygon_sql(
     for i in range(n):
         y1, x1 = polygon[i]
         y2, x2 = polygon[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1  # Python IEEE folds, same as the Column path
         cond = (
             f"(({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
-            f"({lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r}) / {y2 - y1!r} + {x1!r})"
+            f"({lon} < {dx!r} * ({lat} - {y1!r}) / {dy!r} + {x1!r})"
         )
         terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
     return f"(({' + '.join(terms)}) % 2 = 1)"

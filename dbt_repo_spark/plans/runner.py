@@ -151,11 +151,16 @@ class ModelRunner:
                 base = {core} if core in self.models else set()
             sel |= base
             if downstream:
+                # traversal bookkeeping is SEPARATE from sel: a child
+                # already selected by an earlier token must still be
+                # traversed, or its own consumers are silently dropped
+                visited: set[str] = set()
                 stack = list(base)
                 while stack:
                     n = stack.pop()
                     for c in children.get(n, ()):
-                        if c not in sel:
+                        if c not in visited:
+                            visited.add(c)
                             sel.add(c)
                             stack.append(c)
         return sel
@@ -267,6 +272,14 @@ class ModelRunner:
             # reprocess), replacing just those partitions beats the
             # NOT-IN/anti-join — no scan of the existing target at all.
             # Dynamic mode rewrites only partitions present in ``df``.
+            # on_schema_change applies here too: the "no scan of the
+            # target" property survives because reconciliation needs only
+            # the target SCHEMA (a footer read), not its rows; skipping
+            # it would let a drifted batch overwrite its partitions with
+            # a forked schema even under policy 'fail'.
+            evolved = m.on_schema_change == "append_new_columns"
+            target = self.catalog.read(m.layer, m.name, merge_schema=evolved)
+            df = self._reconcile_schema(m, df, target)
             self.catalog.write(
                 df, m.layer, m.name,
                 mode="overwrite",
@@ -274,7 +287,9 @@ class ModelRunner:
                 sort_within_partitions=m.cluster_by,
                 dynamic_partition_overwrite=True,  # per-writer: thread-safe
             )
-            return self.catalog.read(m.layer, m.name)
+            # untouched partitions keep the pre-drift schema after an
+            # evolving overwrite — reads reconcile via mergeSchema
+            return self.catalog.read(m.layer, m.name, merge_schema=evolved)
         if target_exists and m.incremental_strategy == "merge":
             # Upsert (dbt incremental_strategy='merge'): keep target rows
             # whose key is NOT in the batch, union the batch, staged-swap.
@@ -357,9 +372,13 @@ class ModelRunner:
         """
         t_cols = dict(target.dtypes)
         d_cols = set(df.columns)
-        if set(t_cols) == d_cols:
-            return df
-        if m.on_schema_change == "fail":
+        if dict(df.dtypes) == t_cols:
+            return df  # identical names AND types — nothing to do
+        # same names but drifted TYPES falls through to the cast path
+        # below (appending a type-incompatible file would fork the
+        # table's schema); 'fail' fires on column-SET differences only,
+        # per the docstring contract
+        if set(t_cols) != d_cols and m.on_schema_change == "fail":
             raise ValueError(
                 f"incremental model {m.name}: schema drift "
                 f"(batch {sorted(d_cols)} vs target {sorted(t_cols)}) "

@@ -133,3 +133,76 @@ def test_on_schema_change_merge_strategy_evolves(spark, tmp_path):
     out = r.run(["um"])["um"]
     rows = {row.k: (row.v, row.extra) for row in out.collect()}
     assert rows == {1: ("a", None), 2: ("B", 7.0)}
+
+
+def test_selector_downstream_not_pruned_by_earlier_token(spark, tmp_path):
+    """`run(["b", "a+"])` must still reach c: the traversal may not stop
+    at b just because an earlier token already selected it."""
+    r = _chain_runner(spark, tmp_path)
+    assert set(r.run(["b", "a+"])) == {"a", "b", "c"}
+
+
+def test_on_schema_change_type_only_drift_casts_to_target(spark, tmp_path):
+    """Same column NAMES but a drifted TYPE must not append a
+    type-incompatible file: the batch column is cast to the target's
+    type (documented contract), keeping the table schema single."""
+    batch1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    r, _ = _incremental_runner(spark, tmp_path, batch1, "ignore")
+    r.run(["inc"])
+    r.sources["src"] = spark.createDataFrame([(2, 7.5)], "k int, v double")
+    out = r.run(["inc"])["inc"]
+    assert dict(out.dtypes)["v"] == "string"
+    rows = {row.k: row.v for row in out.collect()}
+    assert rows == {1: "a", 2: "7.5"}
+
+
+def test_on_schema_change_applies_to_insert_overwrite(spark, tmp_path):
+    """insert_overwrite must honor the drift policy too — 'fail' raises
+    instead of overwriting partitions with a forked schema."""
+
+    @model(
+        "iow",
+        deps=("src",),
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by=["p"],
+        on_schema_change="fail",
+    )
+    def iow(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, "x", "a")], "k int, v string, p string")
+    r = ModelRunner(spark, cat, {"src": b1}).add(iow)
+    r.run(["iow"])
+    r.sources["src"] = spark.createDataFrame(
+        [(2, "y", 1.0, "b")], "k int, v string, extra double, p string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        r.run(["iow"])
+
+
+def test_on_schema_change_insert_overwrite_ignore_aligns(spark, tmp_path):
+    @model(
+        "iow2",
+        deps=("src",),
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by=["p"],
+        on_schema_change="ignore",
+    )
+    def iow2(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, "x", "a")], "k int, v string, p string")
+    r = ModelRunner(spark, cat, {"src": b1}).add(iow2)
+    r.run(["iow2"])
+    # drifted batch for partition b: extra col dropped, v missing -> NULL
+    r.sources["src"] = spark.createDataFrame(
+        [(2, 1.0, "b")], "k int, extra double, p string"
+    )
+    out = r.run(["iow2"])["iow2"]
+    assert set(out.columns) == {"k", "v", "p"}
+    rows = {row.k: (row.v, row.p) for row in out.collect()}
+    assert rows == {1: ("x", "a"), 2: (None, "b")}
