@@ -156,6 +156,7 @@ HEADLINE = [
     # round-3 continuation 7: survival analysis family
     "survival_repeat_purchase",
     "geo_fence_containment",
+    "geo_multi_fence_assign",
 ]
 
 RUNS = 3

@@ -7,7 +7,7 @@ The reference triggers work via HTTP → Cloud Function → Dataproc submit
     python -m dbt_repo_spark ingest-gbfs   --landing DIR --warehouse DIR \\
         --table station_status [--serialize-data]
     python -m dbt_repo_spark ingest-trips  --csv GLOB    --warehouse DIR
-    python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2] [--full-refresh]
+    python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2+ tag:x] [--full-refresh]
     python -m dbt_repo_spark test --warehouse DIR
     python -m dbt_repo_spark stream --landing DIR --out DIR --checkpoint DIR \\
         [--trigger-seconds N | --available-now]

@@ -284,6 +284,131 @@ def point_in_polygon_sql(
     return f"(({' + '.join(terms)}) % 2 = 1)"
 
 
+def multi_fence_assign(
+    points: DataFrame,
+    fences: dict[int, list[tuple[float, float]]],
+    cell_deg: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Assign points to the fences that contain them — the MANY-fence
+    scale path `point_in_polygon` documents: a workload with thousands
+    of service areas cannot run one literal predicate per fence.
+
+    Plan shape: each fence precomputes (in Python — fences are
+    dim-sized metadata) its edge table and the set of grid cells its
+    bounding box covers; points derive their single cell; the
+    candidate join is a plain equi-join on (cell_x, cell_y) against the
+    broadcast fence-cell relation — a point is only ever tested against
+    fences whose bbox shares its cell, so work scales with points x
+    local fence density, never |points| x |fences|. The exact ray cast
+    then runs as a higher-order aggregate over the fence's edge array
+    (interpreted, not codegen — fine on the candidate-filtered
+    residue; the crossing arithmetic is identical IEEE ops to the SQL
+    oracle, so parity is bit-exact).
+
+    Horizontal edges are REJECTED at build time: the straddle guard
+    (y1>p) != (y2>p) is false for them, but AND evaluation order is not
+    guaranteed in SQL, so dy=0 could still divide by zero under an
+    ANSI engine. Output: (id, fence_id) for every containing fence
+    (overlapping fences yield multiple rows; unfenced points none).
+    """
+    spark = points.sparkSession
+    fence_rows = []
+    cell_rows = []
+    for fid, poly in fences.items():
+        n = len(poly)
+        edges = []
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if y2 == y1:
+                raise ValueError(f"fence {fid}: horizontal edge at vertex {i}")
+            edges.append((y1, x1, y2, x2 - x1, y2 - y1))
+        fence_rows.append((fid, edges))
+        ys = [v[0] for v in poly]
+        xs = [v[1] for v in poly]
+        for cx in range(
+            math.floor(min(xs) / cell_deg), math.floor(max(xs) / cell_deg) + 1
+        ):
+            for cy in range(
+                math.floor(min(ys) / cell_deg), math.floor(max(ys) / cell_deg) + 1
+            ):
+                cell_rows.append((fid, cx, cy))
+    fences_df = spark.createDataFrame(
+        fence_rows,
+        "fence_id int, edges array<struct<y1:double,x1:double,y2:double,"
+        "dx:double,dy:double>>",
+    )
+    cells_df = spark.createDataFrame(cell_rows, "fence_id int, cell_x long, cell_y long")
+
+    p = with_cell(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(lat_col).alias("_plat"),
+            F.col(lon_col).alias("_plon"),
+        ),
+        "_plat",
+        "_plon",
+        cell_deg,
+    )
+    cand = p.join(F.broadcast(cells_df), ["cell_x", "cell_y"]).join(
+        F.broadcast(fences_df), "fence_id"
+    )
+    lat, lon = F.col("_plat"), F.col("_plon")
+    crossings = F.aggregate(
+        F.col("edges"),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e.y1 > lat) != (e.y2 > lat))
+            & (lon < e.dx * (lat - e.y1) / e.dy + e.x1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        cand.withColumn("_cr", crossings)
+        .filter(F.col("_cr") % 2 == 1)
+        .select("id", "fence_id")
+    )
+
+
+def multi_fence_sql(
+    fences: dict[int, list[tuple[float, float]]],
+    points_cte: str,
+    id_expr: str = "pid",
+    lat_expr: str = "plat",
+    lon_expr: str = "plon",
+) -> str:
+    """Brute-force SQL twin of `multi_fence_assign`: edges flattened to
+    a VALUES relation, every point crossed with every edge, crossings
+    summed per (point, fence), odd parity kept. Same per-edge IEEE
+    arithmetic as the Spark higher-order aggregate — bit-exact."""
+    vals = []
+    for fid, poly in fences.items():
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            vals.append(f"({fid}, {y1!r}, {x1!r}, {y2!r}, {x2 - x1!r}, {y2 - y1!r})")
+    values = ",\n      ".join(vals)
+    return f"""
+    WITH pts AS ({points_cte}),
+    e(fence_id, y1, x1, y2, dx, dy) AS (VALUES
+      {values}),
+    cr AS (
+      SELECT pts.{id_expr} AS id, e.fence_id,
+             CASE WHEN ((e.y1 > pts.{lat_expr}) <> (e.y2 > pts.{lat_expr}))
+                    AND (pts.{lon_expr} <
+                         e.dx * (pts.{lat_expr} - e.y1) / e.dy + e.x1)
+                  THEN 1 ELSE 0 END AS x
+      FROM pts CROSS JOIN e)
+    SELECT id, fence_id
+    FROM cr GROUP BY id, fence_id HAVING SUM(x) % 2 = 1
+    """
+
+
 def trip_stats(
     df: DataFrame,
     key: str,

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from dbt_repo_spark.operators.geo import (
     grid_density,
     haversine_sql,
+    multi_fence_assign,
+    multi_fence_sql,
     nearest_neighbor_join,
     point_in_polygon,
     point_in_polygon_sql,
@@ -239,4 +241,44 @@ def geo_fence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         F.col("id"),
         point_in_polygon(F.col("lat"), F.col("lon"), FENCE).alias("inside"),
+    )
+
+
+def _pentagon(cy: float, cx: float, r: float) -> list[tuple[float, float]]:
+    # five cos/sin vertices with a 0.3-rad phase: an UNROTATED regular
+    # pentagon has cos(4pi/5) == cos(6pi/5) — a horizontal edge, which
+    # multi_fence_assign rejects (ANSI div-by-zero hazard); the phase
+    # breaks the symmetry so no two vertices share a latitude
+    return [
+        (cy + r * _math.cos(2 * _math.pi * k / 5 + 0.3),
+         cx + 1.3 * r * _math.sin(2 * _math.pi * k / 5 + 0.3))
+        for k in range(5)
+    ]
+
+
+import math as _math  # noqa: E402
+
+# six overlapping service-area pentagons across the point region
+FENCES = {
+    f: _pentagon(40.15 + 0.13 * f, -73.8 + 0.3 * f, 0.12 + 0.02 * f)
+    for f in range(6)
+}
+
+
+@q(
+    "geo_multi_fence_assign",
+    multi_fence_sql(FENCES, CUST_POINTS_SQL),
+)
+def geo_multi_fence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every customer point to the service-area fences containing
+    it (many-fence geofencing). Spark runs the SCALE path — bbox-cell
+    candidate join against broadcast fence metadata, then the exact
+    higher-order ray cast on the candidate residue; the oracle is the
+    brute-force |points| x |edges| cross join. Same IEEE arithmetic on
+    both sides (bit-exact booleans), so the comparison also certifies
+    bbox-cell candidate COMPLETENESS end-to-end, exactly like the
+    radius join's oracle.
+    """
+    return multi_fence_assign(
+        cust_points(spark, sf_dir), FENCES, cell_deg=0.25
     )

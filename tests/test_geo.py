@@ -187,3 +187,33 @@ def test_point_in_polygon_concave(spark):
     # 5,5 is in the notch (outside); 1,5 bottom bar inside; 9,5 top bar
     # inside; 5,1 left spine inside
     assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_multi_fence_assign_semantics(spark):
+    from dbt_repo_spark.operators.geo import multi_fence_assign, point_in_polygon
+
+    fences = {
+        1: [(0.01, 0.02), (0.43, 9.97), (9.96, 5.03)],       # triangle
+        2: [(5.01, 5.02), (5.43, 14.97), (14.96, 10.03)],    # overlapping
+    }
+    pts = spark.createDataFrame(
+        [(1, 3.0, 5.0), (2, 6.5, 8.0), (3, 50.0, 50.0)],
+        "id int, lat double, lon double",
+    )
+    got = {
+        (r.id, r.fence_id)
+        for r in multi_fence_assign(pts, fences, cell_deg=2.0).collect()
+    }
+    # cross-check against the single-fence literal operator
+    expect = set()
+    for fid, poly in fences.items():
+        inside = pts.select(
+            "id", point_in_polygon(F.col("lat"), F.col("lon"), poly).alias("i")
+        ).collect()
+        expect |= {(r.id, fid) for r in inside if r.i}
+    assert got == expect
+    assert (3, 1) not in got and (3, 2) not in got  # far point unfenced
+
+    # horizontal edges are rejected at build time
+    with pytest.raises(ValueError, match="horizontal edge"):
+        multi_fence_assign(pts, {9: [(0.0, 0.0), (0.0, 1.0), (1.0, 0.5)]}, 1.0)

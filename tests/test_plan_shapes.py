@@ -175,6 +175,7 @@ def test_null_safe_join_is_hash_join(spark):
 EXCHANGE_BUDGETS = {
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
+    "geo_multi_fence_assign": 2,
     "order_priority_late_check": 3,
     "forecast_revenue_change": 1,
     "geo_radius_pairs": 1,
