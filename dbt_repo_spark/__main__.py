@@ -9,6 +9,7 @@ The reference triggers work via HTTP → Cloud Function → Dataproc submit
     python -m dbt_repo_spark ingest-trips  --csv GLOB    --warehouse DIR
     python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2+ tag:x] [--full-refresh]
     python -m dbt_repo_spark test --warehouse DIR
+    python -m dbt_repo_spark optimize --warehouse DIR --table t [--zorder c1 c2]
     python -m dbt_repo_spark stream --landing DIR --out DIR --checkpoint DIR \\
         [--trigger-seconds N | --available-now]
 
@@ -196,6 +197,37 @@ def cmd_seed(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Table maintenance verb (Delta/Iceberg OPTIMIZE analog on plain
+    parquet): compact micro-batch small files and/or rewrite with
+    Z-order clustering for multi-column skip pruning. Z-order implies a
+    full clustered rewrite (range exchange on the z-key); plain
+    compaction preserves the existing order.
+    """
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    spark = _spark("dbt-repo-spark-optimize")
+    catalog = Catalog(spark, args.warehouse)
+    if args.zorder:
+        from dbt_repo_spark.operators.layout import zorder_layout
+
+        df = catalog.read(args.layer, args.table)
+        out = zorder_layout(df, args.zorder, num_files=args.target_files)
+        out = out.localCheckpoint(eager=True)  # plan reads the table it replaces
+        catalog.write(out, args.layer, args.table, mode="overwrite")
+        print(f"{args.layer}.{args.table}: z-ordered on {args.zorder} "
+              f"into {args.target_files} files")
+        return 0
+    n = catalog.compact(
+        args.layer, args.table,
+        partition_by=args.partition_by,
+        sort_within_partitions=args.cluster_by,
+        target_files_per_partition=args.target_files,
+    )
+    print(f"{args.layer}.{args.table}: compacted to {n} files")
+    return 0
+
+
 def cmd_docs(args) -> int:
     """dbt `docs`-style DAG listing: model, materialization, deps, tests."""
     from dbt_repo_spark.models import ALL_MODELS
@@ -273,6 +305,16 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--table", required=True)
     sd.add_argument("--layer", default="raw")
     sd.set_defaults(fn=cmd_seed)
+
+    op = sub.add_parser("optimize", help="compact / z-order a warehouse table")
+    op.add_argument("--warehouse", required=True)
+    op.add_argument("--layer", default="analytics")
+    op.add_argument("--table", required=True)
+    op.add_argument("--target-files", type=int, default=1)
+    op.add_argument("--partition-by", nargs="*", default=None)
+    op.add_argument("--cluster-by", nargs="*", default=None)
+    op.add_argument("--zorder", nargs="*", default=None)
+    op.set_defaults(fn=cmd_optimize)
 
     dc = sub.add_parser("docs", help="print the model DAG")
     dc.set_defaults(fn=cmd_docs)

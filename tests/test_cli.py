@@ -244,3 +244,34 @@ def test_cli_explain(capsys):
     out = capsys.readouterr().out
     assert "PushedFilters" in out and "HashAggregate" in out
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_cli_optimize_compact_and_zorder(spark, tmp_path, capsys):
+    """`optimize` verb: many small files -> compacted count; z-order
+    rewrite preserves rows and schema."""
+    import os
+
+    from dbt_repo_spark.__main__ import main
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    df = spark.range(1000).selectExpr(
+        "id", "id % 7 AS a", "CAST(id % 11 AS DOUBLE) AS b"
+    )
+    # write fragmented: 16 files
+    cat.write(df.repartition(16), "analytics", "frag")
+    frag_dir = cat.path("analytics", "frag")
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(frag_dir))
+    assert n_before >= 16
+
+    assert main(["optimize", "--warehouse", wh, "--table", "frag",
+                 "--target-files", "2"]) == 0
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(frag_dir))
+    assert n_after == 2
+    assert cat.read("analytics", "frag").count() == 1000
+
+    assert main(["optimize", "--warehouse", wh, "--table", "frag",
+                 "--target-files", "4", "--zorder", "a", "b"]) == 0
+    out = cat.read("analytics", "frag")
+    assert out.count() == 1000 and set(out.columns) == {"id", "a", "b"}
