@@ -18,9 +18,11 @@ Materializations (SURVEY.md §2.11 D1-D5):
   BEFORE the write so the model never reads its own writes (§7.3 risk 1);
   md5 keys are non-null so anti-join ≡ NOT IN (§7.3 risk 3).
   Strategies beyond the reference: ``insert_overwrite`` (dynamic partition
-  replace) and ``merge`` (upsert by unique_key via staged rewrite,
+  replace), ``merge`` (upsert by unique_key via staged rewrite,
   partition-scoped when partition_by is set — dbt's
-  incremental_strategy='merge' on top of immutable parquet).
+  incremental_strategy='merge' on top of immutable parquet), and
+  ``microbatch`` (dbt 1.9: event-time period splitting with a lookback
+  window — bounded, idempotent, retry-safe late-data reprocessing).
 """
 
 from __future__ import annotations
@@ -54,11 +56,20 @@ class Model:
     # schema drifts from the existing target (ignore = align to target,
     # append_new_columns = evolve, fail = refuse)
     on_schema_change: str = "ignore"
+    # microbatch strategy config (dbt 1.9 incremental_strategy='microbatch'):
+    # event_time column, batch period ('day'|'hour'|'month'), and how many
+    # RECENT periods to reprocess (late-data window); older periods in the
+    # input are dropped, never rewritten
+    event_time: str | None = None
+    batch_size: str = "day"
+    lookback: int = 1
 
     def __post_init__(self):
         if self.materialized not in MATERIALIZATIONS:
             raise ValueError(f"unknown materialization {self.materialized!r}")
-        if self.incremental_strategy not in ("append", "insert_overwrite", "merge"):
+        if self.incremental_strategy not in (
+            "append", "insert_overwrite", "merge", "microbatch"
+        ):
             raise ValueError(
                 f"unknown incremental_strategy {self.incremental_strategy!r}"
             )
@@ -71,6 +82,17 @@ class Model:
                 raise ValueError(
                     f"insert_overwrite model {self.name} needs partition_by"
                 )
+            if self.incremental_strategy == "microbatch":
+                if not self.event_time:
+                    raise ValueError(
+                        f"microbatch model {self.name} needs event_time"
+                    )
+                if self.batch_size not in ("hour", "day", "month"):
+                    raise ValueError(
+                        f"unknown batch_size {self.batch_size!r}"
+                    )
+                if self.lookback < 1:
+                    raise ValueError("lookback must be >= 1")
 
 
 def model(
@@ -85,6 +107,9 @@ def model(
     tests: dict | None = None,
     tags: tuple[str, ...] = (),
     on_schema_change: str = "ignore",
+    event_time: str | None = None,
+    batch_size: str = "day",
+    lookback: int = 1,
 ):
     """Decorator registering a DataFrame-builder as a model.
 
@@ -106,6 +131,9 @@ def model(
             tests=tests or {},
             tags=tags,
             on_schema_change=on_schema_change,
+            event_time=event_time,
+            batch_size=batch_size,
+            lookback=lookback,
         )
 
     return wrap
@@ -266,6 +294,8 @@ class ModelRunner:
             return self.catalog.read(m.layer, m.name)
         # incremental
         target_exists = self.catalog.exists(m.layer, m.name) and not full_refresh
+        if m.incremental_strategy == "microbatch":
+            return self._materialize_microbatch(m, df, target_exists)
         if target_exists and m.incremental_strategy == "insert_overwrite":
             # Partition-overwrite path (SURVEY.md §4 scale policy): when
             # the batch's rows fully own their partitions (e.g. a daily
@@ -349,6 +379,64 @@ class ModelRunner:
             sort_within_partitions=m.cluster_by,
         )
         return self.catalog.read(m.layer, m.name)
+
+    def _materialize_microbatch(
+        self, m: Model, df: DataFrame, target_exists: bool
+    ) -> DataFrame:
+        """dbt 1.9 ``incremental_strategy='microbatch'``: the input is
+        split into event-time periods (``batch_size``), and only the
+        most recent ``lookback`` periods — anchored on the INPUT's max
+        event time — are (re)written, each as an independent dynamic
+        partition overwrite. Periods older than the lookback window are
+        DROPPED from the batch (late data beyond the window is a
+        deliberate backfill, run with ``full_refresh``), and untouched
+        target periods are never read or rewritten.
+
+        Why this is the 100 TB late-data shape: the append strategy's
+        anti-join must scan the target's keys every run, and plain
+        insert_overwrite trusts the batch to own its partitions — a
+        replayed feed would resurrect old periods. Microbatch bounds
+        every run's write surface to ``lookback`` periods regardless of
+        how stale the replayed input is, making runs idempotent AND
+        retry-safe per period. The table is partitioned by the derived
+        ``batch_period`` column (overriding partition_by), so period
+        pruning reaches every downstream scan.
+        """
+        import datetime as _dt
+
+        per = F.date_trunc(m.batch_size, F.col(m.event_time))
+        df2 = df.withColumn("batch_period", per)
+        if not target_exists:
+            self.catalog.write(
+                df2, m.layer, m.name,
+                mode="overwrite",
+                partition_by=["batch_period"],
+                sort_within_partitions=m.cluster_by,
+            )
+            return self.catalog.read(m.layer, m.name)
+        evolved = m.on_schema_change == "append_new_columns"
+        target = self.catalog.read(m.layer, m.name, merge_schema=evolved)
+        df2 = self._reconcile_schema(m, df2, target)
+        # one scalar job (documented driver action): the window anchor
+        mx = df2.agg(F.max("batch_period").alias("mx")).first()["mx"]
+        if mx is None:
+            return target  # empty batch: nothing to rewrite
+        if m.batch_size == "hour":
+            cutoff = mx - _dt.timedelta(hours=m.lookback - 1)
+        elif m.batch_size == "day":
+            cutoff = mx - _dt.timedelta(days=m.lookback - 1)
+        else:  # month
+            total = mx.year * 12 + (mx.month - 1) - (m.lookback - 1)
+            cutoff = mx.replace(year=total // 12, month=total % 12 + 1, day=1)
+        recent = df2.filter(F.col("batch_period") >= F.lit(cutoff))
+        self.catalog.write(
+            recent, m.layer, m.name,
+            mode="overwrite",
+            partition_by=["batch_period"],
+            sort_within_partitions=m.cluster_by,
+            dynamic_partition_overwrite=True,
+        )
+        return self.catalog.read(m.layer, m.name, merge_schema=evolved)
 
     def _reconcile_schema(
         self, m: Model, df: DataFrame, target: DataFrame

@@ -206,3 +206,83 @@ def test_on_schema_change_insert_overwrite_ignore_aligns(spark, tmp_path):
     assert set(out.columns) == {"k", "v", "p"}
     rows = {row.k: (row.v, row.p) for row in out.collect()}
     assert rows == {1: ("x", "a"), 2: (None, "b")}
+
+
+def _mb_runner(spark, tmp_path, frame, lookback=1):
+    @model(
+        "mb",
+        deps=("src",),
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=lookback,
+    )
+    def mb(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    return ModelRunner(spark, cat, {"src": frame}).add(mb)
+
+
+def _mb_frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ts timestamp")
+
+
+def test_microbatch_first_run_and_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    d1, d2 = dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 2, 6)
+    r = _mb_runner(spark, tmp_path, _mb_frame(spark, [(1, "a", d1), (2, "b", d2)]))
+    out = r.run(["mb"])["mb"]
+    assert out.count() == 2 and "batch_period" in out.columns
+    # identical rerun rewrites the newest period with identical rows
+    assert r.run(["mb"])["mb"].count() == 2
+
+
+def test_microbatch_lookback_shields_old_periods(spark, tmp_path):
+    """A replayed feed that MUTATES an old period must not resurrect it:
+    only the lookback window (anchored on the input's max event time)
+    is rewritten; stale periods in the input are dropped."""
+    import datetime as dt
+
+    d1, d2, d3 = (dt.datetime(2024, 1, i, 12) for i in (1, 2, 3))
+    r = _mb_runner(
+        spark, tmp_path, _mb_frame(spark, [(1, "a", d1), (2, "b", d2)]), lookback=1
+    )
+    r.run(["mb"])
+    # replay: day1 row MUTATED (should be ignored), day3 new (written)
+    r.sources["src"] = _mb_frame(
+        spark, [(1, "MUTATED", d1), (3, "c", d3)]
+    )
+    out = r.run(["mb"])["mb"]
+    rows = {row.k: row.v for row in out.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # day1 untouched
+
+
+def test_microbatch_lookback_two_rewrites_two_periods(spark, tmp_path):
+    import datetime as dt
+
+    d1, d2, d3 = (dt.datetime(2024, 1, i, 12) for i in (1, 2, 3))
+    r = _mb_runner(
+        spark, tmp_path,
+        _mb_frame(spark, [(1, "a", d1), (2, "b", d2), (3, "c", d3)]),
+        lookback=2,
+    )
+    r.run(["mb"])
+    # replay mutates day2 (inside lookback-of-2 from day3) and day1 (outside)
+    r.sources["src"] = _mb_frame(
+        spark, [(1, "MUT", d1), (2, "B2", d2), (3, "c", d3)]
+    )
+    out = r.run(["mb"])["mb"]
+    rows = {row.k: row.v for row in out.collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_microbatch_requires_event_time():
+    with pytest.raises(ValueError, match="needs event_time"):
+        model(
+            "bad",
+            materialized="incremental",
+            incremental_strategy="microbatch",
+        )(lambda ctx: None)
