@@ -22,9 +22,13 @@ class TestResult:
     passed: bool
     violations: int
     stored_at: str | None = None  # layer.table holding the failing rows
+    severity: str = "error"  # dbt test config: error | warn
+    warned: bool = False  # warn-severity test exceeded its warn_if threshold
 
     def __repr__(self) -> str:  # pragma: no cover
-        status = "PASS" if self.passed else "FAIL"
+        status = "PASS" if self.passed else ("WARN" if self.warned else "FAIL")
+        if self.passed and self.warned:
+            status = "WARN"
         return f"<{status} {self.name}: {self.violations} violations>"
 
 
@@ -124,10 +128,10 @@ def run_tests(
     results: list[TestResult] = []
     for column, tests in spec.items():
         for t in tests:
-            if t == "not_null":
+            if t == "not_null" or (isinstance(t, dict) and "not_null" in t):
                 res = not_null(df, column)
                 viol = _violations_not_null(df, column)
-            elif t == "unique":
+            elif t == "unique" or (isinstance(t, dict) and "unique" in t):
                 res = unique(df, column)
                 viol = _violations_unique(df, column)
             elif isinstance(t, dict) and "accepted_values" in t:
@@ -139,7 +143,18 @@ def run_tests(
                 viol = _violations_relationships(df, column, parent, pcol)
             else:  # pragma: no cover
                 raise ValueError(f"unknown test spec {t!r} for column {column}")
-            if catalog is not None and not res.passed:
+            # dbt test config: {"<test>": ..., "config": {"severity":
+            # "warn", "warn_if": N, "error_if": N}} — thresholds are
+            # violation COUNTS ("more than N violations trips it");
+            # warn severity never fails the run, it only flags.
+            cfg = t.get("config", {}) if isinstance(t, dict) else {}
+            res.severity = cfg.get("severity", "error")
+            if res.severity == "warn":
+                res.warned = res.violations > cfg.get("warn_if", 0)
+                res.passed = True
+            else:
+                res.passed = res.violations <= cfg.get("error_if", 0)
+            if catalog is not None and (not res.passed or res.warned):
                 table = (
                     res.name.replace(":", "__")
                     .replace("->", "_to_")
