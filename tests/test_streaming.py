@@ -656,3 +656,53 @@ def test_streaming_heavy_hitters_matches_offline_mg(spark, tmp_path):
     assert got == mg
     # hot key must survive with the MG bound: true=60, N=80, cap=4
     assert 7 in got and 60 - 80 / 4 <= got[7] <= 60
+
+
+def test_streaming_geofence_windowed_counts(spark, tmp_path):
+    """Geo composes with Structured Streaming: point_in_polygon is a
+    pure projection, so fence assignment + watermarked tumbling counts
+    run unchanged on a stream — the live 'rides inside the service
+    area per minute' shape."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.geo import point_in_polygon
+
+    fence = [(0.01, 0.02), (0.43, 9.97), (9.96, 5.03)]  # triangle
+    pings_dir = tmp_path / "pings"
+    pings_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:00:05", "lat": 3.0, "lon": 5.0},   # inside
+        {"ts": "2024-01-01 10:00:20", "lat": 3.5, "lon": 5.0},   # inside
+        {"ts": "2024-01-01 10:00:40", "lat": 50.0, "lon": 50.0}, # outside
+        {"ts": "2024-01-01 10:01:10", "lat": 3.0, "lon": 5.2},   # inside, next min
+    ]
+    (pings_dir / "p.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pings = spark.readStream.schema("ts TIMESTAMP, lat DOUBLE, lon DOUBLE").json(
+        str(pings_dir)
+    )
+    fenced = pings.withColumn(
+        "inside", point_in_polygon(F.col("lat"), F.col("lon"), fence)
+    )
+    counts = (
+        fenced.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "inside")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("geo_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["w"]["start"]), r["inside"]): r["n"]
+        for r in spark.sql("SELECT * FROM geo_stream").collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", True): 2,
+        ("2024-01-01 10:00:00", False): 1,
+        ("2024-01-01 10:01:00", True): 1,
+    }
