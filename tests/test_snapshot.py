@@ -131,3 +131,36 @@ def test_streaming_scd2_snapshot_sink(spark, tmp_path):
         (1, "2024-01-02 10:00:00"): ("A", None),
         (2, "2024-01-01 10:00:00"): ("b", None),
     }
+
+
+def test_snapshot_timestamp_strategy(spark):
+    """timestamp strategy: newer updated_at supersedes, stale redelivery
+    is a no-op, absent keys stay open, new keys insert."""
+    import datetime as dt
+
+    from dbt_repo_spark.plans.snapshot import snapshot_apply_timestamp
+
+    t1, t2, t3 = (dt.datetime(2024, 1, d, 8) for d in (1, 2, 3))
+    day1 = spark.createDataFrame(
+        [(1, "a", t1), (2, "b", t1)], "k int, v string, updated_at timestamp"
+    )
+    snap1 = snapshot_apply_timestamp(None, day1, "k", "updated_at")
+    assert snap1.count() == 2
+    assert snap1.filter("dbt_valid_to IS NULL").count() == 2
+
+    # day2: k=1 updated (newer), k=2 absent, k=3 new
+    day2 = spark.createDataFrame(
+        [(1, "a2", t2), (3, "c", t2)], "k int, v string, updated_at timestamp"
+    )
+    snap2 = snapshot_apply_timestamp(snap1, day2, "k", "updated_at")
+    rows = {(r.k, r.v): (r.dbt_valid_from, r.dbt_valid_to) for r in snap2.collect()}
+    assert rows[(1, "a")] == (t1, t2)       # closed at successor's stamp
+    assert rows[(1, "a2")] == (t2, None)    # new open version
+    assert rows[(2, "b")] == (t1, None)     # absent key stays open
+    assert rows[(3, "c")] == (t2, None)     # new key
+    assert snap2.count() == 4
+
+    # stale redelivery of day1 state: nothing changes
+    snap3 = snapshot_apply_timestamp(snap2, day1, "k", "updated_at")
+    assert snap3.count() == 4
+    assert snap3.filter("dbt_valid_to IS NULL").count() == 3
