@@ -63,6 +63,27 @@ class Model:
     event_time: str | None = None
     batch_size: str = "day"
     lookback: int = 1
+    # dbt model contract (contract: enforced): declared output schema
+    # {column: spark dtype simpleString}; the build FAILS if the built
+    # frame's schema differs — consumers can rely on the shape
+    contract: dict | None = None
+
+    def fingerprint(self) -> str:
+        """Content hash for Slim-CI state comparison: the builder's
+        bytecode + consts + every behavior-bearing config field. Doc
+        or comment edits don't change it; logic or config edits do."""
+        import hashlib
+
+        code = self.fn.__code__
+        payload = repr((
+            code.co_code,
+            code.co_consts,
+            self.deps, self.materialized, self.layer, self.unique_key,
+            self.partition_by, self.cluster_by, self.incremental_strategy,
+            self.on_schema_change, self.event_time, self.batch_size,
+            self.lookback, self.contract,
+        ))
+        return hashlib.md5(payload.encode()).hexdigest()
 
     def __post_init__(self):
         if self.materialized not in MATERIALIZATIONS:
@@ -110,6 +131,7 @@ def model(
     event_time: str | None = None,
     batch_size: str = "day",
     lookback: int = 1,
+    contract: dict | None = None,
 ):
     """Decorator registering a DataFrame-builder as a model.
 
@@ -134,6 +156,7 @@ def model(
             event_time=event_time,
             batch_size=batch_size,
             lookback=lookback,
+            contract=contract,
         )
 
     return wrap
@@ -147,11 +170,22 @@ class ModelRunner:
         self.catalog = catalog
         self.sources = dict(sources)
         self.models: dict[str, Model] = {}
+        self._state: dict | None = None
 
     def add(self, *models: Model) -> "ModelRunner":
         for m in models:
             self.models[m.name] = m
         return self
+
+    def manifest(self) -> dict[str, str]:
+        """name -> fingerprint map (dbt manifest analog for Slim CI)."""
+        return {name: m.fingerprint() for name, m in self.models.items()}
+
+    def write_manifest(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.manifest(), fh, indent=1, sort_keys=True)
 
     def _resolve_selector(self, tokens: list[str]) -> set[str]:
         """dbt-style graph selectors: ``name`` / ``+name`` (upstream
@@ -174,6 +208,20 @@ class ModelRunner:
             if core.startswith("tag:"):
                 base = {
                     n for n, m in self.models.items() if core[4:] in m.tags
+                }
+            elif core == "state:modified":
+                # Slim CI: models whose fingerprint differs from the
+                # baseline manifest (or absent from it). Requires a
+                # state passed to run(); combine with a trailing + to
+                # also rebuild consumers ("state:modified+").
+                if self._state is None:
+                    raise ValueError(
+                        "state:modified needs state= (a manifest dict "
+                        "or path) passed to run()"
+                    )
+                base = {
+                    n for n, m in self.models.items()
+                    if self._state.get(n) != m.fingerprint()
                 }
             else:
                 base = {core} if core in self.models else set()
@@ -221,6 +269,7 @@ class ModelRunner:
         selected: list[str] | None = None,
         full_refresh: bool = False,
         parallelism: int = 1,
+        state: "dict | str | None" = None,
     ) -> dict[str, DataFrame]:
         """Build every model in dependency order; returns name → DataFrame.
 
@@ -237,6 +286,12 @@ class ModelRunner:
         materialized (wave-free: each model waits on exactly its own
         deps, not on its topological generation).
         """
+        if isinstance(state, str):
+            import json
+
+            with open(state) as fh:
+                state = json.load(fh)
+        self._state = state
         order = self._order(selected)
         if parallelism <= 1:
             built: dict[str, DataFrame] = {}
@@ -279,6 +334,20 @@ class ModelRunner:
         return self._materialize(m, m.fn(ctx), full_refresh)
 
     def _materialize(self, m: Model, df: DataFrame, full_refresh: bool) -> DataFrame:
+        if m.contract is not None:
+            got = dict(df.dtypes)
+            if got != m.contract:
+                missing = sorted(set(m.contract) - set(got))
+                extra = sorted(set(got) - set(m.contract))
+                drifted = sorted(
+                    c for c in set(got) & set(m.contract)
+                    if got[c] != m.contract[c]
+                )
+                raise ValueError(
+                    f"model {m.name}: contract violation — "
+                    f"missing {missing}, extra {extra}, type-drifted "
+                    f"{[(c, m.contract[c], got[c]) for c in drifted]}"
+                )
         if m.materialized == "ephemeral":
             return df
         if m.materialized == "view":

@@ -369,3 +369,62 @@ def test_source_freshness(spark):
     assert not failed.passed
     empty = spark.createDataFrame([], "k int, loaded_at timestamp")
     assert not check_freshness(empty, "loaded_at", as_of=now).passed
+
+
+def test_model_contract_enforced(spark, tmp_path):
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+
+    @model(
+        "con",
+        deps=("src",),
+        materialized="table",
+        contract={"k": "bigint", "twice": "bigint"},
+    )
+    def con(ctx):
+        return ctx["src"].select("k", (F.col("k") * 2).alias("twice"))
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(3).withColumnRenamed("id", "k")
+    r = ModelRunner(spark, cat, {"src": src}).add(con)
+    assert set(r.run(["con"])["con"].columns) == {"k", "twice"}
+
+    @model(
+        "con2",
+        deps=("src",),
+        materialized="table",
+        contract={"k": "bigint", "twice": "bigint"},
+    )
+    def con2(ctx):
+        return ctx["src"].select("k", (F.col("k") * 2.0).alias("twice"))  # double!
+
+    r.add(con2)
+    with pytest.raises(ValueError, match="contract violation"):
+        r.run(["con2"])
+
+
+def test_state_modified_selection(spark, tmp_path):
+    """Slim CI: only fingerprint-changed models (plus downstream with
+    `state:modified+`) rebuild against a stored manifest."""
+    r = _chain_runner(spark, tmp_path)
+    baseline = r.manifest()
+
+    # no changes: nothing selected
+    assert set(r.run(["state:modified"], state=baseline)) == set()
+
+    # re-register b with CHANGED logic
+    @model("b", deps=("a",), materialized="table")
+    def b(ctx):
+        return ctx["a"].withColumn("x2", F.col("x") * 3)
+
+    r.add(b)
+    # b modified: upstream closure pulls a; c untouched
+    assert set(r.run(["state:modified"], state=baseline)) == {"a", "b"}
+    # with downstream closure: c rebuilds too
+    assert set(r.run(["state:modified+"], state=baseline)) == {"a", "b", "c"}
+    # manifest round-trips through disk
+    mp = str(tmp_path / "manifest.json")
+    r.write_manifest(mp)
+    assert set(r.run(["state:modified"], state=mp)) == set()
+    # missing state is an explicit error
+    with pytest.raises(ValueError, match="needs state"):
+        r.run(["state:modified"])
