@@ -228,6 +228,27 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a warehouse table as a training dataset: content-addressed
+    train/val/test splits, fixed shard counts, reproducibility manifest
+    (sources/export.py) — then optionally verify by re-reading."""
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.sources.export import export_dataset, verify_export
+
+    spark = _spark("dbt-repo-spark-export")
+    catalog = Catalog(spark, args.warehouse)
+    df = catalog.read(args.layer, args.table)
+    man = export_dataset(df, args.out, args.id_col,
+                         shards_per_split=args.shards)
+    print(f"exported {sum(e['rows'] for e in man['entries'].values())} rows "
+          f"to {args.out} ({len(man['entries'])} shards)")
+    if args.verify:
+        res = verify_export(spark, args.out)
+        print(f"verify: {'OK' if res['ok'] else 'MISMATCH ' + str(res['mismatches'])}")
+        return 0 if res["ok"] else 1
+    return 0
+
+
 def cmd_docs(args) -> int:
     """dbt `docs`-style DAG listing: model, materialization, deps, tests."""
     from dbt_repo_spark.models import ALL_MODELS
@@ -315,6 +336,16 @@ def main(argv: list[str] | None = None) -> int:
     op.add_argument("--cluster-by", nargs="*", default=None)
     op.add_argument("--zorder", nargs="*", default=None)
     op.set_defaults(fn=cmd_optimize)
+
+    xp = sub.add_parser("export", help="export a table as a sharded dataset")
+    xp.add_argument("--warehouse", required=True)
+    xp.add_argument("--layer", default="analytics")
+    xp.add_argument("--table", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--id-col", required=True)
+    xp.add_argument("--shards", type=int, default=4)
+    xp.add_argument("--verify", action="store_true")
+    xp.set_defaults(fn=cmd_export)
 
     dc = sub.add_parser("docs", help="print the model DAG")
     dc.set_defaults(fn=cmd_docs)

@@ -275,3 +275,21 @@ def test_cli_optimize_compact_and_zorder(spark, tmp_path, capsys):
                  "--target-files", "4", "--zorder", "a", "b"]) == 0
     out = cat.read("analytics", "frag")
     assert out.count() == 1000 and set(out.columns) == {"id", "a", "b"}
+
+
+def test_cli_export_verify(spark, tmp_path, capsys):
+    from dbt_repo_spark.__main__ import main
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.write(
+        spark.range(100).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text"),
+        "analytics", "docs_t",
+    )
+    out = str(tmp_path / "ds")
+    rc = main(["export", "--warehouse", wh, "--table", "docs_t",
+               "--out", out, "--id-col", "doc_id", "--shards", "2",
+               "--verify"])
+    assert rc == 0
+    assert "verify: OK" in capsys.readouterr().out
