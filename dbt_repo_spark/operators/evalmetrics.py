@@ -1,0 +1,160 @@
+"""Exact model-evaluation metrics as distributed relational plans.
+
+A training-data engine that produces datasets for model training also
+scores the models those datasets feed: ROC-AUC, calibration, lift/gains.
+The textbook implementations sort all scored rows on one node (sklearn's
+``roc_auc_score`` materializes the full score vector); these are the
+shuffle-bounded relational equivalents, exact to the bit because every
+intermediate is integer arithmetic and the single final division happens
+on identical operands in any engine.
+
+No reference equivalent (the reference pipeline stops at the mart layer);
+these extend the engine toward the evaluation side of the training loop,
+mirroring the rank-sum identity used by DuckDB/Postgres SQL analysts.
+
+100 TB scale notes:
+- ``roc_auc`` never creates a global single-partition window. Scores are
+  grouped (|distinct scores| rows), range-shuffled into ORDERED partitions,
+  prefix-summed per partition, and stitched with a 1-row-per-partition
+  offset map (the two-phase rank trick from ``operators/ids.py``). The
+  only driver traffic is |partitions| offset rows.
+- ``lift_by_decile`` reduces to one row per entity BEFORE the global
+  ntile sort, so the sort sees |entities| rows, not |facts| — same
+  documented caveat as ``rfm_segments`` (entity cardinality must fit a
+  sort; at 1B+ entities swap ntile for the exact_quantiles cut points in
+  ``operators/ids.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC via the Mann-Whitney rank-sum identity.
+
+    AUC = [Σ_g n1(g)·(2·cum_n0_before(g) + n0(g))] / (2·n1·n0)
+
+    where g ranges over distinct score groups in ascending order: each
+    positive beats every negative with a strictly lower score (weight 2)
+    and half-ties every negative in its own group (weight 1). The
+    numerator and denominator are exact BIGINTs; the one double division
+    is performed on identical operands in any engine, so the result is
+    bit-deterministic — no approximate trapezoid sampling.
+
+    Returns a single row:
+    (n_pos, n_neg, auc_num, auc_den, auc).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lab = F.col(label_col).cast("boolean")
+    g = (
+        df.select(F.col(score_col).alias("s"), lab.alias("y"))
+        .where(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n0"),
+        )
+    )
+    # Two-phase prefix sum of n0 in score order: range partitions are
+    # themselves ordered, so cum_before = local prefix (per-partition
+    # window) + the partition's global offset (tiny per-partition job,
+    # broadcast map). localCheckpoint pins the sampled range boundaries:
+    # the offsets job and the final aggregate must see one layout.
+    gp = (
+        g.repartitionByRange(n, F.col("s"))
+        .sortWithinPartitions("s")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    parts = (
+        gp.groupBy("_pid").agg(F.sum("n0").alias("c")).orderBy("_pid").collect()
+    )
+    base: list[Column] = []
+    acc = 0
+    for r in parts:
+        base.extend([F.lit(r._pid), F.lit(acc)])
+        acc += r.c
+    if not base:
+        base = [F.lit(0), F.lit(0)]
+    offset = F.create_map(*base)[F.col("_pid")]
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum("n0").over(w), F.lit(0))
+    scored = gp.withColumn("cb", (local_prefix + offset).cast("long"))
+    return scored.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        F.sum(F.col("n1") * (2 * F.col("cb") + F.col("n0")))
+        .cast("long")
+        .alias("auc_num"),
+        (2 * F.sum("n1") * F.sum("n0")).cast("long").alias("auc_den"),
+        (
+            F.sum(F.col("n1") * (2 * F.col("cb") + F.col("n0"))).cast("double")
+            / (2 * F.sum("n1") * F.sum("n0")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def lift_by_decile(
+    entity_scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Gains/lift table: rank entities by model score, cut into deciles,
+    report per-decile response rate, cumulative capture, and lift.
+
+    Expects ONE ROW PER ENTITY (reduce facts to entities first — that is
+    what keeps the global ntile sort at |entities|). Ties break by id so
+    the bucketing is deterministic. All counts are exact integers; each
+    ratio is a single division of exact operands, and cross-decile
+    cumulative/total terms come from windows over the ``n_buckets``-row
+    aggregate (trivially small).
+
+    Returns n_buckets rows:
+    (decile, n, responders, resp_rate, cum_capture, lift).
+    """
+    wd = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = entity_scores.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).withColumn("decile", F.ntile(n_buckets).over(wd))
+    agg = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("responders"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total_resp = F.sum("responders").over(wt)
+    total_n = F.sum("n").over(wt)
+    return agg.select(
+        "decile",
+        "n",
+        "responders",
+        (F.col("responders").cast("double") / F.col("n").cast("double")).alias(
+            "resp_rate"
+        ),
+        (
+            F.sum("responders").over(wc).cast("double") / total_resp.cast("double")
+        ).alias("cum_capture"),
+        (
+            (F.col("responders").cast("double") / F.col("n").cast("double"))
+            / (total_resp.cast("double") / total_n.cast("double"))
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -7964,3 +7964,4 @@ def survival_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip
+from dbt_repo_spark import queries_eval  # noqa: E402,F401  isort:skip

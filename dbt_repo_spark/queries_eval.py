@@ -1,0 +1,309 @@
+"""Model-evaluation & feature-engineering query family.
+
+The reference pipeline ends at the mart layer; a training-data engine
+also feeds the evaluation side of the loop: did the dataset train a model
+that ranks (AUC), is it calibrated (reliability bins), does targeting by
+its scores concentrate response (gains/lift), is the source data itself
+statistically plausible (Benford), and can categorical features be
+encoded without target leakage (leave-one-out)? Every query here is
+exact-arithmetic end-to-end — integer/decimal aggregation with one final
+division of identical operands — so each carries a full DuckDB oracle.
+
+Registered into the shared QUERIES/ORACLES maps (imported from
+``dbt_repo_spark.queries`` at the bottom of that module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_repo_spark.queries import dec, q, t
+
+
+@q(
+    "eval_auc_roc",
+    """
+    WITH g AS (
+      SELECT o_totalprice AS s,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n0
+      FROM orders GROUP BY o_totalprice),
+    c AS (
+      SELECT n1, n0,
+             CAST(COALESCE(SUM(n0) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM g)
+    SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+           CAST(SUM(n0) AS BIGINT) AS n_neg,
+           CAST(SUM(n1 * (2 * cb + n0)) AS BIGINT) AS auc_num,
+           CAST(2 * SUM(n1) * SUM(n0) AS BIGINT) AS auc_den,
+           CAST(CAST(SUM(n1 * (2 * cb + n0)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(2 * SUM(n1) * SUM(n0) AS BIGINT) AS DOUBLE) AS auc
+    FROM c
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC: does order value rank finished orders?
+
+    Mann-Whitney rank-sum identity over score GROUPS (operators/
+    evalmetrics.py::roc_auc): numerator/denominator are exact BIGINTs,
+    the one double division is on identical operands — bit-equal to the
+    oracle's window formulation. Scale: the prefix sum of negatives runs
+    two-phase over range-ordered partitions (no global single-partition
+    window; |distinct scores| can be |rows| and it still holds).
+    """
+    from dbt_repo_spark.operators.evalmetrics import roc_auc
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_totalprice", (F.col("o_orderstatus") == "F").alias("y")
+    )
+    return roc_auc(o, "o_totalprice", "y")
+
+
+@q(
+    "target_encode_loo",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    enc AS (
+      SELECT segment, SUM(price) AS seg_sum, COUNT(*) AS seg_cnt
+      FROM j GROUP BY segment)
+    SELECT j.o_orderkey, j.segment,
+           CAST(enc.seg_sum - j.price AS DOUBLE)
+             / CAST(NULLIF(enc.seg_cnt - 1, 0) AS DOUBLE) AS loo_enc,
+           CAST(enc.seg_cnt AS BIGINT) AS seg_cnt
+    FROM j JOIN enc ON j.segment = enc.segment
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of a categorical.
+
+    Encodes each order's customer segment by the mean order value of the
+    OTHER orders in that segment: enc = (Σ_seg − own)/(n_seg − 1). The
+    naive per-row window (AVG OVER segment excluding current) shuffles
+    the whole fact by a 5-value key; this shape aggregates once
+    (map-side partial, |segments| rows) and broadcast-joins the tiny
+    encoding table back — the fact is never shuffled by the skewed key.
+    Exact: decimal sums, one double division of identical operands.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec("o_totalprice", 14, 2).alias("price")
+    )
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "segment", "price"
+    )
+    enc = j.groupBy("segment").agg(
+        F.sum("price").alias("seg_sum"), F.count("*").alias("seg_cnt")
+    )
+    return j.join(F.broadcast(enc), "segment").select(
+        "o_orderkey",
+        "segment",
+        (
+            (F.col("seg_sum") - F.col("price")).cast("double")
+            / F.nullif(F.col("seg_cnt") - 1, F.lit(0)).cast("double")
+        ).alias("loo_enc"),
+        F.col("seg_cnt").cast("long").alias("seg_cnt"),
+    )
+
+
+@q(
+    "eval_calibration_bins",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               % 100000 AS m,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    a AS (
+      SELECT m // 10000 AS bin, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(m) AS BIGINT) AS sum_m
+      FROM s GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n, pos,
+           CAST(sum_m AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0 AS mean_score,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           ABS(CAST(sum_m AS DOUBLE) / CAST(n AS DOUBLE) / 100000.0
+               - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+    FROM a
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) bins for a pseudo-probability score.
+
+    The "model score" is the fractional [0,1) part of order value over
+    $1000, derived in EXACT integer cents (decimal→cents→mod — never
+    float fmod, which rounds differently per libm). Ten equal-width bins
+    report mean predicted score vs observed positive rate and their
+    absolute gap — the per-bin terms of expected calibration error. One
+    map-side-partial groupBy over 10 keys; every ratio divides exact
+    operands in mirrored order.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.pmod((dec("o_totalprice", 14, 2) * 100).cast("long"), F.lit(100000)).alias(
+            "m"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    a = o.groupBy(F.expr("m div 10000").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("m").cast("long").alias("sum_m"),
+    )
+    mean_score = F.col("sum_m").cast("double") / F.col("n").cast("double") / F.lit(
+        100000.0
+    )
+    pos_rate = F.col("pos").cast("double") / F.col("n").cast("double")
+    return a.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        "pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.abs(mean_score - pos_rate).alias("abs_gap"),
+    )
+
+
+@q(
+    "benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+               '[1-9]') AS INTEGER) AS digit
+      FROM orders),
+    a AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY digit),
+    e AS (
+      SELECT digit, obs,
+             -- E-notation: DuckDB parses plain decimal literals as
+             -- DECIMAL and its DECIMAL->DOUBLE conversion double-rounds
+             -- (int/10^k in float) — an exponent forces a true DOUBLE
+             -- literal, bit-identical to Spark's parse
+             CASE digit
+               WHEN 1 THEN 3.010299956639812e-1 WHEN 2 THEN 1.7609125905568124e-1
+               WHEN 3 THEN 1.2493873660829993e-1 WHEN 4 THEN 9.691001300805642e-2
+               WHEN 5 THEN 7.918124604762482e-2 WHEN 6 THEN 6.694678963061322e-2
+               WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
+               WHEN 9 THEN 4.575749056067514e-2 END AS expected_p,
+             CAST(SUM(obs) OVER () AS BIGINT) AS total
+      FROM a)
+    SELECT digit, obs, expected_p,
+           CAST(total AS DOUBLE) * expected_p AS expected_n,
+           (CAST(obs AS DOUBLE) - CAST(total AS DOUBLE) * expected_p)
+             * (CAST(obs AS DOUBLE) - CAST(total AS DOUBLE) * expected_p)
+             / (CAST(total AS DOUBLE) * expected_p) AS chi2_term
+    FROM e
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order values (fraud/synthetic-data
+    smell test, the data-quality shape auditors actually run).
+
+    The leading significant digit comes from the DECIMAL STRING form
+    (regexp first [1-9]) — never floor(log10(x)), where a libm ulp at a
+    power of ten flips the digit across engines. Expected proportions are
+    log10(1+1/d) literals; χ² terms are (obs−np)²/np with the identical
+    IEEE sequence both sides. The window total runs over the 9-row digit
+    relation (bounded regardless of fact size).
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.regexp_extract(
+            dec("o_totalprice", 14, 2).cast("string"), "[1-9]", 0
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    a = o.groupBy("digit").agg(F.count("*").alias("obs"))
+    benford = {
+        1: 0.3010299956639812,
+        2: 0.17609125905568124,
+        3: 0.12493873660829993,
+        4: 0.09691001300805642,
+        5: 0.07918124604762482,
+        6: 0.06694678963061322,
+        7: 0.05799194697768673,
+        8: 0.05115252244738129,
+        9: 0.04575749056067514,
+    }
+    p = F.lit(None).cast("double")
+    expr = None
+    for dgt, prob in benford.items():
+        expr = (
+            F.when(F.col("digit") == dgt, F.lit(prob))
+            if expr is None
+            else expr.when(F.col("digit") == dgt, F.lit(prob))
+        )
+    p = expr
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = a.select(
+        "digit",
+        "obs",
+        p.alias("expected_p"),
+        F.sum("obs").over(wt).cast("long").alias("total"),
+    )
+    exp_n = F.col("total").cast("double") * F.col("expected_p")
+    diff = F.col("obs").cast("double") - exp_n
+    return e.select(
+        "digit",
+        "obs",
+        "expected_p",
+        exp_n.alias("expected_n"),
+        (diff * diff / exp_n).alias("chi2_term"),
+    )
+
+
+@q(
+    "lift_gains_deciles",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS id,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS s,
+             MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+      FROM orders GROUP BY o_custkey),
+    r AS (SELECT id, y,
+                 NTILE(10) OVER (ORDER BY s DESC, id ASC) AS decile
+          FROM cust),
+    a AS (SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS responders
+          FROM r GROUP BY decile)
+    SELECT CAST(decile AS INTEGER) AS decile, n, responders,
+           CAST(responders AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate,
+           CAST(CAST(SUM(responders) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS DOUBLE)
+             / CAST(CAST(SUM(responders) OVER () AS BIGINT) AS DOUBLE)
+             AS cum_capture,
+           (CAST(responders AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(CAST(SUM(responders) OVER () AS BIGINT) AS DOUBLE)
+                / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE)) AS lift
+    FROM a ORDER BY decile
+    """,
+)
+def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: decile customers by exact total spend, report
+    response concentration (response = any finished order).
+
+    Facts reduce to ONE row per customer before the global ntile sort
+    (|customers|, not |orders| — the rfm_segments caveat applies; at 1B+
+    entities cut by exact_quantiles instead). Cross-decile terms come
+    from windows over the 10-row aggregate. Ties break by id so bucket
+    assignment is deterministic; spend stays DECIMAL through the sort.
+    """
+    from dbt_repo_spark.operators.evalmetrics import lift_by_decile
+
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.sum(dec("o_totalprice", 14, 2)).alias("s"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("y"),
+        )
+    )
+    return lift_by_decile(cust, "id", "s", "y")

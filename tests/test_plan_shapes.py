@@ -173,6 +173,14 @@ def test_null_safe_join_is_hash_join(spark):
 # recursive_order_chain is excluded: its UnionLoop prints per-iteration
 # sub-plans whose exchange count depends on cache state at explain time.
 EXCHANGE_BUDGETS = {
+    # eval family: auc = score-group agg + final reduce (the prefix-sum
+    # range shuffle is pinned behind localCheckpoint); loo = 1 keyed agg
+    # + 3 broadcast exchanges (fact never shuffles by the 5-value key)
+    "eval_auc_roc": 2,
+    "target_encode_loo": 4,
+    "eval_calibration_bins": 1,
+    "benford_audit": 2,
+    "lift_gains_deciles": 2,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
