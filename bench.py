@@ -157,6 +157,10 @@ HEADLINE = [
     "survival_repeat_purchase",
     "geo_fence_containment",
     "geo_multi_fence_assign",
+    # round-3 continuation 8: model-evaluation family
+    "eval_auc_roc",
+    "target_encode_loo",
+    "lift_gains_deciles",
 ]
 
 RUNS = 3
