@@ -161,6 +161,8 @@ HEADLINE = [
     "eval_auc_roc",
     "target_encode_loo",
     "lift_gains_deciles",
+    "ks_two_sample_price",
+    "feature_corr_matrix",
 ]
 
 RUNS = 3

@@ -32,6 +32,57 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def ordered_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact exclusive prefix sums in ``order_col`` order, two-phase.
+
+    Adds ``cum_<c>_before`` (sum of ``c`` over all rows strictly before
+    this one in the global order) for each ``c`` in ``sum_cols`` WITHOUT
+    a global single-partition window: range-shuffle so partition *i*
+    holds a contiguous ordered slice, window per partition for the local
+    prefix, then add each partition's global offset (1-row-per-partition
+    job → broadcast map). ``localCheckpoint`` pins the sampled range
+    boundaries so the offsets job and downstream consumers see one
+    layout. Driver traffic is |partitions| rows.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    gp = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    parts = (
+        gp.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .orderBy("_pid")
+        .collect()
+    )
+    out = gp
+    for c in sum_cols:
+        base: list[Column] = []
+        acc = 0
+        for r in parts:
+            base.extend([F.lit(r._pid), F.lit(acc)])
+            acc += r[c] or 0
+        if not base:
+            base = [F.lit(0), F.lit(0)]
+        offset = F.create_map(*base)[F.col("_pid")]
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local_prefix = F.coalesce(F.sum(c).over(w), F.lit(0))
+        out = out.withColumn(f"cum_{c}_before", (local_prefix + offset).cast("long"))
+    return out
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -52,8 +103,6 @@ def roc_auc(
     Returns a single row:
     (n_pos, n_neg, auc_num, auc_den, auc).
     """
-    spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lab = F.col(label_col).cast("boolean")
     g = (
         df.select(F.col(score_col).alias("s"), lab.alias("y"))
@@ -64,35 +113,9 @@ def roc_auc(
             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n0"),
         )
     )
-    # Two-phase prefix sum of n0 in score order: range partitions are
-    # themselves ordered, so cum_before = local prefix (per-partition
-    # window) + the partition's global offset (tiny per-partition job,
-    # broadcast map). localCheckpoint pins the sampled range boundaries:
-    # the offsets job and the final aggregate must see one layout.
-    gp = (
-        g.repartitionByRange(n, F.col("s"))
-        .sortWithinPartitions("s")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    scored = ordered_prefix_sums(g, "s", ["n0"], num_partitions).withColumn(
+        "cb", F.col("cum_n0_before")
     )
-    parts = (
-        gp.groupBy("_pid").agg(F.sum("n0").alias("c")).orderBy("_pid").collect()
-    )
-    base: list[Column] = []
-    acc = 0
-    for r in parts:
-        base.extend([F.lit(r._pid), F.lit(acc)])
-        acc += r.c
-    if not base:
-        base = [F.lit(0), F.lit(0)]
-    offset = F.create_map(*base)[F.col("_pid")]
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local_prefix = F.coalesce(F.sum("n0").over(w), F.lit(0))
-    scored = gp.withColumn("cb", (local_prefix + offset).cast("long"))
     return scored.agg(
         F.sum("n1").cast("long").alias("n_pos"),
         F.sum("n0").cast("long").alias("n_neg"),
@@ -104,6 +127,64 @@ def roc_auc(
             F.sum(F.col("n1") * (2 * F.col("cb") + F.col("n0"))).cast("double")
             / (2 * F.sum("n1") * F.sum("n0")).cast("double")
         ).alias("auc"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic.
+
+    D = max over observed values of |F_a(v) − F_b(v)| where F is the
+    empirical CDF. Values are grouped (|distinct| rows), prefix-summed
+    two-phase (no global window), and the CDF difference is evaluated at
+    every distinct value — each ratio divides exact BIGINTs, so both
+    engines compute identical doubles and the max is bit-deterministic.
+    Emits the statistic and the leftmost value attaining it.
+
+    ``group_col`` must be boolean-castable: true rows are sample A.
+
+    Returns one row: (n_a, n_b, d_stat, at_value).
+    """
+    grp = F.col(group_col).cast("boolean")
+    g = (
+        df.select(F.col(value_col).alias("s"), grp.alias("ga"))
+        .where(F.col("s").isNotNull() & F.col("ga").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("ga"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("ga"), 0).otherwise(1)).alias("b"),
+        )
+    )
+    p = ordered_prefix_sums(g, "s", ["a", "b"], num_partitions)
+    totals = p.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
+    )
+    # inclusive CDF counts at each distinct value; diff of two exact
+    # divisions. The totals and the max are 1-row broadcasts, so the
+    # checkpointed grouped relation is scanned, not re-shuffled.
+    p2 = p.crossJoin(F.broadcast(totals)).withColumn(
+        "diff",
+        F.abs(
+            (F.col("cum_a_before") + F.col("a")).cast("double")
+            / F.col("n_a").cast("double")
+            - (F.col("cum_b_before") + F.col("b")).cast("double")
+            / F.col("n_b").cast("double")
+        ),
+    )
+    dm = p2.agg(F.max("diff").alias("d_stat"))
+    return (
+        p2.crossJoin(F.broadcast(dm))
+        .filter(F.col("diff") == F.col("d_stat"))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("d_stat").alias("d_stat"),
+            F.min("s").alias("at_value"),
+        )
     )
 
 

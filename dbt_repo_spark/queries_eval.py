@@ -261,6 +261,232 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ks_two_sample_price",
+    """
+    WITH g AS (
+      SELECT o_totalprice AS s,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM orders GROUP BY o_totalprice),
+    c AS (
+      SELECT s, CAST(SUM(a) OVER (ORDER BY s) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY s) AS BIGINT) AS cb
+      FROM g),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+            FROM g),
+    d AS (SELECT s, n_a, n_b,
+                 ABS(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff
+          FROM c, tot),
+    dm AS (SELECT MAX(diff) AS d_stat FROM d)
+    SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(dm.d_stat) AS d_stat,
+           MIN(s) AS at_value
+    FROM d, dm WHERE d.diff = dm.d_stat
+    """,
+)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov: do finished and open orders
+    draw their values from the same distribution?
+
+    D evaluated at every distinct value via two-phase prefix sums
+    (operators/evalmetrics.py::ks_two_sample — never a global
+    single-partition window); every CDF ratio divides exact BIGINTs so
+    the max and its argmin location are bit-deterministic. The classic
+    drift test PSI (psi_value_drift) bins first; KS is the exact
+    bin-free complement.
+    """
+    from dbt_repo_spark.operators.evalmetrics import ks_two_sample
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_totalprice", (F.col("o_orderstatus") == "F").alias("ga")
+    )
+    return ks_two_sample(o, "o_totalprice", "ga")
+
+
+@q(
+    "feature_corr_matrix",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS s_q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(19,2)) AS s_e,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS s_d,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS s_qq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(24,4)) AS s_ee,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS s_dd,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(24,4)) AS s_qe,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS s_qd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS s_ed
+      FROM lineitem),
+    pairs AS (SELECT * FROM (VALUES ('quantity','extendedprice'),
+                                    ('quantity','discount'),
+                                    ('extendedprice','discount')) AS p(fx, fy)),
+    k AS (
+      SELECT fx, fy, n,
+        CASE fx WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_e ELSE s_d END AS sx,
+        CASE fy WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_e ELSE s_d END AS sy,
+        CASE fx WHEN 'quantity' THEN s_qq WHEN 'extendedprice' THEN s_ee ELSE s_dd END AS sxx,
+        CASE fy WHEN 'quantity' THEN s_qq WHEN 'extendedprice' THEN s_ee ELSE s_dd END AS syy,
+        CASE WHEN fx = 'quantity' AND fy = 'extendedprice' THEN s_qe
+             WHEN fx = 'quantity' AND fy = 'discount' THEN s_qd
+             ELSE s_ed END AS sxy
+      FROM pairs, a)
+    SELECT fx, fy, CAST(n AS BIGINT) AS n,
+      CAST(n * sxy - sx * sy AS DOUBLE)
+        / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr
+    FROM k
+    """,
+)
+def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Pearson correlation matrix over lineitem numerics.
+
+    One scan, one map-side-partial aggregate row carrying every moment
+    (n, Σx, Σx², Σxy) as DECIMAL-exact sums; the 3-pair matrix unfolds
+    by cross-joining the 1-row aggregate to a literal pair relation —
+    the fact is never re-scanned per pair. corr = (nΣxy−ΣxΣy)/
+    (√(nΣx²−Σx²)·√(nΣy²−Σy²)) where both operands of every transcendental-
+    free step are exact decimals cast once to double; sqrt is IEEE
+    correctly-rounded, so the result is bit-equal across engines.
+    Precisions are sized for ~10⁹-row facts (values ≤1e5: Σxy ≤ 1e19 <
+    DECIMAL(24,4)); at true 100 TB row counts, widen to (30,4) — still
+    inside DECIMAL(38) after the n· products.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    dq = dec("l_quantity", 12, 2)
+    de = dec("l_extendedprice", 14, 2)
+    dd = dec("l_discount", 12, 2)
+    a = li.agg(
+        F.count("*").cast("decimal(12,0)").alias("n"),
+        F.sum(dq).cast("decimal(18,2)").alias("s_q"),
+        F.sum(de).cast("decimal(18,2)").alias("s_e"),
+        F.sum(dd).cast("decimal(18,2)").alias("s_d"),
+        F.sum(dq * dq).cast("decimal(24,4)").alias("s_qq"),
+        F.sum(de * de).cast("decimal(24,4)").alias("s_ee"),
+        F.sum(dd * dd).cast("decimal(24,4)").alias("s_dd"),
+        F.sum(dq * de).cast("decimal(24,4)").alias("s_qe"),
+        F.sum(dq * dd).cast("decimal(24,4)").alias("s_qd"),
+        F.sum(de * dd).cast("decimal(24,4)").alias("s_ed"),
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("quantity", "extendedprice"),
+            ("quantity", "discount"),
+            ("extendedprice", "discount"),
+        ],
+        ["fx", "fy"],
+    )
+    pick_s = lambda c: (  # noqa: E731
+        F.when(c == "quantity", F.col("s_q"))
+        .when(c == "extendedprice", F.col("s_e"))
+        .otherwise(F.col("s_d"))
+    )
+    pick_sq = lambda c: (  # noqa: E731
+        F.when(c == "quantity", F.col("s_qq"))
+        .when(c == "extendedprice", F.col("s_ee"))
+        .otherwise(F.col("s_dd"))
+    )
+    sxy = (
+        F.when(
+            (F.col("fx") == "quantity") & (F.col("fy") == "extendedprice"),
+            F.col("s_qe"),
+        )
+        .when(
+            (F.col("fx") == "quantity") & (F.col("fy") == "discount"), F.col("s_qd")
+        )
+        .otherwise(F.col("s_ed"))
+    )
+    k = pairs.crossJoin(F.broadcast(a)).select(
+        "fx",
+        "fy",
+        "n",
+        pick_s(F.col("fx")).alias("sx"),
+        pick_s(F.col("fy")).alias("sy"),
+        pick_sq(F.col("fx")).alias("sxx"),
+        pick_sq(F.col("fy")).alias("syy"),
+        sxy.alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    vy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return k.select(
+        "fx",
+        "fy",
+        F.col("n").cast("long").alias("n"),
+        (num / F.nullif(vx * vy, F.lit(0.0))).alias("corr"),
+    )
+
+
+@q(
+    "mutual_info_cells",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS (SELECT seg, status, COUNT(*) AS c_xy FROM j GROUP BY 1, 2),
+    w AS (
+      SELECT seg, status, c_xy,
+             CAST(SUM(c_xy) OVER (PARTITION BY seg) AS BIGINT) AS c_x,
+             CAST(SUM(c_xy) OVER (PARTITION BY status) AS BIGINT) AS c_y,
+             CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+      FROM cells)
+    SELECT seg, status, c_xy, c_x, c_y, n,
+           round(ln(CAST(c_xy * n AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 6)
+             AS pmi,
+           round((CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c_xy * n AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 6)
+             AS mi_term
+    FROM w
+    """,
+)
+def mutual_info_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information cells between customer segment and
+    order status — the feature-relevance shape (MI feature ranking).
+
+    Marginals and the total come from windows over the |segments|×
+    |statuses| cell relation (15 rows — bounded regardless of fact
+    size); the fact itself is aggregated once. ln() is the one libm
+    call: its operand is an exact-integer ratio (identical bits both
+    engines) and the result is rounded to 6 dp to absorb last-ulp libm
+    differences, per the repo-wide transcendental rule. Per-cell terms
+    are emitted instead of a cross-cell float sum (order-dependent);
+    MI itself is the exact-decimal fold downstream consumers apply.
+    """
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("status")
+    )
+    cells = j.groupBy("seg", "status").agg(F.count("*").alias("c_xy"))
+    wx = Window.partitionBy("seg")
+    wy = Window.partitionBy("status")
+    wt = Window.partitionBy()
+    w = cells.select(
+        "seg",
+        "status",
+        "c_xy",
+        F.sum("c_xy").over(wx).cast("long").alias("c_x"),
+        F.sum("c_xy").over(wy).cast("long").alias("c_y"),
+        F.sum("c_xy").over(wt).cast("long").alias("n"),
+    )
+    r = (F.col("c_xy") * F.col("n")).cast("double") / (
+        F.col("c_x") * F.col("c_y")
+    ).cast("double")
+    return w.select(
+        "seg",
+        "status",
+        "c_xy",
+        "c_x",
+        "c_y",
+        "n",
+        F.round(F.log(r), 6).alias("pmi"),
+        F.round(
+            (F.col("c_xy").cast("double") / F.col("n").cast("double")) * F.log(r), 6
+        ).alias("mi_term"),
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

@@ -181,6 +181,11 @@ EXCHANGE_BUDGETS = {
     "eval_calibration_bins": 1,
     "benford_audit": 2,
     "lift_gains_deciles": 2,
+    # ks scans the checkpointed grouped relation from three consumers
+    # (totals, max, argmax) — each re-windows by _pid; all post-reduce
+    "ks_two_sample_price": 9,
+    "feature_corr_matrix": 2,
+    "mutual_info_cells": 3,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
