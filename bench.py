@@ -163,6 +163,8 @@ HEADLINE = [
     "lift_gains_deciles",
     "ks_two_sample_price",
     "feature_corr_matrix",
+    "daily_revenue_autocorr",
+    "ab_test_proportions",
 ]
 
 RUNS = 3

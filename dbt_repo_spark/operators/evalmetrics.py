@@ -64,12 +64,14 @@ def ordered_prefix_sums(
         .collect()
     )
     out = gp
+    totals: dict[str, int] = {}
     for c in sum_cols:
         base: list[Column] = []
         acc = 0
         for r in parts:
             base.extend([F.lit(r._pid), F.lit(acc)])
             acc += r[c] or 0
+        totals[c] = acc
         if not base:
             base = [F.lit(0), F.lit(0)]
         offset = F.create_map(*base)[F.col("_pid")]
@@ -80,6 +82,11 @@ def ordered_prefix_sums(
         )
         local_prefix = F.coalesce(F.sum(c).over(w), F.lit(0))
         out = out.withColumn(f"cum_{c}_before", (local_prefix + offset).cast("long"))
+    # the per-partition sums already saw every row: expose the exact
+    # grand totals so callers don't pay another scan to recompute them
+    out = out.withColumns(
+        {f"total_{c}": F.lit(totals[c]).cast("long") for c in sum_cols}
+    )
     return out
 
 
@@ -160,19 +167,17 @@ def ks_two_sample(
         )
     )
     p = ordered_prefix_sums(g, "s", ["a", "b"], num_partitions)
-    totals = p.agg(
-        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
-    )
     # inclusive CDF counts at each distinct value; diff of two exact
-    # divisions. The totals and the max are 1-row broadcasts, so the
-    # checkpointed grouped relation is scanned, not re-shuffled.
-    p2 = p.crossJoin(F.broadcast(totals)).withColumn(
+    # divisions. Totals ride along as literals from the prefix-sum's
+    # per-partition job (no extra scan); the max is a 1-row broadcast,
+    # so the checkpointed grouped relation is scanned, not re-shuffled.
+    p2 = p.withColumn(
         "diff",
         F.abs(
             (F.col("cum_a_before") + F.col("a")).cast("double")
-            / F.col("n_a").cast("double")
+            / F.col("total_a").cast("double")
             - (F.col("cum_b_before") + F.col("b")).cast("double")
-            / F.col("n_b").cast("double")
+            / F.col("total_b").cast("double")
         ),
     )
     dm = p2.agg(F.max("diff").alias("d_stat"))
@@ -180,8 +185,8 @@ def ks_two_sample(
         p2.crossJoin(F.broadcast(dm))
         .filter(F.col("diff") == F.col("d_stat"))
         .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
+            F.max("total_a").alias("n_a"),
+            F.max("total_b").alias("n_b"),
             F.max("d_stat").alias("d_stat"),
             F.min("s").alias("at_value"),
         )

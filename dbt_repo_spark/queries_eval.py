@@ -332,9 +332,9 @@ def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE s_ed END AS sxy
       FROM pairs, a)
     SELECT fx, fy, CAST(n AS BIGINT) AS n,
-      CAST(n * sxy - sx * sy AS DOUBLE)
-        / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr
+      CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / NULLIF(sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                 * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)), 0.0) AS corr
     FROM k
     """,
 )
@@ -406,9 +406,25 @@ def feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick_sq(F.col("fy")).alias("syy"),
         sxy.alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    vy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # DECIMAL -> STRING -> DOUBLE: a decimal whose unscaled value
+    # exceeds 2^53 double-rounds under DuckDB's direct int/10^k
+    # conversion; the string parse is correctly rounded in BOTH engines,
+    # so this route is bit-deterministic at any magnitude
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    vx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .cast("double")
+    )
+    vy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
     return k.select(
         "fx",
         "fy",
@@ -483,6 +499,229 @@ def mutual_info_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("c_xy").cast("double") / F.col("n").cast("double")) * F.log(r), 6
         ).alias("mi_term"),
+    )
+
+
+@q(
+    "daily_revenue_autocorr",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(19,2)) AS x
+      FROM orders GROUP BY 1),
+    lg AS (
+      SELECT x, LAG(x, 1) OVER (ORDER BY d) AS x1,
+             LAG(x, 7) OVER (ORDER BY d) AS x7
+      FROM daily),
+    m AS (
+      SELECT
+        CAST(COUNT(x1) AS DECIMAL(12,0)) AS n_1,
+        CAST(COALESCE(SUM(x)  FILTER (x1 IS NOT NULL), 0) AS DECIMAL(19,2)) AS sx_1,
+        CAST(COALESCE(SUM(x1), 0) AS DECIMAL(19,2)) AS sy_1,
+        CAST(COALESCE(SUM(x * x) FILTER (x1 IS NOT NULL), 0) AS DECIMAL(24,4)) AS sxx_1,
+        CAST(COALESCE(SUM(x1 * x1), 0) AS DECIMAL(24,4)) AS syy_1,
+        CAST(COALESCE(SUM(x * x1),  0) AS DECIMAL(24,4)) AS sxy_1,
+        CAST(COUNT(x7) AS DECIMAL(12,0)) AS n_7,
+        CAST(COALESCE(SUM(x)  FILTER (x7 IS NOT NULL), 0) AS DECIMAL(19,2)) AS sx_7,
+        CAST(COALESCE(SUM(x7), 0) AS DECIMAL(19,2)) AS sy_7,
+        CAST(COALESCE(SUM(x * x)   FILTER (x7 IS NOT NULL), 0) AS DECIMAL(24,4)) AS sxx_7,
+        CAST(COALESCE(SUM(x7 * x7), 0) AS DECIMAL(24,4)) AS syy_7,
+        CAST(COALESCE(SUM(x * x7),  0) AS DECIMAL(24,4)) AS sxy_7
+      FROM lg),
+    lags AS (SELECT * FROM (VALUES (1), (7)) AS l(lag)),
+    k AS (
+      SELECT lag,
+        CASE lag WHEN 1 THEN n_1   ELSE n_7   END AS n,
+        CASE lag WHEN 1 THEN sx_1  ELSE sx_7  END AS sx,
+        CASE lag WHEN 1 THEN sy_1  ELSE sy_7  END AS sy,
+        CASE lag WHEN 1 THEN sxx_1 ELSE sxx_7 END AS sxx,
+        CASE lag WHEN 1 THEN syy_1 ELSE syy_7 END AS syy,
+        CASE lag WHEN 1 THEN sxy_1 ELSE sxy_7 END AS sxy
+      FROM lags, m)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+      CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / NULLIF(sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                 * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)), 0.0) AS autocorr
+    FROM k
+    """,
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of the daily revenue series — the
+    seasonality-detection shape that decides whether seasonal_naive or
+    holt_linear is the right forecaster.
+
+    The fact reduces to |days| rows (calendar-bounded — the lag window
+    over it is single-partition by construction and stays ~2.4k rows at
+    any corpus size, same justification as the KM curve). Pearson over
+    (x_t, x_{t−k}) pairs uses DECIMAL-exact conditional moments (FILTER
+    on lag-presence so both series see identical support), one double
+    cast per term, IEEE sqrt — bit-deterministic. Both lags unfold from
+    ONE moment row via a literal cross join; the daily series is scanned
+    once.
+    """
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice", 14, 2)).cast("decimal(18,2)").alias("x"))
+    )
+    w = Window.orderBy("d")
+    lg = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+
+    def moments(lag_col: str, suffix: str) -> list:
+        has = F.col(lag_col).isNotNull()
+        # Spark caps decimal precision at 38 on multiply (p1+p2+1), so
+        # sums that get squared stay at (18,2) here; the ORACLE casts the
+        # same sums to (19,2) because DuckDB multiplies DECIMAL(18) in
+        # int64 and overflows — both are exact, values identical.
+        z2 = F.lit(0).cast("decimal(18,2)")
+        z4 = F.lit(0).cast("decimal(24,4)")
+        xc, lc = F.col("x"), F.col(lag_col)
+        return [
+            F.count(lag_col).cast("decimal(12,0)").alias(f"n_{suffix}"),
+            F.coalesce(F.sum(F.when(has, xc)), z2)
+            .cast("decimal(18,2)")
+            .alias(f"sx_{suffix}"),
+            F.coalesce(F.sum(lc), z2).cast("decimal(18,2)").alias(f"sy_{suffix}"),
+            F.coalesce(F.sum(F.when(has, xc * xc)), z4)
+            .cast("decimal(24,4)")
+            .alias(f"sxx_{suffix}"),
+            F.coalesce(F.sum(lc * lc), z4)
+            .cast("decimal(24,4)")
+            .alias(f"syy_{suffix}"),
+            F.coalesce(F.sum(xc * lc), z4)
+            .cast("decimal(24,4)")
+            .alias(f"sxy_{suffix}"),
+        ]
+
+    m = lg.agg(*(moments("x1", "1") + moments("x7", "7")))
+    lags = spark.createDataFrame([(1,), (7,)], ["lag"])
+    pick = lambda base: F.when(  # noqa: E731
+        F.col("lag") == 1, F.col(f"{base}_1")
+    ).otherwise(F.col(f"{base}_7"))
+    k = lags.crossJoin(F.broadcast(m)).select(
+        "lag",
+        pick("n").alias("n"),
+        pick("sx").alias("sx"),
+        pick("sy").alias("sy"),
+        pick("sxx").alias("sxx"),
+        pick("syy").alias("syy"),
+        pick("sxy").alias("sxy"),
+    )
+    # DECIMAL -> STRING -> DOUBLE: a decimal whose unscaled value
+    # exceeds 2^53 double-rounds under DuckDB's direct int/10^k
+    # conversion; the string parse is correctly rounded in BOTH engines,
+    # so this route is bit-deterministic at any magnitude
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    vx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .cast("double")
+    )
+    vy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    return k.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        (num / F.nullif(vx * vy, F.lit(0.0))).alias("autocorr"),
+    )
+
+
+@q(
+    "ab_test_proportions",
+    """
+    WITH conv AS (
+      SELECT c.c_mktsegment AS seg,
+             MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS converted
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c.c_custkey, c.c_mktsegment),
+    m AS (
+      SELECT
+        CAST(COUNT(*) FILTER (seg = 'BUILDING') AS BIGINT) AS n_a,
+        CAST(COALESCE(SUM(converted) FILTER (seg = 'BUILDING'), 0) AS BIGINT) AS x_a,
+        CAST(COUNT(*) FILTER (seg = 'MACHINERY') AS BIGINT) AS n_b,
+        CAST(COALESCE(SUM(converted) FILTER (seg = 'MACHINERY'), 0) AS BIGINT) AS x_b
+      FROM conv)
+    SELECT n_a, x_a, n_b, x_b,
+      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+    FROM m
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B experiment readout shape
+    (conversion = customer has a finished order; arms = two segments).
+
+    Customers reduce to one converted-flag row each (keyed shuffle),
+    then ONE conditional-count row feeds the pooled-variance z statistic:
+    every input to the formula is an exact BIGINT, each division/sqrt is
+    IEEE-correctly-rounded on identical operands in mirrored order, so
+    the statistic matches the oracle bit-for-bit. Complements
+    welch_ttest (means) and ks_two_sample (distributions).
+    """
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    conv = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "converted")
+    )
+    is_a = F.col("seg") == "BUILDING"
+    is_b = F.col("seg") == "MACHINERY"
+    m = conv.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(is_a, F.col("converted"))), F.lit(0))
+        .cast("long")
+        .alias("x_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_b, F.col("converted"))), F.lit(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    rate_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return m.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z"),
     )
 
 

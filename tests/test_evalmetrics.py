@@ -1,0 +1,114 @@
+"""Unit cross-checks for operators/evalmetrics.py against brute-force
+NumPy references on small seeded data — independent of the DuckDB
+oracles (which exercise the same queries at fixture scale)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dbt_repo_spark.operators.evalmetrics import (
+    ks_two_sample,
+    lift_by_decile,
+    ordered_prefix_sums,
+    roc_auc,
+)
+
+
+def _brute_auc(scores, labels):
+    """Pair-counting AUC with half-credit ties — O(n^2) reference."""
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    num = 0.0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                num += 1.0
+            elif p == n:
+                num += 0.5
+    return num / (len(pos) * len(neg))
+
+
+def _brute_ks(a, b):
+    """Max CDF distance evaluated at every observed value."""
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / na
+        fb = sum(1 for x in b if x <= v) / nb
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    rng = np.random.default_rng(7)
+    scores = rng.integers(0, 40, size=200).astype(float)  # many ties
+    labels = (scores + rng.normal(0, 10, size=200)) > 20
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in zip(scores, labels)], ["s", "y"]
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    expected = _brute_auc(scores.tolist(), labels.tolist())
+    assert row.n_pos == int(labels.sum())
+    assert row.n_neg == int((~labels).sum())
+    assert row.auc == pytest.approx(expected, abs=1e-12)
+    # identity: auc_num / auc_den IS the auc
+    assert row.auc == row.auc_num / row.auc_den
+
+
+def test_ks_two_sample_matches_brute_force(spark):
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 1, 150).round(1)
+    b = rng.normal(0.6, 1.2, 120).round(1)
+    rows = [(float(v), True) for v in a] + [(float(v), False) for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    row = ks_two_sample(df, "v", "g").collect()[0]
+    assert row.n_a == 150 and row.n_b == 120
+    assert row.d_stat == pytest.approx(_brute_ks(a.tolist(), b.tolist()), abs=1e-12)
+    # at_value must be an observed value where the gap is attained
+    fa = sum(1 for x in a if x <= row.at_value) / 150
+    fb = sum(1 for x in b if x <= row.at_value) / 120
+    assert abs(fa - fb) == pytest.approx(row.d_stat, abs=1e-12)
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [(float(v), bool(i % 2)) for i, v in enumerate([1, 1, 2, 2, 3, 3])]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    row = ks_two_sample(df, "v", "g").collect()[0]
+    assert row.d_stat == 0.0
+
+
+def test_ordered_prefix_sums_equals_sorted_cumsum(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 500)
+    wts = rng.integers(1, 9, 500)
+    df = spark.createDataFrame(
+        [(int(v), int(w)) for v, w in zip(vals, wts)], ["v", "w"]
+    ).groupBy("v").sum("w").withColumnRenamed("sum(w)", "w")
+    out = ordered_prefix_sums(df, "v", ["w"], num_partitions=7)
+    got = {r.v: (r.cum_w_before, r.total_w) for r in out.collect()}
+    import collections
+
+    agg = collections.defaultdict(int)
+    for v, w in zip(vals, wts):
+        agg[int(v)] += int(w)
+    acc, total = 0, sum(agg.values())
+    for v in sorted(agg):
+        assert got[v] == (acc, total), f"at v={v}"
+        acc += agg[v]
+
+
+def test_lift_by_decile_buckets_and_totals(spark):
+    rows = [(i, float(100 - i), i < 30) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "s", "y"])
+    out = lift_by_decile(df, "id", "s", "y").collect()
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert sum(r.n for r in out) == 100
+    assert sum(r.responders for r in out) == 30
+    # top 3 deciles hold ALL responders (scores rank them first)
+    assert out[0].responders == 10 and out[1].responders == 10
+    assert out[2].responders == 10 and out[3].responders == 0
+    assert out[2].cum_capture == pytest.approx(1.0)
+    # lift of a perfect decile = 1 / base rate
+    assert out[0].lift == pytest.approx(1.0 / 0.3)

@@ -181,11 +181,14 @@ EXCHANGE_BUDGETS = {
     "eval_calibration_bins": 1,
     "benford_audit": 2,
     "lift_gains_deciles": 2,
-    # ks scans the checkpointed grouped relation from three consumers
-    # (totals, max, argmax) — each re-windows by _pid; all post-reduce
-    "ks_two_sample_price": 9,
+    # ks scans the checkpointed grouped relation from two consumers
+    # (max, argmax — totals ride along as literals from the prefix-sum's
+    # partition job); each re-windows by _pid; all post-reduce
+    "ks_two_sample_price": 5,
     "feature_corr_matrix": 2,
     "mutual_info_cells": 3,
+    "daily_revenue_autocorr": 3,
+    "ab_test_proportions": 3,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
