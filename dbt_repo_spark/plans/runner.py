@@ -162,6 +162,23 @@ def model(
     return wrap
 
 
+@dataclass(frozen=True)
+class Exposure:
+    """dbt exposure: a declared downstream consumer (dashboard, ML job,
+    notebook) whose upstream models become selectable as a unit
+    (``exposure:<name>`` selector) and visible in the manifest — the
+    impact-analysis edge dbt draws from the warehouse to the outside
+    world (reference: every mart in `models/marts/` feeds a Looker
+    dashboard the repo itself never declares; this makes that edge
+    explicit)."""
+
+    name: str
+    depends_on: tuple[str, ...]
+    kind: str = "dashboard"  # dashboard | ml | notebook | application
+    owner: str = ""
+    url: str = ""
+
+
 class ModelRunner:
     """Topo-sorts and materializes a set of models (dbt run/test analog)."""
 
@@ -170,11 +187,24 @@ class ModelRunner:
         self.catalog = catalog
         self.sources = dict(sources)
         self.models: dict[str, Model] = {}
+        self.exposures: dict[str, Exposure] = {}
         self._state: dict | None = None
+        self._defer: Catalog | None = None
 
     def add(self, *models: Model) -> "ModelRunner":
         for m in models:
             self.models[m.name] = m
+        return self
+
+    def add_exposure(self, *exposures: Exposure) -> "ModelRunner":
+        for e in exposures:
+            unknown = [d for d in e.depends_on if d not in self.models]
+            if unknown:
+                raise ValueError(
+                    f"exposure {e.name}: unknown model deps {unknown} "
+                    "(add models before exposures)"
+                )
+            self.exposures[e.name] = e
         return self
 
     def manifest(self) -> dict[str, str]:
@@ -223,6 +253,14 @@ class ModelRunner:
                     n for n, m in self.models.items()
                     if self._state.get(n) != m.fingerprint()
                 }
+            elif core.startswith("exposure:"):
+                # the exposure's declared upstream models; the normal
+                # upstream closure in _order pulls their refs. A typo'd
+                # exposure is a config error, not a tolerated miss.
+                ename = core[len("exposure:"):]
+                if ename not in self.exposures:
+                    raise ValueError(f"unknown exposure {ename!r}")
+                base = set(self.exposures[ename].depends_on)
             else:
                 base = {core} if core in self.models else set()
             sel |= base
@@ -250,17 +288,30 @@ class ModelRunner:
         if selected is None:
             return order
         # resolve selector tokens, then include the upstream closure
-        # (refs must exist before a selected model can build)
+        # (refs must exist before a selected model can build). Under
+        # --defer, an UNSELECTED upstream that the deferred (production)
+        # catalog already holds is NOT rebuilt — its ref resolves from
+        # prod at build time. Selected models always build locally
+        # (dbt's favor-local rule), and a dep absent from prod falls
+        # back to building here.
+        sel = self._resolve_selector(selected)
         needed: set[str] = set()
 
+        def deferred(n: str) -> bool:
+            return (
+                self._defer is not None
+                and n not in sel
+                and self._defer.exists(self.models[n].layer, n)
+            )
+
         def visit(n: str) -> None:
-            if n in needed or n not in self.models:
+            if n in needed or n not in self.models or deferred(n):
                 return
             needed.add(n)
             for d in self.models[n].deps:
                 visit(d)
 
-        for s in self._resolve_selector(selected):
+        for s in sel:
             visit(s)
         return [n for n in order if n in needed]
 
@@ -270,6 +321,7 @@ class ModelRunner:
         full_refresh: bool = False,
         parallelism: int = 1,
         state: "dict | str | None" = None,
+        defer_to: "Catalog | None" = None,
     ) -> dict[str, DataFrame]:
         """Build every model in dependency order; returns name → DataFrame.
 
@@ -292,6 +344,10 @@ class ModelRunner:
             with open(state) as fh:
                 state = json.load(fh)
         self._state = state
+        # dbt --defer: refs to models NOT built in this run resolve from
+        # the deferred catalog (the Slim-CI partner of state:modified —
+        # build only what changed, read everything else from prod)
+        self._defer = defer_to
         order = self._order(selected)
         if parallelism <= 1:
             built: dict[str, DataFrame] = {}
@@ -329,6 +385,14 @@ class ModelRunner:
                 ctx[d] = built[d]
             elif d in self.sources:
                 ctx[d] = self.sources[d]
+            elif (
+                self._defer is not None
+                and d in self.models
+                and self._defer.exists(self.models[d].layer, d)
+            ):
+                # path-based read: the deferred catalog's views are not
+                # registered in this session (it is another environment)
+                ctx[d] = self._defer.read(self.models[d].layer, d)
             else:
                 raise KeyError(f"model {name}: unresolved dependency {d!r}")
         return self._materialize(m, m.fn(ctx), full_refresh)

@@ -1,0 +1,101 @@
+"""dbt --defer (refs resolve from a production catalog) and exposures
+(declared downstream consumers, ``exposure:`` selector) — the Slim-CI
+partners of state:modified."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.plans.runner import Exposure, ModelRunner, model
+from dbt_repo_spark.sources.catalog import Catalog
+
+
+def _models():
+    @model("a", deps=("src",), materialized="table")
+    def a(ctx):
+        return ctx["src"]
+
+    @model("b", deps=("a",), materialized="table")
+    def b(ctx):
+        return ctx["a"].withColumn("x2", F.col("x") * 2)
+
+    @model("c", deps=("b",), materialized="table")
+    def c(ctx):
+        return ctx["b"].withColumn("x4", F.col("x2") * 2)
+
+    return a, b, c
+
+
+def _runner(spark, root, n=5):
+    a, b, c = _models()
+    cat = Catalog(spark, str(root))
+    src = spark.range(n).withColumnRenamed("id", "x")
+    return ModelRunner(spark, cat, {"src": src}).add(a, b, c), cat
+
+
+def test_defer_reads_unselected_dep_from_prod(spark, tmp_path):
+    # prod builds the full chain; a has 5 rows there
+    prod, prod_cat = _runner(spark, tmp_path / "prod", n=5)
+    prod.run()
+    # dev selects only b, deferring to prod — a must NOT build in dev
+    # (dev's src would give it 3 rows; prod's a has 5)
+    dev, dev_cat = _runner(spark, tmp_path / "dev", n=3)
+    built = dev.run(["b"], defer_to=prod_cat)
+    assert set(built) == {"b"}
+    assert built["b"].count() == 5  # read prod's a, not dev's src
+    assert not dev_cat.exists("analytics", "a")
+    assert dev_cat.exists("analytics", "b")
+
+
+def test_defer_favors_locally_selected_models(spark, tmp_path):
+    prod, prod_cat = _runner(spark, tmp_path / "prod", n=5)
+    prod.run()
+    dev, _ = _runner(spark, tmp_path / "dev", n=3)
+    # a is selected too -> builds locally from dev's src despite defer
+    built = dev.run(["a", "b"], defer_to=prod_cat)
+    assert set(built) == {"a", "b"}
+    assert built["b"].count() == 3
+
+
+def test_defer_falls_back_when_prod_lacks_the_model(spark, tmp_path):
+    prod, prod_cat = _runner(spark, tmp_path / "prod", n=5)
+    prod.run(["a"])  # prod has ONLY a
+    dev, _ = _runner(spark, tmp_path / "dev", n=3)
+    built = dev.run(["c"], defer_to=prod_cat)
+    # b absent from prod -> built locally (reading prod's a); c local
+    assert set(built) == {"b", "c"}
+    assert built["c"].count() == 5
+
+
+def test_exposure_selector_builds_upstream_closure(spark, tmp_path):
+    r, _ = _runner(spark, tmp_path / "wh")
+    r.add_exposure(
+        Exposure("weekly_dash", depends_on=("c",), kind="dashboard", owner="bi")
+    )
+    built = r.run(["exposure:weekly_dash"])
+    assert set(built) == {"a", "b", "c"}
+
+
+def test_exposure_unknown_name_raises(spark, tmp_path):
+    r, _ = _runner(spark, tmp_path / "wh")
+    with pytest.raises(ValueError, match="unknown exposure"):
+        r.run(["exposure:nope"])
+
+
+def test_exposure_with_unknown_dep_rejected(spark, tmp_path):
+    r, _ = _runner(spark, tmp_path / "wh")
+    with pytest.raises(ValueError, match="unknown model deps"):
+        r.add_exposure(Exposure("bad", depends_on=("ghost",)))
+
+
+def test_exposure_composes_with_defer(spark, tmp_path):
+    # the Slim-CI shape end-to-end: prod is fully built; the exposure's
+    # upstream resolves from prod except the one model being reworked
+    prod, prod_cat = _runner(spark, tmp_path / "prod", n=5)
+    prod.run()
+    dev, _ = _runner(spark, tmp_path / "dev", n=3)
+    dev.add_exposure(Exposure("dash", depends_on=("c",)))
+    built = dev.run(["c"], defer_to=prod_cat)
+    assert set(built) == {"c"}
+    assert built["c"].count() == 5
