@@ -165,6 +165,7 @@ HEADLINE = [
     "feature_corr_matrix",
     "daily_revenue_autocorr",
     "ab_test_proportions",
+    "table_diff_orders",
 ]
 
 RUNS = 3

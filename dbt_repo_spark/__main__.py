@@ -7,7 +7,8 @@ The reference triggers work via HTTP → Cloud Function → Dataproc submit
     python -m dbt_repo_spark ingest-gbfs   --landing DIR --warehouse DIR \\
         --table station_status [--serialize-data]
     python -m dbt_repo_spark ingest-trips  --csv GLOB    --warehouse DIR
-    python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2+ tag:x] [--full-refresh]
+    python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2+ tag:x exposure:e] \\
+        [--full-refresh] [--defer-to PROD_DIR] [--state manifest.json]
     python -m dbt_repo_spark test --warehouse DIR
     python -m dbt_repo_spark optimize --warehouse DIR --table t [--zorder c1 c2]
     python -m dbt_repo_spark stream --landing DIR --out DIR --checkpoint DIR \\
@@ -81,10 +82,17 @@ def _runner(spark: SparkSession, warehouse: str):
 def cmd_run(args) -> int:
     spark = _spark("dbt-repo-spark-run")
     runner = _runner(spark, args.warehouse)
+    defer_cat = None
+    if getattr(args, "defer_to", None):
+        from dbt_repo_spark.sources.catalog import Catalog
+
+        defer_cat = Catalog(spark, args.defer_to)
     built = runner.run(
         selected=args.select or None,
         full_refresh=args.full_refresh,
         parallelism=args.threads,
+        state=getattr(args, "state", None),
+        defer_to=defer_cat,
     )
     for name in built:
         m = runner.models[name]
@@ -282,6 +290,18 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("run", help="materialize the model DAG")
     r.add_argument("--warehouse", required=True)
     r.add_argument("--select", nargs="*", default=None)
+    r.add_argument(
+        "--defer-to",
+        dest="defer_to",
+        default=None,
+        help="production warehouse dir: unselected upstream refs read "
+        "from there instead of rebuilding (dbt --defer)",
+    )
+    r.add_argument(
+        "--state",
+        default=None,
+        help="baseline manifest JSON for state:modified selection",
+    )
     r.add_argument("--full-refresh", action="store_true")
     r.add_argument("--threads", type=int, default=1,
                    help="materialize independent models concurrently")

@@ -6,6 +6,8 @@ model spells them identically. All are pure Catalyst expressions.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -363,4 +365,57 @@ def winsorize(
             | (F.col(value_col) > F.col("__hi")),
         )
         .drop("__lo", "__hi")
+    )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table versions — the audit-helper / data-diff
+    shape that gates a publish: what would this deploy add, remove, or
+    change? (The reference's workflow diffs BigQuery tables by hand
+    before promoting models; this is that check as one plan.)
+
+    ONE full-outer join on the key (each side shuffles once, co-
+    partitioned), then pure conditional aggregation: rows only in ``a``
+    (removed), only in ``b`` (added), present in both with any null-safe
+    compare-column difference (changed) or none (unchanged), plus a
+    per-column ``changed_<col>`` count so the report names WHICH fields
+    drifted. All counts are exact BIGINTs. At 100 TB, pre-bucket both
+    sides on the key and the join is shuffle-free.
+    """
+    pa = a.select(
+        *[F.col(k).alias(f"__ka_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    pb = b.select(
+        *[F.col(k).alias(f"__kb_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}")) for k in key_cols],
+    )
+    j = pa.join(pb, cond, "full_outer")
+    in_a = F.col("__in_a").isNotNull()
+    in_b = F.col("__in_b").isNotNull()
+    col_changed = {
+        c: in_a & in_b & ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        for c in compare_cols
+    }
+    any_changed = reduce(lambda x, y: x | y, col_changed.values())
+    cnt = lambda pred: F.sum(F.when(pred, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.agg(
+        cnt(in_a).alias("n_a"),
+        cnt(in_b).alias("n_b"),
+        cnt(in_b & ~in_a).alias("added"),
+        cnt(in_a & ~in_b).alias("removed"),
+        cnt(any_changed).alias("changed"),
+        cnt(in_a & in_b & ~any_changed).alias("unchanged"),
+        *[cnt(col_changed[c]).alias(f"changed_{c}") for c in compare_cols],
     )

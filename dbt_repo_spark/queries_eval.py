@@ -726,6 +726,84 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "table_diff_orders",
+    """
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0),
+    j AS (
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             a.o_totalprice AS pa, b.o_totalprice AS pb,
+             a.o_orderstatus AS sa, b.o_orderstatus AS sb
+      FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+    SELECT
+      CAST(SUM(CASE WHEN ka IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      CAST(SUM(CASE WHEN kb IS NOT NULL AND ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                     AND (pa IS DISTINCT FROM pb OR sa IS DISTINCT FROM sb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                     AND pa IS NOT DISTINCT FROM pb
+                     AND sa IS NOT DISTINCT FROM sb
+               THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+      CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                     AND pa IS DISTINCT FROM pb THEN 1 ELSE 0 END) AS BIGINT)
+        AS changed_o_totalprice,
+      CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                     AND sa IS DISTINCT FROM sb THEN 1 ELSE 0 END) AS BIGINT)
+        AS changed_o_orderstatus
+    FROM j
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed data-diff between a table and its next version — the
+    pre-publish audit report (what did this deploy add/remove/change,
+    and in which columns?).
+
+    The "v2" side is a deterministic synthetic mutation of orders
+    (drop every 97th key, bump price on every 89th, flip status on
+    every 83rd, append a shifted copy of every 101st) so the diff
+    operator (operators/relational.py::table_diff) has known ground
+    truth in both engines. One full-outer key join, conditional-count
+    aggregation, exact BIGINTs throughout.
+    """
+    from dbt_repo_spark.operators.relational import table_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    keep = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    extra = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    v2 = keep.unionByName(extra)
+    return table_diff(
+        o, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (
