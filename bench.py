@@ -166,6 +166,7 @@ HEADLINE = [
     "daily_revenue_autocorr",
     "ab_test_proportions",
     "table_diff_orders",
+    "attribution_linear",
 ]
 
 RUNS = 3

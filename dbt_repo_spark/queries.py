@@ -7961,6 +7961,103 @@ def survival_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(obs, duration_col="t_dur", event_col="ev")
 
 
+@q(
+    "attribution_linear",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS v_cents
+      FROM events),
+    nxt AS (
+      SELECT user_id, event_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_eid,
+             first_value(CASE WHEN event_type = 'purchase' THEN v_cents END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_cents
+      FROM ev),
+    touches AS (
+      SELECT user_id, event_type AS channel, conv_eid, conv_cents,
+             COUNT(*) OVER (PARTITION BY user_id, conv_eid) AS k
+      FROM nxt
+      WHERE event_type <> 'purchase' AND conv_eid IS NOT NULL)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,
+           CAST(SUM(conv_cents * 1000000 // k) AS BIGINT)
+             AS attributed_microcents,
+           CAST(CAST(SUM(conv_cents * 1000000 // k) AS BIGINT) AS DOUBLE)
+             / 100000000.0 AS attributed_value
+    FROM touches GROUP BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its value
+    EQUALLY across the non-purchase touches that precede it (and follow
+    the user's previous purchase — the next-purchase assignment
+    partitions touch windows structurally, no session heuristic).
+
+    Credit arithmetic is pure integers: value→cents (exact decimal),
+    ×10⁶, truncating integer division by the window's touch count —
+    bit-deterministic in any engine, immune to the float-fold
+    order-dependence that per-touch double credits would hit when
+    summed per channel (1/3 + 1/3 + 1/3 style). The residual
+    microcents a truncation drops are auditable: Σ attributed ≤ Σ
+    converted, gap < k microcents per conversion. Two keyed window
+    passes (user, then user×conversion) + the channel rollup.
+    Complements attribution_last_touch (the 100%-to-last rule).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (dec("value", 14, 2) * 100).cast("long").alias("v_cents"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    nxt = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("conv_eid"),
+        F.first(F.when(is_p, F.col("v_cents")), ignorenulls=True)
+        .over(wf)
+        .alias("conv_cents"),
+    )
+    wk = Window.partitionBy("user_id", "conv_eid")
+    touches = (
+        nxt.filter((~is_p) & F.col("conv_eid").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            "conv_eid",
+            "conv_cents",
+        )
+        .withColumn("k", F.count("*").over(wk))
+    )
+    micro = F.expr("conv_cents * 1000000 div k")
+    return touches.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.countDistinct("conv_eid").cast("long").alias("n_conversions"),
+        F.sum(micro).cast("long").alias("attributed_microcents"),
+        (
+            F.sum(micro).cast("long").cast("double") / F.lit(100000000.0)
+        ).alias("attributed_value"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip
