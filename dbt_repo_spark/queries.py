@@ -8058,6 +8058,125 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "attribution_u_shaped",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS v_cents
+      FROM events),
+    nxt AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_eid,
+             first_value(CASE WHEN event_type = 'purchase' THEN v_cents END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_cents
+      FROM ev),
+    pos AS (
+      SELECT user_id, event_type AS channel, conv_eid, conv_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_eid
+                                ORDER BY ts, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY user_id, conv_eid) AS k
+      FROM nxt
+      WHERE event_type <> 'purchase' AND conv_eid IS NOT NULL),
+    credited AS (
+      SELECT channel, conv_eid,
+             CASE WHEN k = 1 THEN conv_cents * 1000000
+                  WHEN k = 2 THEN conv_cents * 1000000 // 2
+                  WHEN r = 1 OR r = k THEN conv_cents * 1000000 * 2 // 5
+                  ELSE conv_cents * 1000000 // 5 // (k - 2)
+             END AS micro
+      FROM pos)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,
+           CAST(SUM(micro) AS BIGINT) AS attributed_microcents,
+           CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 100000000.0
+             AS attributed_value
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: the
+    first and last touch before each purchase take 40% each, interior
+    touches split the remaining 20% — the funnel-aware rule marketing
+    teams run beside linear and last-touch.
+
+    Same structural window assignment as attribution_linear (next
+    purchase partitions touch windows), plus a within-window
+    ROW_NUMBER for position. Credits stay exact integers: ×10⁶ then
+    truncating integer division in a CASE by position class (k=1 →
+    100%, k=2 → 50/50, else 40/20/40). The position rank reuses the
+    (user, conversion) partitioning of the count window — one shuffle
+    serves both.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (dec("value", 14, 2) * 100).cast("long").alias("v_cents"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    nxt = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("conv_eid"),
+        F.first(F.when(is_p, F.col("v_cents")), ignorenulls=True)
+        .over(wf)
+        .alias("conv_cents"),
+    )
+    wk = Window.partitionBy("user_id", "conv_eid")
+    wr = wk.orderBy("ts", "event_id")
+    pos = (
+        nxt.filter((~is_p) & F.col("conv_eid").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            "conv_eid",
+            "conv_cents",
+            "ts",
+            "event_id",
+        )
+        .withColumn("r", F.row_number().over(wr))
+        .withColumn("k", F.count("*").over(wk))
+    )
+    micro = (
+        F.when(F.col("k") == 1, F.expr("conv_cents * 1000000"))
+        .when(F.col("k") == 2, F.expr("conv_cents * 1000000 div 2"))
+        .when(
+            (F.col("r") == 1) | (F.col("r") == F.col("k")),
+            F.expr("conv_cents * 1000000 * 2 div 5"),
+        )
+        .otherwise(F.expr("conv_cents * 1000000 div 5 div (k - 2)"))
+    )
+    return pos.select("channel", "conv_eid", micro.alias("micro")).groupBy(
+        "channel"
+    ).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.countDistinct("conv_eid").cast("long").alias("n_conversions"),
+        F.sum("micro").cast("long").alias("attributed_microcents"),
+        (F.sum("micro").cast("long").cast("double") / F.lit(100000000.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip

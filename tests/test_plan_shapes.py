@@ -191,6 +191,7 @@ EXCHANGE_BUDGETS = {
     "ab_test_proportions": 3,
     "table_diff_orders": 3,
     "attribution_linear": 3,
+    "attribution_u_shaped": 3,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
