@@ -112,3 +112,62 @@ def test_lift_by_decile_buckets_and_totals(spark):
     assert out[2].cum_capture == pytest.approx(1.0)
     # lift of a perfect decile = 1 / base rate
     assert out[0].lift == pytest.approx(1.0 / 0.3)
+
+
+# ---- hypothesis properties: adversarial inputs, not just one seed ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from pyspark.sql.functions import col as F_col  # noqa: E402
+
+HSET = dict(max_examples=5, deadline=None)
+
+labeled_scores = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.booleans()),
+    min_size=4,
+    max_size=60,
+).filter(
+    lambda xs: any(y for _, y in xs) and any(not y for _, y in xs)
+)
+
+
+@given(labeled_scores)
+@settings(**HSET)
+def test_roc_auc_property_matches_brute_force(spark, xs):
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in xs], ["s", "y"]
+    )
+    row = roc_auc(df, "s", "y", num_partitions=3).collect()[0]
+    assert row.auc == pytest.approx(
+        _brute_auc([s for s, _ in xs], [y for _, y in xs]), abs=1e-12
+    )
+
+
+@given(labeled_scores)
+@settings(**HSET)
+def test_roc_auc_label_flip_complements(spark, xs):
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in xs], ["s", "y"]
+    )
+    flipped = df.select("s", (~F_col("y")).alias("y"))
+    a = roc_auc(df, "s", "y", num_partitions=3).collect()[0].auc
+    b = roc_auc(flipped, "s", "y", num_partitions=3).collect()[0].auc
+    assert a + b == pytest.approx(1.0, abs=1e-12)
+
+
+@given(labeled_scores)
+@settings(**HSET)
+def test_ks_symmetry_and_bounds(spark, xs):
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in xs], ["v", "g"]
+    )
+    swapped = df.select("v", (~F_col("g")).alias("g"))
+    d1 = ks_two_sample(df, "v", "g", num_partitions=3).collect()[0]
+    d2 = ks_two_sample(swapped, "v", "g", num_partitions=3).collect()[0]
+    assert d1.d_stat == d2.d_stat  # |Fa-Fb| is symmetric in the samples
+    assert 0.0 <= d1.d_stat <= 1.0
+    assert d1.d_stat == pytest.approx(
+        _brute_ks(
+            [s for s, y in xs if y], [s for s, y in xs if not y]
+        ),
+        abs=1e-12,
+    )
