@@ -1,0 +1,69 @@
+"""S12 paginated-endpoint source (Spark 4 Python DataSource API):
+partitioned page fetch -> DataFrame -> existing parse/archive stages."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.sources.rest_source import PagedJsonDataSource, register
+
+
+@pytest.fixture()
+def endpoint(tmp_path):
+    for n in range(21):
+        body = {"stations": [{"station_id": f"s{n}-{i}", "free": n + i} for i in range(3)]}
+        (tmp_path / f"page-{n}.json").write_text(json.dumps(body))
+    # a non-page file must be ignored by discovery
+    (tmp_path / "manifest.txt").write_text("not a page")
+    return str(tmp_path)
+
+
+def test_reads_every_page_with_partitioned_fetch(spark, endpoint):
+    register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .option("path", endpoint)
+        .option("pagesPerPartition", 8)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 21
+    assert {r.page for r in rows} == set(range(21))
+    # 21 pages / 8 per partition -> 3 concurrent fetch tasks
+    nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 3
+    # raw page text preserved byte-for-byte (archive-for-replay contract)
+    body = json.loads(next(r.payload for r in rows if r.page == 4))
+    assert body["stations"][0]["station_id"] == "s4-0"
+
+
+def test_composes_with_downstream_json_parse(spark, endpoint):
+    register(spark)
+    df = spark.read.format("paged_json").option("path", endpoint).load()
+    parsed = df.select(
+        "page",
+        F.explode(
+            F.from_json(
+                "payload",
+                "struct<stations: array<struct<station_id: string, free: int>>>",
+            ).stations
+        ).alias("s"),
+    ).select("page", "s.station_id", "s.free")
+    assert parsed.count() == 63
+    assert parsed.filter(F.col("station_id") == "s7-2").collect()[0].free == 9
+
+
+def test_empty_endpoint_yields_empty_frame(spark, tmp_path):
+    register(spark)
+    df = spark.read.format("paged_json").option("path", str(tmp_path)).load()
+    assert df.count() == 0
+    assert df.columns == ["page", "payload"]
+
+
+def test_missing_path_option_fails_loudly(spark):
+    register(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("paged_json").load().collect()
