@@ -67,3 +67,42 @@ def test_missing_path_option_fails_loudly(spark):
     register(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format("paged_json").load().collect()
+
+
+def _drain(spark, endpoint, out_dir, ckpt):
+    """One availableNow pass: stream endpoint -> parquet, then stop."""
+    register(spark)
+    q = (
+        spark.readStream.format("paged_json")
+        .option("path", endpoint)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_offsets_resume_across_restarts(spark, tmp_path):
+    endpoint = tmp_path / "api"
+    endpoint.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for n in range(5):
+        (endpoint / f"page-{n}.json").write_text(json.dumps({"n": n}))
+    _drain(spark, str(endpoint), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+
+    # new pages arrive; a RESTARTED stream (same checkpoint) must pick up
+    # ONLY pages >= the committed offset — no duplicates, no gaps
+    for n in range(5, 8):
+        (endpoint / f"page-{n}.json").write_text(json.dumps({"n": n}))
+    _drain(spark, str(endpoint), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8
+    assert sorted(r.page for r in rows) == list(range(8))
+    # payloads intact end to end
+    assert json.loads(next(r.payload for r in rows if r.page == 6)) == {"n": 6}
