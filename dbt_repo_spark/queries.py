@@ -5558,6 +5558,89 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "forecast_error_battery",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+      FROM daily),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(f) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(abs(x - f)), 0) AS BIGINT) AS sae,
+             CAST(COALESCE(SUM((x - f) * (x - f)), 0) AS BIGINT) AS sse,
+             CAST(COUNT(p) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(abs(x - p)), 0) AS BIGINT) AS sae1
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae_cents,
+           sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse_cents,
+           (CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+    FROM m
+    """,
+)
+def forecast_error_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard for the seasonal-naive baseline:
+    MAE, RMSE, and MASE per series (MASE scales by the in-sample
+    one-step naive MAE — the scale-free metric that makes series of
+    different volumes comparable, Hyndman's recommendation over MAPE's
+    zero-denominator pathology).
+
+    Error sums are exact BIGINTs (integer cents; squared errors stay
+    under 2⁶³ at any plausible daily volume); each metric is then one
+    or two IEEE ops on identical operands — BIGINT→DOUBLE is a single
+    correctly-rounded conversion in both engines (unlike wide DECIMAL,
+    no 10^k division, no 2⁵³ hazard). One hash-agg + one lag window
+    sharing the series partitioning.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_cents()).cast("long").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 7).over(wo).alias("f"),
+        F.lag("x", 1).over(wo).alias("p"),
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.count("f").cast("long").alias("n"),
+        F.coalesce(F.sum(F.abs(F.col("x") - F.col("f"))), F.lit(0))
+        .cast("long")
+        .alias("sae"),
+        F.coalesce(
+            F.sum((F.col("x") - F.col("f")) * (F.col("x") - F.col("f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sse"),
+        F.count("p").cast("long").alias("n1"),
+        F.coalesce(F.sum(F.abs(F.col("x") - F.col("p"))), F.lit(0))
+        .cast("long")
+        .alias("sae1"),
+    )
+    mae = F.col("sae").cast("double") / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        mae.alias("mae_cents"),
+        F.sqrt(F.col("sse").cast("double") / F.col("n").cast("double")).alias(
+            "rmse_cents"
+        ),
+        (mae / (F.col("sae1").cast("double") / F.col("n1").cast("double"))).alias(
+            "mase"
+        ),
+    )
+
+
+@q(
     "gini_by_group",
     """
     WITH base AS (

@@ -192,6 +192,7 @@ EXCHANGE_BUDGETS = {
     "table_diff_orders": 3,
     "attribution_linear": 3,
     "attribution_u_shaped": 3,
+    "forecast_error_battery": 2,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
