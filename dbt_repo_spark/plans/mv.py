@@ -64,11 +64,41 @@ class AggMV:
         return catalog.read(self.layer, self.name)
 
     def refresh(self, df: DataFrame, catalog: Catalog) -> DataFrame:
-        """Full rebuild — correct under arbitrary source mutation.
-        (Incremental MV maintenance composes with the runner's
-        microbatch strategy when the source is append-only by period.)
-        """
+        """Full rebuild — correct under arbitrary source mutation."""
         return self.build(df, catalog)
+
+    def refresh_incremental(
+        self, new_rows: DataFrame, catalog: Catalog
+    ) -> DataFrame:
+        """Append-only maintenance: aggregate ONLY the new rows (partial
+        state), union with the stored MV, and merge with the same
+        algebra the answer path uses (SUM/COUNT→SUM, MIN→MIN, MAX→MAX).
+        Work is O(|batch| + |MV|), never a base re-scan — the shape that
+        keeps a 10¹¹-row fact's rollup maintainable per micro-batch.
+        Correct ONLY for appends (merge algebra has no inverse for
+        deletes/updates — those need ``refresh``); equivalence to a full
+        rebuild is pinned by test.
+        """
+        partial_aggs = []
+        merge_aggs = []
+        for out, m in self.measures.items():
+            if m.fn == "count":
+                partial_aggs.append(F.count("*").cast("long").alias(out))
+            else:
+                partial_aggs.append(getattr(F, m.fn)(m.col).alias(out))
+            merged = _MERGE[m.fn](out)
+            if m.fn == "count":
+                merged = merged.cast("long")
+            merge_aggs.append(merged.alias(out))
+        batch = new_rows.groupBy(*self.keys).agg(*partial_aggs)
+        current = catalog.read(self.layer, self.name)
+        # align types: the stored sum may have widened (parquet decimal)
+        batch = batch.select(*[F.col(c).cast(dict(current.dtypes)[c]) for c in current.columns])
+        merged_mv = (
+            current.unionByName(batch).groupBy(*self.keys).agg(*merge_aggs)
+        )
+        catalog.overwrite_staged(merged_mv, self.layer, self.name)
+        return catalog.read(self.layer, self.name)
 
     # ---- rewrite ----------------------------------------------------
 

@@ -108,3 +108,19 @@ def test_invalid_measure_definitions_rejected():
         Measure("median", "x")
     with pytest.raises(ValueError, match="source column"):
         Measure("sum")
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path, base, mv):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    first = base.limit(900)
+    rest = base.subtract(first)
+    mv.build(first, cat)
+    mv.refresh_incremental(rest, cat)
+    got = cat.read(mv.layer, mv.name)
+
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    mv.build(base, cat2)
+    full = cat2.read(mv.layer, mv.name)
+    assert _rows(got.select(sorted(got.columns))) == _rows(
+        full.select(sorted(full.columns))
+    )
