@@ -29,11 +29,15 @@ import os
 import re
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _PAGE_RE = re.compile(r"^page-(\d+)\.json$")
@@ -148,6 +152,68 @@ class PagedJsonDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _PagedJsonStreamReader:
         return _PagedJsonStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _PagedJsonWriter:
+        if overwrite:
+            raise ValueError(
+                "paged_json sink is append-only (pages are immutable; "
+                "the replay cursor depends on it)"
+            )
+        return _PagedJsonWriter(self.options)
+
+
+@dataclass
+class _PageBatch(WriterCommitMessage):
+    """Staged files one task wrote: (staging_path, row_count) pairs."""
+
+    files: list  # [(staged_path, n_rows)]
+
+
+class _PagedJsonWriter(DataSourceWriter):
+    """Archive sink with the V2 commit protocol: tasks write to a
+    STAGING directory under task-unique names; ``commit`` renames the
+    staged files into the endpoint with sequential page numbers
+    (starting after the highest existing page — append semantics);
+    ``abort`` deletes the staging dir. A reader never observes a
+    partial page: visibility is the atomic rename at commit, the same
+    contract the reference gets from GCS compose-after-upload."""
+
+    def __init__(self, options: dict):
+        self.endpoint = options.get("path")
+        if not self.endpoint:
+            raise ValueError("paged_json sink requires option 'path'")
+        self.staging = os.path.join(self.endpoint, "_staging")
+
+    def write(self, iterator) -> _PageBatch:
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        files = []
+        for row in iterator:
+            staged = os.path.join(self.staging, f"{uuid.uuid4().hex}.json")
+            with open(staged, "w") as fh:
+                fh.write(row.payload)
+            files.append((staged, 1))
+        return _PageBatch(files=files)
+
+    def commit(self, messages) -> None:
+        existing = _list_pages(self.endpoint)
+        next_page = (existing[-1] + 1) if existing else 0
+        for msg in messages:
+            for staged, _ in msg.files:
+                os.replace(
+                    staged, os.path.join(self.endpoint, f"page-{next_page}.json")
+                )
+                next_page += 1
+        self._cleanup()
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register(spark) -> None:

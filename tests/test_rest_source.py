@@ -106,3 +106,49 @@ def test_streaming_offsets_resume_across_restarts(spark, tmp_path):
     assert sorted(r.page for r in rows) == list(range(8))
     # payloads intact end to end
     assert json.loads(next(r.payload for r in rows if r.page == 6)) == {"n": 6}
+
+
+def test_writer_appends_pages_atomically(spark, tmp_path):
+    endpoint = tmp_path / "sink"
+    endpoint.mkdir()
+    (endpoint / "page-0.json").write_text('{"seed": true}')
+    register(spark)
+    payloads = [json.dumps({"rec": i}) for i in range(6)]
+    df = spark.createDataFrame([(0, p) for p in payloads], "page int, payload string")
+    df.repartition(3).write.format("paged_json").option(
+        "path", str(endpoint)
+    ).mode("append").save()
+    files = sorted(f.name for f in endpoint.iterdir() if f.name.startswith("page-"))
+    # sequential numbering APPENDS after the existing page-0
+    assert files == [f"page-{n}.json" for n in range(7)]
+    bodies = [json.loads((endpoint / f"page-{n}.json").read_text()) for n in range(1, 7)]
+    assert sorted(b["rec"] for b in bodies) == list(range(6))
+    # no staging residue after commit
+    assert not (endpoint / "_staging").exists()
+    # round-trip: the reader sees exactly what the writer archived
+    back = spark.read.format("paged_json").option("path", str(endpoint)).load()
+    assert back.count() == 7
+
+
+def test_writer_overwrite_mode_rejected(spark, tmp_path):
+    register(spark)
+    df = spark.createDataFrame([(0, "x")], "page int, payload string")
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("paged_json").option("path", str(tmp_path)).mode(
+            "overwrite"
+        ).save()
+
+
+def test_writer_task_failure_leaves_no_pages(spark, tmp_path):
+    endpoint = tmp_path / "sink2"
+    endpoint.mkdir()
+    register(spark)
+    # payload column is non-nullable in the write path: a None payload
+    # makes the task raise AFTER staging some rows — abort must clean up
+    rows = [(0, "ok-1"), (0, "ok-2"), (0, None)]
+    df = spark.createDataFrame(rows, "page int, payload string").coalesce(1)
+    with pytest.raises(Exception):
+        df.write.format("paged_json").option("path", str(endpoint)).mode(
+            "append"
+        ).save()
+    assert [f.name for f in endpoint.iterdir() if f.name.startswith("page-")] == []
