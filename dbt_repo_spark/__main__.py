@@ -222,9 +222,17 @@ def cmd_optimize(args) -> int:
         df = catalog.read(args.layer, args.table)
         out = zorder_layout(df, args.zorder, num_files=args.target_files)
         out = out.localCheckpoint(eager=True)  # plan reads the table it replaces
-        catalog.write(out, args.layer, args.table, mode="overwrite")
+        catalog.write(
+            out,
+            args.layer,
+            args.table,
+            mode="overwrite",
+            # a clustered rewrite is exactly when zone maps pay off:
+            # refresh the manifest on the new file layout
+            zone_map_cols=args.zorder,
+        )
         print(f"{args.layer}.{args.table}: z-ordered on {args.zorder} "
-              f"into {args.target_files} files")
+              f"into {args.target_files} files (+zone map)")
         return 0
     n = catalog.compact(
         args.layer, args.table,

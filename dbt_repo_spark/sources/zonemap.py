@@ -155,3 +155,85 @@ def verify_zone_map(table_dir: str) -> dict:
         "missing": missing,
         "extra": extra,
     }
+
+
+# ---- bloom file index: equality pruning where min/max is useless -----
+#
+# Zone maps skip on RANGE predicates over the clustered column. An
+# equality probe on a high-cardinality UNCLUSTERED column (user_id on a
+# time-clustered event table) defeats min/max — every file's range
+# covers every id. A small per-file Bloom filter answers "might this
+# file contain v?" with no false negatives: the probe plans only the
+# files whose filter fires. Building reads the indexed column once at
+# load time (unlike zone maps this is a data read — one column, done
+# per file, embarrassingly parallel on executors at scale; here the
+# loader does it inline). Same superset guarantee: unknown file or
+# missing column -> keep.
+
+BLOOM_MANIFEST = "_bloom.json"
+
+
+def _bloom_hashes(value, k: int, bits: int) -> list[int]:
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{i}:{value}".encode()).hexdigest()
+        out.append(int(h, 16) % bits)
+    return out
+
+
+def write_bloom_index(
+    table_dir: str, columns: list[str], bits: int = 8192, k: int = 4
+) -> dict:
+    """Per-file, per-column Bloom bitsets over the column's distinct
+    values. bits=8192/k=4 keeps per-file fpp under ~1e-4 at a few
+    hundred distinct values per file; size both to the real per-file
+    cardinality."""
+    import pyarrow.parquet as pq
+
+    files = {}
+    for p in _data_files(table_dir):
+        per_col = {}
+        pf = pq.ParquetFile(p)
+        names = pf.schema_arrow.names
+        for col in columns:
+            if col not in names:
+                continue
+            bitset = bytearray(bits // 8)
+            vals = pf.read(columns=[col]).column(0)
+            for v in set(vals.to_pylist()):
+                if v is None:
+                    continue
+                for h in _bloom_hashes(_plain(v), k, bits):
+                    bitset[h >> 3] |= 1 << (h & 7)
+            per_col[col] = bytes(bitset).hex()
+        files[os.path.relpath(p, table_dir)] = per_col
+    manifest = {"columns": columns, "bits": bits, "k": k, "files": files}
+    with open(os.path.join(table_dir, BLOOM_MANIFEST), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    return manifest
+
+
+def prune_files_eq(table_dir: str, col: str, value) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``value`` in ``col`` per the Bloom
+    index (no false negatives). (paths, total)."""
+    p = os.path.join(table_dir, BLOOM_MANIFEST)
+    if not os.path.exists(p):
+        paths = _data_files(table_dir)
+        return paths, len(paths)
+    with open(p) as fh:
+        mf = json.load(fh)
+    bits, k = mf["bits"], mf["k"]
+    hashes = _bloom_hashes(_plain(value), k, bits)
+    keep, total = [], 0
+    for rel, per_col in mf["files"].items():
+        total += 1
+        hx = per_col.get(col)
+        if hx is None:
+            keep.append(os.path.join(table_dir, rel))
+            continue
+        bitset = bytes.fromhex(hx)
+        if all(bitset[h >> 3] & (1 << (h & 7)) for h in hashes):
+            keep.append(os.path.join(table_dir, rel))
+    return keep, total

@@ -105,3 +105,35 @@ def test_no_manifest_falls_back_to_full_listing(spark, tmp_path):
     cat.write(df.repartition(4), "analytics", "plain")
     paths, total = prune_files(cat.path("analytics", "plain"), "id", 0, 10)
     assert len(paths) == total > 0  # no manifest -> keep all (safe)
+
+
+def test_bloom_index_equality_pruning(spark, tmp_path):
+    from dbt_repo_spark.sources.zonemap import prune_files_eq, write_bloom_index
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # time-style clustering: custkey is SCATTERED across files, so zone
+    # maps cannot prune an equality probe on it — blooms can
+    cat.write(
+        df.repartitionByRange(8, "o_orderkey"),
+        "analytics",
+        "orders_by_key",
+        sort_within_partitions=["o_orderkey"],
+    )
+    tdir = cat.path("analytics", "orders_by_key")
+    write_bloom_index(tdir, ["o_custkey"])
+    probe = df.select("o_custkey").limit(1).collect()[0][0]
+    paths, total = prune_files_eq(tdir, "o_custkey", probe)
+    assert total == 8 and 0 < len(paths) < 8
+    got = (
+        spark.read.parquet(*paths)
+        .filter(F.col("o_custkey") == probe)
+        .count()
+    )
+    assert got == df.filter(F.col("o_custkey") == probe).count()
+    # absent value: every hit is a (rare) false positive
+    paths2, _ = prune_files_eq(tdir, "o_custkey", -999999)
+    assert len(paths2) <= 1
+    # unknown column -> superset rule keeps everything
+    paths3, _ = prune_files_eq(tdir, "o_clerk", "x")
+    assert len(paths3) == 8
