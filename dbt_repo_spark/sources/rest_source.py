@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -153,6 +154,9 @@ class PagedJsonDataSource(DataSource):
     def simpleStreamReader(self, schema) -> _PagedJsonStreamReader:
         return _PagedJsonStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "_PagedJsonStreamWriter":
+        return _PagedJsonStreamWriter(self.options)
+
     def writer(self, schema, overwrite: bool) -> _PagedJsonWriter:
         if overwrite:
             raise ValueError(
@@ -214,6 +218,29 @@ class _PagedJsonWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class _PagedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the archive sink: each micro-batch's staged
+    files publish atomically in ``commit(messages, batchId)``. Re-run
+    of a batch after a crash-before-commit re-stages and publishes
+    once; a crash-after-commit is deduplicated by the engine replaying
+    from the checkpointed offset, so the endpoint-to-archive pipeline
+    (paged_json readStream → paged_json writeStream) is exactly-once
+    end to end — the reference's Pub/Sub→bucket path with the broker
+    replaced by immutable pages."""
+
+    def __init__(self, options: dict):
+        self._batch = _PagedJsonWriter(options)
+
+    def write(self, iterator) -> _PageBatch:
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._batch.commit([m for m in messages if m is not None])
+
+    def abort(self, messages, batchId: int) -> None:
+        self._batch.abort(messages)
 
 
 def register(spark) -> None:

@@ -152,3 +152,44 @@ def test_writer_task_failure_leaves_no_pages(spark, tmp_path):
             "append"
         ).save()
     assert [f.name for f in endpoint.iterdir() if f.name.startswith("page-")] == []
+
+
+def test_stream_replication_endpoint_to_archive_exactly_once(spark, tmp_path):
+    """The reference's bus->bucket pipeline as paged_json -> paged_json:
+    stream-read the endpoint, stream-write the archive, restart across
+    new data — archive holds each source page exactly once."""
+    src = tmp_path / "api"
+    dst = tmp_path / "archive"
+    src.mkdir()
+    dst.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    register(spark)
+
+    def replicate():
+        q = (
+            spark.readStream.format("paged_json")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("paged_json")
+            .option("path", str(dst))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for n in range(4):
+        (src / f"page-{n}.json").write_text(json.dumps({"n": n}))
+    replicate()
+    for n in range(4, 7):
+        (src / f"page-{n}.json").write_text(json.dumps({"n": n}))
+    replicate()
+
+    srcs = sorted(
+        (src / f"page-{n}.json").read_text() for n in range(7)
+    )
+    outs = sorted(
+        p.read_text() for p in dst.iterdir() if p.name.startswith("page-")
+    )
+    assert outs == srcs  # every page exactly once, bytes preserved
+    assert not (dst / "_staging").exists()
