@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from dbt_repo_spark.sources.catalog import Catalog
 
-MATERIALIZATIONS = ("ephemeral", "view", "table", "incremental")
+MATERIALIZATIONS = ("ephemeral", "view", "table", "incremental", "versioned_table")
 
 
 @dataclass
@@ -417,6 +417,16 @@ class ModelRunner:
         if m.materialized == "view":
             df.createOrReplaceTempView(m.name)
             return df
+        if m.materialized == "versioned_table":
+            # full-table commit into the version log: every run is a
+            # time-travelable state, and a bad deploy rolls back with
+            # one log write (sources/versioned.py). The returned frame
+            # reads the committed version (not the plan).
+            from dbt_repo_spark.sources.versioned import VersionedTable
+
+            vt = VersionedTable(self.catalog, m.layer, m.name)
+            v = vt.commit(df, message=f"run {m.name}")
+            return vt.read(version=v)
         if m.materialized == "table":
             self.catalog.write(
                 df, m.layer, m.name,

@@ -70,3 +70,25 @@ def test_crashed_commit_is_invisible_then_vacuumed(spark, vt):
     v = vt.commit(spark.range(7))
     assert v == 2  # log-derived numbering; overwrite replaces the orphan
     assert vt.read().count() == 7
+
+
+def test_versioned_table_materialization_in_runner(spark, tmp_path):
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+
+    holder = {"n": 3}
+
+    @model("vt_model", deps=("src",), materialized="versioned_table")
+    def vt_model(ctx):
+        return ctx["src"].limit(holder["n"])
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(100).withColumnRenamed("id", "x")
+    runner = ModelRunner(spark, cat, {"src": src}).add(vt_model)
+    assert runner.run()["vt_model"].count() == 3
+    holder["n"] = 7
+    assert runner.run()["vt_model"].count() == 7
+    vt = VersionedTable(cat, "analytics", "vt_model")
+    assert vt.latest_version() == 2
+    assert vt.read(version=1).count() == 3  # prior run still readable
+    vt.rollback(1)
+    assert vt.read().count() == 3
