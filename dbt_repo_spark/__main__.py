@@ -9,6 +9,7 @@ The reference triggers work via HTTP → Cloud Function → Dataproc submit
     python -m dbt_repo_spark ingest-trips  --csv GLOB    --warehouse DIR
     python -m dbt_repo_spark run  --warehouse DIR [--select m1 m2+ tag:x exposure:e] \\
         [--full-refresh] [--defer-to PROD_DIR] [--state manifest.json]
+    python -m dbt_repo_spark build --warehouse DIR   # run + test, skip downstream of failures
     python -m dbt_repo_spark test --warehouse DIR
     python -m dbt_repo_spark optimize --warehouse DIR --table t [--zorder c1 c2]
     python -m dbt_repo_spark stream --landing DIR --out DIR --checkpoint DIR \\
@@ -98,6 +99,30 @@ def cmd_run(args) -> int:
         m = runner.models[name]
         print(f"OK {m.materialized:<12} {name}")
     return 0
+
+
+def cmd_build(args) -> int:
+    """dbt build: materialize + test in DAG order; a failing model's
+    consumers are skipped, siblings continue. Exit 1 on any failure."""
+    spark = _spark("dbt-repo-spark-build")
+    runner = _runner(spark, args.warehouse)
+    defer_cat = None
+    if getattr(args, "defer_to", None):
+        from dbt_repo_spark.sources.catalog import Catalog
+
+        defer_cat = Catalog(spark, args.defer_to)
+    _, status = runner.build(
+        selected=args.select or None,
+        full_refresh=args.full_refresh,
+        state=getattr(args, "state", None),
+        defer_to=defer_cat,
+    )
+    rc = 0
+    for name, st in status.items():
+        print(f"{st.upper():<8} {name}")
+        if st != "ok":
+            rc = 1
+    return rc
 
 
 def cmd_test(args) -> int:
@@ -314,6 +339,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--threads", type=int, default=1,
                    help="materialize independent models concurrently")
     r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser("build", help="materialize + test in DAG order (dbt build)")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--select", nargs="*", default=None)
+    b.add_argument("--full-refresh", action="store_true")
+    b.add_argument("--defer-to", dest="defer_to", default=None)
+    b.add_argument("--state", default=None)
+    b.set_defaults(fn=cmd_build)
 
     tst = sub.add_parser("test", help="run declared data tests")
     tst.add_argument("--warehouse", required=True)

@@ -630,22 +630,70 @@ class ModelRunner:
         # join strategy (it will shuffle-hash or SMJ on the key).
         return False
 
-    def test(self, built: dict[str, DataFrame]) -> dict[str, list]:
-        """dbt-test analog: run each model's declared test spec."""
+    def _test_one(self, name: str, built: dict[str, DataFrame]) -> list:
         from dbt_repo_spark.plans.testing import run_tests
 
+        m = self.models[name]
+        if not m.tests or name not in built:
+            return []
+        spec = {
+            col: [
+                {"relationships": (built[t["relationships"][0]], t["relationships"][1])}
+                if isinstance(t, dict) and "relationships" in t
+                and isinstance(t["relationships"][0], str)
+                else t
+                for t in tests
+            ]
+            for col, tests in m.tests.items()
+        }
+        return run_tests(built[name], spec)
+
+    def test(self, built: dict[str, DataFrame]) -> dict[str, list]:
+        """dbt-test analog: run each model's declared test spec."""
         results = {}
         for name, m in self.models.items():
             if m.tests and name in built:
-                spec = {
-                    col: [
-                        {"relationships": (built[t["relationships"][0]], t["relationships"][1])}
-                        if isinstance(t, dict) and "relationships" in t
-                        and isinstance(t["relationships"][0], str)
-                        else t
-                        for t in tests
-                    ]
-                    for col, tests in m.tests.items()
-                }
-                results[name] = run_tests(built[name], spec)
+                results[name] = self._test_one(name, built)
         return results
+
+    def build(
+        self,
+        selected: list[str] | None = None,
+        full_refresh: bool = False,
+        state: "dict | str | None" = None,
+        defer_to: "Catalog | None" = None,
+    ) -> tuple[dict[str, DataFrame], dict[str, str]]:
+        """dbt build: materialize AND test each model in DAG order —
+        a model's error-severity test failure SKIPS its transitive
+        consumers (they would build on bad data), while siblings keep
+        building. Warn-severity failures never block. Returns
+        (built frames, status per model: ok | fail | skipped).
+        """
+        if isinstance(state, str):
+            import json
+
+            with open(state) as fh:
+                state = json.load(fh)
+        self._state = state
+        self._defer = defer_to
+        order = self._order(selected)
+        built: dict[str, DataFrame] = {}
+        status: dict[str, str] = {}
+        bad: set[str] = set()
+        for name in order:
+            if any(d in bad for d in self.models[name].deps):
+                status[name] = "skipped"
+                bad.add(name)
+                continue
+            built[name] = self._build_one(name, built, full_refresh)
+            failed = [
+                r
+                for r in self._test_one(name, built)
+                if not r.passed and r.severity == "error"
+            ]
+            if failed:
+                status[name] = "fail"
+                bad.add(name)
+            else:
+                status[name] = "ok"
+        return built, status

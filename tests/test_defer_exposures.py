@@ -99,3 +99,51 @@ def test_exposure_composes_with_defer(spark, tmp_path):
     built = dev.run(["c"], defer_to=prod_cat)
     assert set(built) == {"c"}
     assert built["c"].count() == 5
+
+
+def test_build_interleaves_tests_and_skips_downstream(spark, tmp_path):
+    """dbt build semantics: a failing error-severity test on a model
+    skips its consumers; siblings still build; warn doesn't block."""
+
+    @model(
+        "a_bad",
+        deps=("src",),
+        materialized="table",
+        tests={"x": ["unique"]},  # src has duplicate x -> FAIL
+    )
+    def a_bad(ctx):
+        return ctx["src"].unionByName(ctx["src"].limit(1))
+
+    @model("b_child", deps=("a_bad",), materialized="table")
+    def b_child(ctx):
+        return ctx["a_bad"]
+
+    @model("c_grandchild", deps=("b_child",), materialized="table")
+    def c_grandchild(ctx):
+        return ctx["b_child"]
+
+    @model(
+        "d_warn",
+        deps=("src",),
+        materialized="table",
+        tests={"x": [{"unique": True, "config": {"severity": "warn"}}]},
+    )
+    def d_warn(ctx):
+        return ctx["src"].unionByName(ctx["src"].limit(1))
+
+    @model("e_sibling", deps=("src",), materialized="table")
+    def e_sibling(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(5).withColumnRenamed("id", "x")
+    r = ModelRunner(spark, cat, {"src": src}).add(
+        a_bad, b_child, c_grandchild, d_warn, e_sibling
+    )
+    built, status = r.build()
+    assert status["a_bad"] == "fail"
+    assert status["b_child"] == "skipped"
+    assert status["c_grandchild"] == "skipped"
+    assert status["d_warn"] == "ok"  # warn severity never blocks
+    assert status["e_sibling"] == "ok"
+    assert "b_child" not in built and "e_sibling" in built
