@@ -804,6 +804,95 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "zipf_token_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents),
+    freq AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM freq),
+    rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r
+           FROM freq),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      FROM rk WHERE r <= 500 AND f >= 5),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(14,6)) AS sx,
+             CAST(SUM(y) AS DECIMAL(14,6)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(20,12)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(20,12)) AS sxx
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_fit, vocab_size,
+      CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS slope,
+      (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+       - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS intercept
+    FROM m, vs
+    """,
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency distribution — the
+    corpus-QA shape (natural text fits slope ≈ −1 on log rank vs log
+    freq; synthetic or template-heavy data departs visibly).
+
+    Frequency ranking avoids the global single-partition window: ranks
+    come from ``dense_ids`` over a composite sortable key (zero-padded
+    inverted frequency ‖ term), i.e. the two-phase range rank — the
+    ranking scales to any vocabulary. The OLS fit runs on the top-500
+    (rank, freq) points: ln() outputs round to 6 dp (libm rule), the
+    moments are exact DECIMAL sums, and the >2⁵³ unscaled intermediates
+    reach double through the VARCHAR route.
+    """
+    from dbt_repo_spark.operators import dedup
+    from dbt_repo_spark.operators.ids import dense_ids
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("f"))
+    key = F.format_string(
+        "%012d|%s", F.lit(999999999999) - F.col("f"), F.col("term")
+    )
+    keyed = freq.select(F.col("f"), key.alias("k"))
+    ranked = keyed.join(dense_ids(keyed.select("k"), "k", id_col="r0"), "k").select(
+        "f", (F.col("r0") + 1).alias("r")
+    )
+    vs = freq.agg(F.count("*").cast("long").alias("vocab_size"))
+    pts = ranked.filter((F.col("r") <= 500) & (F.col("f") >= 5)).select(
+        F.round(F.log(F.col("r").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(14,6)").alias("sx"),
+        F.sum("y").cast("decimal(14,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(20,12)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(20,12)").alias("sxx"),
+    )
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = s2d(num) / s2d(den)
+    return m.crossJoin(F.broadcast(vs)).select(
+        F.col("n").cast("long").alias("n_fit"),
+        "vocab_size",
+        slope.alias("slope"),
+        ((s2d(F.col("sy")) - slope * s2d(F.col("sx"))) / s2d(F.col("n"))).alias(
+            "intercept"
+        ),
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

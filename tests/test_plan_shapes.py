@@ -193,6 +193,8 @@ EXCHANGE_BUDGETS = {
     "attribution_linear": 3,
     "attribution_u_shaped": 3,
     "forecast_error_battery": 2,
+    # zipf: term agg + dense-ids rank join (broadcast) + moments + vocab
+    "zipf_token_fit": 6,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
