@@ -167,6 +167,9 @@ HEADLINE = [
     "ab_test_proportions",
     "table_diff_orders",
     "attribution_linear",
+    "attribution_u_shaped",
+    "forecast_error_battery",
+    "zipf_token_fit",
 ]
 
 RUNS = 3
