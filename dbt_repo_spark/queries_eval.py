@@ -893,6 +893,49 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS sig FROM documents),
+    a AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT sig) AS n_distinct
+      FROM h GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_dup_docs,
+           CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate
+    FROM a
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate rate per corpus source — the per-feed line of a
+    corpus quality report (which crawl/source is flooding the dataset
+    with copies?). Content identity is the md5 signature (16-byte
+    shuffle key, the dedup_exact rule); one groupBy with a distinct
+    aggregate, exact-integer ratio. Feeds the dedup pipeline's
+    before/after comparison.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5(F.col("text")).alias("sig"))
+    a = h.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("sig").alias("n_distinct"),
+    )
+    return a.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dup_docs"),
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

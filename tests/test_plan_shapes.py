@@ -195,6 +195,7 @@ EXCHANGE_BUDGETS = {
     "forecast_error_battery": 2,
     # zipf: term agg + dense-ids rank join (broadcast) + moments + vocab
     "zipf_token_fit": 6,
+    "dup_rate_by_source": 2,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
