@@ -170,6 +170,7 @@ HEADLINE = [
     "attribution_u_shaped",
     "forecast_error_battery",
     "zipf_token_fit",
+    "dup_rate_by_source",
 ]
 
 RUNS = 3
