@@ -936,6 +936,45 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "masked_customer_view",
+    """
+    SELECT md5(CAST(c_custkey AS VARCHAR)) AS c_custkey,
+           '***' AS c_name,
+           CAST(NULL AS INTEGER) AS c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           c_mktsegment,
+           '***' || substring(CAST(c_custkey AS VARCHAR),
+                              length(CAST(c_custkey AS VARCHAR)) - 1, 2)
+             AS custkey_display
+    FROM customer
+    """,
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed export view of the customer dimension: every masking
+    strategy exercised in one relation — keyed md5 surrogate (joins and
+    dedup still work), redaction, typed NULLs (schema-stable), and
+    partial display (last 2 chars). Pure projection: scan-speed, no
+    shuffle, and the restricted consumer reads the same physical table
+    as the privileged one (plans/governance.py::mask_columns).
+    """
+    from dbt_repo_spark.plans.governance import mask_columns
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "custkey_display", F.col("c_custkey")
+    )
+    return mask_columns(
+        c,
+        {
+            "c_custkey": "hash",
+            "c_name": "redact",
+            "c_nationkey": "null",
+            "c_acctbal": "null",
+            "custkey_display": "partial:2",
+        },
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

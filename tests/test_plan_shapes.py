@@ -196,6 +196,7 @@ EXCHANGE_BUDGETS = {
     # zipf: term agg + dense-ids rank join (broadcast) + moments + vocab
     "zipf_token_fit": 6,
     "dup_rate_by_source": 2,
+    "masked_customer_view": 0,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
