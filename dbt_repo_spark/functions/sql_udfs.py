@@ -1,0 +1,68 @@
+"""SQL-surface twins of the BigQuery-dialect shims (Spark 4 SQL UDFs).
+
+``functions/bq.py`` gives DataFrame authors the reference's BigQuery
+idioms (`models/marts/mart_station_availability.sql:23` safe_divide,
+`models/staging/stg_station_information.sql:26-37` json_extract_scalar,
+`models/facts/fact_trips.sql:9-16` md5 surrogate keys, ...). This
+registers the same semantics as CREATE TEMPORARY FUNCTION SQL UDFs, so
+a pure-SQL consumer (`spark.sql`, the CLI explain verb, notebook SQL
+cells) writes the dialect too — one semantics, two surfaces.
+
+SQL UDFs are expression rewrites, not Python: Catalyst inlines the body
+into the caller's plan (whole-stage codegen, pushdown — verified by the
+plan test), so there is NO UDF-boundary cost. Parity with the Column
+shims is pinned by test on shared inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_DEFS = [
+    # BQ SAFE_DIVIDE: NULL on zero/NULL denominator
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_divide(num DOUBLE, den DOUBLE)
+       RETURNS DOUBLE
+       RETURN CASE WHEN den = 0 OR den IS NULL THEN NULL ELSE num / den END""",
+    # BQ COUNTIF is an aggregate; the scalar building block is the
+    # 0/1 indicator it folds (SUM(bq_if(cond)) == COUNTIF(cond))
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_if(cond BOOLEAN)
+       RETURNS BIGINT
+       RETURN CASE WHEN cond THEN 1 ELSE 0 END""",
+    # BQ SAFE_CAST to INT64: NULL on unparseable (ANSI CAST would throw)
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_int64(s STRING)
+       RETURNS BIGINT
+       RETURN try_cast(s AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_float64(s STRING)
+       RETURNS DOUBLE
+       RETURN try_cast(s AS DOUBLE)""",
+    # BQ JSON_EXTRACT_SCALAR with a $.field path
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_json_extract_scalar(j STRING, path STRING)
+       RETURNS STRING
+       RETURN get_json_object(j, path)""",
+    # the md5-of-concat surrogate-key idiom (reference fact_trips.sql:
+    # 9-16), 2-col form — SAME canonical rendering as the Column shim
+    # (functions/bq.py::surrogate_key: '|' separator, '' for NULL) so
+    # keys agree across both surfaces
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_surrogate_key2(a STRING, b STRING)
+       RETURNS STRING
+       RETURN md5(concat(coalesce(a, ''), '|', coalesce(b, '')))""",
+    # BQ TIMESTAMP_TRUNC to a named unit
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_trunc(ts TIMESTAMP, unit STRING)
+       RETURNS TIMESTAMP
+       RETURN date_trunc(unit, ts)""",
+    # BQ TIMESTAMP_DIFF in seconds (tz-independent on NTZ inputs)
+    """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_diff_seconds(fin TIMESTAMP, start TIMESTAMP)
+       RETURNS BIGINT
+       RETURN CAST(unix_micros(fin) - unix_micros(start) AS BIGINT) DIV 1000000""",
+]
+
+
+def register_sql_shims(spark: SparkSession) -> list[str]:
+    """Install the dialect into the session catalog; returns the
+    function names registered (temporary — session-scoped, no catalog
+    pollution across jobs)."""
+    names = []
+    for ddl in _DEFS:
+        spark.sql(ddl)
+        names.append(ddl.split("FUNCTION", 1)[1].split("(", 1)[0].strip())
+    return names

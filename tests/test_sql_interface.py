@@ -66,3 +66,48 @@ def test_sql_scalar_subquery_and_exists(spark):
         """
     ).first()
     assert out.n > 0
+
+
+def test_sql_udf_shims_match_column_shims(spark):
+    """The SQL-surface dialect (functions/sql_udfs.py) must agree with
+    the Column shims on shared inputs, and inline into codegen (no
+    python UDF boundary in the plan)."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.functions import safe_divide, surrogate_key
+    from dbt_repo_spark.functions.sql_udfs import register_sql_shims
+
+    names = register_sql_shims(spark)
+    assert "bq_safe_divide" in names
+    df = spark.createDataFrame(
+        [(10.0, 4.0, "7", "a"), (1.0, 0.0, "x", None)],
+        "num double, den double, s string, key string",
+    )
+    df.createOrReplaceTempView("shim_in")
+    got = spark.sql(
+        """SELECT bq_safe_divide(num, den) AS q,
+                  bq_safe_cast_int64(s) AS i,
+                  bq_surrogate_key2(s, key) AS sk,
+                  bq_if(num > 5) AS ind,
+                  bq_json_extract_scalar('{"a": "v"}', '$.a') AS js
+           FROM shim_in"""
+    ).collect()
+    want = df.select(
+        safe_divide("num", "den").alias("q"),
+        F.expr("try_cast(s AS BIGINT)").alias("i"),
+        surrogate_key("s", "key").alias("sk"),
+    ).collect()
+    assert [r.q for r in got] == [r.q for r in want]
+    assert [r.i for r in got] == [r.i for r in want]
+    assert [r.sk for r in got] == [r.sk for r in want]
+    assert [r.ind for r in got] == [1, 0]
+    assert got[0].js == "v"
+    # aggregate composition: SUM(bq_if(cond)) == countif
+    agg = spark.sql("SELECT SUM(bq_if(den = 0)) AS z FROM shim_in").collect()
+    assert agg[0].z == 1
+    # SQL UDFs inline: no BatchEvalPython / PythonUDF in the plan
+    plan = (
+        spark.sql("SELECT bq_safe_divide(num, den) FROM shim_in")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
