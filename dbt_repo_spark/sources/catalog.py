@@ -430,3 +430,35 @@ class Catalog:
         p = self.path(layer, name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    def clone_table(
+        self, layer: str, name: str, dst: "Catalog", dst_name: str | None = None
+    ) -> str:
+        """Zero-copy clone (dbt clone / Snowflake CLONE analog): hardlink
+        every data file into the destination catalog instead of copying
+        bytes. Parquet files are immutable in this engine (every writer
+        goes through staged-replace, never in-place mutation), so a
+        clone is safe: overwriting either side REPLACES files, breaking
+        the link rather than mutating shared bytes. Falls back to a real
+        copy across filesystems. At 100 TB a dev environment materializes
+        in seconds of metadata work instead of a second copy of the lake.
+        """
+        import shutil
+
+        src_dir = self.path(layer, name)
+        dst_dir = dst.path(layer, dst_name or name)
+        os.makedirs(dst_dir, exist_ok=True)
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            tgt_root = os.path.join(dst_dir, rel) if rel != "." else dst_dir
+            os.makedirs(tgt_root, exist_ok=True)
+            for f in files:
+                s = os.path.join(root, f)
+                d = os.path.join(tgt_root, f)
+                if os.path.exists(d):
+                    os.remove(d)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        return dst_dir

@@ -148,3 +148,27 @@ def test_update_where_partition_scoped(spark, tmp_path):
     with _pytest.raises(ValueError):
         cat.update_where("analytics", "mut2", F.col("id") < 5,
                          {"p": F.lit(9)}, partition_by=["p"])
+
+
+def test_zero_copy_clone_is_linked_and_independent(spark, tmp_path):
+    """dbt clone analog: hardlinked clone shares bytes (st_nlink==2),
+    reads identically, and an overwrite of the clone leaves the source
+    untouched (immutable files + staged replace)."""
+    import os
+
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    prod = Catalog(spark, str(tmp_path / "prod"))
+    dev = Catalog(spark, str(tmp_path / "dev"))
+    df = spark.range(100).withColumnRenamed("id", "x")
+    prod.write(df, "analytics", "t")
+    prod.clone_table("analytics", "t", dev)
+    assert dev.read("analytics", "t").count() == 100
+    # zero-copy: every data file shares its inode with the source
+    ddir = dev.path("analytics", "t")
+    data = [f for f in os.listdir(ddir) if f.endswith(".parquet") or f.startswith("part-")]
+    assert data and all(os.stat(os.path.join(ddir, f)).st_nlink >= 2 for f in data)
+    # clone diverges without touching prod
+    dev.write(spark.range(5).withColumnRenamed("id", "x"), "analytics", "t")
+    assert dev.read("analytics", "t").count() == 5
+    assert prod.read("analytics", "t").count() == 100
