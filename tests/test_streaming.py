@@ -706,3 +706,48 @@ def test_streaming_geofence_windowed_counts(spark, tmp_path):
         ("2024-01-01 10:00:00", False): 1,
         ("2024-01-01 10:01:00", True): 1,
     }
+
+
+def test_progress_listener_records_batches(spark, tmp_path):
+    """ops observability: the StreamingQueryListener captures per-batch
+    progress (rows, rate, state size) and lands it as a warehouse table."""
+    import json as _json
+    import time as _time
+
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        for i in range(3):
+            (src / f"f{i}.json").write_text(
+                _json.dumps({"k": i, "v": i * 10}) + "\n"
+            )
+        q = (
+            spark.readStream.schema("k long, v long")
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously after termination
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not rec.rows:
+            _time.sleep(0.5)
+        assert rec.rows, "no progress events captured"
+        total_in = sum(r[3] for r in rec.rows)
+        assert total_in == 3
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        n = rec.flush_to_catalog(spark, cat)
+        assert n > 0
+        got = cat.read("ops", "stream_progress")
+        assert got.count() == n and "rows_per_sec" in got.columns
+        assert rec.rows == []  # buffer cleared after flush
+    finally:
+        spark.streams.removeListener(rec)
