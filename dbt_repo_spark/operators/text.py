@@ -511,3 +511,68 @@ def cooccurrence_lift(
     return scored.orderBy(
         F.col("lift").desc(), F.col("tok_a"), F.col("tok_b")
     ).limit(top_pairs)
+
+
+def pii_spans(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-offset PII span extraction — the span-labeling shape
+    (NER training data, surgical redaction, audit evidence) that plain
+    redaction cannot produce: WHERE each match sits, not just that it
+    was replaced.
+
+    Spark exposes no builtin for match OFFSETS (regexp_extract_all
+    returns values only), so this is a sanctioned Arrow stage: one
+    ``mapInPandas`` pass batching whole documents through Python ``re``
+    — vectorized transfer, never a row-at-a-time UDF, and the scan
+    stays a single narrow projection (no shuffle). Patterns and their
+    precedence are shared verbatim with ``redact_pii`` (a span here is
+    exactly the text that redaction would replace: earlier classes mask
+    their matches so later classes can't re-claim overlapping text).
+
+    Output: (id, span_type, start, end, span_text, span_matches_text)
+    where start/end are 0-based [start, end) char offsets and
+    ``span_matches_text`` certifies in-plan that
+    ``text[start:end] == span_text`` — the self-validation column the
+    rows-only harness check observes (a drifted offset flips it).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    compiled = [(name, _re.compile(pat)) for name, (pat, _) in PII_PATTERNS.items()]
+    out_schema = (
+        f"{id_col} long, span_type string, start int, end int, "
+        "span_text string, span_matches_text boolean"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                masked = text
+                for name, rx in compiled:
+                    for m in rx.finditer(masked):
+                        s, e = m.span()
+                        rows.append(
+                            (
+                                doc_id,
+                                name,
+                                s,
+                                e,
+                                text[s:e],
+                                text[s:e] == m.group(0),
+                            )
+                        )
+                    # mask found spans so later classes can't overlap,
+                    # preserving offsets (same precedence as redact_pii)
+                    masked = rx.sub(lambda m: "\x00" * (m.end() - m.start()), masked)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "span_type", "start", "end",
+                    "span_text", "span_matches_text",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(extract, schema=out_schema)

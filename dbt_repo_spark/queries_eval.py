@@ -974,6 +974,45 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_pii_spans")
+def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-offset PII spans over the documents table — the
+    span-labeling training-data shape (NER targets, surgical redaction
+    audit trails). Inputs are seeded with the SAME deterministic
+    email/IP/phone suffix as text_pii_redaction (the synthetic corpus
+    carries no organic PII — non-vacuous by construction).
+
+    rows-only by necessity: neither engine's SQL surface exposes regex
+    match OFFSETS, so there is no DuckDB twin — instead every output
+    row carries ``span_matches_text`` (text[start:end] == span_text),
+    an in-plan certificate the harness check observes; a drifted offset
+    flips values, not just counts. Agreement with the redaction pass
+    (span count == redaction's replacement count) is pinned in
+    tests/test_range_funnel_pii.py.
+    """
+    from dbt_repo_spark.operators.text import pii_spans
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call +47 2255 01"),
+                (F.col("doc_id") % 10).cast("string"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_spans(docs, "doc_id", "text")
+
+
 @q(
     "lift_gains_deciles",
     """

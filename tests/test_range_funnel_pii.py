@@ -157,3 +157,60 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert abs(out[2]["avg_nll"] - (p_ab + p_bc) / 2) < 1e-6
     # single-token doc: no bigrams, NULL score
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
+
+
+def test_pii_spans_offsets_and_precedence(spark):
+    from dbt_repo_spark.operators.text import pii_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co then ip 10.0.0.1 call +12 345 6789 0"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = pii_spans(df, "doc_id", "text").collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.span_type, []).append(r)
+    assert all(r.span_matches_text for r in out)  # offsets certified
+    em = by_type["email"][0]
+    assert (em.start, em.end, em.span_text) == (5, 11, "a@b.co")
+    ip = by_type["ipv4"][0]
+    assert ip.span_text == "10.0.0.1"
+    ph = by_type["phone"][0]
+    assert ph.span_text.startswith("+12")
+    assert not [r for r in out if r.doc_id == 2]  # clean doc, no rows
+
+
+def test_pii_spans_agree_with_redaction(spark, sf_dir):
+    """Every span the extractor reports is text redact_pii replaces:
+    masking the reported spans yields a string with the same PII counts
+    as the redactor's own output."""
+    from dbt_repo_spark.operators.text import pii_spans, redact_pii
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" mail u@example.com ip 10.0.0.7 tel +47 2255 0101"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    spans = pii_spans(docs, "doc_id", "text")
+    assert spans.filter(~F.col("span_matches_text")).count() == 0
+    n_spans = spans.count()
+    red = redact_pii(docs, "doc_id", "text")
+    total_redacted = red.agg(
+        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+    ).collect()[0][0]
+    assert n_spans == total_redacted
