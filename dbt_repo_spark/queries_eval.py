@@ -1014,6 +1014,97 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "source_overlap_matrix",
+    """
+    WITH borrowed AS (
+      -- seeded cross-source duplicates: every 7th document's text also
+      -- appears under the NEXT document's source (usually a different
+      -- feed) — the synthetic corpus shares nothing organically, so the
+      -- matrix is non-vacuous by construction (mirrored in Spark)
+      SELECT d2.source, d1.text
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 7 = 0),
+    corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL SELECT source, text FROM borrowed),
+    sigs AS (
+      SELECT DISTINCT source, md5(text) AS sig FROM corpus),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sigs
+              GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sigs a JOIN sigs b
+        ON a.sig = b.sig AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+           CAST(p.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how much identical content do
+    corpus feeds share? (Two crawls of the same sites inflate a
+    training set silently; this is the between-feed line of the dedup
+    report, complementing dup_rate_by_source's within-feed line.)
+
+    Distinct (source, md5) pairs self-join on the 16-byte signature —
+    the shuffle key is content-uniform (never the skewed source), the
+    self-join reuses one exchange, and the |sources|² pair relation
+    joins broadcast-sized size lookups. Exact-integer Jaccard.
+    """
+    docs = t(spark, sf_dir, "documents")
+    d1 = docs.select("doc_id", "text").filter(F.col("doc_id") % 7 == 0)
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("source")
+    )
+    borrowed = d1.join(d2, "doc_id").select("source", "text")
+    corpus = docs.select("source", "text").unionByName(borrowed)
+    # one corpus scan: sigs feeds three consumers (both self-join sides
+    # and the size lookup) — materialize it once instead of recomputing
+    # the union+distinct per consumer
+    sigs = (
+        corpus.select("source", F.md5(F.col("text")).alias("sig"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sigs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

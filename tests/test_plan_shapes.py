@@ -197,6 +197,8 @@ EXCHANGE_BUDGETS = {
     "zipf_token_fit": 6,
     "dup_rate_by_source": 2,
     "masked_customer_view": 0,
+    # overlap: seeded borrow join + pinned distinct sigs + self-join
+    "source_overlap_matrix": 7,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
