@@ -171,6 +171,9 @@ HEADLINE = [
     "forecast_error_battery",
     "zipf_token_fit",
     "dup_rate_by_source",
+    "source_overlap_matrix",
+    "text_pii_spans",
+    "masked_customer_view",
 ]
 
 RUNS = 3
