@@ -1105,6 +1105,76 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ab_test_power_plan",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders),
+    lifts AS (SELECT * FROM (VALUES (5.0e-2), (1.0e-1), (2.0e-1))
+              AS l(rel_lift)),
+    k AS (
+      SELECT rel_lift,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 + rel_lift) AS p2
+      FROM lifts, base)
+    SELECT rel_lift, p1, p2,
+      CAST(ceil(
+        power(1.959963984540054
+                * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+              + 0.8416212335729143
+                * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+        / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM k
+    """,
+)
+def ab_test_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planner — the DESIGN side of the A/B
+    family (ab_test_proportions is the readout): per relative lift,
+    how many subjects per arm detect it at α=0.05 / 80% power, anchored
+    on the OBSERVED baseline conversion rate? Standard two-proportion
+    normal-approximation formula; z quantiles are double literals
+    (E-notation rule), the baseline rate divides exact BIGINTs, and
+    sqrt/power(·,2)/ceil are correctly-rounded on identical operands in
+    mirrored order — deterministic across engines. One aggregate row
+    fans out to the 3-row lift grid via a literal cross join.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    lifts = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["rel_lift"])
+    p1 = F.col("x").cast("double") / F.col("n").cast("double")
+    k = lifts.crossJoin(F.broadcast(base)).select(
+        "rel_lift",
+        p1.alias("p1"),
+        (p1 * (F.lit(1.0) + F.col("rel_lift"))).alias("p2"),
+    )
+    pbar = (F.col("p1") + F.col("p2")) / F.lit(2.0)
+    num = F.pow(
+        F.lit(1.959963984540054)
+        * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(0.8416212335729143)
+        * F.sqrt(
+            F.col("p1") * (F.lit(1.0) - F.col("p1"))
+            + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+        ),
+        F.lit(2.0),
+    )
+    delta2 = (F.col("p2") - F.col("p1")) * (F.col("p2") - F.col("p1"))
+    return k.select(
+        "rel_lift",
+        "p1",
+        "p2",
+        F.ceil(num / delta2).cast("long").alias("n_per_arm"),
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (
