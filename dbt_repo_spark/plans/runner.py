@@ -190,6 +190,10 @@ class ModelRunner:
         self.exposures: dict[str, Exposure] = {}
         self._state: dict | None = None
         self._defer: Catalog | None = None
+        self._observe: bool = False
+        # model name -> {"rows_built": n, "null_keys": n} from the last
+        # observed run (Observation API: no extra scan)
+        self.last_run_metrics: dict[str, dict] = {}
 
     def add(self, *models: Model) -> "ModelRunner":
         for m in models:
@@ -322,6 +326,7 @@ class ModelRunner:
         parallelism: int = 1,
         state: "dict | str | None" = None,
         defer_to: "Catalog | None" = None,
+        observe: bool = False,
     ) -> dict[str, DataFrame]:
         """Build every model in dependency order; returns name → DataFrame.
 
@@ -348,6 +353,9 @@ class ModelRunner:
         # the deferred catalog (the Slim-CI partner of state:modified —
         # build only what changed, read everything else from prod)
         self._defer = defer_to
+        self._observe = observe
+        if observe:
+            self.last_run_metrics = {}
         order = self._order(selected)
         if parallelism <= 1:
             built: dict[str, DataFrame] = {}
@@ -395,7 +403,28 @@ class ModelRunner:
                 ctx[d] = self._defer.read(self.models[d].layer, d)
             else:
                 raise KeyError(f"model {name}: unresolved dependency {d!r}")
-        return self._materialize(m, m.fn(ctx), full_refresh)
+        df = m.fn(ctx)
+        if self._observe and m.materialized in ("table", "incremental",
+                                                "versioned_table"):
+            # Spark Observation API: per-model run metrics (rows built,
+            # null keys) collected DURING the materializing job itself —
+            # dbt's "rows affected" line without a second scan. Metrics
+            # land in self.last_run_metrics[name] after the write action.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"obs_{name}")
+            metrics = [F.count(F.lit(1)).alias("rows_built")]
+            if m.unique_key and m.unique_key in df.columns:
+                metrics.append(
+                    F.sum(
+                        F.when(F.col(m.unique_key).isNull(), 1).otherwise(0)
+                    ).alias("null_keys")
+                )
+            df = df.observe(obs, *metrics)
+            out = self._materialize(m, df, full_refresh)
+            self.last_run_metrics[name] = dict(obs.get)
+            return out
+        return self._materialize(m, df, full_refresh)
 
     def _materialize(self, m: Model, df: DataFrame, full_refresh: bool) -> DataFrame:
         if m.contract is not None:

@@ -147,3 +147,39 @@ def test_build_interleaves_tests_and_skips_downstream(spark, tmp_path):
     assert status["d_warn"] == "ok"  # warn severity never blocks
     assert status["e_sibling"] == "ok"
     assert "b_child" not in built and "e_sibling" in built
+
+
+def test_observed_run_collects_metrics_without_extra_scan(spark, tmp_path):
+    """Spark Observation API: rows-built (and null-key) metrics arrive
+    from the materializing job itself — dbt's rows-affected report."""
+
+    @model("obs_t", deps=("src",), materialized="table")
+    def obs_t(ctx):
+        return ctx["src"].filter(F.col("x") < 7)
+
+    @model(
+        "obs_inc",
+        deps=("src",),
+        materialized="incremental",
+        unique_key="x",
+    )
+    def obs_inc(ctx):
+        return ctx["src"]
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.range(10).withColumnRenamed("id", "x")
+    r = ModelRunner(spark, cat, {"src": src}).add(obs_t, obs_inc)
+    built = r.run(observe=True)
+    assert built["obs_t"].count() == 7
+    assert r.last_run_metrics["obs_t"]["rows_built"] == 7
+    assert r.last_run_metrics["obs_inc"] == {
+        "rows_built": 10,
+        "null_keys": 0,
+    }
+    # an un-observed run does not touch the last observed report; a new
+    # OBSERVED run resets it first (no cross-run mixing)
+    r.run(observe=False)
+    assert r.last_run_metrics == {"obs_t": {"rows_built": 7},
+                                  "obs_inc": {"rows_built": 10, "null_keys": 0}}
+    r.run(["obs_t"], observe=True)
+    assert set(r.last_run_metrics) == {"obs_t"}
