@@ -1175,6 +1175,76 @@ def ab_test_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "conversion_wilson_ci",
+    """
+    WITH conv AS (
+      SELECT c.c_mktsegment AS seg,
+             MAX(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment),
+    m AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS x
+          FROM conv GROUP BY seg),
+    k AS (SELECT seg, n, x,
+                 CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 1.959963984540054e0 AS z,  -- E-notation: DOUBLE literal
+                 CAST(n AS DOUBLE) AS nd
+          FROM m)
+    SELECT seg, n, x, p,
+      (p + z * z / (2.0 * nd)
+       - z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)))
+        / (1.0 + z * z / nd) AS ci_lo,
+      (p + z * z / (2.0 * nd)
+       + z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)))
+        / (1.0 + z * z / nd) AS ci_hi
+    FROM k
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval for each segment's conversion rate —
+    the uncertainty band every rate in a report should carry (Wilson
+    stays inside [0,1] and behaves at small n / extreme p, unlike the
+    Wald interval). Customer-level reduce, one conditional-count row
+    per segment, closed-form interval from exact BIGINTs with the z
+    literal in E-notation and mirrored IEEE order — bit-deterministic.
+    Completes the experiment family: design (ab_test_power_plan),
+    readout (ab_test_proportions), reporting (this).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    conv = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("y")
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "y")
+    )
+    m = conv.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    p = F.col("x").cast("double") / F.col("n").cast("double")
+    z = F.lit(1.959963984540054)
+    nd = F.col("n").cast("double")
+    center = p + z * z / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z * z / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z * z / nd
+    return m.select(
+        "seg",
+        "n",
+        "x",
+        p.alias("p"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )
+
+
+@q(
     "lift_gains_deciles",
     """
     WITH cust AS (

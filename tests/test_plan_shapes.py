@@ -200,6 +200,7 @@ EXCHANGE_BUDGETS = {
     # overlap: seeded borrow join + pinned distinct sigs + self-join
     "source_overlap_matrix": 7,
     "ab_test_power_plan": 2,
+    "conversion_wilson_ci": 3,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,
