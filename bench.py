@@ -174,6 +174,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "text_pii_spans",
     "masked_customer_view",
+    "ab_test_power_plan",
+    "conversion_wilson_ci",
 ]
 
 RUNS = 3

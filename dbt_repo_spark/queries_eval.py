@@ -5,9 +5,15 @@ also feeds the evaluation side of the loop: did the dataset train a model
 that ranks (AUC), is it calibrated (reliability bins), does targeting by
 its scores concentrate response (gains/lift), is the source data itself
 statistically plausible (Benford), and can categorical features be
-encoded without target leakage (leave-one-out)? Every query here is
-exact-arithmetic end-to-end — integer/decimal aggregation with one final
-division of identical operands — so each carries a full DuckDB oracle.
+encoded without target leakage (leave-one-out)? The family grew to
+cover the corpus-report shapes (dup rate, cross-source overlap, Zipf),
+the experiment lifecycle (power plan / z-test readout / Wilson-CI
+reporting), governance (masked views), and the pre-publish audit
+(table diff). Every SQL-expressible query is exact-arithmetic end to
+end — integer/decimal aggregation with one final division of identical
+operands — and carries a full DuckDB oracle; the one exception is
+text_pii_spans (regex match OFFSETS are inexpressible in either SQL
+surface), which instead certifies itself in-plan.
 
 Registered into the shared QUERIES/ORACLES maps (imported from
 ``dbt_repo_spark.queries`` at the bottom of that module).
