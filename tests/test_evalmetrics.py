@@ -171,3 +171,44 @@ def test_ks_symmetry_and_bounds(spark, xs):
         ),
         abs=1e-12,
     )
+
+
+# ---- table_diff property: random mutations vs brute-force dict diff --
+
+mutation_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=39),      # key
+        st.sampled_from(["keep", "drop", "change"]),  # fate in v2
+    ),
+    min_size=10,
+    max_size=40,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(mutation_sets, st.integers(min_value=0, max_value=5))
+@settings(**HSET)
+def test_table_diff_property_matches_dict_diff(spark, fates, n_added):
+    from dbt_repo_spark.operators.relational import table_diff
+
+    a_rows = [(k, float(k * 10)) for k, _ in fates]
+    b_rows = [
+        (k, float(k * 10) if fate == "keep" else float(k * 10 + 1))
+        for k, fate in fates
+        if fate != "drop"
+    ] + [(1000 + i, 0.0) for i in range(n_added)]
+    a = spark.createDataFrame(a_rows, "k long, v double")
+    b = spark.createDataFrame(b_rows, "k long, v double")
+    row = table_diff(a, b, ["k"], ["v"]).collect()[0]
+    da, db = dict(a_rows), dict(b_rows)
+    want_removed = len(set(da) - set(db))
+    want_added = len(set(db) - set(da))
+    want_changed = sum(1 for k in set(da) & set(db) if da[k] != db[k])
+    want_same = sum(1 for k in set(da) & set(db) if da[k] == db[k])
+    assert (row.n_a, row.n_b) == (len(da), len(db))
+    assert (row.added, row.removed) == (want_added, want_removed)
+    assert (row.changed, row.unchanged) == (want_changed, want_same)
+    assert row.changed_v == want_changed
+    # conservation: both sides fully accounted for
+    assert row.removed + row.changed + row.unchanged == row.n_a
+    assert row.added + row.changed + row.unchanged == row.n_b
