@@ -82,24 +82,21 @@ _NEVER_CHECKED_FIRST = [
     "disjunctive_predicate_revenue", "idle_customer_outreach",
 ]
 
-# Changed this round — re-verify right after the never-checked set:
-# timeseries_gapfill (r02 FAIL: oracle TIMESTAMPTZ drift, oracle fixed r03),
-# fuzzy_match_levenshtein (PassJoin segment blocking), streaming_parse_dedup
-# (gains a batch DuckDB twin), sketches/pagerank (gain in-plan error
-# metrics), embed_pq_topk (shared recall-audit scan), dedup_clusters /
-# dedup_ngram_jaccard (headline plan moved to the scale path). Queries
-# whose latest driver record FAILED are appended automatically.
+# Changed this round — re-verify right after the never-checked set
+# (r03 verified the previous list green; all nine self-retired and the
+# list was emptied per the r03 verdict). Round-4 rewrites:
+# multimodal_near_dedup (64->128-bit SimHash banding), dedup_semantic
+# (sampled pair_recall audit), source_overlap_matrix (sampled overlap
+# audit). Queries whose latest driver record FAILED are appended
+# automatically.
 _RECHECK_THIS_ROUND = [
-    "timeseries_gapfill", "fuzzy_match_levenshtein", "streaming_parse_dedup",
-    "approx_distinct_sketch", "distinct_sketch_rollup",
-    "graph_pagerank_parts", "embed_pq_topk", "dedup_ngram_jaccard",
-    "dedup_clusters",
+    "multimodal_near_dedup", "dedup_semantic", "source_overlap_matrix",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 3
+_RECHECK_LISTED_FOR_ROUND = 4
 
 
 def entry(spark: SparkSession) -> DataFrame:

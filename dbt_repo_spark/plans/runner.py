@@ -71,13 +71,34 @@ class Model:
     def fingerprint(self) -> str:
         """Content hash for Slim-CI state comparison: the builder's
         bytecode + consts + every behavior-bearing config field. Doc
-        or comment edits don't change it; logic or config edits do."""
+        or comment edits don't change it; logic or config edits do.
+        Nested code objects (a lambda or inner def in the builder) are
+        folded RECURSIVELY by their own co_code/co_consts — their repr
+        embeds a memory address and absolute file path, which would
+        change every process/checkout and make state:modified
+        over-select those models, defeating Slim CI."""
         import hashlib
+        import types
 
-        code = self.fn.__code__
+        def fold(const):
+            if isinstance(const, types.CodeType):
+                return (
+                    "<code>",
+                    const.co_code,
+                    const.co_names,
+                    const.co_varnames,
+                    tuple(fold(c) for c in const.co_consts),
+                )
+            if isinstance(const, tuple):
+                return tuple(fold(c) for c in const)
+            if isinstance(const, frozenset):
+                return ("<frozenset>",) + tuple(
+                    sorted(repr(fold(c)) for c in const)
+                )
+            return const
+
         payload = repr((
-            code.co_code,
-            code.co_consts,
+            fold(self.fn.__code__),
             self.deps, self.materialized, self.layer, self.unique_key,
             self.partition_by, self.cluster_by, self.incremental_strategy,
             self.on_schema_change, self.event_time, self.batch_size,

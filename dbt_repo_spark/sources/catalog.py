@@ -457,6 +457,15 @@ class Catalog:
                 d = os.path.join(tgt_root, f)
                 if os.path.exists(d):
                     os.remove(d)
+                # Metadata JSON (zone-map/bloom manifests, commit logs)
+                # is COPIED, not hardlinked: manifests are refreshed per
+                # table, and even though writers now go through
+                # tmp+os.replace (new inode), sharing an inode between
+                # two tables' metadata buys nothing and leaves a trap
+                # for any future writer that opens in place.
+                if f.endswith(".json"):
+                    shutil.copy2(s, d)
+                    continue
                 try:
                     os.link(s, d)
                 except OSError:

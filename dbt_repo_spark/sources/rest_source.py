@@ -25,6 +25,7 @@ the same P15 machinery as every other source.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from collections.abc import Iterator, Sequence
@@ -224,20 +225,42 @@ class _PagedJsonStreamWriter(DataSourceStreamWriter):
     """Streaming twin of the archive sink: each micro-batch's staged
     files publish atomically in ``commit(messages, batchId)``. Re-run
     of a batch after a crash-before-commit re-stages and publishes
-    once; a crash-after-commit is deduplicated by the engine replaying
-    from the checkpointed offset, so the endpoint-to-archive pipeline
-    (paged_json readStream → paged_json writeStream) is exactly-once
-    end to end — the reference's Pub/Sub→bucket path with the broker
-    replaced by immutable pages."""
+    once. A crash BETWEEN sink commit and the engine's checkpoint
+    commit replays the same batchId — the sink persists the last
+    committed batchId in ``_commits.json`` (tmp + os.replace, updated
+    atomically WITH the page publish ordering: pages first, marker
+    last) and turns the replayed commit into a no-op, so the
+    endpoint-to-archive pipeline (paged_json readStream → paged_json
+    writeStream) is exactly-once end to end — the reference's
+    Pub/Sub→bucket path with the broker replaced by immutable pages."""
 
     def __init__(self, options: dict):
         self._batch = _PagedJsonWriter(options)
+        self._marker = os.path.join(self._batch.endpoint, "_commits.json")
+
+    def _last_committed(self) -> int:
+        try:
+            with open(self._marker) as fh:
+                return int(json.load(fh)["last_batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
 
     def write(self, iterator) -> _PageBatch:
         return self._batch.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        if batchId <= self._last_committed():
+            # Replayed micro-batch (crash after sink commit, before the
+            # engine checkpointed): the pages are already published —
+            # publishing again would duplicate rows under new page
+            # numbers. Drop the re-staged files and return.
+            self._batch.abort(messages)
+            return
         self._batch.commit([m for m in messages if m is not None])
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch_id": batchId}, fh)
+        os.replace(tmp, self._marker)
 
     def abort(self, messages, batchId: int) -> None:
         self._batch.abort(messages)

@@ -28,6 +28,17 @@ import os
 MANIFEST = "_zonemap.json"
 
 
+def _atomic_write_json(path: str, obj, *, indent=None, default=None) -> None:
+    """tmp-file + os.replace: readers never see a torn manifest, and the
+    replace allocates a NEW inode — refreshing a manifest on one side of
+    a hardlink ``clone_table`` can no longer truncate the other side's
+    copy in place (matches ``versioned.py._write_log``)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=indent, sort_keys=True, default=default)
+    os.replace(tmp, path)
+
+
 def _file_stats(path: str, columns: list[str]) -> dict:
     """Per-column (min, max, null_count) across a parquet file's row
     groups, from footer metadata only."""
@@ -91,8 +102,9 @@ def write_zone_map(table_dir: str, columns: list[str]) -> dict:
             for p in _data_files(table_dir)
         },
     }
-    with open(os.path.join(table_dir, MANIFEST), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True, default=str)
+    _atomic_write_json(
+        os.path.join(table_dir, MANIFEST), manifest, indent=1, default=str
+    )
     return manifest
 
 
@@ -128,6 +140,14 @@ def prune_files(
         ):
             continue
         keep.append(os.path.join(table_dir, rel))
+    # Files on disk but absent from the manifest (appended after the
+    # manifest was written, e.g. a load without a zone-map refresh) are
+    # UNKNOWN -> kept, same rule as missing per-column stats. A stale
+    # manifest may cost scan time, never rows.
+    for p in _data_files(table_dir):
+        if os.path.relpath(p, table_dir) not in mf["files"]:
+            keep.append(p)
+            total += 1
     return keep, total
 
 
@@ -210,8 +230,7 @@ def write_bloom_index(
             per_col[col] = bytes(bitset).hex()
         files[os.path.relpath(p, table_dir)] = per_col
     manifest = {"columns": columns, "bits": bits, "k": k, "files": files}
-    with open(os.path.join(table_dir, BLOOM_MANIFEST), "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
+    _atomic_write_json(os.path.join(table_dir, BLOOM_MANIFEST), manifest)
     return manifest
 
 
@@ -236,4 +255,10 @@ def prune_files_eq(table_dir: str, col: str, value) -> tuple[list[str], int]:
         bitset = bytes.fromhex(hx)
         if all(bitset[h >> 3] & (1 << (h & 7)) for h in hashes):
             keep.append(os.path.join(table_dir, rel))
+    # Unknown-file rule (same as prune_files): data files the bloom
+    # manifest has never seen cannot be skipped.
+    for p in _data_files(table_dir):
+        if os.path.relpath(p, table_dir) not in mf["files"]:
+            keep.append(p)
+            total += 1
     return keep, total

@@ -73,13 +73,19 @@ class ProgressRecorder(StreamingQueryListener):
         return spark.createDataFrame(rows, self.SCHEMA)
 
     def flush_to_catalog(self, spark, catalog, layer="ops", name="stream_progress"):
-        """Append captured progress to the warehouse and clear the
-        buffer; idempotent per flush (each batch row appears once)."""
-        df = self.to_df(spark)
-        if df.isEmpty():
-            return 0
-        catalog.write(df, layer, name, mode="append")
+        """Append captured progress to the warehouse and clear exactly
+        the flushed prefix; each batch row appears once. Rows the
+        listener thread appends BETWEEN the snapshot and the clear stay
+        buffered for the next flush (clearing the whole list here would
+        silently drop them), and the return value is the snapshot
+        length — exactly what was written."""
         with self._lock:
-            n = len(self.rows)
-            self.rows.clear()
+            rows = list(self.rows)
+        n = len(rows)
+        if n == 0:
+            return 0
+        catalog.write(spark.createDataFrame(rows, self.SCHEMA), layer, name,
+                      mode="append")
+        with self._lock:
+            del self.rows[:n]
         return n

@@ -23,25 +23,105 @@ def test_rotation_covers_registry_exactly():
     assert len(ordered) == len(QUERIES)
 
 
+def _active_rechecks(latest, failed):
+    """The listed rechecks still holding priority: a listed name
+    SELF-RETIRES once a ledger from _RECHECK_LISTED_FOR_ROUND or later
+    shows it green (r03 verdict: the test must model the same rule the
+    rotation implements, or it goes red the moment the driver's ledger
+    for the listed round lands on disk). Failures never retire."""
+    return {
+        n for n in entry_mod._RECHECK_THIS_ROUND
+        if n in failed
+        or latest.get(n, 0) < entry_mod._RECHECK_LISTED_FOR_ROUND
+    }
+
+
 def test_never_checked_and_failed_lead_the_window():
     latest, failed = entry_mod._check_history()
     ordered = list(entry_mod.queries())
     never = {n for n in ordered if n not in latest}
-    recheck = set(entry_mod._RECHECK_THIS_ROUND) | failed
-    # the window head is exactly the never-checked + recheck sets (order
-    # within: listed TPC-H first, then rechecks — a FAIL re-verification
-    # must never be pushed past the ~50-entry driver window by this
-    # round's new registrations — then remaining never-checked)
+    recheck = _active_rechecks(latest, failed) | failed
+    # the window head is exactly the never-checked + ACTIVE recheck sets
+    # (order within: listed never-checked first, then rechecks — a FAIL
+    # re-verification must never be pushed past the ~50-entry driver
+    # window by this round's new registrations — then remaining
+    # never-checked)
     head = ordered[: len(never | recheck)]
     assert set(head) == never | recheck
     # every latest-failed query sits in the first 50 (the driver's
     # bounded check window) and before any green least-recently-verified
     # entry
     greens = [n for n in ordered if n in latest and n not in failed
-              and n not in entry_mod._RECHECK_THIS_ROUND]
+              and n not in recheck]
     first_green = ordered.index(greens[0])
     for name in failed:
         assert ordered.index(name) < min(first_green, 50), name
+
+
+def test_window_head_is_ledger_independent(monkeypatch, tmp_path):
+    """Fixture-pinned variant: the rotation invariants must hold against
+    a SYNTHETIC ledger directory, so the assertion does not depend on
+    which CORRECTNESS_r*.json files happen to exist on disk (the r03
+    failure mode: a driver ledger landing after the builder's last
+    commit flipped the on-disk expected set)."""
+    import json
+
+    from dbt_repo_spark.queries import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    listed = entry_mod._RECHECK_THIS_ROUND
+    target = entry_mod._RECHECK_LISTED_FOR_ROUND
+    # Ledger 1 (round target-1): everything green except one hard fail
+    # and three never-checked; listed rechecks green only at target-1,
+    # so they stay ACTIVE.
+    never_names = [n for n in names if n not in listed][-3:]
+    fail_name = next(n for n in names if n in ORACLES
+                     and n not in never_names and n not in listed)
+    old = {}
+    for n in names:
+        if n in never_names:
+            continue
+        if n in ORACLES:
+            ok = n != fail_name
+            old[n] = {"rows_match": ok, "schema_match": ok,
+                      "hash_match": ok, "spark_rows": 1,
+                      "oracle_rows": 1, "err": None}
+        else:
+            old[n] = {"spark_rows": 1, "err": "no_oracle"}
+    (tmp_path / f"CORRECTNESS_r{target - 1:02d}.json").write_text(
+        json.dumps(old)
+    )
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
+
+    latest, failed = entry_mod._check_history()
+    assert failed == {fail_name}
+    ordered = list(entry_mod.queries())
+    active = _active_rechecks(latest, failed)
+    assert active == set(listed)  # only checked at target-1 -> active
+    head = ordered[: len(set(never_names) | active | failed)]
+    assert set(head) == set(never_names) | active | failed
+    assert ordered.index(fail_name) < 50
+
+    # Ledger 2 (round target): listed rechecks verified green -> they
+    # retire behind every never-checked entry; the hard fail (not
+    # re-run) keeps priority.
+    new = {n: {"rows_match": True, "schema_match": True,
+               "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+               "err": None}
+           if n in ORACLES else {"spark_rows": 1, "err": "no_oracle"}
+           for n in listed}
+    (tmp_path / f"CORRECTNESS_r{target:02d}.json").write_text(
+        json.dumps(new)
+    )
+    latest, failed = entry_mod._check_history()
+    assert failed == {fail_name}
+    assert _active_rechecks(latest, failed) == set()
+    ordered = list(entry_mod.queries())
+    head = ordered[: len(set(never_names) | {fail_name})]
+    assert set(head) == set(never_names) | {fail_name}
+    last_never = max(ordered.index(n) for n in never_names)
+    for n in listed:
+        assert ordered.index(n) > last_never, n
 
 
 def test_history_classifies_rows_only_records():

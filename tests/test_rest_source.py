@@ -193,3 +193,44 @@ def test_stream_replication_endpoint_to_archive_exactly_once(spark, tmp_path):
     )
     assert outs == srcs  # every page exactly once, bytes preserved
     assert not (dst / "_staging").exists()
+
+
+def test_stream_commit_replay_is_noop(tmp_path):
+    """ADVICE r03: a micro-batch replayed after a crash BETWEEN sink
+    commit and the engine's checkpoint commit must not re-publish its
+    pages. The sink persists the last committed batchId in
+    _commits.json and turns the replayed commit into a no-op."""
+    from dbt_repo_spark.sources.rest_source import (
+        _PageBatch,
+        _PagedJsonStreamWriter,
+    )
+
+    dst = tmp_path / "archive"
+    dst.mkdir()
+    w = _PagedJsonStreamWriter({"path": str(dst)})
+
+    def stage(payloads):
+        staging = dst / "_staging"
+        staging.mkdir(exist_ok=True)
+        files = []
+        for i, p in enumerate(payloads):
+            f = staging / f"t{i}.json"
+            f.write_text(p)
+            files.append((str(f), 1))
+        return [_PageBatch(files=files)]
+
+    w.commit(stage(['{"n": 0}', '{"n": 1}']), batchId=0)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json"]
+
+    # crash-replay of batch 0: same batchId, freshly re-staged files
+    w2 = _PagedJsonStreamWriter({"path": str(dst)})  # fresh instance, as after restart
+    w2.commit(stage(['{"n": 0}', '{"n": 1}']), batchId=0)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json"]  # no duplicates
+    assert not (dst / "_staging").exists()  # re-staged files cleaned up
+
+    # the NEXT batch still publishes
+    w2.commit(stage(['{"n": 2}']), batchId=1)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == [f"page-{n}.json" for n in range(3)]

@@ -428,3 +428,51 @@ def test_state_modified_selection(spark, tmp_path):
     # missing state is an explicit error
     with pytest.raises(ValueError, match="needs state"):
         r.run(["state:modified"])
+
+
+def test_fingerprint_stable_for_nested_code_objects():
+    """ADVICE r03: a nested code object (lambda / inner def in a
+    builder) used to enter the hash via repr(), which embeds a memory
+    address and the absolute source path — the fingerprint changed
+    every process/checkout and state:modified over-selected. The hash
+    must now be invariant to code-object identity and location
+    (simulated here by rebuilding the function from a code object with
+    a different co_filename — what a second checkout produces), while a
+    logic change INSIDE the nested function must still change it."""
+    import dataclasses
+    import types
+
+    from dbt_repo_spark.plans.runner import model
+
+    @model("n", materialized="view")
+    def v1(ctx):
+        def bump(df):
+            return df.withColumn("y", F.col("x") * 2)
+        return bump(ctx["src"])
+
+    # same logic, "different checkout": every code object (outer AND the
+    # nested bump) gets a new identity + new filename
+    def relocate(code, path):
+        consts = tuple(
+            relocate(c, path) if isinstance(c, types.CodeType) else c
+            for c in code.co_consts
+        )
+        return code.replace(co_consts=consts, co_filename=path)
+
+    fn2 = types.FunctionType(
+        relocate(v1.fn.__code__, "/somewhere/else/models.py"),
+        v1.fn.__globals__,
+        v1.fn.__name__,
+    )
+    v1_moved = dataclasses.replace(v1, fn=fn2)
+    assert v1.fn.__code__ is not fn2.__code__
+    assert v1.fingerprint() == v1_moved.fingerprint()
+
+    # changed constant inside the NESTED function -> different hash
+    @model("n", materialized="view")
+    def v2(ctx):
+        def bump(df):
+            return df.withColumn("y", F.col("x") * 9)
+        return bump(ctx["src"])
+
+    assert v1.fingerprint() != v2.fingerprint()

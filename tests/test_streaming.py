@@ -751,3 +751,33 @@ def test_progress_listener_records_batches(spark, tmp_path):
         assert rec.rows == []  # buffer cleared after flush
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_flush_keeps_rows_appended_during_write(spark, tmp_path):
+    """ADVICE r03: rows the listener thread appends BETWEEN the flush
+    snapshot and the buffer clear must survive to the next flush, and
+    the returned count is the snapshot length, not the clear-time
+    length."""
+    from dbt_repo_spark.sources.catalog import Catalog
+    from dbt_repo_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    mk = lambda i: ("q", i, "t", 1, 1.0, 1, 0)
+    rec.rows.extend([mk(0), mk(1)])
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    real_write = cat.write
+    def racing_write(df, *a, **kw):
+        # listener fires mid-flush, after the snapshot was taken
+        with rec._lock:
+            rec.rows.append(mk(2))
+        return real_write(df, *a, **kw)
+    cat.write = racing_write
+
+    n = rec.flush_to_catalog(spark, cat)
+    assert n == 2                      # what was actually written
+    assert rec.rows == [mk(2)]         # late row retained, not dropped
+    cat.write = real_write
+    n2 = rec.flush_to_catalog(spark, cat)
+    assert n2 == 1 and rec.rows == []
+    assert cat.read("ops", "stream_progress").count() == 3

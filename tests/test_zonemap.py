@@ -137,3 +137,63 @@ def test_bloom_index_equality_pruning(spark, tmp_path):
     # unknown column -> superset rule keeps everything
     paths3, _ = prune_files_eq(tdir, "o_clerk", "x")
     assert len(paths3) == 8
+
+
+def test_files_appended_after_manifest_are_kept(clustered, spark):
+    """ADVICE r03: a data file landing AFTER the manifest was written
+    (append without a zone-map refresh) is unknown to the manifest —
+    pruning must KEEP it (superset guarantee), for both the range and
+    the bloom path."""
+    import os
+
+    from dbt_repo_spark.sources.zonemap import prune_files_eq, write_bloom_index
+
+    cat, df = clustered
+    tdir = cat.path("analytics", "orders_clustered")
+    write_bloom_index(tdir, ["o_custkey"])
+    # out-of-band append: new rows with keys far outside every range
+    extra = df.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    extra.coalesce(1).write.mode("append").parquet(tdir)
+    n_files = len(
+        [f for f in os.listdir(tdir) if f.endswith(".parquet")
+         or (f.startswith("part-") and not f.endswith(".crc"))]
+    )
+    # range probe aimed at ONLY the appended rows
+    paths, total = prune_files(tdir, "o_orderkey", 10_000_000, None)
+    assert total == n_files
+    got = spark.read.parquet(*paths).filter(
+        F.col("o_orderkey") >= 10_000_000
+    )
+    assert got.count() == 5  # unknown file kept -> no lost rows
+    # bloom probe: appended file has no bloom entry -> kept
+    probe = extra.select("o_custkey").limit(1).collect()[0][0]
+    paths_eq, total_eq = prune_files_eq(tdir, "o_custkey", probe)
+    appended = set(paths) - {
+        os.path.join(tdir, rel)
+        for rel in load_zone_map(tdir)["files"]
+    }
+    assert appended and appended <= set(paths_eq)
+    assert total_eq == n_files
+
+
+def test_manifest_refresh_does_not_corrupt_hardlinked_clone(clustered, spark, tmp_path):
+    """ADVICE r03: manifests write via tmp+os.replace (new inode) and
+    clone_table copies metadata JSON, so refreshing either side of a
+    clone leaves the other side's manifest intact."""
+    import os
+
+    cat, df = clustered
+    dev = Catalog(spark, str(tmp_path / "dev_wh"))
+    cat.clone_table("analytics", "orders_clustered", dev)
+    src_dir = cat.path("analytics", "orders_clustered")
+    dst_dir = dev.path("analytics", "orders_clustered")
+    src_mf, dst_mf = (os.path.join(d, "_zonemap.json") for d in (src_dir, dst_dir))
+    # metadata JSON is a copy, not a hardlink
+    assert os.stat(src_mf).st_ino != os.stat(dst_mf).st_ino
+    before = load_zone_map(dst_dir)
+    # refresh the SOURCE manifest (restricted columns -> different bytes)
+    write_zone_map(src_dir, ["o_orderkey"])
+    assert load_zone_map(dst_dir) == before  # clone untouched
+    assert os.stat(src_mf).st_ino != os.stat(dst_mf).st_ino
