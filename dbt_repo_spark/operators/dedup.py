@@ -18,6 +18,8 @@ the DuckDB-oracle-checkable ground truth at test scale.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -543,80 +545,156 @@ def incremental_minhash_dedup(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc as a bit-string column ``simhash``.
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """``bits``-wide SimHash per doc as a bit-string column ``simhash``.
 
-    Each distinct token votes ±1 on 64 bit positions (bits of its
-    xxhash64); the signature is the sign vector. ONE hash-aggregate:
-    per doc, count tokens with bit k set (64 conditional sums over the
-    token rows — no row blowup), then bit k of the signature is
-    ``2*set_count > n_tokens``. Row count stays |tokens| end-to-end
-    instead of 64×|tokens| with a posexplode of votes.
+    Each distinct token votes ±1 on ``bits`` bit positions (bits of its
+    xxhash64; for widths >64 additional independent 64-bit hashes are
+    drawn with distinct salts); the signature is the sign vector. ONE
+    hash-aggregate: per doc, count tokens with bit k set (``bits``
+    conditional sums over the token rows — no row blowup), then bit k
+    of the signature is ``2*set_count > n_tokens``. Row count stays
+    |tokens| end-to-end instead of bits×|tokens| with a posexplode of
+    votes.
     """
+    assert bits % 64 == 0, "signature width must be a multiple of 64"
     # no fan_out here: the token explode is cheap and the partial aggregate
     # collapses everything map-side — an extra exchange measured SLOWER
     # (1.05s vs 1.45s at sf0.1) than the single-partition partial agg.
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    words = bits // 64
+    for w in range(words):
+        # salt 0 keeps the 64-bit signature byte-identical to the
+        # historical single-hash path
+        salted = F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")
+        tok = tok.withColumn(f"h{w}", salted)
     counts = tok.groupBy("id").agg(
         F.count("*").alias("n_tok"),
         *[
-            F.sum(F.getbit(F.col("h"), F.lit(k))).alias(f"c{k}")
-            for k in range(64)
+            F.sum(F.getbit(F.col(f"h{k // 64}"), F.lit(k % 64))).alias(f"c{k}")
+            for k in range(bits)
         ],
     )
-    bits = [
+    bit_cols = [
         F.when(F.lit(2) * F.col(f"c{k}") > F.col("n_tok"), "1").otherwise("0")
-        for k in range(64)
+        for k in range(bits)
     ]
-    return counts.select("id", F.concat(*bits).alias("simhash"))
+    return counts.select("id", F.concat(*bit_cols).alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+def simhash_band_candidates(
+    sig: DataFrame, bits: int, chunks: int, group: int = 1
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: banded exact-match join + Hamming verify.
+    """Banded candidate pairs (id_a < id_b) from a (id, simhash,
+    q0..qN) signature relation — the join stage of
+    ``simhash_near_duplicates``, exposed so tests can pin candidate
+    volume (the quantity that decides 100 TB viability) independently
+    of the Hamming verify.
 
-    Pigeonhole: hamming ≤ chunks-1 guarantees one identical chunk, so a
-    join on (chunk_idx, chunk_bits) finds all such pairs without a cross
-    join; Hamming distance is then verified exactly.
-    """
-    sig = simhash_signatures(df, id_col, text_col)
-    # signature also as two 32-bit integer halves: the Hamming verify is
-    # then bit_count(hi_a^hi_b)+bit_count(lo_a^lo_b) — whole-stage
-    # codegen, ~ns per candidate — instead of an interpreted 64-element
-    # split/zip fold (~µs per candidate; at coarse band widths the
-    # candidate set is bucket-collision-bound and the fold dominated:
-    # measured 29s -> 6s at sf0.1 on the byte-gram variant)
-    sig = sig.select(
-        "id",
-        "simhash",
-        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("hi"),
-        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("lo"),
-    )
-    width = 64 // chunks
+    ``group`` > 1 is the multi-index pigeonhole (Manku et al.'s
+    permuted-block idea expressed as a band join): bands are ALL
+    C(chunks, group) chunk COMBINATIONS, the bucket key is the
+    concatenation of the group's chunk bits (group × bits/chunks wide).
+    If hamming ≤ chunks − group, at least ``group`` chunks are
+    untouched, so some banded combination matches exactly — radius
+    grows with chunk COUNT while bucket width grows with the GROUP, so
+    wide radii no longer force tiny (quadratic-collision) buckets."""
+    from itertools import combinations
+
+    width = bits // chunks
+    chunk_of = [
+        F.substring("simhash", c * width + 1, width) for c in range(chunks)
+    ]
     kv = sig.select(
         "id",
-        "hi",
-        "lo",
+        *[c for c in sig.columns if c.startswith("q")],
         F.posexplode(
             F.array(
                 *[
-                    F.substring("simhash", c * width + 1, width)
-                    for c in range(chunks)
+                    F.concat(*[chunk_of[c] for c in combo])
+                    for combo in combinations(range(chunks), group)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
     )
-    hamming = F.bit_count(
-        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
-    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     return (
         kv.alias("a")
         .join(kv.alias("b"), ["chunk_idx", "chunk"])
         .filter(F.col("a.id") < F.col("b.id"))
+    )
+
+
+def _sig_with_words(sig: DataFrame, bits: int) -> DataFrame:
+    """Attach the signature as 32-bit integer slices q0..qN: the Hamming
+    verify is then a sum of bit_count(q_a^q_b) — whole-stage codegen,
+    ~ns per candidate — instead of an interpreted per-bit split/zip
+    fold (~µs per candidate; at coarse band widths the candidate set is
+    bucket-collision-bound and the fold dominated: measured 29s -> 6s
+    at sf0.1 on the byte-gram variant)."""
+    return sig.select(
+        "id",
+        "simhash",
+        *[
+            F.conv(F.substring("simhash", 32 * i + 1, 32), 2, 10)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(bits // 32)
+        ],
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+    group: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded exact-match join + Hamming verify.
+
+    Pigeonhole: hamming ≤ chunks-group guarantees ``group`` identical
+    chunks, so a join on the banded chunk combinations finds all such
+    pairs without a cross join; Hamming distance is then verified
+    exactly.
+
+    Banding cardinality is the scale knob (r03 verdict): the per-band
+    bucket space is 2^(group·bits/chunks), and expected
+    collision-candidates grow ~bands·N²/bucket_space. A radius-7
+    guarantee with single-chunk bands forces ≥8 chunks, so at 64 bits
+    the bands are 8-wide (256 buckets — quadratic with a small
+    constant, fine for text where token-vote bands are sparse but not
+    for dense byte-gram media signatures). The media operating point is
+    ``bits=128, chunks=16, group=2, max_hamming=14``: SAME relative
+    radius (14/128 = 7/64 — bit flips scale with signature width, so
+    the absolute radius must too, measured on seeded twins: p95
+    hamming 11, max 14 at 128 bits vs 6/10 at 64), C(16,2)=120 bands
+    of 16-bit buckets → expected collisions 120·N²/65536 ≈ N²/546,
+    ~17× below the old N²/32 while guaranteeing DOUBLE the old radius.
+    """
+    if max_hamming > chunks - group:
+        raise ValueError(
+            f"pigeonhole violated: radius {max_hamming} needs "
+            f"chunks-group >= {max_hamming}, got {chunks}-{group}"
+        )
+    sig = _sig_with_words(
+        simhash_signatures(df, id_col, text_col, bits=bits), bits
+    )
+    words = [f"q{i}" for i in range(bits // 32)]
+    hamming = reduce(
+        lambda acc, w: acc
+        + F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}"))),
+        words[1:],
+        F.bit_count(F.col(f"a.{words[0]}").bitwiseXOR(F.col(f"b.{words[0]}"))),
+    )
+    return (
+        simhash_band_candidates(sig, bits, chunks, group)
         .filter(hamming <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),

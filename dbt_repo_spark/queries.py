@@ -7924,11 +7924,22 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     organic near-dup blobs), so the rows-only check is non-vacuous and
     the ``is_seeded_twin`` flag makes twin recovery visible in the
     output; the unit test pins ≥95% seeded-twin recall at the
-    (hamming ≤ 7, 8-band) operating point — the shortest blobs can
-    exceed the radius because a fixed 2-byte edit is a LARGER relative
-    perturbation of a 24-gram signature, the detector's honest length
-    dependence. Extends the multimodal family from exact (checksum
-    catalog) to near-dup.
+    (hamming ≤ 14, 128-bit, 16-chunk pair-band) operating point — the
+    shortest blobs can exceed the radius because a fixed 2-byte edit is
+    a LARGER relative perturbation of a 24-gram signature, the
+    detector's honest length dependence. Extends the multimodal family
+    from exact (checksum catalog) to near-dup.
+
+    Scale (r03 verdict fix): the old radius-7 single-chunk pigeonhole
+    forced 8-bit bands at 64 bits — 256 buckets/band, candidate pairs
+    ~N²/256: quadratic with a small constant, the repo's one flagged
+    scale-weak operator. Now: 128-bit signature, 16 chunks, bands =
+    all C(16,2)=120 chunk PAIRS (16-bit buckets). Radius 14/128 is the
+    same RELATIVE radius as the old 7/64 (bit flips scale with
+    signature width — measured twin p95 11, max 14), the pigeonhole
+    guarantee holds (≥2 untouched chunks → some pair band matches),
+    and expected collisions drop to ~120·N²/65536 ≈ N²/546 — the
+    candidate-volume test pins the reduction against the old banding.
     """
     media = multimodal.synthetic_media_from_documents(
         t(spark, sf_dir, "documents")
@@ -7957,7 +7968,8 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below at sf0.1 without it, the transform re-ran per consumer)
     hexed = aug.select("media_id", grams.alias("bytegrams")).persist()
     pairs = dedup.simhash_near_duplicates(
-        hexed, "media_id", "bytegrams", max_hamming=7, chunks=8
+        hexed, "media_id", "bytegrams",
+        max_hamming=14, chunks=16, bits=128, group=2,
     )
     return pairs.withColumn(
         "is_seeded_twin", F.col("id_b") == F.col("id_a") + 1000000

@@ -164,9 +164,10 @@ def test_feature_hashing_matches_python_reference(spark):
 
 def test_multimodal_near_dedup_recovers_seeded_twins(spark, sf_dir):
     """Byte-level SimHash near-dup over binary payloads: ≥95% of the
-    seeded 2-byte-appended twins are recovered at the (hamming<=7,
-    8-band) operating point, and seeded twins are a subset of all
-    reported pairs (organic byte-similar pairs may also appear)."""
+    seeded 2-byte-appended twins are recovered at the (hamming<=14,
+    128-bit, C(16,2) pair-band) operating point, and seeded twins are
+    a subset of all reported pairs (organic byte-similar pairs may
+    also appear)."""
     from dbt_repo_spark.queries import QUERIES, t
 
     rows = QUERIES["multimodal_near_dedup"](spark, sf_dir).collect()
@@ -175,4 +176,58 @@ def test_multimodal_near_dedup_recovers_seeded_twins(spark, sf_dir):
     found = {r["id_a"] for r in rows if r["is_seeded_twin"]}
     assert len(found) >= 0.95 * n_seeded
     for r in rows:
-        assert r["hamming"] <= 7
+        assert r["hamming"] <= 14
+
+
+def test_simhash_pair_banding_cuts_candidate_volume(spark, sf_dir):
+    """r03 verdict scale fix: the 128-bit / C(16,2) pair-band scheme
+    must produce materially fewer DISTINCT candidate pairs than the old
+    64-bit / 8×8-bit single-chunk banding on the same corpus (measured
+    ~3.5× at fixture scale; asymptotically 120·N²/2^16 vs 8·N²/2^8 ≈
+    17×), while guaranteeing DOUBLE the old relative radius. Also pins
+    the pigeonhole precondition as a loud error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators import dedup, multimodal
+    from dbt_repo_spark.queries import t
+
+    media = multimodal.synthetic_media_from_documents(
+        t(spark, sf_dir, "documents")
+    )
+    hx = F.hex("content")
+    grams = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(hx) - 7),
+                       F.lit(4)),
+            lambda i: hx.substr(i, F.lit(8)),
+        ),
+        " ",
+    )
+    hexed = media.select("media_id", grams.alias("bytegrams")).persist()
+
+    def distinct_pairs(bits, chunks, group):
+        sig = dedup._sig_with_words(
+            dedup.simhash_signatures(hexed, "media_id", "bytegrams",
+                                     bits=bits),
+            bits,
+        )
+        return (
+            dedup.simhash_band_candidates(sig, bits, chunks, group)
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    old = distinct_pairs(64, 8, 1)
+    new = distinct_pairs(128, 16, 2)
+    hexed.unpersist()
+    assert new < 0.5 * old, (new, old)
+
+    # radius beyond the pigeonhole guarantee is refused, not silently
+    # incomplete
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(
+            hexed, "media_id", "bytegrams",
+            max_hamming=15, chunks=16, bits=128, group=2,
+        )
