@@ -934,8 +934,13 @@ def semantic_dedup(
     Self-validation: intra-cluster qualifying pairs are a SUBSET of the
     exact all-pairs near-dup set by construction, so pair_recall =
     |intra| / |exact| measures exactly what clustering loses (cross-
-    cluster near-dups). Emitted as a constant column; the exact subtree
-    is fixture-scale audit work you would sample or run offline at 100 TB.
+    cluster near-dups). Emitted as a constant column. The exact side is
+    measured on a SEEDED 50% id sample (both endpoints in-sample → ~25%
+    of pairs audited), the same audit pattern as dedup_minhash_lsh's
+    sampled_pair_recall (r03 verdict: a full-strength quadratic audit
+    merely relocates the cost SemDeDup exists to avoid — at 100 TB the
+    ground-truth side can only ever run on a sample, and the estimator
+    is binomial over the sampled true pairs).
 
     Output: (id, cluster, is_duplicate, pair_recall).
     """
@@ -980,12 +985,16 @@ def semantic_dedup(
         )
     )
     dups = intra.select(F.col("id_b").alias("id")).distinct()
+    in_sample = lambda c: F.pmod(F.xxhash64(F.col(c), F.lit(7)), F.lit(2)) == 0  # noqa: E731
     exact_n = (
-        cosine_pairs(emb, threshold, id_col, vec_col)
+        cosine_pairs(
+            emb.filter(in_sample(id_col)), threshold, id_col, vec_col
+        )
         .agg(F.count("*").alias("__n_exact"))
     )
     recall = (
-        intra.agg(F.count("*").alias("__n_intra"))
+        intra.filter(in_sample("id_a") & in_sample("id_b"))
+        .agg(F.count("*").alias("__n_intra"))
         .crossJoin(F.broadcast(exact_n))
         .select(
             F.when(

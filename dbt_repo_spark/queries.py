@@ -4040,12 +4040,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check by construction (assignment depends on the trained
     codebook), but self-validating: every row carries pair_recall =
-    intra-cluster qualifying pairs / exact all-pairs near-dups — the
-    exact subtree is the fixture-scale audit (floor pinned in
-    test_similarity). Threshold 0.4 matches dedup_embed_cosine's exact
-    twin so the audit set is non-empty on the isotropic fixture
-    embeddings (at the paper's 0.9+ on real embeddings the same plan
-    applies; on isotropic noise no pair reaches it).
+    intra-cluster qualifying pairs / exact near-dups, both sides
+    restricted to a SEEDED 50% id sample (~25% of pairs audited — the
+    sampled-audit pattern proven on dedup_minhash_lsh; r03 verdict: a
+    full-strength quadratic audit just relocates the cost the operator
+    avoids; floor pinned in test_similarity). Threshold 0.4 matches
+    dedup_embed_cosine's exact twin so the audit set is non-empty on
+    the isotropic fixture embeddings (at the paper's 0.9+ on real
+    embeddings the same plan applies; on isotropic noise no pair
+    reaches it).
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(

@@ -1034,7 +1034,12 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, text FROM documents
       UNION ALL SELECT source, text FROM borrowed),
     sigs AS (
-      SELECT DISTINCT source, md5(text) AS sig FROM corpus),
+      -- seeded 50% SIGNATURE sample: the pair join keys on sig
+      -- equality, so sampling the key space keeps every match inside
+      -- the sampled universe (no cross-sample pairs exist to lose) —
+      -- first hex digit < '8' is deterministic in both engines
+      SELECT DISTINCT source, md5(text) AS sig FROM corpus
+      WHERE substr(md5(text), 1, 1) < '8'),
     sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sigs
               GROUP BY source),
     pairs AS (
@@ -1060,7 +1065,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distinct (source, md5) pairs self-join on the 16-byte signature —
     the shuffle key is content-uniform (never the skewed source), the
     self-join reuses one exchange, and the |sources|² pair relation
-    joins broadcast-sized size lookups. Exact-integer Jaccard.
+    joins broadcast-sized size lookups. Exact-integer Jaccard over a
+    seeded 50% SIGNATURE sample (r03 verdict: the full self-join is
+    audit-strength work at 100 TB). Sampling the JOIN KEY space — md5
+    first hex digit < '8', deterministic and engine-independent — keeps
+    every match inside the sampled universe, so per-pair Jaccard is an
+    unbiased content-uniform estimate (test_source_overlap_sampling
+    pins it against the exact matrix on the seeded fixture overlap).
     """
     docs = t(spark, sf_dir, "documents")
     d1 = docs.select("doc_id", "text").filter(F.col("doc_id") % 7 == 0)
@@ -1074,6 +1085,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union+distinct per consumer
     sigs = (
         corpus.select("source", F.md5(F.col("text")).alias("sig"))
+        .filter(F.substring("sig", 1, 1) < "8")
         .distinct()
         .localCheckpoint(eager=True)
     )

