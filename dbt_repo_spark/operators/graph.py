@@ -284,8 +284,8 @@ def triangle_stats(
             .cast("long")
             .alias("n_wedges"),
         )
-        .crossJoin(und.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri)
+        .crossJoin(F.broadcast(und.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))  # both single-row aggregates
     )
     return summary.select(
         "n_nodes",

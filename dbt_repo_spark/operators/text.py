@@ -329,7 +329,7 @@ def bigram_lm_scores(
     )
     per_doc = (
         bg.join(counts, ["w1", "w2"])
-        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vocab))  # single-row vocab-size relation
         .groupBy("id")
         .agg(F.count("*").alias("n_bg"), F.avg(nll).alias("avg_nll"))
     )

@@ -210,10 +210,21 @@ def sessionize_tws(
     Semantics are identical to ``sessionize``; this variant is the
     forward path — state v2 adds TTL, multiple typed state variables and
     schema evolution. It is gated on ``has_tws_deps()`` (the state
-    protocol speaks protobuf, which this container does not ship); the
-    plumbing — processor, schemas, timer discipline — is real and the
-    test runs wherever protobuf exists.
+    protocol speaks protobuf, which this container does not ship): the
+    gate raises HERE, at call time, with a clear message — without it
+    the missing dependency only surfaces deep inside a Python worker
+    once the stream starts. The plumbing — processor, schemas, timer
+    discipline — is real and the scenario test runs wherever protobuf
+    exists; where it doesn't, the test pins this loud failure instead
+    of skipping.
     """
+    if not has_tws_deps():
+        raise RuntimeError(
+            "sessionize_tws needs google.protobuf (the "
+            "transformWithStateInPandas state protocol); install "
+            "protobuf or use sessionize() — identical semantics on the "
+            "applyInPandasWithState API"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
         StatefulProcessor,

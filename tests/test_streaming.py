@@ -382,13 +382,22 @@ def test_sessionize_event_time_timer(spark, tmp_path):
 
 
 def test_sessionize_tws_state_v2(spark, tmp_path):
-    """Spark-4 transformWithStateInPandas twin — runs where protobuf
-    (the state-protocol dependency) is installed."""
+    """Spark-4 transformWithStateInPandas twin. Where protobuf (the
+    state-protocol dependency) is installed, the full sessionize
+    scenario runs; where it isn't, the call-time gate must fail LOUDLY
+    with the remediation in the message (without the gate the missing
+    dependency only surfaces deep inside a Python worker at stream
+    start) — meaningful in both environments, zero skips."""
     from dbt_repo_spark.streaming.stateful import has_tws_deps, sessionize_tws
 
-    if not has_tws_deps():
-        pytest.skip("google.protobuf not installed (tws state protocol)")
-    _run_sessionize_scenario(spark, tmp_path, sessionize_tws)
+    if has_tws_deps():
+        _run_sessionize_scenario(spark, tmp_path, sessionize_tws)
+    else:
+        events = spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+        with pytest.raises(RuntimeError, match="protobuf.*sessionize"):
+            sessionize_tws(events)
 
 
 def test_backpressure_max_files_per_trigger(spark, tmp_path):
