@@ -83,20 +83,20 @@ _NEVER_CHECKED_FIRST = [
 ]
 
 # Changed this round — re-verify right after the never-checked set
-# (r03 verified the previous list green; all nine self-retired and the
-# list was emptied per the r03 verdict). Round-4 rewrites:
-# multimodal_near_dedup (64->128-bit SimHash banding), dedup_semantic
-# (sampled pair_recall audit), source_overlap_matrix (sampled overlap
-# audit). Queries whose latest driver record FAILED are appended
-# automatically.
+# (the r04 list self-retired: all three were driver-checked clean in
+# CORRECTNESS_r04). Round-5 rewrites: safe_cast gained the control-char
+# NULL guard (functions/bq.py — BQ/DuckDB parity fix for the r04
+# Hypothesis drift), which is in the plans of safe_math and
+# typed_null_filter. Queries whose latest driver record FAILED are
+# appended automatically.
 _RECHECK_THIS_ROUND = [
-    "multimodal_near_dedup", "dedup_semantic", "source_overlap_matrix",
+    "safe_math", "typed_null_filter",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 4
+_RECHECK_LISTED_FOR_ROUND = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -95,12 +95,40 @@ def safe_divide(num: ColumnOrName, den: ColumnOrName) -> Column:
     return F.try_divide(_col(num), _col(den))
 
 
+# Control characters that Spark's try_cast silently trims before parsing
+# (UTF8String.trimAll strips Character.isWhitespace + isISOControl: C0,
+# DEL, and C1 ranges) but that DuckDB TRY_CAST and BigQuery SAFE_CAST
+# treat as parse failures: every control char EXCEPT the five standard
+# whitespace chars \t \n \v \f \r (0x09-0x0D), which all three engines
+# trim. Inputs containing any of these yield NULL for non-string targets —
+# that is the documented cross-engine contract (verified by a full C0+C1
+# sweep vs DuckDB; Hypothesis regression in tests/test_shim_properties.py).
+_NON_WS_CONTROL_RE = "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]"
+
+
 def safe_cast(c: ColumnOrName, to_type: str) -> Column:
     """BQ ``safe_cast(x AS t)`` — NULL instead of error on bad input.
 
+    Contract (documented after a Hypothesis-found drift, round 4 verdict):
+    for non-string targets, inputs containing ASCII control characters
+    outside standard whitespace (``\\x00-\\x08``, ``\\x0E-\\x1F``) return
+    NULL, matching DuckDB ``TRY_CAST`` / BQ ``SAFE_CAST``. Bare
+    ``try_cast`` would instead trim them (Spark ``UTF8String.trimAll``)
+    and parse the remainder — e.g. ``'0\\x1f'`` → ``0.0`` in Spark but
+    NULL in DuckDB/BQ. String-family targets keep plain ``try_cast``
+    (identity casts must not NULL control chars).
+
     Reference: models/staging/stg_station_tariffs.sql:20-26.
     """
-    return _col(c).try_cast(to_type)
+    col = _col(c)
+    target = to_type.strip().lower()
+    if target.startswith(("string", "varchar", "char", "binary")):
+        return col.try_cast(to_type)
+    return (
+        F.when(col.cast("string").rlike(_NON_WS_CONTROL_RE), F.lit(None))
+        .otherwise(col)
+        .try_cast(to_type)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -28,13 +28,18 @@ _DEFS = [
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_if(cond BOOLEAN)
        RETURNS BIGINT
        RETURN CASE WHEN cond THEN 1 ELSE 0 END""",
-    # BQ SAFE_CAST to INT64: NULL on unparseable (ANSI CAST would throw)
-    """CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_int64(s STRING)
+    # BQ SAFE_CAST to INT64: NULL on unparseable (ANSI CAST would throw).
+    # Non-whitespace C0 control chars NULL out before the cast so the
+    # semantics match DuckDB TRY_CAST / BQ SAFE_CAST instead of Spark's
+    # wider trimAll (same contract as functions/bq.py::safe_cast).
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_int64(s STRING)
        RETURNS BIGINT
-       RETURN try_cast(s AS BIGINT)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_float64(s STRING)
+       RETURN try_cast(CASE WHEN s RLIKE '[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]'
+                            THEN NULL ELSE s END AS BIGINT)""",
+    r"""CREATE OR REPLACE TEMPORARY FUNCTION bq_safe_cast_float64(s STRING)
        RETURNS DOUBLE
-       RETURN try_cast(s AS DOUBLE)""",
+       RETURN try_cast(CASE WHEN s RLIKE '[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]'
+                            THEN NULL ELSE s END AS DOUBLE)""",
     # BQ JSON_EXTRACT_SCALAR with a $.field path
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_json_extract_scalar(j STRING, path STRING)
        RETURNS STRING

@@ -114,9 +114,14 @@ def test_safe_cast_matches_duckdb_try_cast(spark, batch):
         sd, sn = got[i]
         if want_d is None or sd is None:
             # engines disagree only on exotic spellings ('inf', 'nan',
-            # leading '+') — both must agree on plain numerics
-            stripped = s.strip()
-            is_plain = stripped.replace(".", "", 1).lstrip("-").isdigit()
+            # leading '+') — both must agree on plain numerics. "Plain"
+            # strips ONLY the six whitespace chars both engines trim
+            # (\t\n\v\f\r + space), NOT Python's wider isspace class:
+            # \x1c-\x1f are Python-whitespace but parse failures in
+            # DuckDB/BQ (the documented safe_cast contract, bq.py).
+            stripped = s.strip(" \t\n\r\x0b\x0c")
+            core = stripped.replace(".", "", 1).lstrip("-")
+            is_plain = core.isascii() and core.isdigit()
             if is_plain:
                 assert (sd is None) == (want_d is None), (s, sd, want_d)
         else:
