@@ -559,7 +559,12 @@ def simhash_signatures(
     |tokens| end-to-end instead of bits×|tokens| with a posexplode of
     votes.
     """
-    assert bits % 64 == 0, "signature width must be a multiple of 64"
+    if bits % 64 != 0:
+        # ValueError, not assert: the guard must survive `python -O`
+        # (an invalid width would otherwise fail obscurely in the
+        # salted-hash loop), matching the pigeonhole ValueError in
+        # simhash_near_duplicates.
+        raise ValueError(f"signature width must be a multiple of 64, got {bits}")
     # no fan_out here: the token explode is cheap and the partial aggregate
     # collapses everything map-side — an extra exchange measured SLOWER
     # (1.05s vs 1.45s at sf0.1) than the single-partition partial agg.

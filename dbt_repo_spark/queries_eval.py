@@ -1069,9 +1069,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded 50% SIGNATURE sample (r03 verdict: the full self-join is
     audit-strength work at 100 TB). Sampling the JOIN KEY space — md5
     first hex digit < '8', deterministic and engine-independent — keeps
-    every match inside the sampled universe, so per-pair Jaccard is an
-    unbiased content-uniform estimate (test_source_overlap_sampling
-    pins it against the exact matrix on the seeded fixture overlap).
+    every match inside the sampled universe, so per-pair Jaccard is a
+    consistent content-uniform estimate (a ratio of sampled counts —
+    asymptotically unbiased, not exactly unbiased;
+    test_source_overlap_sampling pins it against the exact matrix on
+    the seeded fixture overlap).
     """
     docs = t(spark, sf_dir, "documents")
     d1 = docs.select("doc_id", "text").filter(F.col("doc_id") % 7 == 0)

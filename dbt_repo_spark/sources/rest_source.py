@@ -180,8 +180,13 @@ class _PagedJsonWriter(DataSourceWriter):
     staged files into the endpoint with sequential page numbers
     (starting after the highest existing page — append semantics);
     ``abort`` deletes the staging dir. A reader never observes a
-    partial page: visibility is the atomic rename at commit, the same
-    contract the reference gets from GCS compose-after-upload."""
+    partial PAGE: visibility is the per-file atomic rename at commit,
+    the same contract the reference gets from GCS
+    compose-after-upload. Whole-BATCH atomicity under a crash mid-way
+    through the rename loop is the streaming writer's job (its
+    two-phase marker pins the page range so a replay overwrites rather
+    than appends); the one-shot batch path surfaces such a crash as a
+    failed job with a partial prefix of pages published."""
 
     def __init__(self, options: dict):
         self.endpoint = options.get("path")
@@ -222,45 +227,113 @@ class _PagedJsonWriter(DataSourceWriter):
 
 
 class _PagedJsonStreamWriter(DataSourceStreamWriter):
-    """Streaming twin of the archive sink: each micro-batch's staged
-    files publish atomically in ``commit(messages, batchId)``. Re-run
-    of a batch after a crash-before-commit re-stages and publishes
-    once. A crash BETWEEN sink commit and the engine's checkpoint
-    commit replays the same batchId — the sink persists the last
-    committed batchId in ``_commits.json`` (tmp + os.replace, updated
-    atomically WITH the page publish ordering: pages first, marker
-    last) and turns the replayed commit into a no-op, so the
-    endpoint-to-archive pipeline (paged_json readStream → paged_json
-    writeStream) is exactly-once end to end — the reference's
-    Pub/Sub→bucket path with the broker replaced by immutable pages."""
+    """Streaming twin of the archive sink, exactly-once under every
+    crash point via a two-phase marker (``_commits.json``):
+
+    1. Before any rename, the commit records an INTENT — the batchId
+       and the first page number of its range — with an atomic
+       tmp + ``os.replace`` marker write.
+    2. Staged files then publish to the PINNED range
+       ``[first_page, first_page + n)``. A crash mid-publish and
+       replay re-enters commit, finds the intent, and republishes the
+       re-staged batch into the SAME range (``os.replace`` overwrites
+       the partial attempt — deterministic replay of the same offset
+       range yields the same rows, hence the same page count), so no
+       page is ever duplicated under a new number.
+    3. The marker is rewritten with ``last_batch_id = batchId``
+       (clearing the intent). A crash between this step and the
+       engine's checkpoint commit replays the batch; the marker turns
+       it into a logged no-op.
+
+    Together the endpoint-to-archive pipeline (paged_json readStream →
+    paged_json writeStream) is exactly-once end to end — the
+    reference's Pub/Sub→bucket path with the broker replaced by
+    immutable pages.
+
+    Marker lifetime: ``_commits.json`` is tied to the CHECKPOINT
+    lifetime (same contract as upstream FileStreamSink's _spark_metadata
+    log). Deleting or resetting the streaming checkpoint while reusing
+    the same archive directory restarts batchIds at 0 and every commit
+    would be skipped as a replay — each skip logs a warning so the
+    misconfiguration is visible; delete the marker together with the
+    checkpoint to start a fresh lineage."""
 
     def __init__(self, options: dict):
         self._batch = _PagedJsonWriter(options)
         self._marker = os.path.join(self._batch.endpoint, "_commits.json")
 
-    def _last_committed(self) -> int:
+    def _state(self) -> dict:
         try:
             with open(self._marker) as fh:
-                return int(json.load(fh)["last_batch_id"])
-        except (OSError, ValueError, KeyError):
-            return -1
+                state = json.load(fh)
+            return {
+                "last_batch_id": int(state["last_batch_id"]),
+                "pending": state.get("pending"),
+            }
+        except (OSError, ValueError, KeyError, TypeError):
+            return {"last_batch_id": -1, "pending": None}
+
+    def _write_marker(self, state: dict) -> None:
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._marker)
 
     def write(self, iterator) -> _PageBatch:
         return self._batch.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        if batchId <= self._last_committed():
+        import logging
+
+        state = self._state()
+        if batchId <= state["last_batch_id"]:
             # Replayed micro-batch (crash after sink commit, before the
             # engine checkpointed): the pages are already published —
-            # publishing again would duplicate rows under new page
-            # numbers. Drop the re-staged files and return.
+            # publishing again would duplicate rows. Drop the re-staged
+            # files and return. Loud, because the OTHER way to land here
+            # is a reset checkpoint pointed at an old archive dir, which
+            # would silently drop every batch.
+            logging.getLogger(__name__).warning(
+                "paged_json sink: skipping already-committed batch %d "
+                "(last committed %d). Expected once after crash "
+                "recovery; if this repeats for every batch, the "
+                "checkpoint was reset while reusing %s — delete "
+                "_commits.json along with the checkpoint.",
+                batchId,
+                state["last_batch_id"],
+                self._batch.endpoint,
+            )
             self._batch.abort(messages)
             return
-        self._batch.commit([m for m in messages if m is not None])
-        tmp = self._marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"last_batch_id": batchId}, fh)
-        os.replace(tmp, self._marker)
+        pending = state["pending"]
+        if pending and int(pending["batch_id"]) == batchId:
+            # Crash mid-publish: reuse the pinned range so the replay
+            # overwrites the partial attempt instead of appending.
+            first = int(pending["first_page"])
+        else:
+            if pending:
+                logging.getLogger(__name__).warning(
+                    "paged_json sink: discarding stale publish intent "
+                    "for batch %s while committing batch %d",
+                    pending.get("batch_id"),
+                    batchId,
+                )
+            existing = _list_pages(self._batch.endpoint)
+            first = (existing[-1] + 1) if existing else 0
+            self._write_marker(
+                {
+                    "last_batch_id": state["last_batch_id"],
+                    "pending": {"batch_id": batchId, "first_page": first},
+                }
+            )
+        staged = [f for m in messages if m is not None for f in m.files]
+        for i, (path, _) in enumerate(staged):
+            os.replace(
+                path,
+                os.path.join(self._batch.endpoint, f"page-{first + i}.json"),
+            )
+        self._write_marker({"last_batch_id": batchId, "pending": None})
+        self._batch._cleanup()
 
     def abort(self, messages, batchId: int) -> None:
         self._batch.abort(messages)

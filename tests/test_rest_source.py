@@ -234,3 +234,61 @@ def test_stream_commit_replay_is_noop(tmp_path):
     w2.commit(stage(['{"n": 2}']), batchId=1)
     pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
     assert pages == [f"page-{n}.json" for n in range(3)]
+
+
+def test_stream_commit_crash_mid_publish_republishes_same_range(tmp_path):
+    """ADVICE r04: a crash AFTER some page renames but BEFORE the
+    committed-batch marker update must not duplicate rows on replay.
+    The sink records a publish INTENT (batchId, first_page) before any
+    rename, so the replayed commit republishes the re-staged batch
+    into the SAME page range, overwriting the partial attempt."""
+    import json as _json
+
+    from dbt_repo_spark.sources.rest_source import (
+        _PageBatch,
+        _PagedJsonStreamWriter,
+    )
+
+    dst = tmp_path / "archive"
+    dst.mkdir()
+
+    def stage(payloads):
+        staging = dst / "_staging"
+        staging.mkdir(exist_ok=True)
+        files = []
+        for i, p in enumerate(payloads):
+            f = staging / f"t{i}.json"
+            f.write_text(p)
+            files.append((str(f), 1))
+        return [_PageBatch(files=files)]
+
+    # batch 0 commits normally
+    w = _PagedJsonStreamWriter({"path": str(dst)})
+    w.commit(stage(['{"n": 0}']), batchId=0)
+
+    # batch 1 crashes mid-publish: simulate by writing the intent and
+    # ONE of its two pages, exactly the on-disk state commit() leaves
+    # if the process dies between the first and second os.replace
+    marker = dst / "_commits.json"
+    marker.write_text(
+        _json.dumps(
+            {"last_batch_id": 0, "pending": {"batch_id": 1, "first_page": 1}}
+        )
+    )
+    (dst / "page-1.json").write_text('{"n": 1, "attempt": "partial"}')
+
+    # replay of batch 1 (fresh writer, as after restart): same rows
+    # re-staged; must land on pages 1-2, overwriting the partial page,
+    # NOT append as pages 3-4
+    w2 = _PagedJsonStreamWriter({"path": str(dst)})
+    w2.commit(stage(['{"n": 1}', '{"n": 2}']), batchId=1)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json", "page-2.json"]
+    assert (dst / "page-1.json").read_text() == '{"n": 1}'  # partial overwritten
+    state = _json.loads(marker.read_text())
+    assert state == {"last_batch_id": 1, "pending": None}
+
+    # and the replay-after-full-commit path still no-ops with the new state shape
+    w2.commit(stage(['{"n": 1}', '{"n": 2}']), batchId=1)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json", "page-2.json"]
