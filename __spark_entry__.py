@@ -145,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 21 keys absent here (MinHash/SimHash signatures, the approximate
+    The 22 keys absent here (MinHash/SimHash signatures, the approximate
     ANN family, SemDeDup, the sketch rollups, multimodal decode, BPE,
     the k-core fixed point) are non-SQL-expressible — seeded xxhash64,
     approximate recall by construction, mapInPandas codecs, iterative

@@ -551,35 +551,77 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets + exact verification.
+    """Embedding-cosine near-dup pairs via sign-LSH + exact verification.
 
-    Pairs in the same sign-LSH bucket with cosine ≥ threshold. (High-cosine
-    pairs land in the same bucket with probability (1 - θ/π)^n_planes;
-    multi-probe or repeated tables raise recall — this single-table variant
-    is the demonstration of the plan shape.)
+    ``bands=None`` (legacy single-table shape): pairs sharing the FULL
+    n_planes-bit bucket — same-bucket probability for a true pair is
+    (1 − θ/π)^n_planes, fine for very high thresholds only.
+
+    ``bands=b`` (the scale path, minhash-style OR-of-ANDs): the
+    signature splits into b bands of r = n_planes/b bits; a pair is a
+    candidate if ANY band matches, recall 1 − (1 − p^r)^b with
+    p = 1 − θ/π — e.g. τ = 0.4 (p ≈ 0.63), 8 planes × 4 bands gives
+    ~0.87 recall where the single-bucket table retrieves ~2%.
+    Candidates dedup on (id_a, id_b) BEFORE the exact-cosine verify so
+    a pair agreeing in several bands is scored once, and the verify
+    re-joins vectors by id instead of carrying 2×dim doubles through
+    the distinct. Each bit expression appears exactly once in the band
+    array so Catalyst's projection collapse can't multiply the dot
+    products (the HOF-duplication gotcha).
     """
+    if bands is not None and n_planes % bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
     planes = [_hyperplane(j, dim) for j in range(n_planes)]
-
-    def bucket_key(v: Column) -> Column:
-        bits = [
-            F.when(dot(v, F.array(*[F.lit(c) for c in planes[j]])) >= 0, "1").otherwise("0")
-            for j in range(n_planes)
-        ]
-        return F.concat(*bits)
-
     base = _normalized(emb, "id", "v", id_col, vec_col)
-    bucketed = base.withColumn("bucket", bucket_key(F.col("v")))
-    return (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
+    bits = [
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(c) for c in planes[j]])) >= 0, "1"
+        ).otherwise("0")
+        for j in range(n_planes)
+    ]
+
+    def verify(with_vecs: DataFrame) -> DataFrame:
+        return (
+            with_vecs.withColumn("score", dot(F.col("va"), F.col("vb")))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", F.round("score", 6).alias("score"))
+        )
+
+    if bands is None:
+        bucketed = base.withColumn("bucket", F.concat(*bits))
+        return verify(
+            bucketed.alias("a")
+            .join(bucketed.alias("b"), "bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+        )
+    r = n_planes // bands
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"{bi}:"), *bits[bi * r : (bi + 1) * r])
+            for bi in range(bands)
+        ]
+    )
+    keyed = base.select("id", F.explode(band_keys).alias("bkey"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bkey")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("score", dot(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("score") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("score", 6).alias("score"),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify(
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(
+            base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
         )
     )
 

@@ -1257,6 +1257,62 @@ def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
+@q(
+    "embed_near_dup_pairs",
+    """
+    WITH px AS (SELECT j, d, (j*1000003 + d*7919 + 12345) & 4294967295 AS x0
+                FROM range(8) t(j), range(64) t2(d)),
+         p1 AS (SELECT j, d, xor(x0, (x0 << 13) & 4294967295) AS x1 FROM px),
+         p2 AS (SELECT j, d, xor(x1, x1 >> 17) AS x2 FROM p1),
+         p3 AS (SELECT j, d,
+                       CAST(xor(x2, (x2 << 5) & 4294967295) AS DOUBLE)
+                       / 4294967296.0 - 0.5 AS w
+                FROM p2),
+         pl AS (SELECT j, list(w ORDER BY d) AS pw FROM p3 GROUP BY j),
+         e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e  AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+         bits AS (SELECT e.vec_id, p.j,
+                         CASE WHEN list_dot_product(e.v, p.pw) >= 0
+                              THEN '1' ELSE '0' END AS bit
+                  FROM e CROSS JOIN pl p),
+         keys AS (SELECT vec_id, j // 2 AS band,
+                         string_agg(bit, '' ORDER BY j) AS bkey
+                  FROM bits GROUP BY vec_id, j // 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM keys a JOIN keys b
+                    ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.vec_id < b.vec_id),
+         scored AS (SELECT c.id_a, c.id_b,
+                           list_dot_product(ea.v, eb.v) AS raw
+                    FROM cand c
+                    JOIN e ea ON ea.vec_id = c.id_a
+                    JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, round(raw, 6) AS score FROM scored WHERE raw >= 0.4
+    """,
+)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on the banded sign-LSH scale path
+    (similarity.py::embedding_near_duplicates, bands=4) with a FULL
+    DuckDB oracle — deterministic end to end, because the hyperplanes
+    are a pure xorshift32 mix of (plane, dim) (similarity.py::
+    _hyperplane) that the oracle reproduces bit-exactly in SQL
+    (verified: 512/512 plane components identical), and both engines
+    fold the dot products sequentially over doubles. 8 planes × 4
+    bands: a τ=0.4 pair (p = 1−θ/π ≈ 0.63 per plane) matches ≥1 band
+    with ~0.87 probability vs ~2% for the full-signature bucket; the
+    shuffle is O(vectors × bands) band keys, never all pairs.
+
+    LLM-pipeline role: the embedding near-dup leg of dedup (SemDeDup's
+    exact-threshold sibling) — reference has no ANN surface; this is
+    SURVEY.md §2's training-data extension family.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.4, n_planes=8, bands=4
+    )
+
+
 @q("embed_pq_topk")  # approximate recall by construction → rows-only check
 def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.py::pq_topk): m-byte

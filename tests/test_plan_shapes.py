@@ -201,6 +201,9 @@ EXCHANGE_BUDGETS = {
     "source_overlap_matrix": 7,
     "ab_test_power_plan": 2,
     "conversion_wilson_ci": 3,
+    # banded sign-LSH near-dup: band-key self-join + pair distinct +
+    # two verify joins (broadcast at fixture scale) — never all pairs
+    "embed_near_dup_pairs": 8,
     "survival_repeat_purchase": 6,
     "geo_fence_containment": 0,
     "geo_multi_fence_assign": 2,

@@ -66,6 +66,42 @@ def test_embedding_near_duplicates_subset_of_exact(spark):
     assert lsh <= exact
 
 
+def test_embedding_near_duplicates_banded_recall(spark):
+    """The banded variant (OR-of-ANDs over 4 bands x 2 planes) is still a
+    subset of exact pairs but recovers a usable fraction of them — the
+    single-bucket table at the same 8 planes retrieves almost nothing at
+    tau=0.4. Floor set at half the 1-(1-p^r)^b ~ 0.87 expectation to stay
+    seed-robust."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b) for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, n_planes=8, bands=4
+        ).collect()
+    }
+    assert banded <= exact
+    assert len(banded) / len(exact) >= 0.45
+    single = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, n_planes=8
+        ).collect()
+    }
+    assert len(single) <= len(banded)  # banding only widens candidate cover
+
+
+def test_embedding_near_duplicates_rejects_bad_bands():
+    import pytest as _pytest
+
+    from dbt_repo_spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.embedding_near_duplicates(None, 0.4, n_planes=8, bands=3)
+
+
 def test_incremental_minhash_equals_full_run_restriction(spark, sf_dir):
     """The incremental tick must find exactly the full-corpus pairs that
     touch the batch (same threshold/banding) — no more, no fewer."""
