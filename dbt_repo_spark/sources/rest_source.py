@@ -117,7 +117,11 @@ class _PagedJsonStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         pages = [p for p in _list_pages(self.endpoint) if p >= start["next_page"]]
         if not pages:
-            return [], start
+            # empty tick: MUST be an iterator, not a list — the simple-
+            # stream wrapper validates no-advance batches with next(it),
+            # so a quiet endpoint under a running trigger would crash
+            # the query with `'list' object is not an iterator`
+            return iter(()), start
         end = {"next_page": pages[-1] + 1}
         # materialized list, not a generator: the simple-stream wrapper
         # PICKLES the prefetched batch into its block cache. This is the

@@ -1,0 +1,183 @@
+"""Kafka-wire-format source twin (sources/kafka_mirror.py): the broker
+shape of the reference's realtime path
+(`realtime_pubsub_to_spark.py:99-115`) with Kafka's exact source schema
+and per-partition offset semantics, over immutable JSONL segments."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.sources.kafka_mirror import KAFKA_SCHEMA, register
+
+
+def _write_segment(root, topic, partition, name, records):
+    pdir = root / topic / f"p{partition}"
+    pdir.mkdir(parents=True, exist_ok=True)
+    (pdir / name).write_text(
+        "\n".join(json.dumps(r) for r in records) + "\n"
+    )
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    for part in (0, 1):
+        _write_segment(
+            tmp_path,
+            "station_status",
+            part,
+            "segment-000.jsonl",
+            [
+                {
+                    "key": f"st-{part}-{i}",
+                    "value": json.dumps({"station_id": f"st-{part}-{i}", "bikes": i}),
+                    "timestamp_ms": 1_700_000_000_000 + i * 1000,
+                    "headers": {"source": "gbfs"},
+                }
+                for i in range(4)
+            ],
+        )
+    _write_segment(
+        tmp_path,
+        "other_topic",
+        0,
+        "segment-000.jsonl",
+        [{"key": None, "value": "x", "timestamp_ms": 1_700_000_000_000, "headers": {}}],
+    )
+    return tmp_path
+
+
+def test_batch_read_kafka_wire_schema(spark, broker):
+    register(spark)
+    df = spark.read.format("kafka_mirror").option("path", str(broker)).load()
+    # EXACT Kafka source schema — the downstream-compatibility contract
+    assert df.schema.simpleString() == (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int,"
+        "headers:array<struct<key:string,value:binary>>>"
+    )
+    rows = df.collect()
+    assert len(rows) == 9
+    r = next(
+        x for x in rows if x.topic == "station_status" and x.partition == 1 and x.offset == 2
+    )
+    assert bytes(r.key) == b"st-1-2"
+    assert json.loads(bytes(r.value))["bikes"] == 2
+    assert r.timestampType == 0
+    assert [(h.key, bytes(h.value)) for h in r.headers] == [("source", b"gbfs")]
+    # null keys allowed (unkeyed producers)
+    assert next(x for x in rows if x.topic == "other_topic").key is None
+
+
+def test_subscribe_filters_topic_and_partitions_parallelize(spark, broker):
+    register(spark)
+    df = (
+        spark.read.format("kafka_mirror")
+        .option("path", str(broker))
+        .option("subscribe", "station_status")
+        .load()
+    )
+    rows = df.collect()
+    assert {r.topic for r in rows} == {"station_status"}
+    assert len(rows) == 8
+    # one input partition per topic-partition (consumer-group contract)
+    nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 2
+    # offsets are dense per partition
+    for part in (0, 1):
+        offs = sorted(r.offset for r in rows if r.partition == part)
+        assert offs == [0, 1, 2, 3]
+
+
+def test_canonical_kafka_pipeline_runs_unchanged(spark, broker):
+    """CAST(value AS STRING) -> from_json -> flatten: the exact stage
+    sequence the reference applies to broker payloads
+    (realtime_pubsub_to_spark.py::clean_data), byte-for-byte."""
+    register(spark)
+    df = (
+        spark.read.format("kafka_mirror")
+        .option("path", str(broker))
+        .option("subscribe", "station_status")
+        .load()
+    )
+    parsed = (
+        df.selectExpr("CAST(value AS STRING) AS json_payload", "timestamp")
+        .select(
+            F.from_json(
+                "json_payload", "struct<station_id: string, bikes: int>"
+            ).alias("j"),
+            "timestamp",
+        )
+        .select("j.station_id", "j.bikes", "timestamp")
+    )
+    rows = parsed.collect()
+    assert len(rows) == 8
+    assert {r.station_id for r in rows if r.bikes == 3} == {"st-0-3", "st-1-3"}
+
+
+def _drain(spark, root, out_dir, ckpt):
+    register(spark)
+    q = (
+        spark.readStream.format("kafka_mirror")
+        .option("path", str(root))
+        .option("subscribe", "events")
+        .load()
+        .selectExpr(
+            "CAST(key AS STRING) AS k",
+            "CAST(value AS STRING) AS v",
+            "partition",
+            "offset",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_offsets_resume_per_partition(spark, tmp_path):
+    """Committed offsets are per topic-partition: a restarted stream
+    picks up only appended records, even when partitions grow unevenly."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    recs = lambda lo, hi, p: [
+        {
+            "key": f"k{p}",
+            "value": f"v{p}-{i}",
+            "timestamp_ms": 1_700_000_000_000 + i,
+            "headers": {},
+        }
+        for i in range(lo, hi)
+    ]
+    _write_segment(tmp_path, "events", 0, "segment-000.jsonl", recs(0, 3, 0))
+    _write_segment(tmp_path, "events", 1, "segment-000.jsonl", recs(0, 2, 1))
+    _drain(spark, tmp_path, out, ckpt)
+    assert spark.read.parquet(out).count() == 5
+
+    # partition 0 grows by a new segment, partition 1 is quiet
+    _write_segment(tmp_path, "events", 0, "segment-001.jsonl", recs(3, 6, 0))
+    _drain(spark, tmp_path, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8  # 5 + 3 appended — no duplicates, no gaps
+    assert sorted(r.offset for r in rows if r.k == "k0") == [0, 1, 2, 3, 4, 5]
+    assert sorted(r.offset for r in rows if r.k == "k1") == [0, 1]
+    assert {r.v for r in rows if r.k == "k0"} == {f"v0-{i}" for i in range(6)}
+
+
+def test_stream_empty_tick_keeps_offsets(spark, tmp_path):
+    """A drain with no new data is a clean no-op (offset map must not
+    regress or re-serve)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_segment(
+        tmp_path,
+        "events",
+        0,
+        "segment-000.jsonl",
+        [{"key": "a", "value": "1", "timestamp_ms": 1, "headers": {}}],
+    )
+    _drain(spark, tmp_path, out, ckpt)
+    _drain(spark, tmp_path, out, ckpt)  # nothing new
+    assert spark.read.parquet(out).count() == 1

@@ -292,3 +292,17 @@ def test_stream_commit_crash_mid_publish_republishes_same_range(tmp_path):
     w2.commit(stage(['{"n": 1}', '{"n": 2}']), batchId=1)
     pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
     assert pages == ["page-0.json", "page-1.json", "page-2.json"]
+
+
+def test_streaming_empty_tick_does_not_crash(spark, tmp_path):
+    """A drain over an endpoint with NO new pages must be a clean no-op:
+    the simple-stream wrapper validates no-advance batches with
+    next(it), so read() must return an iterator (not a list) on the
+    empty tick."""
+    endpoint = tmp_path / "api"
+    endpoint.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (endpoint / "page-0.json").write_text('{"n": 0}')
+    _drain(spark, str(endpoint), out, ckpt)
+    _drain(spark, str(endpoint), out, ckpt)  # nothing new — empty tick
+    assert spark.read.parquet(out).count() == 1
