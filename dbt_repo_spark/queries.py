@@ -2520,6 +2520,70 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "kafka_roundtrip_dedup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events WHERE event_id % 17 = 0
+    GROUP BY event_type
+    """,
+)
+def kafka_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker round trip through the Kafka-wire-format source
+    (sources/kafka_mirror.py): events slice → JSONL segments with
+    every record produced TWICE (at-least-once bus) → kafka_mirror
+    batch scan (one task per topic-partition) → the reference's
+    canonical parse (CAST(value AS STRING) → from_json,
+    `realtime_pubsub_to_spark.py:116-130`) → event_id dedup → typed
+    aggregate. The DuckDB oracle computes the same aggregate from the
+    RAW events table, so a full rows+schema+hash match proves the
+    source serves exactly the produced records (offsets dense, no
+    partition dropped), the wire parse corrupts nothing, and the dedup
+    collapses the double delivery — the S4/ST2 contract with driver
+    evidence, not just unit tests.
+
+    Fixture economics match the PQ codebooks: built once per corpus
+    into the package fixture store (fingerprinted, atomic publish),
+    pure directory read afterwards. Integer-only JSON fields (cents,
+    epoch micros) — no float text anywhere in the round trip.
+    """
+    from dbt_repo_spark.sources import kafka_mirror
+
+    root = kafka_mirror.build_events_fixture(sf_dir)
+    kafka_mirror.register(spark)
+    raw = (
+        spark.read.format("kafka_mirror")
+        .option("path", root)
+        .option("subscribe", "events")
+        .load()
+    )
+    parsed = (
+        raw.selectExpr("CAST(value AS STRING) AS json_payload")
+        .select(
+            F.from_json(
+                "json_payload",
+                "struct<event_id: long, user_id: long, event_type: string, "
+                "cents: long, ts_us: long>",
+            ).alias("j")
+        )
+        .select("j.*")
+    )
+    return (
+        parsed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )
+
+
 @q("multimodal_resize")  # mapInPandas resize stub → rows-only check
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched resize: shrink blobs BEFORE any shuffle so downstream

@@ -228,3 +228,98 @@ class KafkaMirrorDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(KafkaMirrorDataSource)
+
+
+def build_events_fixture(
+    sf_dir: str, modulus: int = 17, n_partitions: int = 4
+) -> str:
+    """Deterministic broker fixture from the events table (idempotent).
+
+    Materializes the slice ``event_id % modulus == 0`` of
+    ``<sf_dir>/events.parquet`` as kafka_mirror segments under the
+    package fixture store (same economics as the PQ codebook artifacts:
+    built once per corpus, every later call — fresh processes included —
+    is a pure directory read). Layout: topic ``events``, partition =
+    ``user_id % n_partitions``, offsets ordered by event_id; every
+    record is written TWICE (byte-identical, segment-000 and
+    segment-001) to model an at-least-once bus, so a consumer must
+    dedupe on event_id to recover exactly-once semantics.
+
+    Values are JSON with integer-only fields (cents, epoch micros) —
+    no float text round-trips anywhere in the path. A fingerprint file
+    (slice count + event_id sum) detects regenerated source data and
+    rebuilds; the build stages into a temp dir and publishes with one
+    atomic rename so concurrent callers never see a partial fixture.
+    """
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+    root = os.path.join(store, f"kafka_{sf_base}_m{modulus}p{n_partitions}")
+    con = duckdb.connect()
+    n, id_sum = con.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(event_id), 0) "
+        f"FROM '{sf_dir}/events.parquet' WHERE event_id % {modulus} = 0"
+    ).fetchone()
+    fingerprint = f"{n}:{id_sum}"
+    fp_file = os.path.join(root, "_fingerprint.txt")
+    try:
+        with open(fp_file) as fh:
+            if fh.read() == fingerprint:
+                return root
+    except OSError:
+        pass
+    rows = con.execute(
+        f"""
+        SELECT user_id % {n_partitions} AS part, event_id, user_id,
+               event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS ts_us, epoch_ms(ts) AS ts_ms
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_id % {modulus} = 0
+        ORDER BY part, event_id
+        """
+    ).fetchall()
+    con.close()
+    os.makedirs(store, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=store, prefix="_build_")
+    try:
+        by_part: dict[int, list[str]] = {p: [] for p in range(n_partitions)}
+        for part, event_id, user_id, event_type, cents, ts_us, ts_ms in rows:
+            by_part[int(part)].append(
+                json.dumps(
+                    {
+                        "key": str(user_id),
+                        "value": json.dumps(
+                            {
+                                "event_id": event_id,
+                                "user_id": user_id,
+                                "event_type": event_type,
+                                "cents": cents,
+                                "ts_us": ts_us,
+                            },
+                            sort_keys=True,
+                        ),
+                        "timestamp_ms": int(ts_ms),
+                        "headers": {"origin": sf_base},
+                    },
+                    sort_keys=True,
+                )
+            )
+        for part, lines in by_part.items():
+            pdir = os.path.join(tmp, "events", f"p{part}")
+            os.makedirs(pdir)
+            body = "\n".join(lines) + ("\n" if lines else "")
+            for seg in ("segment-000.jsonl", "segment-001.jsonl"):
+                with open(os.path.join(pdir, seg), "w") as fh:
+                    fh.write(body)  # redelivery: byte-identical copy
+        with open(os.path.join(tmp, "_fingerprint.txt"), "w") as fh:
+            fh.write(fingerprint)
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(tmp, root)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return root

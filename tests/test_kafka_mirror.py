@@ -181,3 +181,29 @@ def test_stream_empty_tick_keeps_offsets(spark, tmp_path):
     _drain(spark, tmp_path, out, ckpt)
     _drain(spark, tmp_path, out, ckpt)  # nothing new
     assert spark.read.parquet(out).count() == 1
+
+
+def test_events_fixture_idempotent_and_fingerprinted(spark):
+    """The broker fixture builds once per corpus, is a pure read after,
+    rebuilds on fingerprint drift, and carries the double delivery."""
+    import os
+
+    from dbt_repo_spark.sources.kafka_mirror import build_events_fixture
+
+    root = build_events_fixture("/root/testdata/sf0.001")
+    seg = os.path.join(root, "events", "p0", "segment-000.jsonl")
+    mtime = os.path.getmtime(seg)
+    assert build_events_fixture("/root/testdata/sf0.001") == root
+    assert os.path.getmtime(seg) == mtime  # second call did not rebuild
+
+    # redelivery contract: segment-001 is byte-identical to segment-000
+    with open(seg) as a, open(seg.replace("-000", "-001")) as b:
+        assert a.read() == b.read()
+
+    # fingerprint drift forces a rebuild
+    fp = os.path.join(root, "_fingerprint.txt")
+    with open(fp, "w") as fh:
+        fh.write("stale")
+    assert build_events_fixture("/root/testdata/sf0.001") == root
+    with open(fp) as fh:
+        assert fh.read() != "stale"
