@@ -190,6 +190,9 @@ HEADLINE = [
     # driver floor + 2x gate — it was the most expensive registry entry
     # before the redesign (10.8s -> 6.8s self-measured).
     "multimodal_near_dedup",
+    # round-5 addition: banded sign-LSH embedding near-dup (the
+    # fully-oracle-checked approximate pair generator)
+    "embed_near_dup_pairs",
 ]
 
 RUNS = 3
