@@ -72,15 +72,11 @@ def _check_history() -> tuple[dict[str, int], set[str]]:
     return latest, failed
 
 
-# Never checked: lead the window with the TPC-H-shape rewrites (materially
-# rewritten in r02, only local-oracle evidence so far), then the rest.
-_NEVER_CHECKED_FIRST = [
-    "promo_revenue_share", "customer_order_distribution",
-    "top_revenue_supplier", "important_parts_share",
-    "min_price_supplier_per_part", "nation_pair_trade",
-    "national_market_share", "product_profit_by_nation_year",
-    "disjunctive_predicate_revenue", "idle_customer_outreach",
-]
+# Hand-ordered head of the never-checked set. The round-2 TPC-H list
+# retired (all ten driver-checked green in CORRECTNESS_r03); empty now —
+# never-checked entries order by registry index, which already puts the
+# 39-query round-3 backlog ahead of this round's additions.
+_NEVER_CHECKED_FIRST: list[str] = []
 
 # Changed this round — re-verify right after the never-checked set
 # (the r04 list self-retired: all three were driver-checked clean in
