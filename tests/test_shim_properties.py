@@ -10,6 +10,7 @@ lists) to keep runtime sane.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import duckdb
 from hypothesis import given, settings, strategies as st
@@ -24,7 +25,13 @@ from dbt_repo_spark.functions import (
     timestamp_trunc,
 )
 
-SETTINGS = dict(max_examples=5, deadline=None)
+# 5 examples in CI keeps the suite fast; SHIM_FUZZ_EXAMPLES=200 runs the
+# deep adversarial sweep (used before each round's judging to surface
+# dialect drift early — that is how the r04 safe_cast control-char
+# divergence was found).
+SETTINGS = dict(
+    max_examples=int(os.environ.get("SHIM_FUZZ_EXAMPLES", "5")), deadline=None
+)
 
 dates = st.dates(min_value=dt.date(1970, 1, 1), max_value=dt.date(2100, 12, 31))
 timestamps = st.datetimes(
