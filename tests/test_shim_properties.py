@@ -199,3 +199,99 @@ def test_approx_percentile_within_documented_error(spark):
         F.expr(f"percentile(value, {0.9 + eps})"),
     ).first()
     assert lo <= row.approx <= hi, (row.approx, lo, hi, row.exact)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "name": st.text(
+                    alphabet=st.characters(
+                        codec="utf-8",
+                        exclude_categories=("Cc", "Cs"),
+                        exclude_characters='"\\',
+                    ),
+                    max_size=12,
+                ),
+                "n": st.integers(-(2**40), 2**40),
+                "flag": st.booleans(),
+                "nested": st.fixed_dictionaries(
+                    {"inner": st.integers(0, 99)}
+                ),
+            }
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_json_extract_scalar_matches_duckdb(spark, batch):
+    """get_json_object vs DuckDB json_extract_string on generated
+    payloads: string unescaping, integer text, booleans, nested paths,
+    and missing paths must agree. Values are restricted to ints/bools/
+    strings because float TEXT rendering legitimately differs between
+    engines (not a shim concern — numeric comparisons go through
+    safe_cast)."""
+    import json as _json
+
+    from dbt_repo_spark.functions import json_extract_scalar
+
+    payloads = [_json.dumps(d, sort_keys=True) for d in batch]
+    df = spark.createDataFrame(
+        [Row(i=i, j=p) for i, p in enumerate(payloads)]
+    )
+    got = {
+        r.i: (r.name, r.n, r.flag, r.inner, r.missing)
+        for r in df.select(
+            "i",
+            json_extract_scalar("j", "$.name").alias("name"),
+            json_extract_scalar("j", "$.n").alias("n"),
+            json_extract_scalar("j", "$.flag").alias("flag"),
+            json_extract_scalar("j", "$.nested.inner").alias("inner"),
+            json_extract_scalar("j", "$.absent").alias("missing"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, p in enumerate(payloads):
+        want = con.execute(
+            "SELECT json_extract_string(?::JSON, '$.name'),"
+            "       json_extract_string(?::JSON, '$.n'),"
+            "       json_extract_string(?::JSON, '$.flag'),"
+            "       json_extract_string(?::JSON, '$.nested.inner'),"
+            "       json_extract_string(?::JSON, '$.absent')",
+            [p] * 5,
+        ).fetchone()
+        assert got[i] == want, (p, got[i], want)
+    con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**50), 2**50), st.integers(-(2**20), 2**20)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_safe_divide_matches_duckdb_integer_exact(spark, batch):
+    """safe_divide (try_divide) vs DuckDB's NULL-on-zero division on
+    integer inputs cast to double: quotients of ints up to 2^50 are
+    exactly representable comparisons after one rounding each side —
+    identical IEEE ops, identical results; denominator 0 must be NULL,
+    never an error (ANSI mode is ON in the driver session)."""
+    from dbt_repo_spark.functions import safe_divide
+
+    df = spark.createDataFrame(
+        [Row(i=i, a=float(a), b=float(b)) for i, (a, b) in enumerate(batch)]
+    )
+    got = {r.i: r.q for r in df.select("i", safe_divide("a", "b").alias("q")).collect()}
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(batch):
+        want = con.execute(
+            "SELECT CASE WHEN ? = 0 THEN NULL ELSE ?::DOUBLE / ?::DOUBLE END",
+            [b, a, b],
+        ).fetchone()[0]
+        assert got[i] == want, (a, b, got[i], want)
+    con.close()
