@@ -207,3 +207,62 @@ def test_events_fixture_idempotent_and_fingerprinted(spark):
     assert build_events_fixture("/root/testdata/sf0.001") == root
     with open(fp) as fh:
         assert fh.read() != "stale"
+
+
+def test_reference_realtime_dag_over_kafka_shape(spark, tmp_path):
+    """The reference's ENTIRE realtime DAG (broker -> CAST(value AS
+    STRING) -> from_json -> explode -> flatten -> watermark ->
+    dropDuplicates -> foreachBatch partitioned sink,
+    realtime_pubsub_to_spark.py:99-186) over the Kafka wire shape, with
+    at-least-once redelivery (same payload, two broker offsets)
+    collapsed to exactly one row per (station_id, report_time)."""
+    from dbt_repo_spark.streaming import parse_status_stream
+    from dbt_repo_spark.streaming.ingest import partitioned_sink
+
+    payload = json.dumps(
+        {
+            "last_updated": 1_700_000_000,
+            "ttl": 60,
+            "version": "2.3",
+            "data": {
+                "stations": [
+                    {
+                        "station_id": f"st-{i}",
+                        "num_bikes_available": i,
+                        "num_docks_available": 20 - i,
+                        "is_installed": True,
+                        "is_renting": True,
+                        "is_returning": True,
+                        "last_reported": 1_700_000_000 - i,
+                    }
+                    for i in range(3)
+                ]
+            },
+        }
+    )
+    rec = {"key": "feed", "value": payload, "timestamp_ms": 1_700_000_000_000, "headers": {}}
+    # redelivered: same payload at two offsets (at-least-once producer)
+    _write_segment(tmp_path, "status", 0, "segment-000.jsonl", [rec, rec])
+
+    register(spark)
+    raw = (
+        spark.readStream.format("kafka_mirror")
+        .option("path", str(tmp_path))
+        .option("subscribe", "status")
+        .load()
+    )
+    payloads = raw.selectExpr("CAST(value AS STRING) AS payload")
+    cleaned = parse_status_stream(payloads)
+    out = str(tmp_path / "wh")
+    q = (
+        cleaned.writeStream.foreachBatch(partitioned_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) == 3  # dedup collapsed the redelivery
+    r = next(x for x in rows if x.station_id == "st-2")
+    assert r.bikes_available == 2 and r.docks_available == 18
