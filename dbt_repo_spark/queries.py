@@ -1313,6 +1313,67 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "embed_near_dup_clusters",
+    """
+    WITH RECURSIVE
+         px AS (SELECT j, d, (j*1000003 + d*7919 + 12345) & 4294967295 AS x0
+                FROM range(8) t(j), range(64) t2(d)),
+         p1 AS (SELECT j, d, xor(x0, (x0 << 13) & 4294967295) AS x1 FROM px),
+         p2 AS (SELECT j, d, xor(x1, x1 >> 17) AS x2 FROM p1),
+         p3 AS (SELECT j, d,
+                       CAST(xor(x2, (x2 << 5) & 4294967295) AS DOUBLE)
+                       / 4294967296.0 - 0.5 AS w
+                FROM p2),
+         pl AS (SELECT j, list(w ORDER BY d) AS pw FROM p3 GROUP BY j),
+         e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e  AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+         bits AS (SELECT e.vec_id, p.j,
+                         CASE WHEN list_dot_product(e.v, p.pw) >= 0
+                              THEN '1' ELSE '0' END AS bit
+                  FROM e CROSS JOIN pl p),
+         keys AS (SELECT vec_id, j // 2 AS band,
+                         string_agg(bit, '' ORDER BY j) AS bkey
+                  FROM bits GROUP BY vec_id, j // 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM keys a JOIN keys b
+                    ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.vec_id < b.vec_id),
+         edges AS (SELECT c.id_a, c.id_b
+                   FROM cand c
+                   JOIN e ea ON ea.vec_id = c.id_a
+                   JOIN e eb ON eb.vec_id = c.id_b
+                   WHERE list_dot_product(ea.v, eb.v) >= 0.4),
+         bidir AS (SELECT id_a AS src, id_b AS dst FROM edges
+                   UNION SELECT id_b, id_a FROM edges),
+         cc(node, label) AS (
+           SELECT src, src FROM bidir
+           UNION
+           SELECT b.dst, cc.label FROM cc JOIN bidir b ON b.src = cc.node
+         )
+    SELECT node AS vec_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM cc GROUP BY node
+    """,
+)
+def embed_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete embedding-dedup workflow with a FULL oracle: banded
+    sign-LSH pair generation (embed_near_dup_pairs) → pointer-jumping
+    connected components → min-id canonical flag (keep rows where
+    is_canonical = the SemDeDup-style drop decision at an exact cosine
+    threshold). Oracle = the identical chain as one recursive SQL
+    statement over the bit-exact xorshift hyperplanes — detection,
+    closure, and survivorship all hash-checked end to end. The corpus
+    shuffles are the band-key join and O(E · log D) pointer-jumping
+    rounds; nothing quadratic.
+    """
+    from dbt_repo_spark.operators.graph import dedup_clusters
+
+    pairs = QUERIES["embed_near_dup_pairs"](spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs, id_col="vec_id")
+
+
 @q("embed_pq_topk")  # approximate recall by construction → rows-only check
 def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.py::pq_topk): m-byte
