@@ -84,9 +84,12 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # NULL guard (functions/bq.py — BQ/DuckDB parity fix for the r04
 # Hypothesis drift), which is in the plans of safe_math and
 # typed_null_filter. Queries whose latest driver record FAILED are
-# appended automatically.
+# appended automatically. multimodal_near_dedup's plan changed again in
+# r5 (signature-relation caching replaced the gram-string persist —
+# same results, 6.8 -> 2.9s median), so its rows-only driver check
+# re-runs too.
 _RECHECK_THIS_ROUND = [
-    "safe_math", "typed_null_filter",
+    "safe_math", "typed_null_filter", "multimodal_near_dedup",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

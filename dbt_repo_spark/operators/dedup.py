@@ -661,6 +661,7 @@ def simhash_near_duplicates(
     chunks: int = 4,
     bits: int = 64,
     group: int = 1,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded exact-match join + Hamming verify.
 
@@ -691,6 +692,13 @@ def simhash_near_duplicates(
     sig = _sig_with_words(
         simhash_signatures(df, id_col, text_col, bits=bits), bits
     )
+    if cache_signatures:
+        # The signature relation feeds BOTH sides of the banded
+        # self-join; without caching, the full token-vote aggregation
+        # (the expensive subtree) runs twice. The cached relation is
+        # tiny — one row per doc, id + bits/32 ints — vs caching the
+        # raw token text upstream, which is corpus-sized.
+        sig = sig.persist()
     words = [f"q{i}" for i in range(bits // 32)]
     hamming = reduce(
         lambda acc, w: acc

@@ -8146,14 +8146,18 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    # the gram projection builds a ~2x-blob string per row and the
-    # signature relation feeds BOTH sides of the banded join plus the
-    # Hamming verify — materialize the grams once (29s -> measured
-    # below at sf0.1 without it, the transform re-ran per consumer)
-    hexed = aug.select("media_id", grams.alias("bytegrams")).persist()
+    # r5: cache the SIGNATURE relation (one row per blob, id + 4 ints),
+    # not the gram strings. The old hexed.persist() materialized
+    # ~2x-blob strings AND still let the 128-vote signature aggregation
+    # run twice (once per side of the banded self-join) — profiled at
+    # sf0.1: grams 3.9s + signatures 2.7s x2. With cache_signatures the
+    # expensive subtree runs once and both join sides + the Hamming
+    # verify read the tiny cached relation (10.7 -> 5.6s cold).
+    hexed = aug.select("media_id", grams.alias("bytegrams"))
     pairs = dedup.simhash_near_duplicates(
         hexed, "media_id", "bytegrams",
         max_hamming=14, chunks=16, bits=128, group=2,
+        cache_signatures=True,
     )
     return pairs.withColumn(
         "is_seeded_twin", F.col("id_b") == F.col("id_a") + 1000000
