@@ -90,6 +90,9 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # re-runs too.
 _RECHECK_THIS_ROUND = [
     "safe_math", "typed_null_filter", "multimodal_near_dedup",
+    # generate_date_array gained the BQ empty-on-inverted-range guard
+    # (its CASE WHEN wrapper is in this plan)
+    "date_spine",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

@@ -51,8 +51,17 @@ def generate_date_array(start: ColumnOrName, end: ColumnOrName) -> Column:
 
     Reference: models/dimensions/dim_date.sql:19. Returns an array<date>;
     pair with ``F.explode`` for the UNNEST (J7).
+
+    BQ returns an EMPTY array when start > end (positive step never
+    reaches the bound); Spark's ``sequence`` raises
+    IllegalArgumentException instead, so the inverted range is guarded
+    explicitly (CASE WHEN short-circuits — the sequence branch never
+    evaluates for inverted rows).
     """
-    return F.sequence(_col(start), _col(end), F.expr("interval 1 day"))
+    lo, hi = _col(start), _col(end)
+    return F.when(
+        lo <= hi, F.sequence(lo, hi, F.expr("interval 1 day"))
+    ).otherwise(F.array().cast("array<date>"))
 
 
 _BQ_TO_SPARK_FMT = {

@@ -55,9 +55,11 @@ def test_format_date_matches_strftime(spark, batch):
         assert got[i] == (d.strftime("%Y%m%d"), d.strftime("%Y-%m-%d"))
 
 
-@given(st.lists(st.tuples(dates, st.integers(0, 400)), min_size=1, max_size=30))
+@given(st.lists(st.tuples(dates, st.integers(-50, 400)), min_size=1, max_size=30))
 @settings(**SETTINGS)
 def test_generate_date_array_inclusive(spark, batch):
+    """Inclusive both ends; an INVERTED range (lo > hi) yields an empty
+    array like BQ, not Spark sequence()'s IllegalArgumentException."""
     rows = [
         Row(i=i, lo=d, hi=d + dt.timedelta(days=n)) for i, (d, n) in enumerate(batch)
     ]
@@ -72,7 +74,10 @@ def test_generate_date_array_inclusive(spark, batch):
         ).collect()
     }
     for i, (d, n) in enumerate(batch):
-        assert got[i] == (n + 1, d, d + dt.timedelta(days=n))  # inclusive both ends
+        if n < 0:
+            assert got[i] == (0, None, None), (d, n, got[i])  # BQ: empty array
+        else:
+            assert got[i] == (n + 1, d, d + dt.timedelta(days=n))  # inclusive both ends
 
 
 @given(st.lists(timestamps, min_size=1, max_size=50))
