@@ -21,14 +21,35 @@ def _col(c: ColumnOrName) -> Column:
 # date / time
 # --------------------------------------------------------------------------
 
+_TRUNC_UNITS = {
+    "microsecond", "millisecond", "second", "minute", "hour", "day",
+    "month", "quarter", "year",
+}
+
+
 def timestamp_trunc(ts: ColumnOrName, unit: str) -> Column:
     """BQ ``timestamp_trunc(ts, HOUR)`` → Spark ``date_trunc('hour', ts)``.
 
     Arg order flips between dialects. Used by the reference at
     models/staging/stg_historic_trips.sql:24 and
     models/facts/fact_station_status.sql:21 (hourly truncation).
+
+    WEEK is the dialect trap: BQ's WEEK starts SUNDAY while Spark's
+    ``date_trunc('week', ...)`` starts Monday — passing it through
+    would silently shift six days of rows into the wrong week. BQ
+    WEEK maps to ``trunc_monday(ts + 1 day) - 1 day`` (Sunday floor);
+    BQ ISOWEEK is Spark's Monday week unchanged. Unsupported BQ units
+    (WEEK(<WEEKDAY>), ISOYEAR) raise instead of returning NULLs.
     """
-    return F.date_trunc(unit.lower(), _col(ts))
+    u = unit.lower()
+    if u in _TRUNC_UNITS:
+        return F.date_trunc(u, _col(ts))
+    if u == "isoweek":
+        return F.date_trunc("week", _col(ts))
+    if u == "week":  # BQ: Sunday-start
+        shifted = _col(ts) + F.expr("interval 1 day")
+        return F.date_trunc("week", shifted) - F.expr("interval 1 day")
+    raise ValueError(f"unsupported timestamp_trunc unit: {unit!r}")
 
 
 def timestamp_diff(end: ColumnOrName, start: ColumnOrName, unit: str = "second") -> Column:

@@ -51,10 +51,16 @@ _DEFS = [
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_surrogate_key2(a STRING, b STRING)
        RETURNS STRING
        RETURN md5(concat(coalesce(a, ''), '|', coalesce(b, '')))""",
-    # BQ TIMESTAMP_TRUNC to a named unit
+    # BQ TIMESTAMP_TRUNC to a named unit. WEEK is the dialect trap:
+    # BQ weeks start SUNDAY, Spark's start Monday (same mapping as
+    # functions/bq.py::timestamp_trunc); ISOWEEK keeps Monday.
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_trunc(ts TIMESTAMP, unit STRING)
        RETURNS TIMESTAMP
-       RETURN date_trunc(unit, ts)""",
+       RETURN CASE
+         WHEN lower(unit) = 'week'
+           THEN date_trunc('week', ts + interval 1 day) - interval 1 day
+         WHEN lower(unit) = 'isoweek' THEN date_trunc('week', ts)
+         ELSE date_trunc(unit, ts) END""",
     # BQ TIMESTAMP_DIFF in seconds (tz-independent on NTZ inputs)
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_diff_seconds(fin TIMESTAMP, start TIMESTAMP)
        RETURNS BIGINT

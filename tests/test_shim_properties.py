@@ -97,6 +97,33 @@ def test_timestamp_trunc_hour_day(spark, batch):
         assert got[i][1] == ts.replace(hour=0, minute=0, second=0)
 
 
+@given(st.lists(timestamps, min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_timestamp_trunc_week_is_sunday_start(spark, batch):
+    """BQ WEEK starts SUNDAY (Spark's 'week' starts Monday — the shim
+    maps it); ISOWEEK keeps the Monday start. Checked against pure
+    weekday arithmetic, engine-independent."""
+    df = spark.createDataFrame([Row(i=i, ts=ts) for i, ts in enumerate(batch)])
+    got = {
+        r.i: (r.w, r.iw)
+        for r in df.select(
+            "i",
+            timestamp_trunc("ts", "WEEK").alias("w"),
+            timestamp_trunc("ts", "ISOWEEK").alias("iw"),
+        ).collect()
+    }
+    for i, ts in enumerate(batch):
+        midnight = ts.replace(hour=0, minute=0, second=0)
+        # Python weekday(): Monday=0 .. Sunday=6
+        sunday = midnight - dt.timedelta(days=(ts.weekday() + 1) % 7)
+        monday = midnight - dt.timedelta(days=ts.weekday())
+        assert got[i] == (sunday, monday), (ts, got[i], sunday, monday)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        timestamp_trunc("ts", "ISOYEAR")
+
+
 @given(
     st.lists(
         st.text(
