@@ -59,12 +59,19 @@ def timestamp_diff(end: ColumnOrName, start: ColumnOrName, unit: str = "second")
     epoch subtraction so it stays a codegen'd long expression.
     """
     unit = unit.lower()
-    seconds = _col(end).cast("long") - _col(start).cast("long")
     divisors = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
     if unit not in divisors:
         raise ValueError(f"unsupported timestamp_diff unit: {unit}")
-    d = divisors[unit]
-    return (seconds / d).cast("long") if d != 1 else seconds
+    # BQ truncates the TRUE microsecond difference toward zero. The old
+    # form floored each timestamp to seconds BEFORE subtracting, so
+    # end=...1.1s, start=...0.9s gave 1 where BQ (and the
+    # bq_timestamp_diff_seconds SQL twin) give 0. Spark's % keeps the
+    # dividend's sign (Java semantics), so subtracting it truncates
+    # toward zero; the remaining quotient is exact, and the DECIMAL
+    # route keeps it exact past double's 2^53 (dates far from epoch).
+    us = F.unix_micros(_col(end)) - F.unix_micros(_col(start))
+    d = divisors[unit] * 1_000_000
+    return ((us - us % d).cast("decimal(28,0)") / F.lit(d)).cast("long")
 
 
 def generate_date_array(start: ColumnOrName, end: ColumnOrName) -> Column:

@@ -327,3 +327,45 @@ def test_safe_divide_matches_duckdb_integer_exact(spark, batch):
         ).fetchone()[0]
         assert got[i] == want, (a, b, got[i], want)
     con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            timestamps,
+            st.integers(-(10**9), 10**9),  # microsecond offsets up to ~17 min
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_timestamp_diff_truncates_true_micros_diff(spark, batch):
+    """BQ TIMESTAMP_DIFF truncates the TRUE microsecond difference
+    toward zero — NOT per-timestamp-floored seconds: end=..1.1s,
+    start=..0.9s must give 0 SECONDs, and negatives truncate toward
+    zero. Checked against pure integer arithmetic for SECOND/MINUTE/
+    HOUR."""
+    from dbt_repo_spark.functions import timestamp_diff
+
+    rows = [
+        Row(i=i, a=ts + dt.timedelta(microseconds=off), b=ts)
+        for i, (ts, off) in enumerate(batch)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.i: (r.s, r.m, r.h)
+        for r in df.select(
+            "i",
+            timestamp_diff("a", "b", "second").alias("s"),
+            timestamp_diff("a", "b", "minute").alias("m"),
+            timestamp_diff("a", "b", "hour").alias("h"),
+        ).collect()
+    }
+    for i, (ts, off) in enumerate(batch):
+        trunc = lambda us, d: int(us / d)  # Python int() truncates toward 0
+        assert got[i] == (
+            trunc(off, 1_000_000),
+            trunc(off, 60_000_000),
+            trunc(off, 3_600_000_000),
+        ), (ts, off, got[i])
