@@ -205,6 +205,14 @@ def json_extract_array(j: ColumnOrName, path: str = "$") -> Column:
     Reference: models/staging/stg_station_information.sql:10 and
     models/staging/stg_station_tariffs.sql:12. Spark 3.4+ exposes the same
     shape via ``from_json`` to ``array<string>`` after slicing the path.
+
+    Documented divergence: for arrays of OBJECTS (the reference's only
+    usage) each element is the raw JSON text in both dialects, but for
+    arrays of SCALAR STRINGS BQ keeps the JSON quoting (``'"a"'``)
+    while Spark's ``from_json`` unquotes (``'a'``). The Spark behavior
+    is kept deliberately — unquoted scalars feed downstream string ops
+    directly, and re-quoting would break every existing explode +
+    ``json_extract_scalar`` consumer.
     """
     sliced = F.get_json_object(_col(j), path)
     return F.from_json(sliced, "array<string>")
