@@ -90,9 +90,14 @@ def _records(
     for path in _segment_files(root, topic, partition):
         with open(path) as fh:
             for line in fh:
+                if not line.strip():
+                    # blank lines carry NO offset — _tail_offsets counts
+                    # only records, so advancing here would desync the
+                    # cursor and silently drop the partition's tail
+                    continue
                 if end is not None and offset >= end:
                     return
-                if offset >= start and line.strip():
+                if offset >= start:
                     rec = json.loads(line)
                     key = rec.get("key")
                     headers = rec.get("headers") or {}

@@ -266,3 +266,24 @@ def test_reference_realtime_dag_over_kafka_shape(spark, tmp_path):
     assert len(rows) == 3  # dedup collapsed the redelivery
     r = next(x for x in rows if x.station_id == "st-2")
     assert r.bikes_available == 2 and r.docks_available == 18
+
+
+def test_blank_lines_carry_no_offset(spark, tmp_path):
+    """An interior blank line in a segment must not consume an offset:
+    the tail-offset map counts records only, so a desynced cursor would
+    silently drop the partition's last record."""
+    pdir = tmp_path / "events" / "p0"
+    pdir.mkdir(parents=True)
+    recs = [
+        json.dumps({"key": "a", "value": f"v{i}", "timestamp_ms": i, "headers": {}})
+        for i in range(3)
+    ]
+    (pdir / "segment-000.jsonl").write_text(
+        recs[0] + "\n\n" + recs[1] + "\n\n\n" + recs[2] + "\n"
+    )
+    register(spark)
+    rows = (
+        spark.read.format("kafka_mirror").option("path", str(tmp_path)).load().collect()
+    )
+    assert sorted(r.offset for r in rows) == [0, 1, 2]
+    assert {bytes(r.value).decode() for r in rows} == {"v0", "v1", "v2"}
