@@ -193,6 +193,12 @@ HEADLINE = [
     # round-5 addition: banded sign-LSH embedding near-dup (the
     # fully-oracle-checked approximate pair generator)
     "embed_near_dup_pairs",
+    # round-5 additions: the retrieval family (lexical BM25 ranker,
+    # lexical+dense RRF hybrid, char-entropy gate, exact-substring spans)
+    "text_bm25_topk",
+    "retrieval_rank_fusion",
+    "text_char_entropy",
+    "dedup_substring_spans",
 ]
 
 RUNS = 3

@@ -801,3 +801,80 @@ def duplicated_ngram_stats(
             ),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Maximal exact-duplicated token spans per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    exact-substring dedup their suffix-array pass performs, re-expressed
+    relationally so it distributes).
+
+    A token position i is *duplicated* when its word n-gram occurs >= 2
+    times corpus-wide (anywhere, including elsewhere in the same doc).
+    Overlapping / adjacent duplicated windows [i, i+n-1] merge into
+    maximal spans — the byte ranges a training pipeline would cut.
+    ``duplicated_ngram_stats`` reports per-doc *fractions* of duplicated
+    grams; this returns the actual offsets, one row per span.
+
+    Scale shape: gram occurrences shuffle as 8-byte xxhash64 keys (not
+    strings — same count, fraction of the bytes; collision odds
+    |grams|²/2⁶⁴ are negligible), one linear count agg, one join back,
+    then a per-doc window (lag + running island id) whose partitions are
+    single documents. No corpus product; the suffix array's sort is
+    replaced by hash aggregation, which is the shuffle-friendly form.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams),
+    token positions 1-based inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= n)
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("w", i, n))).alias("g"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    occ = pos.groupBy("g").agg(F.count("*").alias("occ"))
+    dup = pos.join(occ, "g").filter(F.col("occ") >= 2)
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") - F.lag("pos").over(w_ord) > F.lit(n)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + F.lit(1))
+            .cast("long")
+            .alias("span_tokens"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        )
+    )

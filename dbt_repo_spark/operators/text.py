@@ -576,3 +576,59 @@ def pii_spans(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return df.select(id_col, text_col).mapInPandas(extract, schema=out_schema)
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str, low_threshold: float = 2.5
+) -> DataFrame:
+    """Per-document Shannon character entropy — the gibberish/spam gate.
+
+    Low character entropy flags mono-character runs, repeated separators
+    and template spam; the Gopher-style quality rules (``quality_scores``,
+    ``repetition_scores``) look at tokens, this one looks below them.
+
+    Exactness: H = ln(n) - (1/n) * sum_c(count_c * ln(count_c)) — the
+    algebraic form that isolates the float sum. Each count_c * ln(count_c)
+    term (non-negative, inputs integer so both engines agree to an ulp)
+    is rounded to 9 dp and summed as DECIMAL(20,9) — order-independent
+    exact accumulation — then one ln, one division and one subtraction of
+    identical doubles. Empty / NULL text yields NULL entropy.
+
+    Two linear hash aggs ((doc, char) counts, then per-doc fold) — no
+    corpus product, map-side combinable, scales like a word count.
+
+    Output: (doc_id, n_chars, n_distinct_chars, entropy, is_low_entropy).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("tx"))
+    chars = (
+        base.filter(F.length("tx") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("tx"))).alias("i"),
+            "tx",
+        )
+        .select("doc_id", F.col("tx").substr(F.col("i"), F.lit(1)).alias("ch"))
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term = F.round(F.col("c") * F.log("c"), 9).cast("decimal(20,9)")
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term).cast("double").alias("s"),
+    )
+    # entropy is a genuinely-float score (ln differs by an ulp between
+    # JVM Math.log and libm), so it rounds to 9 dp — ranking/thresholds
+    # run on the rounded value in both engines.
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.col("n_distinct_chars"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_chars"),
+        F.round(
+            F.log("n_chars") - F.col("s") / F.col("n_chars"), 9
+        ).alias("entropy"),
+    )
+    return out.withColumn(
+        "is_low_entropy", F.col("entropy") < F.lit(low_threshold)
+    )

@@ -8464,3 +8464,4 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_eval  # noqa: E402,F401  isort:skip
+from dbt_repo_spark import queries_retrieval  # noqa: E402,F401  isort:skip

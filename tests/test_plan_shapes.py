@@ -181,6 +181,16 @@ EXCHANGE_BUDGETS = {
     "eval_calibration_bins": 1,
     "benford_audit": 2,
     "lift_gains_deciles": 2,
+    # retrieval family: bm25 = ctf agg + 3 small distinct/dfreq aggs +
+    # dl-join (2 sides) + per-(query,doc) agg + rank window +
+    # SinglePartition stats + 6 broadcasts; fusion adds the cosine leg's
+    # rank window + the full-outer fuse (2) + fused-rank window
+    "text_bm25_topk": 15,
+    "retrieval_rank_fusion": 22,
+    # two linear hash aggs + the left-join back to the doc scan
+    "text_char_entropy": 3,
+    # gram-occurrence agg + join-back + per-doc island window
+    "dedup_substring_spans": 3,
     # ks scans the checkpointed grouped relation from two consumers
     # (max, argmax — totals ride along as literals from the prefix-sum's
     # partition job); each re-windows by _pid; all post-reduce
