@@ -199,6 +199,9 @@ HEADLINE = [
     "retrieval_rank_fusion",
     "text_char_entropy",
     "dedup_substring_spans",
+    # round-5 additions batch 2: paragraph dedup+rewrite, KMV set-op sketch
+    "dedup_paragraph_rewrite",
+    "sketch_kmv_source_overlap",
 ]
 
 RUNS = 3

@@ -878,3 +878,74 @@ def exact_substring_spans(
             F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
         )
     )
+
+
+def paragraph_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, block_tokens: int = 10
+) -> DataFrame:
+    """Corpus-wide paragraph dedup with document REWRITE — the
+    MassiveText / RefinedWeb "exact line dedup" pass: every repeated
+    paragraph keeps exactly its first occurrence (lexicographic min
+    (doc_id, position) — a total order, so the rewrite is deterministic
+    under any execution order) and later occurrences are cut from their
+    documents.
+
+    The corpus here is newline-free synthetic text, so "paragraphs" are
+    fixed ``block_tokens``-token blocks; on real text the splitter swaps
+    to a newline/sentence regexp with zero change to the plan shape.
+
+    Scale shape: blocks shuffle once by paragraph hash (xxhash64 — 8-byte
+    keys, not paragraph strings) for the owner agg; the min(struct) owner
+    is a partial-aggregable fold, so a paragraph duplicated a billion
+    times costs map-side combines, never a single-task window over the
+    duplicate group. The rebuild is a per-doc fold (collect+sort bounded
+    by document size — the same bound as holding a document row).
+
+    Output: (doc_id, n_blocks, n_kept, text_rewritten); documents whose
+    every block is owned elsewhere rewrite to ''.
+    """
+    b = block_tokens
+    sized = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).withColumn("nb", F.ceil(F.size("w") / F.lit(float(b))).cast("int"))
+    blocks = (
+        sized.filter(F.col("nb") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nb")),
+                    lambda i: F.struct(
+                        i.cast("long").alias("blk"),
+                        F.concat_ws(
+                            " ", F.slice("w", (i - F.lit(1)) * b + F.lit(1), b)
+                        ).alias("p"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.blk").alias("blk"), F.col("s.p").alias("p"))
+        .withColumn("h", F.xxhash64("p"))
+    )
+    owner = blocks.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o")
+    )
+    kept = blocks.join(owner, "h").filter(
+        (F.col("doc_id") == F.col("o.doc_id")) & (F.col("blk") == F.col("o.blk"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("blk", "p"))),
+                lambda x: x["p"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    return sized.select("doc_id", "nb").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
+    )

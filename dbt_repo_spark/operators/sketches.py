@@ -266,3 +266,69 @@ def countmin_estimate(
         .groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
     )
+
+
+def _kmv_hash(key: Column) -> Column:
+    """60-bit uniform hash: first 15 md5 hex chars as an integer. md5 is
+    byte-identical in every engine, so the sketch itself — not just its
+    estimates — is reproducible cross-engine (the oracle recomputes the
+    identical k-min set in SQL)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+KMV_SPACE = float(2**60)  # hash space size; exactly representable
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch per group:
+    the k smallest 60-bit hashes of the distinct keys.
+
+    Unlike HLL, a KMV sketch supports SET OPERATIONS: the union of two
+    sketches' k-min sets (re-truncated to k) is exactly the sketch of
+    the union, and Jaccard is read off the shared fraction of the merged
+    k-min set (Beyer et al. 2007, "On synopses for distinct-value
+    estimation under multiset operations"). Mergeable state: bottom-k is
+    associative/commutative, so partials combine map-side.
+
+    Scale shape: one distinct on (group, hash) — the only corpus-sized
+    shuffle — then a rank window per group. Spark rewrites the
+    ``row_number() <= k`` filter into WindowGroupLimit: each task keeps
+    a bounded k-row heap per group before any sort, so a group with a
+    billion distinct keys still holds O(k) state per task.
+
+    Output: (group_col, h, rn) with rn = 1..k ascending by hash.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = (
+        df.select(F.col(group_col), _kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(kmv: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a ``kmv_sketch`` relation:
+    (k-1) / theta_k with theta_k = h_k / 2^60 when the sketch is full,
+    the exact count when the group has fewer than k distinct keys.
+
+    All-deterministic float math: one int64→double conversion (round-to-
+    nearest, identical in both engines) and one division of exact
+    operands; rounded to 9 dp like every genuinely-float score."""
+    return kmv.groupBy(group_col).agg(
+        F.count("*").alias("n_min"), F.max("h").alias("h_k")
+    ).select(
+        group_col,
+        F.round(
+            F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+                F.lit((k - 1) * KMV_SPACE) / F.col("h_k")
+            ),
+            9,
+        ).alias("est_distinct"),
+    )

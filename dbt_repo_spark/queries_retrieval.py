@@ -239,3 +239,246 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return dedup.exact_substring_spans(docs, "doc_id", "text", n=5)
+
+
+@q(
+    "dedup_paragraph_rewrite",
+    """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM toks),
+    blocks AS (SELECT doc_id, i AS blk,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nb + 1)) AS u(i)
+               WHERE nb >= 1),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM blocks GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.blk, b.p
+             FROM blocks b JOIN owner ow USING (p)
+             WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText/RefinedWeb exact paragraph dedup with document
+    rewrite (dedup.py::paragraph_dedup_rewrite): every repeated 10-token
+    block keeps its lexicographically-first (doc_id, position)
+    occurrence; documents are rebuilt from their surviving blocks. Spark
+    owns blocks by xxhash64 key with a partial-aggregable min(struct)
+    fold (duplicate groups never serialize through one task); the oracle
+    owns the block strings directly.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_rewrite(docs, "doc_id", "text", block_tokens=10)
+
+
+_KMV_K = 64
+
+_KMV_CTES = """
+    toks AS (SELECT source, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    gs AS (SELECT DISTINCT source,
+                  array_to_string(list_slice(w, i, i + 4), ' ') AS g5
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS u(i)
+           WHERE len(w) >= 5),
+    hs AS (SELECT DISTINCT source,
+                  CAST(('0x' || substr(md5(g5), 1, 15)) AS BIGINT) AS h
+           FROM gs),
+    kmv AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hs QUALIFY rn <= 64),
+    exact_nd AS (SELECT source, COUNT(*) AS nd FROM gs GROUP BY 1),
+    est_src AS (SELECT source,
+                       CASE WHEN COUNT(*) < 64
+                            THEN CAST(COUNT(*) AS DOUBLE)
+                            ELSE CAST(63 AS DOUBLE)
+                                 * 1.152921504606846976e18 / MAX(h)
+                       END AS est
+                FROM kmv GROUP BY 1),
+    prs AS (SELECT a.source AS src_a, b.source AS src_b
+            FROM exact_nd a JOIN exact_nd b ON a.source < b.source),
+    merged AS (
+      SELECT src_a, src_b, h,
+             MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+      FROM (SELECT p.src_a, p.src_b, k.h, 'a' AS side
+            FROM prs p JOIN kmv k ON k.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, k.h, 'b' AS side
+            FROM prs p JOIN kmv k ON k.source = p.src_b)
+      GROUP BY 1, 2, 3),
+    u AS (SELECT src_a, src_b, h, in_a, in_b,
+                 row_number() OVER (PARTITION BY src_a, src_b
+                                    ORDER BY h) AS rn
+          FROM merged QUALIFY rn <= 64),
+    pair_est AS (
+      SELECT src_a, src_b, COUNT(*) AS ku, MAX(h) AS theta_h,
+             SUM(in_a * in_b) AS n_both
+      FROM u GROUP BY 1, 2),
+    exact_int AS (SELECT a.source AS src_a, b.source AS src_b,
+                         COUNT(*) AS exact_inter
+                  FROM gs a JOIN gs b
+                    ON a.g5 = b.g5 AND a.source < b.source
+                  GROUP BY 1, 2),
+    calc AS (
+      SELECT p.src_a, p.src_b,
+             ea.est AS est_a, eb.est AS est_b,
+             CASE WHEN pe.ku < 64 THEN CAST(pe.ku AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE)
+                       * 1.152921504606846976e18 / pe.theta_h
+             END AS est_union_raw,
+             CAST(pe.n_both AS DOUBLE) / pe.ku AS jacc,
+             na.nd AS exact_a, nb.nd AS exact_b,
+             COALESCE(xi.exact_inter, 0) AS exact_inter
+      FROM prs p
+      JOIN est_src ea ON ea.source = p.src_a
+      JOIN est_src eb ON eb.source = p.src_b
+      JOIN pair_est pe USING (src_a, src_b)
+      JOIN exact_nd na ON na.source = p.src_a
+      JOIN exact_nd nb ON nb.source = p.src_b
+      LEFT JOIN exact_int xi USING (src_a, src_b))
+"""
+
+
+@q(
+    "sketch_kmv_source_overlap",
+    f"""
+    WITH {_KMV_CTES}
+    SELECT src_a, src_b,
+           round(est_a, 9) AS est_distinct_a,
+           round(est_b, 9) AS est_distinct_b,
+           round(est_union_raw, 9) AS est_union,
+           round(jacc, 9) AS est_jaccard,
+           round(jacc * est_union_raw, 9) AS est_intersection,
+           CAST(exact_a AS BIGINT) AS exact_distinct_a,
+           CAST(exact_b AS BIGINT) AS exact_distinct_b,
+           CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_intersection,
+           round(abs(est_union_raw - (exact_a + exact_b - exact_inter))
+                 / (exact_a + exact_b - exact_inter), 9) AS err_union
+    FROM calc
+    """,
+)
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketches of each source's 5-gram shingle
+    set, with SET-OPERATION estimates per source pair — union and
+    intersection cardinalities read off merged k-min sets (Beyer et al.
+    2007), the sketch algebra HLL can't do. The 60-bit md5 hash makes
+    the sketch itself engine-reproducible, so est_* columns are
+    oracle-checked bit-exactly, and the exact_* columns (linear passes:
+    per-gram source fan-out is bounded by the source count) ride along
+    as the in-plan accuracy certificate; err_union is pinned in tests.
+    """
+    from dbt_repo_spark.operators import sketches
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("source", dedup.tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 5
+    )
+    # The distinct (source, gram) relation feeds four consumers (sketch,
+    # per-source exact counts, both sides of the exact-intersection
+    # self-join). Recomputing it per consumer measures FASTER than
+    # persisting (3.6 vs 6.9s at sf0.1): the InMemoryRelation blocks
+    # bloom/broadcast pushdown into the scan, and the explode+distinct
+    # subtree is cheap relative to the lost pruning.
+    gs = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(4)),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+            )
+        ).alias("g5"),
+    ).distinct()
+    k = _KMV_K
+    kmv = sketches.kmv_sketch(gs, "source", "g5", k=k)
+    exact_nd = gs.groupBy("source").agg(F.count("*").alias("nd"))
+    est_src = kmv.groupBy("source").agg(
+        F.count("*").alias("n_min"), F.max("h").alias("h_k")
+    ).select(
+        "source",
+        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(sketches.KMV_SPACE) / F.col("h_k"))
+        .alias("est"),
+    )
+    srcs = exact_nd.select("source")
+    prs = (
+        F.broadcast(srcs.select(F.col("source").alias("src_a")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    sides = (
+        prs.join(
+            kmv.select(F.col("source").alias("src_a"), "h"), "src_a"
+        ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    ).unionByName(
+        prs.join(
+            kmv.select(F.col("source").alias("src_b"), "h"), "src_b"
+        ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    merged = sides.groupBy("src_a", "src_b", "h").agg(
+        F.max("ia").alias("in_a"), F.max("ib").alias("in_b")
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    u = merged.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    pair_est = u.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("ku"),
+        F.max("h").alias("theta_h"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    exact_int = (
+        gs.select(F.col("source").alias("src_a"), "g5")
+        .join(gs.select(F.col("source").alias("src_b"), "g5"), "g5")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    est_union_raw = F.when(
+        F.col("ku") < k, F.col("ku").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(sketches.KMV_SPACE) / F.col("theta_h")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("ku")
+    ex_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+    return (
+        prs.join(
+            F.broadcast(est_src.select(F.col("source").alias("src_a"),
+                                       F.col("est").alias("est_a"))), "src_a")
+        .join(
+            F.broadcast(est_src.select(F.col("source").alias("src_b"),
+                                       F.col("est").alias("est_b"))), "src_b")
+        .join(F.broadcast(pair_est), ["src_a", "src_b"])
+        .join(F.broadcast(exact_nd.select(F.col("source").alias("src_a"),
+                                          F.col("nd").alias("exact_a"))), "src_a")
+        .join(F.broadcast(exact_nd.select(F.col("source").alias("src_b"),
+                                          F.col("nd").alias("exact_b"))), "src_b")
+        .join(F.broadcast(exact_int), ["src_a", "src_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "src_a", "src_b",
+            F.round("est_a", 9).alias("est_distinct_a"),
+            F.round("est_b", 9).alias("est_distinct_b"),
+            F.round(est_union_raw, 9).alias("est_union"),
+            F.round(jacc, 9).alias("est_jaccard"),
+            F.round(jacc * est_union_raw, 9).alias("est_intersection"),
+            F.col("exact_a").cast("long").alias("exact_distinct_a"),
+            F.col("exact_b").cast("long").alias("exact_distinct_b"),
+            ex_union.cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_intersection"),
+            F.round(
+                F.abs(est_union_raw - ex_union.cast("double"))
+                / ex_union.cast("double"),
+                9,
+            ).alias("err_union"),
+        )
+    )

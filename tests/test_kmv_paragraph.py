@@ -1,0 +1,105 @@
+"""KMV sketch estimates + paragraph-rewrite semantics (round-5 batch 2).
+
+The registry queries carry full DuckDB oracles (bit-exact estimates —
+the md5-based sketch is engine-reproducible); these tests pin the
+accuracy of the estimates against the exact columns and the rewrite
+semantics on hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators import dedup, sketches
+from dbt_repo_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_estimate_accuracy(spark):
+    """k=256 over 5000 distinct keys: the KMV estimate lands within 15%
+    (standard error ~ 1/sqrt(k-1) ≈ 6.3%)."""
+    df = spark.range(5000).select(
+        F.lit("g").alias("src"), F.col("id").cast("string").alias("key")
+    )
+    kmv = sketches.kmv_sketch(df, "src", "key", k=256)
+    est = sketches.kmv_estimate(kmv, "src", k=256).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.15
+
+
+def test_kmv_small_group_exact(spark):
+    """A group with fewer than k distinct keys reports the exact count."""
+    df = spark.range(10).select(
+        F.lit("g").alias("src"), F.col("id").cast("string").alias("key")
+    )
+    kmv = sketches.kmv_sketch(df, "src", "key", k=64)
+    assert sketches.kmv_estimate(kmv, "src", k=64).collect()[0].est_distinct == 10.0
+
+
+def test_kmv_window_group_limit_plan(spark):
+    """The rank<=k filter must compile to WindowGroupLimit (bounded
+    per-task heap), not a full per-group sort."""
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("src"), F.col("id").cast("string").alias("key")
+    )
+    plan = (
+        sketches.kmv_sketch(df, "src", "key", k=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmv_overlap_registry_certificate(spark):
+    """Every pair's est_union stays within 35% of the exact union (k=64
+    → se ≈ 12.6%; 35% is ~3 sigma), and the Jaccard estimate is a
+    proper fraction."""
+    rows = QUERIES["sketch_kmv_source_overlap"](spark, SF).collect()
+    assert rows, "no source pairs"
+    assert max(r.err_union for r in rows) < 0.35
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.exact_union >= max(r.exact_distinct_a, r.exact_distinct_b)
+
+
+def test_paragraph_rewrite_first_occurrence_wins(spark):
+    """Doc 1 owns the shared block (lowest doc_id); doc 2 loses it but
+    keeps its unique block; block order inside a doc is preserved."""
+    shared = "a b c d e f g h i j"          # exactly one 10-token block
+    uniq = "k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [(1, shared), (2, f"{shared} {uniq}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup_rewrite(df, "doc_id", "text").collect()
+    }
+    assert (out[1].n_blocks, out[1].n_kept) == (1, 1)
+    assert out[1].text_rewritten == shared
+    assert (out[2].n_blocks, out[2].n_kept) == (2, 1)
+    assert out[2].text_rewritten == uniq
+
+
+def test_paragraph_rewrite_within_doc_and_empty(spark):
+    """A block repeated INSIDE one doc keeps only its first position;
+    a doc made entirely of blocks owned elsewhere rewrites to ''."""
+    blk = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, f"{blk} {blk}"), (2, blk)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup_rewrite(df, "doc_id", "text").collect()
+    }
+    assert (out[1].n_blocks, out[1].n_kept, out[1].text_rewritten) == (2, 1, blk)
+    assert (out[2].n_blocks, out[2].n_kept, out[2].text_rewritten) == (1, 0, "")
+
+
+def test_paragraph_rewrite_short_tail_block(spark):
+    """The trailing short block (len % 10 != 0) is a block of its own."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    r = dedup.paragraph_dedup_rewrite(df, "doc_id", "text").collect()[0]
+    assert (r.n_blocks, r.n_kept) == (2, 2)
+    assert r.text_rewritten == "a b c d e f g h i j k l"

@@ -191,6 +191,11 @@ EXCHANGE_BUDGETS = {
     "text_char_entropy": 3,
     # gram-occurrence agg + join-back + per-doc island window
     "dedup_substring_spans": 3,
+    # block-hash owner agg + owner join-back + per-doc rebuild + doc join
+    "dedup_paragraph_rewrite": 4,
+    # sketch + certificate lattice: 4 gram-relation consumers, per-pair
+    # merge window, mostly broadcast exchanges on pair-sized relations
+    "sketch_kmv_source_overlap": 33,
     # ks scans the checkpointed grouped relation from two consumers
     # (max, argmax — totals ride along as literals from the prefix-sum's
     # partition job); each re-windows by _pid; all post-reduce
