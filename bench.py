@@ -202,6 +202,8 @@ HEADLINE = [
     # round-5 additions batch 2: paragraph dedup+rewrite, KMV set-op sketch
     "dedup_paragraph_rewrite",
     "sketch_kmv_source_overlap",
+    # round-5 batch 3: the Lee-et-al exact-substring CUT applied
+    "dedup_substring_rewrite",
 ]
 
 RUNS = 3

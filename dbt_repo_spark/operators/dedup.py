@@ -949,3 +949,95 @@ def paragraph_dedup_rewrite(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
     )
+
+
+def exact_substring_rewrite(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Apply the exact-substring cut list (Lee et al. 2022): remove every
+    duplicated ``n``-gram occurrence EXCEPT the corpus-first copy and
+    rebuild the text. ``exact_substring_spans`` reports the offsets;
+    this performs the cut.
+
+    Policy (deterministic, total-order): a token is removed iff some
+    duplicated n-gram window covering it is not that gram's
+    lexicographically-first (doc_id, pos) occurrence. The first
+    occurrence's window survives (unless an overlapping non-owner
+    window also covers a token — overlap cuts win, keeping the rule a
+    pure per-occurrence predicate with no cross-span arbitration).
+
+    Scale shape: gram occurrences shuffle once as 8-byte xxhash64 keys;
+    the owner is a partial-aggregable min(struct) fold (same shape as
+    ``paragraph_dedup_rewrite`` — no per-duplicate-group window); cut
+    windows explode to at most n tokens each; the rebuild is a per-doc
+    fold bounded by document size.
+
+    Output: (doc_id, n_tokens, n_removed, text_rewritten).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    )
+    pos = (
+        base.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("w", i, n))).alias(
+                            "g"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    owner = pos.groupBy("g").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("o"),
+    )
+    cut = pos.join(owner, "g").filter(
+        (F.col("occ") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("o.doc_id"))
+            & (F.col("pos") == F.col("o.pos"))
+        )
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("tp"),
+    ).distinct()
+    toks_pos = base.select(
+        "doc_id",
+        F.posexplode("w").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + F.lit(1)).cast("long").alias("tp"), "tok")
+    kept = toks_pos.join(covered, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_rewritten"), F.lit("")).alias(
+                "text_rewritten"
+            ),
+        )
+    )

@@ -482,3 +482,48 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_union"),
         )
     )
+
+
+@q(
+    "dedup_substring_rewrite",
+    """
+    WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, i AS pos,
+                   array_to_string(list_slice(w, i, i + 4), ' ') AS g
+            FROM base, UNNEST(range(1, len(w) - 3)) AS u(i)
+            WHERE len(w) >= 5),
+    owner AS (SELECT g, COUNT(*) AS occ,
+                     min(struct_pack(d := doc_id, p := pos)) AS o
+              FROM pos GROUP BY 1),
+    cut AS (SELECT p.doc_id, p.pos
+            FROM pos p JOIN owner ow USING (g)
+            WHERE ow.occ >= 2
+              AND NOT (p.doc_id = ow.o.d AND p.pos = ow.o.p)),
+    covered AS (SELECT DISTINCT doc_id, tp
+                FROM cut, UNNEST(range(pos, pos + 5)) AS u(tp)),
+    toks AS (SELECT doc_id, i AS tp, w[i] AS tok
+             FROM base, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    kept AS (SELECT t.doc_id, t.tp, t.tok FROM toks t
+             ANTI JOIN covered c
+               ON t.doc_id = c.doc_id AND t.tp = c.tp),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tp) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(len(b.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 exact-substring CUT applied
+    (dedup.py::exact_substring_rewrite): duplicated 5-gram occurrences
+    other than the corpus-first copy are removed token-wise and every
+    document is rebuilt. Spark owns grams by xxhash64 with a
+    partial-aggregable min(struct) fold; the oracle owns gram strings —
+    identical owners, bit-identical rebuilt text.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_substring_rewrite(docs, "doc_id", "text", n=5)

@@ -103,3 +103,62 @@ def test_paragraph_rewrite_short_tail_block(spark):
     r = dedup.paragraph_dedup_rewrite(df, "doc_id", "text").collect()[0]
     assert (r.n_blocks, r.n_kept) == (2, 2)
     assert r.text_rewritten == "a b c d e f g h i j k l"
+
+
+def test_substring_rewrite_keeps_first_cuts_rest(spark):
+    """Doc 1 owns the shared 6-token run; doc 2's copy is cut entirely
+    (positions 1-2 are non-owner occurrences covering tokens 1..6) while
+    its unique tail survives."""
+    shared = "q w e r t y"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} aa bb cc dd"),
+            (2, f"{shared} ee ff gg hh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_rewrite(df, "doc_id", "text").collect()
+    }
+    assert (out[1].n_tokens, out[1].n_removed) == (10, 0)
+    assert out[1].text_rewritten == f"{shared} aa bb cc dd"
+    assert (out[2].n_tokens, out[2].n_removed) == (10, 6)
+    assert out[2].text_rewritten == "ee ff gg hh"
+
+
+def test_substring_rewrite_short_doc_untouched(spark):
+    """Docs under n tokens generate no grams and pass through whole."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_rewrite(df, "doc_id", "text").collect()
+    }
+    assert out[1].text_rewritten == "a b c" and out[1].n_removed == 0
+    assert out[2].text_rewritten == "a b c" and out[2].n_removed == 0
+
+
+def test_substring_rewrite_matches_span_report(spark):
+    """On the real corpus the cut token count per doc equals the span
+    tokens reported by exact_substring_spans for non-owner content:
+    every doc's n_removed is bounded by its total span tokens, and docs
+    with no spans remove nothing."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = (
+        dedup.exact_substring_spans(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("span_toks"))
+    )
+    rw = dedup.exact_substring_rewrite(docs, "doc_id", "text")
+    joined = rw.join(spans, "doc_id", "left").select(
+        "doc_id", "n_removed", F.coalesce("span_toks", F.lit(0)).alias("st")
+    )
+    bad = joined.filter(
+        (F.col("n_removed") > F.col("st"))
+        | ((F.col("st") == 0) & (F.col("n_removed") > 0))
+    ).count()
+    assert bad == 0
+    # and the pass actually cuts something on this corpus
+    assert rw.agg(F.sum("n_removed")).collect()[0][0] > 0

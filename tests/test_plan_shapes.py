@@ -191,6 +191,8 @@ EXCHANGE_BUDGETS = {
     "text_char_entropy": 3,
     # gram-occurrence agg + join-back + per-doc island window
     "dedup_substring_spans": 3,
+    # gram owner agg + join-back + covered distinct + anti-join + rebuild
+    "dedup_substring_rewrite": 6,
     # block-hash owner agg + owner join-back + per-doc rebuild + doc join
     "dedup_paragraph_rewrite": 4,
     # sketch + certificate lattice: 4 gram-relation consumers, per-pair
