@@ -89,16 +89,18 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    "safe_math", "typed_null_filter", "multimodal_near_dedup",
-    # generate_date_array gained the BQ empty-on-inverted-range guard
-    # (its CASE WHEN wrapper is in this plan)
-    "date_spine",
+    # r06 perf work (the confirmed driver-drift items): v2 gained a
+    # persist of the shared scrubbed-corpus relation; the five ANN
+    # queries share with_recall_vs_exact, which now persists the approx
+    # relation instead of recomputing the search subtree twice.
+    "training_data_pipeline_v2", "embed_lsh_topk", "embed_ivf_topk",
+    "embed_ivfpq_topk", "embed_pq_topk", "embed_filtered_topk",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 5
+_RECHECK_LISTED_FOR_ROUND = 6
 
 
 def entry(spark: SparkSession) -> DataFrame:

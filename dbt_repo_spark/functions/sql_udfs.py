@@ -53,14 +53,24 @@ _DEFS = [
        RETURN md5(concat(coalesce(a, ''), '|', coalesce(b, '')))""",
     # BQ TIMESTAMP_TRUNC to a named unit. WEEK is the dialect trap:
     # BQ weeks start SUNDAY, Spark's start Monday (same mapping as
-    # functions/bq.py::timestamp_trunc); ISOWEEK keeps Monday.
+    # functions/bq.py::timestamp_trunc); ISOWEEK keeps Monday. Units
+    # outside the Python shim's supported set (WEEK(<WEEKDAY>), ISOYEAR,
+    # typos) RAISE here too — a silent date_trunc fall-through would
+    # return NULL or Monday-week semantics and the two surfaces would
+    # diverge on exactly the inputs the shim rejects.
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_trunc(ts TIMESTAMP, unit STRING)
        RETURNS TIMESTAMP
        RETURN CASE
          WHEN lower(unit) = 'week'
            THEN date_trunc('week', ts + interval 1 day) - interval 1 day
          WHEN lower(unit) = 'isoweek' THEN date_trunc('week', ts)
-         ELSE date_trunc(unit, ts) END""",
+         WHEN lower(unit) IN ('microsecond', 'millisecond', 'second',
+                              'minute', 'hour', 'day', 'month',
+                              'quarter', 'year')
+           THEN date_trunc(unit, ts)
+         ELSE CAST(raise_error(concat('unsupported timestamp_trunc unit: ',
+                                      coalesce(unit, 'NULL')))
+                   AS TIMESTAMP) END""",
     # BQ TIMESTAMP_DIFF in seconds (tz-independent on NTZ inputs)
     """CREATE OR REPLACE TEMPORARY FUNCTION bq_timestamp_diff_seconds(fin TIMESTAMP, start TIMESTAMP)
        RETURNS BIGINT

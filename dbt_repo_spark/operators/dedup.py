@@ -908,25 +908,7 @@ def paragraph_dedup_rewrite(
     sized = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
     ).withColumn("nb", F.ceil(F.size("w") / F.lit(float(b))).cast("int"))
-    blocks = (
-        sized.filter(F.col("nb") >= 1)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("nb")),
-                    lambda i: F.struct(
-                        i.cast("long").alias("blk"),
-                        F.concat_ws(
-                            " ", F.slice("w", (i - F.lit(1)) * b + F.lit(1), b)
-                        ).alias("p"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", F.col("s.blk").alias("blk"), F.col("s.p").alias("p"))
-        .withColumn("h", F.xxhash64("p"))
-    )
+    blocks = _paragraph_blocks(df, id_col, text_col, b)
     owner = blocks.groupBy("h").agg(
         F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o")
     )
@@ -1041,3 +1023,135 @@ def exact_substring_rewrite(
             ),
         )
     )
+
+
+def paragraph_block_index(
+    df: DataFrame, id_col: str, text_col: str, block_tokens: int = 10
+) -> DataFrame:
+    """Paragraph-owner INDEX for incremental dedup: one row per distinct
+    block hash with its corpus-first owner.
+
+    This is the relation a production pipeline PERSISTS between ticks
+    (the paragraph analog of ``minhash_index`` — reference parallel: the
+    incremental anti-join materialization the dbt project uses at
+    models/facts/fact_station_status.sql:30-32, applied to the block
+    table instead of the fact table). Output:
+    ``(h, doc_id, blk)`` — xxhash64 of the block, owner document,
+    owner block position. Hash-count bound; the min(struct) owner fold
+    is partial-aggregable so a billion-fold duplicate block combines
+    map-side.
+    """
+    blocks = _paragraph_blocks(df, id_col, text_col, block_tokens)
+    return (
+        blocks.groupBy("h")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o"))
+        .select("h", F.col("o.doc_id").alias("doc_id"), F.col("o.blk").alias("blk"))
+    )
+
+
+def _paragraph_blocks(
+    df: DataFrame, id_col: str, text_col: str, block_tokens: int
+) -> DataFrame:
+    """(doc_id, blk, p, h) fixed-width token blocks — shared splitter for
+    the full and incremental paragraph-dedup passes (must stay identical
+    or the index and the batch disagree on block boundaries)."""
+    b = block_tokens
+    sized = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).withColumn("nb", F.ceil(F.size("w") / F.lit(float(b))).cast("int"))
+    return (
+        sized.filter(F.col("nb") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nb")),
+                    lambda i: F.struct(
+                        i.cast("long").alias("blk"),
+                        F.concat_ws(
+                            " ", F.slice("w", (i - F.lit(1)) * b + F.lit(1), b)
+                        ).alias("p"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.blk").alias("blk"), F.col("s.p").alias("p"))
+        .withColumn("h", F.xxhash64("p"))
+    )
+
+
+def incremental_paragraph_rewrite(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """Paragraph dedup + rewrite for a NEW batch against an EXISTING
+    block index — the production shape: a crawl snapshot dedups against
+    the corpus WITHOUT re-blocking or re-shuffling the corpus text
+    (``paragraph_dedup_rewrite`` is the full-corpus pass this
+    incrementalizes; ``paragraph_block_index`` builds/extends the index).
+
+    A batch block survives iff (a) its hash is absent from the corpus
+    index AND (b) it is the batch-first occurrence (min (doc_id, blk)
+    within the batch). When every batch doc_id sorts after every corpus
+    doc_id (append-only ingestion — the normal case), the rewritten
+    batch EQUALS the full-corpus rerun restricted to batch docs
+    (equivalence pinned by test).
+
+    Scale shape: one owner fold over the BATCH blocks (partial-
+    aggregable min(struct)), one equi-join of batch owners against the
+    index on the 8-byte hash (shuffle bounded by |batch blocks| +
+    matching index rows — the corpus text is never touched), per-doc
+    rebuild bounded by document size.
+
+    Output: (doc_id, n_blocks, n_kept, text_rewritten) for batch docs.
+    """
+    blocks = _paragraph_blocks(batch, id_col, text_col, block_tokens)
+    batch_owner = blocks.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o")
+    )
+    kept = (
+        blocks.join(batch_owner, "h")
+        .filter(
+            (F.col("doc_id") == F.col("o.doc_id")) & (F.col("blk") == F.col("o.blk"))
+        )
+        .join(corpus_index.select("h"), "h", "left_anti")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("blk", "p"))),
+                lambda x: x["p"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    sized = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    ).select(
+        "doc_id", F.ceil(F.size("w") / F.lit(float(block_tokens))).cast("int").alias("nb")
+    )
+    return sized.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
+    )
+
+
+def merge_paragraph_index(
+    corpus_index: DataFrame, batch: DataFrame, id_col: str, text_col: str,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """Extend a block index with a new batch's blocks (the upsert half
+    of the incremental tick). Corpus owners win on collision — the
+    batch only ADDS hashes it introduced, so repeated merges are
+    idempotent and the index equals ``paragraph_block_index`` over the
+    concatenated corpus whenever batch ids sort after corpus ids."""
+    new_owners = paragraph_block_index(batch, id_col, text_col, block_tokens).join(
+        corpus_index.select("h"), "h", "left_anti"
+    )
+    return corpus_index.unionByName(new_owners)

@@ -102,6 +102,14 @@ def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFra
     (null neighbor, recall 0) instead of silently vanishing, so a
     per-query recall collapse is visible in values, not only in counts.
     """
+    # The approx relation is consumed TWICE (hit-marking join below +
+    # the final right join) — without the persist both consumers re-run
+    # the entire approximate-search subtree (bucket join / probe /
+    # rerank), doubling the operator's cost. The relation is k rows per
+    # query by construction, so pinning it is O(queries × k) — trivial.
+    from pyspark import StorageLevel
+
+    approx = approx.persist(StorageLevel.MEMORY_AND_DISK)
     # One reference to the exact subtree: left-join its (query, neighbor)
     # pairs against the approx pairs and fold hit counts per query. The
     # exact side has every query (k rows each), so this also yields

@@ -3563,18 +3563,27 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — full value parity, proving the stages compose without
     semantic drift.
     """
+    from pyspark import StorageLevel
+
     from dbt_repo_spark.operators.graph import dedup_clusters as clusters
 
     docs = t(spark, sf_dir, "documents")
     q_ = text.quality_scores(docs, "doc_id", "text").filter("passes_quality")
     keep = docs.join(q_.select("doc_id"), "doc_id")
     pat, tag = text.PII_PATTERNS["email"]
+    # The scrubbed corpus feeds THREE subtrees (the LSH index build, the
+    # singleton id set, and the canonical-keep join + final agg). Without
+    # the persist each consumer re-runs the quality gate + the two email
+    # regexps over every document — the regexp chain is the pipeline's
+    # most expensive narrow stage, and it ran 3x (r06 profile, full
+    # bench context at sf0.1: 5.34s -> 3.89s median from this persist).
+    # Document-count bound (one row per passing doc), spills to disk.
     red = keep.select(
         "doc_id",
         "source",
         F.regexp_count("text", F.lit(pat)).alias("n_pii"),
         F.regexp_replace("text", pat, tag).alias("rtext"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = dedup.lsh_verified_pairs(red, "doc_id", "rtext", threshold=0.3, n=3)
     cl = clusters(pairs, all_ids=red.select("doc_id"), id_col="doc_id")
     kept = red.join(

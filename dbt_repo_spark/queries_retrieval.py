@@ -527,3 +527,142 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return dedup.exact_substring_rewrite(docs, "doc_id", "text", n=5)
+
+
+@q(
+    "dedup_paragraph_incremental",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM toks),
+    blocks AS (SELECT doc_id, i AS blk,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nb + 1)) AS u(i)
+               WHERE nb >= 1),
+    corpus_p AS (SELECT DISTINCT p FROM blocks, thr WHERE doc_id < thr.t),
+    bblocks AS (SELECT b.doc_id, b.blk, b.p FROM blocks b, thr
+                WHERE b.doc_id >= thr.t),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM bblocks GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.blk, b.p
+             FROM bblocks b JOIN owner ow USING (p)
+             WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+               AND b.p NOT IN (SELECT p FROM corpus_p)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM (SELECT sized.doc_id, sized.nb FROM sized, thr
+          WHERE sized.doc_id >= thr.t) s
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_paragraph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL paragraph dedup (dedup.py::incremental_paragraph_rewrite):
+    the last 20% of documents arrive as a new batch and dedup against a
+    block index built from the first 80% (dedup.py::paragraph_block_index)
+    — the production tick shape, where the corpus text is never re-read.
+    Batch ids sort after corpus ids here, so the result equals the
+    full-corpus ``dedup_paragraph_rewrite`` restricted to batch docs
+    (equivalence pinned by test_dedup). Spark keys blocks by xxhash64;
+    the oracle replays both halves on the block strings.
+    """
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    batch = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("thr"))
+    idx = dedup.paragraph_block_index(corpus, "doc_id", "text", block_tokens=10)
+    return dedup.incremental_paragraph_rewrite(
+        batch, idx, "doc_id", "text", block_tokens=10
+    )
+
+
+@q(
+    "streaming_paragraph_dedup",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM toks),
+    blocks AS (SELECT doc_id, i AS blk,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nb + 1)) AS u(i)
+               WHERE nb >= 1),
+    corpus_p AS (SELECT DISTINCT p FROM blocks, thr WHERE doc_id < thr.t),
+    bblocks AS (SELECT b.doc_id, b.blk, b.p FROM blocks b, thr
+                WHERE b.doc_id >= thr.t),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM bblocks GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.blk, b.p
+             FROM bblocks b JOIN owner ow USING (p)
+             WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+               AND b.p NOT IN (SELECT p FROM corpus_p)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM (SELECT sized.doc_id, sized.nb FROM sized, thr
+          WHERE sized.doc_id >= thr.t) s
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of ``dedup_paragraph_incremental``
+    (streaming/dedup_stream.py): the last 20% of documents arrive over
+    the Kafka wire shape (every record delivered TWICE — at-least-once
+    bus), a foreachBatch tick dedups them against a block index built
+    from the first 80% and upserts the owners it introduced, and the
+    published output table must EQUAL the batch incremental result —
+    the oracle is the same SQL, so a full rows+schema+hash match proves
+    the wire parse, the tick's index read, the at-least-once collapse,
+    and the idempotent partition publish end to end.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.sources import kafka_mirror
+    from dbt_repo_spark.streaming.dedup_stream import (
+        start_paragraph_dedup_stream,
+    )
+
+    broker = kafka_mirror.build_documents_fixture(sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_pdedup_")
+    index_dir = f"{work}/index"
+    out_dir = f"{work}/out"
+    # seed the index from the corpus half (batch=-1: published before
+    # any streaming tick)
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    (
+        dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    q_ = start_paragraph_dedup_stream(
+        spark, broker, index_dir, out_dir, f"{work}/ckpt", block_tokens=10
+    )
+    q_.awaitTermination()
+    out = spark.read.parquet(out_dir).select(
+        "doc_id", "n_blocks", "n_kept", "text_rewritten"
+    )
+    # materialize before the temp dir is cleaned at interpreter exit —
+    # localCheckpoint pins the rows so the returned plan has no disk
+    # dependency on the tempdir (the caller may collect at any time)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -328,3 +328,87 @@ def build_events_fixture(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return root
+
+
+def build_documents_fixture(sf_dir: str, n_partitions: int = 4) -> str:
+    """Deterministic broker fixture carrying the LAST 20% of the
+    documents table (idempotent; same store/fingerprint/atomic-publish
+    economics as ``build_events_fixture``).
+
+    The slice matches the batch half of the incremental paragraph-dedup
+    split (doc_id >= floor(0.8 * count)), so a streaming consumer that
+    dedups each tick against an index built from the first 80% is the
+    live twin of the ``dedup_paragraph_incremental`` registry query.
+    Topic ``documents``, partition = doc_id % n_partitions, offsets
+    ordered by doc_id; every record is written TWICE (byte-identical
+    segments) to model an at-least-once bus.
+    """
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+    root = os.path.join(store, f"kafka_docs_{sf_base}_p{n_partitions}")
+    con = duckdb.connect()
+    n, id_sum = con.execute(
+        f"""
+        SELECT COUNT(*), COALESCE(SUM(doc_id), 0)
+        FROM '{sf_dir}/documents.parquet'
+        WHERE doc_id >= (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT)
+                         FROM '{sf_dir}/documents.parquet')
+        """
+    ).fetchone()
+    fingerprint = f"{n}:{id_sum}"
+    fp_file = os.path.join(root, "_fingerprint.txt")
+    try:
+        with open(fp_file) as fh:
+            if fh.read() == fingerprint:
+                return root
+    except OSError:
+        pass
+    rows = con.execute(
+        f"""
+        SELECT doc_id % {n_partitions} AS part, doc_id, source, text
+        FROM '{sf_dir}/documents.parquet'
+        WHERE doc_id >= (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT)
+                         FROM '{sf_dir}/documents.parquet')
+        ORDER BY part, doc_id
+        """
+    ).fetchall()
+    con.close()
+    os.makedirs(store, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=store, prefix="_build_")
+    try:
+        by_part: dict[int, list[str]] = {p: [] for p in range(n_partitions)}
+        for part, doc_id, source, text in rows:
+            by_part[int(part)].append(
+                json.dumps(
+                    {
+                        "key": str(doc_id),
+                        "value": json.dumps(
+                            {"doc_id": doc_id, "source": source, "text": text},
+                            sort_keys=True,
+                        ),
+                        "timestamp_ms": 1700000000000 + int(doc_id),
+                        "headers": {"origin": sf_base},
+                    },
+                    sort_keys=True,
+                )
+            )
+        for part, lines in by_part.items():
+            pdir = os.path.join(tmp, "documents", f"p{part}")
+            os.makedirs(pdir)
+            body = "\n".join(lines) + ("\n" if lines else "")
+            for seg in ("segment-000.jsonl", "segment-001.jsonl"):
+                with open(os.path.join(pdir, seg), "w") as fh:
+                    fh.write(body)  # redelivery: byte-identical copy
+        with open(os.path.join(tmp, "_fingerprint.txt"), "w") as fh:
+            fh.write(fingerprint)
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(tmp, root)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return root

@@ -239,11 +239,15 @@ class _PagedJsonStreamWriter(DataSourceStreamWriter):
        tmp + ``os.replace`` marker write.
     2. Staged files then publish to the PINNED range
        ``[first_page, first_page + n)``. A crash mid-publish and
-       replay re-enters commit, finds the intent, and republishes the
-       re-staged batch into the SAME range (``os.replace`` overwrites
-       the partial attempt — deterministic replay of the same offset
-       range yields the same rows, hence the same page count), so no
-       page is ever duplicated under a new number.
+       replay re-enters commit, finds the intent, DELETES every page
+       numbered >= ``first_page`` (all of them belong to the crashed
+       attempt — nothing later can have committed while the intent
+       stood), and republishes the re-staged batch into the same
+       range. The delete-then-overwrite makes the replay exact even
+       when it plans a different number of non-empty partitions than
+       the crashed attempt (page count is NOT assumed stable), and
+       the same sweep scrubs partial pages of a discarded stale
+       intent before the next batch picks its range.
     3. The marker is rewritten with ``last_batch_id = batchId``
        (clearing the intent). A crash between this step and the
        engine's checkpoint commit replays the batch; the marker turns
@@ -310,9 +314,26 @@ class _PagedJsonStreamWriter(DataSourceStreamWriter):
             self._batch.abort(messages)
             return
         pending = state["pending"]
+        if pending:
+            # Any page numbered >= the intent's first_page was written
+            # by the crashed attempt's partial publish: first_page was
+            # chosen past every committed page at intent time, and no
+            # later batch can have committed while the intent stood
+            # (commit clears it). Deleting that suffix makes BOTH
+            # pending paths exact without tracking the old attempt's
+            # page count: a replay that plans FEWER non-empty
+            # partitions than the crash left behind no longer strands
+            # orphan pages beyond its new prefix, and a discarded
+            # stale intent no longer leaves partial pages for the next
+            # batch to append after.
+            for pg in _list_pages(self._batch.endpoint):
+                if pg >= int(pending["first_page"]):
+                    os.remove(
+                        os.path.join(self._batch.endpoint, f"page-{pg}.json")
+                    )
         if pending and int(pending["batch_id"]) == batchId:
             # Crash mid-publish: reuse the pinned range so the replay
-            # overwrites the partial attempt instead of appending.
+            # lands on the same page numbers the crash intended.
             first = int(pending["first_page"])
         else:
             if pending:

@@ -1,0 +1,136 @@
+"""Streaming paragraph dedup: the live twin of the incremental batch
+pass (operators/dedup.py::incremental_paragraph_rewrite).
+
+The reference's realtime path is broker → parse → dedupe → sink
+(/root/reference/src/realtime_pubsub_to_spark.py:99-153, where the
+dedupe is a watermarked dropDuplicates). A training-data pipeline needs
+the heavier corpus-level dedup in the same seat: each micro-batch of
+documents must cut every paragraph already owned by the corpus-so-far,
+then extend the owner index with the paragraphs it introduced. That is
+a foreachBatch job, not a watermark — the state (the block index) is
+unbounded and queryable, so it lives in a TABLE the tick reads and
+upserts, not in stream-operator state.
+
+Exactly-once without a transactional sink: both the output docs and the
+index rows are written under a ``batch=<id>`` partition with DYNAMIC
+partition overwrite, so a foreachBatch replay after a crash overwrites
+its own partition instead of appending duplicates — idempotent replay,
+the same page-pinning idea as the paged sink's two-phase commit
+(sources/rest_source.py). The tick reads the index with
+``batch != current`` so a replay never sees its own crashed half-write
+as "corpus".
+
+Scale notes: the index join is an equi-join on the 8-byte block hash
+(batch-bounded shuffle — the corpus text is never re-read); the index
+table grows by new-hash rows only. At 100 TB the index is itself a big
+table — partitioned parquet here, a key-value/Delta table in
+production, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators import dedup
+
+DOC_PAYLOAD_SCHEMA = "struct<doc_id: long, source: string, text: string>"
+
+
+def _read_index(spark: SparkSession, index_dir: str, exclude_batch: int) -> DataFrame:
+    """Owner index published by previous ticks; empty relation on the
+    first tick. ``exclude_batch`` hides the current batch's own
+    partition so a crash-replay does not treat its half-published
+    owners as corpus."""
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:  # first tick: nothing published yet
+        return spark.createDataFrame(
+            [], "h long, doc_id long, blk long, batch long"
+        )
+    return idx.filter(F.col("batch") != F.lit(exclude_batch))
+
+
+def paragraph_dedup_tick(
+    spark: SparkSession,
+    docs: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    block_tokens: int = 10,
+) -> None:
+    """One micro-batch: dedup ``docs`` against the published index,
+    publish rewritten docs and the new owner rows, both under the
+    ``batch=<id>`` partition (idempotent under replay)."""
+    docs = docs.dropDuplicates(["doc_id"])  # at-least-once bus
+    idx = _read_index(spark, index_dir, exclude_batch=batch_id)
+    rewritten = dedup.incremental_paragraph_rewrite(
+        docs, idx, "doc_id", "text", block_tokens
+    )
+    new_owners = dedup.paragraph_block_index(
+        docs, "doc_id", "text", block_tokens
+    ).join(idx.select("h"), "h", "left_anti")
+    writer_conf = {"partitionOverwriteMode": "dynamic"}
+    (
+        rewritten.withColumn("batch", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .options(**writer_conf)
+        .partitionBy("batch")
+        .parquet(out_dir)
+    )
+    (
+        new_owners.withColumn("batch", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .options(**writer_conf)
+        .partitionBy("batch")
+        .parquet(index_dir)
+    )
+
+
+def start_paragraph_dedup_stream(
+    spark: SparkSession,
+    broker_root: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    topic: str = "documents",
+    block_tokens: int = 10,
+    available_now: bool = True,
+):
+    """Broker → parse → foreachBatch incremental paragraph dedup.
+
+    Wire shape is the canonical Kafka schema (sources/kafka_mirror.py);
+    swapping the mirror for ``format("kafka")`` is a one-line change.
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from dbt_repo_spark.sources import kafka_mirror
+
+    kafka_mirror.register(spark)
+    raw = (
+        spark.readStream.format("kafka_mirror")
+        .option("path", broker_root)
+        .option("subscribe", topic)
+        .load()
+    )
+    docs = (
+        raw.selectExpr("CAST(value AS STRING) AS payload")
+        .select(F.from_json("payload", DOC_PAYLOAD_SCHEMA).alias("j"))
+        .select("j.*")
+    )
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        paragraph_dedup_tick(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_dir,
+            out_dir,
+            block_tokens,
+        )
+
+    writer = docs.writeStream.foreachBatch(tick).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -162,3 +162,76 @@ def test_substring_rewrite_matches_span_report(spark):
     assert bad == 0
     # and the pass actually cuts something on this corpus
     assert rw.agg(F.sum("n_removed")).collect()[0][0] > 0
+
+
+def test_incremental_paragraph_equals_full_rerun(spark):
+    """The production contract: corpus-index + batch tick == full-corpus
+    rerun restricted to batch docs, whenever batch ids sort after corpus
+    ids (append-only ingestion). Runs on the real sf0.001 documents with
+    an 80/20 split — the same shape as the registry query."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    thr = 400
+    corpus = docs.filter(F.col("doc_id") < thr)
+    batch = docs.filter(F.col("doc_id") >= thr)
+
+    full = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in dedup.paragraph_dedup_rewrite(docs, "doc_id", "text", 10)
+        .filter(F.col("doc_id") >= thr)
+        .collect()
+    }
+    idx = dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+    inc = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in dedup.incremental_paragraph_rewrite(
+            batch, idx, "doc_id", "text", 10
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_merge_paragraph_index_matches_full_rebuild(spark):
+    """Index upsert: corpus index + batch merge == index built from the
+    concatenated corpus (owners stable under append-only ids), and the
+    merge is idempotent."""
+    docs = spark.read.parquet(SF + "/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    corpus = docs.filter(F.col("doc_id") < 80)
+    batch = docs.filter(F.col("doc_id") >= 80)
+
+    def as_set(df):
+        return {(r.h, r.doc_id, r.blk) for r in df.collect()}
+
+    full = as_set(dedup.paragraph_block_index(docs, "doc_id", "text", 10))
+    idx0 = dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+    merged = dedup.merge_paragraph_index(idx0, batch, "doc_id", "text", 10)
+    assert as_set(merged) == full
+    again = dedup.merge_paragraph_index(merged, batch, "doc_id", "text", 10)
+    assert as_set(again) == full
+
+
+def test_incremental_paragraph_cuts_corpus_and_batch_dups(spark):
+    """Hand fixture: a batch block duplicated from the corpus is cut,
+    an intra-batch duplicate keeps its batch-first copy, fresh text
+    survives."""
+    p1 = "a b c d e f g h i j"        # in corpus
+    fresh = "q r s t u v w x y z"     # batch-only
+    corpus = spark.createDataFrame([(1, p1)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, p1 + " " + fresh), (11, fresh)],
+        "doc_id long, text string",
+    )
+    idx = dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_paragraph_rewrite(
+            batch, idx, "doc_id", "text", 10
+        ).collect()
+    }
+    # doc 10: block p1 cut (corpus dup), fresh kept (batch-first)
+    assert (out[10].n_blocks, out[10].n_kept) == (2, 1)
+    assert out[10].text_rewritten == fresh
+    # doc 11: its only block is owned by doc 10 within the batch
+    assert (out[11].n_blocks, out[11].n_kept) == (1, 0)
+    assert out[11].text_rewritten == ""

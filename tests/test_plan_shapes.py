@@ -195,6 +195,11 @@ EXCHANGE_BUDGETS = {
     "dedup_substring_rewrite": 6,
     # block-hash owner agg + owner join-back + per-doc rebuild + doc join
     "dedup_paragraph_rewrite": 4,
+    # incremental twin: both halves block independently (corpus index
+    # owner agg + batch owner agg + index anti-join + rebuild + doc
+    # join) and each half pays the 0.8*count threshold scalar agg
+    # (SinglePartition + broadcast) — all batch/doc-count bounded
+    "dedup_paragraph_incremental": 14,
     # sketch + certificate lattice: 4 gram-relation consumers, per-pair
     # merge window, mostly broadcast exchanges on pair-sized relations
     "sketch_kmv_source_overlap": 33,

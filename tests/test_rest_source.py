@@ -294,6 +294,108 @@ def test_stream_commit_crash_mid_publish_republishes_same_range(tmp_path):
     assert pages == ["page-0.json", "page-1.json", "page-2.json"]
 
 
+def test_stream_commit_replay_with_fewer_partitions_leaves_no_orphans(tmp_path):
+    """ADVICE r05: a replayed micro-batch may plan FEWER non-empty
+    partitions than the crashed attempt (AQE, different parallelism
+    after restart). Pages the crash published beyond the replay's new
+    prefix must be deleted, not survive as duplicate rows."""
+    import json as _json
+
+    from dbt_repo_spark.sources.rest_source import (
+        _PageBatch,
+        _PagedJsonStreamWriter,
+    )
+
+    dst = tmp_path / "archive"
+    dst.mkdir()
+
+    def stage(payloads):
+        staging = dst / "_staging"
+        staging.mkdir(exist_ok=True)
+        files = []
+        for i, p in enumerate(payloads):
+            f = staging / f"t{i}.json"
+            f.write_text(p)
+            files.append((str(f), 1))
+        return [_PageBatch(files=files)]
+
+    w = _PagedJsonStreamWriter({"path": str(dst)})
+    w.commit(stage(['{"n": 0}']), batchId=0)
+
+    # batch 1 crashed after publishing THREE pages (three non-empty
+    # partitions) but before the marker cleared the intent
+    marker = dst / "_commits.json"
+    marker.write_text(
+        _json.dumps(
+            {"last_batch_id": 0, "pending": {"batch_id": 1, "first_page": 1}}
+        )
+    )
+    for i in (1, 2, 3):
+        (dst / f"page-{i}.json").write_text(f'{{"n": {i}, "attempt": "partial"}}')
+
+    # the replay re-stages the same rows but plans ONE partition
+    w2 = _PagedJsonStreamWriter({"path": str(dst)})
+    w2.commit(stage(['{"n": 1}\n{"n": 2}\n{"n": 3}']), batchId=1)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json"]  # pages 2-3 scrubbed
+    assert (dst / "page-1.json").read_text() == '{"n": 1}\n{"n": 2}\n{"n": 3}'
+    state = _json.loads(marker.read_text())
+    assert state == {"last_batch_id": 1, "pending": None}
+
+    # the next batch continues the numbering from the survivor set
+    w2.commit(stage(['{"n": 4}']), batchId=2)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json", "page-2.json"]
+
+
+def test_stream_commit_stale_intent_partial_pages_scrubbed(tmp_path):
+    """ADVICE r05 second path: discarding a STALE intent must also
+    delete the discarded attempt's partially-published pages — the
+    next batch must not append after orphan rows of a batch that will
+    never commit."""
+    import json as _json
+
+    from dbt_repo_spark.sources.rest_source import (
+        _PageBatch,
+        _PagedJsonStreamWriter,
+    )
+
+    dst = tmp_path / "archive"
+    dst.mkdir()
+
+    def stage(payloads):
+        staging = dst / "_staging"
+        staging.mkdir(exist_ok=True)
+        files = []
+        for i, p in enumerate(payloads):
+            f = staging / f"t{i}.json"
+            f.write_text(p)
+            files.append((str(f), 1))
+        return [_PageBatch(files=files)]
+
+    w = _PagedJsonStreamWriter({"path": str(dst)})
+    w.commit(stage(['{"n": 0}']), batchId=0)
+
+    # batch 1 left an intent + two partial pages, but the engine is now
+    # committing batch 2 (batch 1's data was dropped upstream)
+    marker = dst / "_commits.json"
+    marker.write_text(
+        _json.dumps(
+            {"last_batch_id": 0, "pending": {"batch_id": 1, "first_page": 1}}
+        )
+    )
+    (dst / "page-1.json").write_text('{"n": 1, "attempt": "orphan"}')
+    (dst / "page-2.json").write_text('{"n": 2, "attempt": "orphan"}')
+
+    w2 = _PagedJsonStreamWriter({"path": str(dst)})
+    w2.commit(stage(['{"n": 9}']), batchId=2)
+    pages = sorted(f.name for f in dst.iterdir() if f.name.startswith("page-"))
+    assert pages == ["page-0.json", "page-1.json"]  # orphans gone, no gap
+    assert (dst / "page-1.json").read_text() == '{"n": 9}'
+    state = _json.loads(marker.read_text())
+    assert state == {"last_batch_id": 2, "pending": None}
+
+
 def test_streaming_empty_tick_does_not_crash(spark, tmp_path):
     """A drain over an endpoint with NO new pages must be a clean no-op:
     the simple-stream wrapper validates no-advance batches with

@@ -111,3 +111,40 @@ def test_sql_udf_shims_match_column_shims(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_sql_timestamp_trunc_twin_matches_and_raises(spark):
+    """ADVICE r05: bq_timestamp_trunc must agree with the Column shim on
+    every supported unit AND raise on units the shim rejects (ISOYEAR,
+    WEEK(<WEEKDAY>), typos) — a silent date_trunc fall-through would let
+    the two surfaces diverge exactly where the shim errors."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from dbt_repo_spark.functions import timestamp_trunc
+    from dbt_repo_spark.functions.sql_udfs import register_sql_shims
+
+    register_sql_shims(spark)
+    df = spark.createDataFrame(
+        # 2024-03-13 is a Wednesday: WEEK (Sunday) and ISOWEEK (Monday)
+        # floors differ, so the dialect trap is actually exercised
+        [("2024-03-13 15:26:47",), ("2024-03-10 00:00:00",)],
+        "s string",
+    ).selectExpr("CAST(s AS TIMESTAMP) AS ts")
+    df.createOrReplaceTempView("trunc_in")
+    units = ["second", "minute", "hour", "day", "month", "quarter",
+             "year", "week", "isoweek"]
+    sql_cols = ", ".join(
+        f"bq_timestamp_trunc(ts, '{u}') AS u{i}" for i, u in enumerate(units)
+    )
+    got = spark.sql(f"SELECT {sql_cols} FROM trunc_in").collect()
+    want = df.select(
+        *[timestamp_trunc("ts", u).alias(f"u{i}") for i, u in enumerate(units)]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    for bad in ("isoyear", "week(tuesday)", "fortnight"):
+        with pytest.raises(SparkRuntimeException, match="unsupported"):
+            spark.sql(
+                f"SELECT bq_timestamp_trunc(ts, '{bad}') FROM trunc_in"
+            ).collect()

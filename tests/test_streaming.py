@@ -790,3 +790,98 @@ def test_flush_keeps_rows_appended_during_write(spark, tmp_path):
     n2 = rec.flush_to_catalog(spark, cat)
     assert n2 == 1 and rec.rows == []
     assert cat.read("ops", "stream_progress").count() == 3
+
+
+def test_paragraph_dedup_stream_multi_tick_and_replay(spark, tmp_path):
+    """Live foreachBatch paragraph dedup (streaming/dedup_stream.py):
+
+    - tick 1 delivers two docs (one paragraph already corpus-owned),
+      tick 2 delivers a doc repeating a TICK-1 paragraph — the index
+      upsert must carry state across ticks;
+    - at-least-once delivery (duplicate lines) collapses;
+    - a crash-replay of a tick (same batch id, rerun by hand) is
+      idempotent: the batch=<id> partitions overwrite, never append.
+    """
+    import json
+
+    from dbt_repo_spark.operators import dedup
+    from dbt_repo_spark.streaming.dedup_stream import (
+        paragraph_dedup_tick,
+        start_paragraph_dedup_stream,
+    )
+    from pyspark.sql import functions as F
+
+    p_corpus = "a b c d e f g h i j"
+    p_t1 = "k l m n o p q r s t"
+    p_fresh = "u v w x y z aa bb cc dd"
+
+    broker = tmp_path / "broker"
+    pdir = broker / "documents" / "p0"
+    pdir.mkdir(parents=True)
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # seed index: corpus doc 1 owns p_corpus
+    corpus = spark.createDataFrame([(1, p_corpus)], "doc_id long, text string")
+    (
+        dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+
+    def rec(doc_id, text):
+        return json.dumps(
+            {
+                "key": str(doc_id),
+                "value": json.dumps({"doc_id": doc_id, "source": "s", "text": text}),
+                "timestamp_ms": 1700000000000 + doc_id,
+                "headers": {},
+            }
+        )
+
+    # tick 1: doc 10 = corpus dup + p_t1; doc 10 delivered twice
+    (pdir / "segment-000.jsonl").write_text(
+        "\n".join([rec(10, p_corpus + " " + p_t1), rec(10, p_corpus + " " + p_t1)])
+        + "\n"
+    )
+    q = start_paragraph_dedup_stream(spark, str(broker), index_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    out1 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out1 == {10: (2, 1, p_t1)}  # corpus block cut, new block kept
+
+    # tick 2 (resume from checkpoint): doc 20 repeats p_t1 (now owned by
+    # doc 10 via the tick-1 index upsert) + fresh text
+    (pdir / "segment-001.jsonl").write_text(rec(20, p_t1 + " " + p_fresh) + "\n")
+    q = start_paragraph_dedup_stream(spark, str(broker), index_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    out2 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out2 == {10: (2, 1, p_t1), 20: (2, 1, p_fresh)}
+
+    # crash-replay of tick 2 by hand: same batch id, same rows — the
+    # batch partitions must overwrite (idempotent), not append
+    batch_ids = sorted(
+        r.batch for r in spark.read.parquet(out_dir).select("batch").distinct().collect()
+    )
+    replay_docs = spark.createDataFrame(
+        [(20, "s", p_t1 + " " + p_fresh)], "doc_id long, source string, text string"
+    )
+    paragraph_dedup_tick(
+        spark, replay_docs, int(batch_ids[-1]), index_dir, out_dir, 10
+    )
+    out3 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out3 == out2  # no duplicates, same values
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("h").distinct().count()  # one owner per hash
