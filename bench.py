@@ -209,6 +209,10 @@ HEADLINE = [
     # streaming_paragraph_dedup stays off the headline because its
     # wall-clock is stream-startup overhead, not plan cost)
     "dedup_paragraph_incremental",
+    # round-6 batch 2: incremental substring cut + benchmark
+    # decontamination (n-gram-overlap leak filter)
+    "dedup_substring_incremental",
+    "decontaminate_train_eval",
 ]
 
 RUNS = 3

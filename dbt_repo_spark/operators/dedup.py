@@ -697,7 +697,10 @@ def simhash_near_duplicates(
         # self-join; without caching, the full token-vote aggregation
         # (the expensive subtree) runs twice. The cached relation is
         # tiny — one row per doc, id + bits/32 ints — vs caching the
-        # raw token text upstream, which is corpus-sized.
+        # raw token text upstream, which is corpus-sized. Lifetime
+        # (ADVICE r05): pinned until the session drops it (LRU) or the
+        # caller/bench teardown unpersists — a lazy plan can't
+        # unpersist inline without losing the sharing.
         sig = sig.persist()
     words = [f"q{i}" for i in range(bits // 32)]
     hamming = reduce(
@@ -1155,3 +1158,200 @@ def merge_paragraph_index(
         corpus_index.select("h"), "h", "left_anti"
     )
     return corpus_index.unionByName(new_owners)
+
+
+def substring_gram_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct duplicated-gram INDEX for incremental substring dedup:
+    the set of n-gram hashes the corpus has SEEN (one column ``g``).
+
+    Existence is all the incremental cut needs: the keep-first policy
+    means any batch occurrence of a corpus-seen gram is cut no matter
+    how often the corpus saw it (the corpus-first copy survives,
+    published corpus rewrites never change — append-only ids). Distinct
+    hash count bound, partial-aggregable.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    )
+    return (
+        base.filter(F.size("w") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i, n))),
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+
+
+def incremental_substring_rewrite(
+    batch: DataFrame,
+    gram_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """The Lee-et-al exact-substring CUT for a NEW batch against an
+    EXISTING gram index (``exact_substring_rewrite`` is the full pass
+    this incrementalizes; ``substring_gram_index`` builds the index).
+
+    A batch n-gram occurrence is cut iff its gram is corpus-seen, or it
+    is batch-duplicated and not the batch-first (min (doc_id, pos))
+    occurrence. Under append-only ids this EQUALS the full-corpus rerun
+    restricted to batch docs (equivalence pinned by test): the corpus
+    copy is always the keep-first winner, so corpus rewrites are stable
+    and only batch tokens ever need cutting.
+
+    Scale shape: batch gram occurrences shuffle once as 8-byte hashes;
+    the index probe is an equi-join on ``g`` (batch-bounded); the owner
+    fold is partial-aggregable min(struct); rebuild is a per-doc fold.
+
+    Output: (doc_id, n_tokens, n_removed, text_rewritten) for batch docs.
+    """
+    base = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    )
+    pos = (
+        base.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("w", i, n))).alias(
+                            "g"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    owner = pos.groupBy("g").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("o"),
+    )
+    seen = gram_index.select("g").withColumn("__corpus", F.lit(1))
+    cut = (
+        pos.join(owner, "g")
+        .join(seen, "g", "left")
+        .filter(
+            (F.col("__corpus").isNotNull())
+            | (
+                (F.col("occ") >= 2)
+                & ~(
+                    (F.col("doc_id") == F.col("o.doc_id"))
+                    & (F.col("pos") == F.col("o.pos"))
+                )
+            )
+        )
+    )
+    covered = cut.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "tp"
+        ),
+    ).distinct()
+    toks_pos = base.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + F.lit(1)).cast("long").alias("tp"), "tok")
+    kept = toks_pos.join(covered, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_rewritten"),
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_rewritten"), F.lit("")).alias(
+                "text_rewritten"
+            ),
+        )
+    )
+
+
+def decontaminate_against_eval(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-doc count of n-grams that
+    also appear in an EVAL set (the GPT-3/PaLM-style n-gram-overlap
+    filter — training examples sharing grams with a benchmark leak the
+    test set into the model; pipelines drop or flag them before
+    training).
+
+    Scale shape: the eval side folds to DISTINCT gram hashes (benchmark-
+    size bound — usually tiny next to the corpus, broadcastable; the
+    plan keeps it a hash equi-join so a large eval suite also works);
+    the train side shuffles its distinct (doc_id, gram) pairs once. A
+    doc's contamination is the count of its distinct grams hit.
+
+    Output: (doc_id, n_grams, n_contaminated, is_contaminated) — one
+    row per training doc (docs shorter than n grams report 0).
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+        )
+        return (
+            base.filter(F.size("w") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("w", i, n))
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    eval_grams = grams(eval_df).select("g").distinct()
+    tg = grams(train)
+    hits = (
+        tg.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = tg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

@@ -97,6 +97,10 @@ def bm25_topk(
     # after ctf is the doc-length attach. The pruned postings feed two
     # consumers (doc frequencies, scoring) -> persist the slim relation
     # instead of re-running the tokenize+count subtree per consumer.
+    # Persist lifetime (ADVICE r05): the pin lives until the session
+    # drops it — a lazy plan can't unpersist inline without losing the
+    # sharing. Long-lived sessions reclaim it via LRU eviction; the
+    # bench harness unpersists explicitly in its per-query teardown.
     qvocab = qterms.select("term").distinct()
     post = ctf.join(F.broadcast(qvocab), "term").persist()
     dfreq = post.groupBy("term").agg(F.count("*").alias("dfreq"))

@@ -666,3 +666,104 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@q(
+    "dedup_substring_incremental",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    base AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    pos AS (SELECT doc_id, s.pos AS pos, s.g AS g
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w) - 3),
+                           i -> struct_pack(pos := i,
+                                  g := array_to_string(
+                                         list_slice(w, i, i + 4), ' ')))) AS s
+                  FROM base WHERE len(w) >= 5)),
+    corpus_g AS (SELECT DISTINCT g FROM pos, thr WHERE doc_id < thr.t),
+    bpos AS (SELECT p.doc_id, p.pos, p.g FROM pos p, thr
+             WHERE p.doc_id >= thr.t),
+    owner AS (SELECT g, COUNT(*) AS occ,
+                     min(struct_pack(d := doc_id, p := pos)) AS o
+              FROM bpos GROUP BY 1),
+    cut AS (SELECT b.doc_id, b.pos
+            FROM bpos b JOIN owner ow USING (g)
+            LEFT JOIN corpus_g cg USING (g)
+            WHERE cg.g IS NOT NULL
+               OR (ow.occ >= 2
+                   AND NOT (b.doc_id = ow.o.d AND b.pos = ow.o.p))),
+    covered AS (SELECT DISTINCT doc_id, tp
+                FROM cut, UNNEST(range(pos, pos + 5)) AS u(tp)),
+    btoks AS (SELECT b.doc_id, i AS tp, b.w[i] AS tok
+              FROM base b, thr, UNNEST(range(1, len(b.w) + 1)) AS u(i)
+              WHERE b.doc_id >= thr.t),
+    kept AS (SELECT t.doc_id, t.tp, t.tok FROM btoks t
+             ANTI JOIN covered c
+               ON t.doc_id = c.doc_id AND t.tp = c.tp),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tp) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(len(b.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM (SELECT base.doc_id, base.w FROM base, thr
+          WHERE base.doc_id >= thr.t) b
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring cut (dedup.py::incremental_substring_rewrite):
+    the last 20% of documents dedup against a distinct-gram index built
+    from the first 80% (dedup.py::substring_gram_index). Keep-first
+    makes published corpus rewrites stable under appends, so this
+    equals the full-corpus ``dedup_substring_rewrite`` restricted to
+    batch docs (equivalence pinned by test). Spark probes 8-byte
+    xxhash64 gram keys; the oracle replays on gram strings.
+    """
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    batch = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("thr"))
+    idx = dedup.substring_gram_index(corpus, "doc_id", "text", n=5)
+    return dedup.incremental_substring_rewrite(batch, idx, "doc_id", "text", n=5)
+
+
+@q(
+    "decontaminate_train_eval",
+    """
+    WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(w, i, i + 4), ' ') AS g5
+          FROM base, UNNEST(range(1, len(w) - 3)) AS u(i)
+          WHERE len(w) >= 5),
+    eg AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 100 = 3),
+    tg AS (SELECT doc_id, g5 FROM g WHERE doc_id % 100 <> 3),
+    hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+             FROM tg JOIN eg USING (g5) GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 3) d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.py::decontaminate_against_eval):
+    every 100th document (offset 3) plays the EVAL benchmark; each
+    remaining training doc reports how many of its distinct 5-grams
+    appear anywhere in the eval set — the GPT-3/PaLM n-gram-overlap
+    leak filter. Spark joins on xxhash64 gram keys; the oracle joins
+    the gram strings. Counts are integer-exact.
+    """
+    docs = t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 100 == 3)
+    train = docs.filter(F.col("doc_id") % 100 != 3)
+    return dedup.decontaminate_against_eval(train, eval_df, "doc_id", "text", n=5)

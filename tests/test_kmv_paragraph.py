@@ -235,3 +235,56 @@ def test_incremental_paragraph_cuts_corpus_and_batch_dups(spark):
     # doc 11: its only block is owned by doc 10 within the batch
     assert (out[11].n_blocks, out[11].n_kept) == (1, 0)
     assert out[11].text_rewritten == ""
+
+
+def test_incremental_substring_equals_full_rerun(spark):
+    """Keep-first makes corpus rewrites stable under appends, so the
+    incremental batch pass must equal the full-corpus rerun restricted
+    to batch docs (80/20 split on the real sf0.001 documents)."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    thr = 400
+    corpus = docs.filter(F.col("doc_id") < thr)
+    batch = docs.filter(F.col("doc_id") >= thr)
+
+    full = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_rewritten)
+        for r in dedup.exact_substring_rewrite(docs, "doc_id", "text", n=5)
+        .filter(F.col("doc_id") >= thr)
+        .collect()
+    }
+    idx = dedup.substring_gram_index(corpus, "doc_id", "text", n=5)
+    inc = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_rewritten)
+        for r in dedup.incremental_substring_rewrite(
+            batch, idx, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_decontaminate_flags_overlap_and_spares_clean(spark):
+    """Hand fixture: a train doc sharing a 5-gram with the eval set is
+    flagged with the right count; a clean doc reports zero; a too-short
+    doc reports zero grams."""
+    leak = "the quick brown fox jumps"
+    eval_df = spark.createDataFrame(
+        [(1, f"intro {leak} outro words here")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, f"prefix {leak} suffix tail tokens"),   # leaks (1 gram? several)
+            (11, "totally different content with no overlap at all"),
+            (12, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.decontaminate_against_eval(
+            train, eval_df, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert out[10].is_contaminated and out[10].n_contaminated >= 1
+    assert out[10].n_contaminated <= out[10].n_grams
+    assert not out[11].is_contaminated and out[11].n_contaminated == 0
+    assert out[12].n_grams == 0 and not out[12].is_contaminated

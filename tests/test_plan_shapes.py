@@ -200,6 +200,13 @@ EXCHANGE_BUDGETS = {
     # join) and each half pays the 0.8*count threshold scalar agg
     # (SinglePartition + broadcast) — all batch/doc-count bounded
     "dedup_paragraph_incremental": 14,
+    # substring incremental: corpus distinct-gram agg + batch owner agg
+    # + index probe + covered distinct + token anti-join + rebuild +
+    # the two threshold scalar aggs — gram/token-count bounded
+    "dedup_substring_incremental": 18,
+    # eval grams distinct + train (doc,gram) distinct + hit agg +
+    # totals agg + two left joins back to the doc scan
+    "decontaminate_train_eval": 8,
     # sketch + certificate lattice: 4 gram-relation consumers, per-pair
     # merge window, mostly broadcast exchanges on pair-sized relations
     "sketch_kmv_source_overlap": 33,
