@@ -213,6 +213,8 @@ HEADLINE = [
     # decontamination (n-gram-overlap leak filter)
     "dedup_substring_incremental",
     "decontaminate_train_eval",
+    # round-6 batch 3: Gopher within-doc repetition filters
+    "text_repetition_scores",
 ]
 
 RUNS = 3

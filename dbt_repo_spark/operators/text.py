@@ -632,3 +632,136 @@ def char_entropy(
     return out.withColumn(
         "is_low_entropy", F.col("entropy") < F.lit(low_threshold)
     )
+
+
+def gopher_repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, block_tokens: int = 10, n: int = 5
+) -> DataFrame:
+    """Within-document repetition filters (Rae et al. 2021 "Gopher"
+    Table A1, token-based: the corpus is newline-free synthetic text,
+    so "lines" are fixed ``block_tokens``-token blocks and fractions
+    count TOKENS rather than characters — same signal, same thresholds
+    ballpark, and every ratio is an exact BIGINT/BIGINT division).
+
+    Per document:
+    - ``dup_block_frac``: repeated-block occurrences beyond each
+      block's first / total blocks (the duplicate-line fraction).
+    - ``dup_block_token_frac``: tokens inside those non-first
+      occurrences / total tokens (duplicate-line character fraction).
+    - ``top_bigram_frac``: tokens covered by the most frequent 2-gram
+      (count x 2, Gopher's top-n-gram formula; lexicographically
+      smallest wins ties — deterministic) / total tokens.
+    - ``dup_ngram_token_frac``: tokens covered by ANY within-doc
+      duplicated ``n``-gram, positions unioned / total tokens.
+    - ``passes_repetition``: the Gopher-style composite gate
+      (dup_block_frac <= 0.3, dup_block_token_frac <= 0.2,
+      top_bigram_frac <= 0.2, dup_ngram_token_frac <= 0.15).
+
+    Scale shape: every aggregate is keyed by doc_id (or (doc_id, gram)
+    first, then doc_id) — partial-aggregable, shuffle bounded by the
+    token count, no corpus-wide state; a map-side combine handles the
+    pathological doc that is one phrase repeated a million times.
+    Documents shorter than a block/gram report 0 fractions (vacuously
+    clean) so the gate never drops short docs for being short — that is
+    ``quality_scores``'s job.
+    """
+    from dbt_repo_spark.operators.dedup import _paragraph_blocks
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    )
+    totals = base.select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+
+    # --- block (line) repetition ---
+    blocks = _paragraph_blocks(df, id_col, text_col, block_tokens).withColumn(
+        "blen", F.size(tokens(F.col("p")))
+    )
+    per_block = blocks.groupBy("doc_id", "h").agg(
+        F.count("*").alias("cnt"), F.first("blen").alias("blen")
+    )
+    block_stats = per_block.groupBy("doc_id").agg(
+        F.sum("cnt").alias("nb"),
+        F.sum(F.col("cnt") - 1).alias("nb_dup"),
+        F.sum((F.col("cnt") - 1) * F.col("blen")).alias("dup_block_tokens"),
+    )
+
+    # --- top bigram ---
+    big = base.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
+            )
+        ).alias("bg"),
+    )
+    top_big = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        # max count, ties to the lexicographically smallest bigram:
+        # min over (-cnt, bg) gives (max cnt, min bg) deterministically
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negcnt"), F.col("bg").alias("bg")
+                )
+            ).alias("m")
+        )
+        .select("doc_id", (-F.col("m.negcnt")).cast("long").alias("top_bg_cnt"))
+    )
+
+    # --- duplicated n-gram coverage (within doc) ---
+    pos = base.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("w", i, n))).alias("g"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    gcnt = pos.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    covered = (
+        pos.join(gcnt, ["doc_id", "g"])
+        .filter(F.col("cnt") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_gram_tokens"))
+    )
+
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    dbf = F.when(nb > 0, F.coalesce(F.col("nb_dup"), F.lit(0)) / nb).otherwise(
+        F.lit(0.0)
+    )
+    dbt_ = F.coalesce(F.col("dup_block_tokens"), F.lit(0)) / F.col("n_tokens")
+    tbf = (F.coalesce(F.col("top_bg_cnt"), F.lit(0)) * 2) / F.col("n_tokens")
+    dgf = F.coalesce(F.col("dup_gram_tokens"), F.lit(0)) / F.col("n_tokens")
+    return (
+        totals.filter(F.col("n_tokens") > 0)
+        .join(block_stats, "doc_id", "left")
+        .join(top_big, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dbf.alias("dup_block_frac"),
+            dbt_.alias("dup_block_token_frac"),
+            tbf.alias("top_bigram_frac"),
+            dgf.alias("dup_ngram_token_frac"),
+            (
+                (dbf <= 0.3) & (dbt_ <= 0.2) & (tbf <= 0.2) & (dgf <= 0.15)
+            ).alias("passes_repetition"),
+        )
+    )

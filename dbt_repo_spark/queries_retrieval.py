@@ -760,10 +760,91 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 100th document (offset 3) plays the EVAL benchmark; each
     remaining training doc reports how many of its distinct 5-grams
     appear anywhere in the eval set — the GPT-3/PaLM n-gram-overlap
-    leak filter. Spark joins on xxhash64 gram keys; the oracle joins
-    the gram strings. Counts are integer-exact.
+    leak filter, in the DROP direction (which TRAINING docs to cut).
+    The inverse audit — how much of each EVAL doc the train corpus
+    contains — is ``decontaminate_eval_ngrams``; a pipeline runs both.
+    Spark joins on xxhash64 gram keys; the oracle joins the gram
+    strings. Counts are integer-exact.
     """
     docs = t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 100 == 3)
     train = docs.filter(F.col("doc_id") % 100 != 3)
     return dedup.decontaminate_against_eval(train, eval_df, "doc_id", "text", n=5)
+
+
+@q(
+    "text_repetition_scores",
+    """
+    WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS w
+                  FROM documents),
+    tot AS (SELECT doc_id, len(w) AS n_tokens FROM base WHERE len(w) > 0),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nbk FROM base),
+    blocks AS (SELECT doc_id,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nbk + 1)) AS u(i)
+               WHERE nbk >= 1),
+    pb AS (SELECT doc_id, p, COUNT(*) AS cnt,
+                  len(list_filter(string_split(p, ' '), x -> x <> ''))
+                    AS blen
+           FROM blocks GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nb,
+                  CAST(SUM(cnt - 1) AS BIGINT) AS nb_dup,
+                  CAST(SUM((cnt - 1) * blen) AS BIGINT) AS dup_block_tokens
+           FROM pb GROUP BY 1),
+    big AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS bg
+            FROM base, UNNEST(range(1, len(w))) AS u(i)
+            WHERE len(w) >= 2),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+    tb AS (SELECT doc_id,
+                  min(struct_pack(negcnt := -cnt, bg := bg)) AS m
+           FROM bc GROUP BY 1),
+    tb2 AS (SELECT doc_id, CAST(-m.negcnt AS BIGINT) AS top_bg_cnt FROM tb),
+    pos AS (SELECT doc_id, s.pos AS pos, s.g AS g
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(w) - 3),
+                           i -> struct_pack(pos := i,
+                                  g := array_to_string(
+                                         list_slice(w, i, i + 4), ' ')))) AS s
+                  FROM base WHERE len(w) >= 5)),
+    gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+    cov AS (SELECT DISTINCT p.doc_id, tp
+            FROM pos p JOIN gc ON p.doc_id = gc.doc_id AND p.g = gc.g,
+                 UNNEST(range(p.pos, p.pos + 5)) AS u(tp)
+            WHERE gc.cnt >= 2),
+    cv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_gram_tokens
+           FROM cov GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(bs.nb_dup, 0) / bs.nb AS dup_block_frac,
+           COALESCE(bs.dup_block_tokens, 0) / t.n_tokens
+             AS dup_block_token_frac,
+           COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens AS top_bigram_frac,
+           COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens
+             AS dup_ngram_token_frac,
+           (COALESCE(bs.nb_dup, 0) / bs.nb <= 0.3
+            AND COALESCE(bs.dup_block_tokens, 0) / t.n_tokens <= 0.2
+            AND COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens <= 0.2
+            AND COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens <= 0.15)
+             AS passes_repetition
+    FROM tot t
+    LEFT JOIN bs USING (doc_id)
+    LEFT JOIN tb2 USING (doc_id)
+    LEFT JOIN cv USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters
+    (text.py::gopher_repetition_scores): duplicate-block fraction and
+    token coverage, top-bigram coverage, duplicated-5-gram POSITIONAL
+    coverage, plus the composite Table-A1 gate. Complements the
+    shuffle-free ``text_repetition`` battery (duplicate-token fraction
+    + top-bigram share as pure array folds): the block and positional-
+    coverage metrics here genuinely need doc-keyed aggregation legs —
+    the price of the line-level and span-level signals the array fold
+    cannot see. Spark keys grams by xxhash64; the oracle uses the
+    strings; every fraction is one exact BIGINT/BIGINT IEEE division.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return text.gopher_repetition_scores(docs, "doc_id", "text", block_tokens=10, n=5)

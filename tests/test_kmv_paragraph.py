@@ -288,3 +288,30 @@ def test_decontaminate_flags_overlap_and_spares_clean(spark):
     assert out[10].n_contaminated <= out[10].n_grams
     assert not out[11].is_contaminated and out[11].n_contaminated == 0
     assert out[12].n_grams == 0 and not out[12].is_contaminated
+
+
+def test_repetition_scores_fixture(spark):
+    """Hand fixture: a doc that is one 10-token phrase repeated 3x
+    trips every Gopher repetition gate; a distinct-token doc is clean."""
+    from dbt_repo_spark.operators import text as tx
+
+    phrase = "a b c d e f g h i j"
+    clean = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, " ".join([phrase] * 3)), (2, clean)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in tx.gopher_repetition_scores(df, "doc_id", "text", 10, 5).collect()
+    }
+    r1 = out[1]
+    assert r1.n_tokens == 30
+    assert abs(r1.dup_block_frac - 2 / 3) < 1e-12      # 2 of 3 blocks repeat
+    assert abs(r1.dup_block_token_frac - 20 / 30) < 1e-12
+    assert abs(r1.top_bigram_frac - 6 / 30) < 1e-12    # "a b" x3 -> 6 tokens
+    assert r1.dup_ngram_token_frac == 1.0              # every 5-gram repeats
+    assert not r1.passes_repetition
+    r2 = out[2]
+    assert (r2.dup_block_frac, r2.dup_block_token_frac,
+            r2.top_bigram_frac, r2.dup_ngram_token_frac) == (0.0, 0.0, 2/30, 0.0)
+    assert r2.passes_repetition

@@ -207,6 +207,9 @@ EXCHANGE_BUDGETS = {
     # eval grams distinct + train (doc,gram) distinct + hit agg +
     # totals agg + two left joins back to the doc scan
     "decontaminate_train_eval": 8,
+    # four doc-keyed aggregate legs (block owner+fold, bigram top,
+    # gram-count + coverage distinct) + three left joins back
+    "text_repetition_scores": 11,
     # sketch + certificate lattice: 4 gram-relation consumers, per-pair
     # merge window, mostly broadcast exchanges on pair-sized relations
     "sketch_kmv_source_overlap": 33,
