@@ -215,6 +215,9 @@ HEADLINE = [
     "decontaminate_train_eval",
     # round-6 batch 3: Gopher within-doc repetition filters
     "text_repetition_scores",
+    # round-6 batch 4: the composed production tick (decontaminate ->
+    # repetition gate -> incremental paragraph rewrite -> source stats)
+    "training_data_pipeline_v4",
 ]
 
 RUNS = 3

@@ -848,3 +848,172 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     return text.gopher_repetition_scores(docs, "doc_id", "text", block_tokens=10, n=5)
+
+
+@q(
+    "training_data_pipeline_v4",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    base AS (SELECT doc_id, source,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS w
+             FROM documents),
+    -- eval benchmark: every 100th CORPUS doc (offset 3)
+    eg AS (SELECT DISTINCT array_to_string(list_slice(w, i, i + 4), ' ') AS g5
+           FROM base, thr, UNNEST(range(1, len(w) - 3)) AS u(i)
+           WHERE doc_id < thr.t AND doc_id % 100 = 3 AND len(w) >= 5),
+    bdocs AS (SELECT b.doc_id, b.source, b.w FROM base b, thr
+              WHERE b.doc_id >= thr.t),
+    -- stage 1: decontamination (drop any batch doc sharing a 5-gram)
+    bg5 AS (SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + 4), ' ') AS g5
+            FROM bdocs, UNNEST(range(1, len(w) - 3)) AS u(i)
+            WHERE len(w) >= 5),
+    contaminated AS (SELECT DISTINCT doc_id FROM bg5 SEMI JOIN eg USING (g5)),
+    -- stage 2: Gopher repetition gate on the batch docs
+    sized AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS INT) AS nbk
+              FROM bdocs WHERE len(w) > 0),
+    blocks AS (SELECT doc_id,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nbk + 1)) AS u(i)
+               WHERE nbk >= 1),
+    pb AS (SELECT doc_id, p, COUNT(*) AS cnt,
+                  len(list_filter(string_split(p, ' '), x -> x <> ''))
+                    AS blen
+           FROM blocks GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nb,
+                  CAST(SUM(cnt - 1) AS BIGINT) AS nb_dup,
+                  CAST(SUM((cnt - 1) * blen) AS BIGINT) AS dup_block_tokens
+           FROM pb GROUP BY 1),
+    big AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS bg
+            FROM bdocs, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+    tb2 AS (SELECT doc_id, CAST(-(min(struct_pack(negcnt := -cnt, bg := bg))).negcnt
+                                AS BIGINT) AS top_bg_cnt
+            FROM bc GROUP BY doc_id),
+    pos5 AS (SELECT doc_id, s.pos AS pos, s.g AS g
+             FROM (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w) - 3),
+                            i -> struct_pack(pos := i,
+                                   g := array_to_string(
+                                          list_slice(w, i, i + 4), ' ')))) AS s
+                   FROM bdocs WHERE len(w) >= 5)),
+    gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM pos5 GROUP BY 1, 2),
+    cv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_gram_tokens
+           FROM (SELECT DISTINCT p.doc_id, tp
+                 FROM pos5 p JOIN gc ON p.doc_id = gc.doc_id AND p.g = gc.g,
+                      UNNEST(range(p.pos, p.pos + 5)) AS u(tp)
+                 WHERE gc.cnt >= 2) GROUP BY 1),
+    rep_pass AS (SELECT s.doc_id
+                 FROM (SELECT doc_id, len(w) AS n_tokens FROM bdocs
+                       WHERE len(w) > 0) s
+                 LEFT JOIN bs USING (doc_id)
+                 LEFT JOIN tb2 USING (doc_id)
+                 LEFT JOIN cv USING (doc_id)
+                 WHERE COALESCE(bs.nb_dup, 0) / bs.nb <= 0.3
+                   AND COALESCE(bs.dup_block_tokens, 0) / s.n_tokens <= 0.2
+                   AND COALESCE(tb2.top_bg_cnt, 0) * 2 / s.n_tokens <= 0.2
+                   AND COALESCE(cv.dup_gram_tokens, 0) / s.n_tokens <= 0.15),
+    -- stage 3: incremental paragraph rewrite of the surviving docs
+    kept_docs AS (SELECT b.* FROM bdocs b
+                  SEMI JOIN rep_pass USING (doc_id)
+                  ANTI JOIN contaminated USING (doc_id)),
+    corpus_p AS (SELECT DISTINCT
+                        array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                          AS p
+                 FROM (SELECT doc_id, w,
+                              CAST(ceil(len(w) / 10.0) AS INT) AS nbk
+                       FROM base, thr WHERE doc_id < thr.t) c,
+                      UNNEST(range(1, nbk + 1)) AS u(i)
+                 WHERE nbk >= 1),
+    ksized AS (SELECT doc_id, source, w,
+                      CAST(ceil(len(w) / 10.0) AS INT) AS nbk
+               FROM kept_docs),
+    kblocks AS (SELECT doc_id, i AS blk,
+                       array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                         AS p
+                FROM ksized, UNNEST(range(1, nbk + 1)) AS u(i)
+                WHERE nbk >= 1),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM kblocks GROUP BY 1),
+    kept_blocks AS (SELECT b.doc_id, b.blk, b.p,
+                           len(list_filter(string_split(b.p, ' '),
+                                           x -> x <> '')) AS blen
+                    FROM kblocks b JOIN owner ow USING (p)
+                    WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+                      AND b.p NOT IN (SELECT p FROM corpus_p)),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_kept_blocks,
+                       SUM(blen) AS kept_tokens
+                FROM kept_blocks GROUP BY 1)
+    -- stage 4: per-source corpus stats over the surviving batch
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.nbk) AS BIGINT) AS n_blocks,
+           CAST(SUM(COALESCE(p.n_kept_blocks, 0)) AS BIGINT)
+             AS n_blocks_kept,
+           CAST(SUM(COALESCE(p.kept_tokens, 0)) AS BIGINT) AS n_tokens_kept
+    FROM ksized k LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY k.source
+    """,
+)
+def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 composed production tick, every stage an engine
+    operator: the last 20% of documents arrive as a batch →
+    decontaminate against an eval benchmark drawn from the corpus
+    (dedup.decontaminate_against_eval, drop any hit) → Gopher
+    repetition gate (text.gopher_repetition_scores) → INCREMENTAL
+    paragraph dedup against the corpus block index
+    (dedup.incremental_paragraph_rewrite) → per-source corpus stats.
+    The oracle rebuilds the whole chain in one SQL — full value parity
+    proves the stages compose without semantic drift, the same
+    certificate v2 carries for the full-corpus cleaning chain.
+    """
+    from pyspark import StorageLevel
+
+    from dbt_repo_spark.operators import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    # The batch relation feeds EVERY stage (decontamination reads it 3x
+    # internally, the repetition gate 5x, the keep join and the rewrite
+    # again) — unpersisted, Catalyst duplicates the scan+filter subtree
+    # into each consumer (~20 re-reads; 155 exchanges in the cold plan).
+    # Batch-count bound, the tick's working set.
+    batch = (
+        docs.join(F.broadcast(thr))
+        .filter(F.col("doc_id") >= F.col("thr"))
+        .drop("thr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eval_df = corpus.filter(F.col("doc_id") % 100 == 3)
+    dec = dedup.decontaminate_against_eval(
+        batch, eval_df, "doc_id", "text", n=5
+    ).filter(~F.col("is_contaminated"))
+    rep = tx.gopher_repetition_scores(
+        batch, "doc_id", "text", block_tokens=10, n=5
+    ).filter("passes_repetition")
+    # survivors feed the rewrite (blocks + rebuild + totals) and the
+    # final source join — persist the small filtered relation too
+    kept = (
+        batch.join(dec.select("doc_id"), "doc_id")
+        .join(rep.select("doc_id"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx = dedup.paragraph_block_index(corpus, "doc_id", "text", block_tokens=10)
+    rw = dedup.incremental_paragraph_rewrite(
+        kept, idx, "doc_id", "text", block_tokens=10
+    )
+    return (
+        rw.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+            F.sum("n_kept").cast("long").alias("n_blocks_kept"),
+            F.sum(
+                F.size(dedup.tokens(F.col("text_rewritten")))
+            ).cast("long").alias("n_tokens_kept"),
+        )
+    )

@@ -384,7 +384,11 @@ EXCHANGE_BUDGETS = {
     "timeseries_gapfill": 4,
     "top_k_per_group": 1,
     "training_data_pipeline": 5,
-    "training_data_pipeline_v2": 7,
+    # 8 since r06: the persist of the scrubbed-corpus relation prints its
+    # cached subtree (incl. the quality-gate broadcast exchange) inside
+    # InMemoryRelation — one-time materialization cost, shared by the
+    # three consumers that previously each re-ran the regexp chain
+    "training_data_pipeline_v2": 8,
     "trip_metrics": 1,
     "tumbling_window_counts": 1,
     "typed_null_filter": 0,
