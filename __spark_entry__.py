@@ -92,9 +92,11 @@ _RECHECK_THIS_ROUND = [
     # r06 perf work (the confirmed driver-drift items): v2 gained a
     # persist of the shared scrubbed-corpus relation; the five ANN
     # queries share with_recall_vs_exact, which now persists the approx
-    # relation instead of recomputing the search subtree twice.
+    # relation instead of recomputing the search subtree twice; v3
+    # persists its survivor + mixture relations.
     "training_data_pipeline_v2", "embed_lsh_topk", "embed_ivf_topk",
     "embed_ivfpq_topk", "embed_pq_topk", "embed_filtered_topk",
+    "training_data_pipeline_v3",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

@@ -5066,8 +5066,15 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget_mixture,
     )
 
+    from pyspark import StorageLevel
+
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.3, n=3)
+    # surv feeds the mixture (which its two consumers re-run) AND the
+    # summary count — unpersisted, the survivorship window + doc joins
+    # execute ~4x (r06 profile: these two persists, 7.1 -> 6.6s median
+    # at sf0.1 — the remaining cost is the LSH band join + CC rounds,
+    # which run once). Both relations are 3 scalar columns per doc.
     surv = (
         canonical_by_quality(pairs, docs, "doc_id", "n_chars")
         .filter(F.col("keep"))
@@ -5078,9 +5085,12 @@ def training_data_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.size(dedup.tokens(F.col("text"))).cast("long").alias("n_tokens"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     weights = {"en": 0.5, "zh": 0.125, "es": 0.125, "de": 0.125, "fr": 0.125}
-    sel = token_budget_mixture(surv, "lang", weights, "doc_id", "n_tokens", 2000)
+    sel = token_budget_mixture(
+        surv, "lang", weights, "doc_id", "n_tokens", 2000
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     packs = pack_token_budget(sel, "doc_id", "n_tokens", budget=512, num_shards=8)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     n_surv = surv.agg(F.count("*").alias("n_survivors"))

@@ -104,7 +104,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # keep the UI off in tests/bench for startup speed
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all executor threads in ONE JVM: 8g was
+        # undersized for 32 cores (r06: heavy queries late in a 500-job
+        # bench ran 1.6x their standalone medians — old-gen pressure).
+        # 16g ~ 0.5g/core; a real cluster sizes executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
