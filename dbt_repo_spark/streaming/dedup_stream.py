@@ -41,13 +41,18 @@ def _read_index(spark: SparkSession, index_dir: str, exclude_batch: int) -> Data
     """Owner index published by previous ticks; empty relation on the
     first tick. ``exclude_batch`` hides the current batch's own
     partition so a crash-replay does not treat its half-published
-    owners as corpus."""
-    try:
-        idx = spark.read.parquet(index_dir)
-    except Exception:  # first tick: nothing published yet
+    owners as corpus. Only a MISSING directory means "first tick" — a
+    corrupt or unreadable index must raise, not silently dedup against
+    nothing (that would republish every corpus paragraph)."""
+    # Hadoop FS existence check: works for any scheme the index lives
+    # on (local here, object storage on a real cluster)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return spark.createDataFrame(
             [], "h long, doc_id long, blk long, batch long"
         )
+    idx = spark.read.parquet(index_dir)
     return idx.filter(F.col("batch") != F.lit(exclude_batch))
 
 
