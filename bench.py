@@ -218,6 +218,8 @@ HEADLINE = [
     # round-6 batch 4: the composed production tick (decontaminate ->
     # repetition gate -> incremental paragraph rewrite -> source stats)
     "training_data_pipeline_v4",
+    # round-6 batch 5: embedding-column health audit
+    "embedding_quality_audit",
 ]
 
 RUNS = 3

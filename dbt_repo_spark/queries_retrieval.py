@@ -1017,3 +1017,57 @@ def training_data_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tokens_kept"),
         )
     )
+
+
+@q(
+    "embedding_quality_audit",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, len(v) AS dim,
+                 round(sqrt(list_dot_product(v, v)), 6) AS nrm
+          FROM e),
+    j AS (SELECT d.doc_id, d.source, n.vec_id, n.dim, n.nrm
+          FROM documents d LEFT JOIN n ON d.doc_id = n.vec_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(vec_id) AS BIGINT) AS n_with_embedding,
+           CAST(COUNT(*) - COUNT(vec_id) AS BIGINT) AS n_missing,
+           CAST(COUNT(CASE WHEN dim = 64 THEN 1 END) AS BIGINT) AS n_dim_ok,
+           CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT)
+             AS n_zero_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM j GROUP BY source
+    """,
+)
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health audit, per source: coverage (docs with a
+    vector under the doc_id=vec_id contract), dimension conformance,
+    zero-norm (untrainable) vectors, and the norm range — the data-
+    quality gate a multimodal pipeline runs before ANN indexing or
+    contrastive training ever sees the table. One broadcast-friendly
+    left join + one grouped conditional-count pass; norms follow the
+    engine's deterministic sequential-fold recipe (cast to double,
+    6-dp round) so even the float columns hash-match the oracle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(similarity.dot(v, v)), 6).alias("nrm"),
+    )
+    j = docs.select("doc_id", "source").join(
+        n, docs["doc_id"] == n["vec_id"], "left"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("vec_id").cast("long").alias("n_with_embedding"),
+        (F.count("*") - F.count("vec_id")).cast("long").alias("n_missing"),
+        F.count(F.when(F.col("dim") == 64, 1)).cast("long").alias("n_dim_ok"),
+        F.count(F.when(F.col("nrm") == 0, 1)).cast("long").alias("n_zero_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

@@ -315,3 +315,34 @@ def test_repetition_scores_fixture(spark):
     assert (r2.dup_block_frac, r2.dup_block_token_frac,
             r2.top_bigram_frac, r2.dup_ngram_token_frac) == (0.0, 0.0, 2/30, 0.0)
     assert r2.passes_repetition
+
+
+def test_paragraph_rewrite_is_idempotent(spark):
+    """Fixpoint property: a second paragraph-dedup pass over the
+    rewritten corpus changes nothing (no duplicated block survives the
+    first pass, so the second pass keeps every remaining block)."""
+    docs = spark.read.parquet(SF + "/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    once = dedup.paragraph_dedup_rewrite(docs, "doc_id", "text", 10).select(
+        "doc_id", F.col("text_rewritten").alias("text")
+    )
+    twice = dedup.paragraph_dedup_rewrite(
+        once.filter("text <> ''"), "doc_id", "text", 10
+    )
+    changed = twice.filter(F.col("n_kept") != F.col("n_blocks")).count()
+    assert changed == 0
+
+
+def test_incremental_paragraph_empty_batch_is_noop(spark):
+    """An empty tick returns an empty result and merge leaves the index
+    unchanged — the degenerate case every scheduler eventually hits."""
+    docs = spark.read.parquet(SF + "/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    idx = dedup.paragraph_block_index(docs, "doc_id", "text", 10)
+    empty = docs.filter("doc_id < 0")
+    out = dedup.incremental_paragraph_rewrite(empty, idx, "doc_id", "text", 10)
+    assert out.count() == 0
+    merged = dedup.merge_paragraph_index(idx, empty, "doc_id", "text", 10)
+    assert merged.count() == idx.count()

@@ -210,6 +210,8 @@ EXCHANGE_BUDGETS = {
     # four doc-keyed aggregate legs (block owner+fold, bigram top,
     # gram-count + coverage distinct) + three left joins back
     "text_repetition_scores": 11,
+    # one broadcast join (doc->vector) + one grouped conditional-count
+    "embedding_quality_audit": 2,
     # sketch + certificate lattice: 4 gram-relation consumers, per-pair
     # merge window, mostly broadcast exchanges on pair-sized relations
     "sketch_kmv_source_overlap": 33,
