@@ -650,7 +650,10 @@ def gopher_repetition_scores(
       occurrences / total tokens (duplicate-line character fraction).
     - ``top_bigram_frac``: tokens covered by the most frequent 2-gram
       (count x 2, Gopher's top-n-gram formula; lexicographically
-      smallest wins ties — deterministic) / total tokens.
+      smallest wins ties — deterministic) / total tokens. NOTE: like
+      Gopher's own character version, overlapping occurrences count
+      twice, so a degenerate doc ("a a a" → count 2, 3 tokens) can
+      exceed 1.0 — irrelevant to the gate, which cuts at 0.2.
     - ``dup_ngram_token_frac``: tokens covered by ANY within-doc
       duplicated ``n``-gram, positions unioned / total tokens.
     - ``passes_repetition``: the Gopher-style composite gate

@@ -346,3 +346,24 @@ def test_incremental_paragraph_empty_batch_is_noop(spark):
     assert out.count() == 0
     merged = dedup.merge_paragraph_index(idx, empty, "doc_id", "text", 10)
     assert merged.count() == idx.count()
+
+
+def test_repetition_fraction_ranges_on_corpus(spark):
+    """Invariants over the real corpus: block and n-gram coverage
+    fractions live in [0, 1]; top_bigram_frac may exceed 1 only via
+    the documented overlap artifact (never on this corpus's docs, all
+    >= 30 tokens); the degenerate 'a a a' doc pins the artifact."""
+    from dbt_repo_spark.operators import text as tx
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    rows = tx.gopher_repetition_scores(docs, "doc_id", "text", 10, 5).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_block_frac <= 1.0
+        assert 0.0 <= r.dup_block_token_frac <= 1.0
+        assert 0.0 <= r.dup_ngram_token_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0  # holds for this corpus
+
+    degenerate = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    [d] = tx.gopher_repetition_scores(degenerate, "doc_id", "text", 10, 5).collect()
+    assert d.top_bigram_frac > 1.0  # overlap artifact, documented
