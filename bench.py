@@ -251,6 +251,11 @@ def main() -> None:
           125 queries. One explicit System.gc() per query makes cleanup
           deterministic (~10ms on this heap — noise next to any query).
         """
+        # drop the Python-side references to recall-audit pins so the
+        # unpersist below is not undone by a later re-materialization
+        from dbt_repo_spark.operators.similarity import release_recall_audit_pins
+
+        release_recall_audit_pins()
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             try:

@@ -87,6 +87,28 @@ def cosine_topk(
     )
 
 
+# DataFrames persisted by with_recall_vs_exact, pending caller release —
+# see the persist-lifetime note inside the function.
+_RECALL_AUDIT_PINS: list[DataFrame] = []
+
+
+def release_recall_audit_pins() -> int:
+    """Unpersist every relation pinned by ``with_recall_vs_exact`` calls
+    so far; returns how many were released. Call after the audited
+    results are materialized (collect/write) in any long-lived session —
+    otherwise each audit pins another cached relation until LRU eviction
+    starts knocking out OTHER queries' warm state."""
+    n = 0
+    while _RECALL_AUDIT_PINS:
+        df = _RECALL_AUDIT_PINS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Attach per-query recall@k vs an exact result to an approximate one.
 
@@ -107,9 +129,17 @@ def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFra
     # the entire approximate-search subtree (bucket join / probe /
     # rerank), doubling the operator's cost. The relation is k rows per
     # query by construction, so pinning it is O(queries × k) — trivial.
+    # Persist LIFETIME: the result is lazy, so this operator cannot
+    # unpersist safely itself; the pin is recorded in
+    # _RECALL_AUDIT_PINS and a long-lived session should call
+    # release_recall_audit_pins() once results are materialized (the
+    # bench harness's RDD-level teardown covers the bench; this hook
+    # covers everyone else — r06 traced eviction-induced cold-mode
+    # drift to exactly this kind of orphaned pin).
     from pyspark import StorageLevel
 
     approx = approx.persist(StorageLevel.MEMORY_AND_DISK)
+    _RECALL_AUDIT_PINS.append(approx)
     # One reference to the exact subtree: left-join its (query, neighbor)
     # pairs against the approx pairs and fold hit counts per query. The
     # exact side has every query (k rows each), so this also yields

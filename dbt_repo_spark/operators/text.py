@@ -664,9 +664,10 @@ def gopher_repetition_scores(
     first, then doc_id) — partial-aggregable, shuffle bounded by the
     token count, no corpus-wide state; a map-side combine handles the
     pathological doc that is one phrase repeated a million times.
-    Documents shorter than a block/gram report 0 fractions (vacuously
-    clean) so the gate never drops short docs for being short — that is
-    ``quality_scores``'s job.
+    Documents shorter than a block/gram — INCLUDING zero-token docs —
+    report 0.0 fractions (vacuously clean, ``passes_repetition`` true)
+    so the gate never drops a doc for being short or empty; length
+    filtering is ``quality_scores``'s job.
     """
     from dbt_repo_spark.operators.dedup import _paragraph_blocks
 
@@ -748,12 +749,21 @@ def gopher_repetition_scores(
     dbf = F.when(nb > 0, F.coalesce(F.col("nb_dup"), F.lit(0)) / nb).otherwise(
         F.lit(0.0)
     )
-    dbt_ = F.coalesce(F.col("dup_block_tokens"), F.lit(0)) / F.col("n_tokens")
-    tbf = (F.coalesce(F.col("top_bg_cnt"), F.lit(0)) * 2) / F.col("n_tokens")
-    dgf = F.coalesce(F.col("dup_gram_tokens"), F.lit(0)) / F.col("n_tokens")
+    # zero-token documents report vacuously-clean 0.0 fractions and PASS
+    # the gate (guarded divisions) — the gate never drops a doc for being
+    # short/empty; length filtering is quality_scores' job
+    nt = F.col("n_tokens")
+    dbt_ = F.when(
+        nt > 0, F.coalesce(F.col("dup_block_tokens"), F.lit(0)) / nt
+    ).otherwise(F.lit(0.0))
+    tbf = F.when(
+        nt > 0, (F.coalesce(F.col("top_bg_cnt"), F.lit(0)) * 2) / nt
+    ).otherwise(F.lit(0.0))
+    dgf = F.when(
+        nt > 0, F.coalesce(F.col("dup_gram_tokens"), F.lit(0)) / nt
+    ).otherwise(F.lit(0.0))
     return (
-        totals.filter(F.col("n_tokens") > 0)
-        .join(block_stats, "doc_id", "left")
+        totals.join(block_stats, "doc_id", "left")
         .join(top_big, "doc_id", "left")
         .join(covered, "doc_id", "left")
         .select(

@@ -778,7 +778,7 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '),
                                              x -> x <> '') AS w
                   FROM documents),
-    tot AS (SELECT doc_id, len(w) AS n_tokens FROM base WHERE len(w) > 0),
+    tot AS (SELECT doc_id, len(w) AS n_tokens FROM base),
     sized AS (SELECT doc_id, w,
                      CAST(ceil(len(w) / 10.0) AS INT) AS nbk FROM base),
     blocks AS (SELECT doc_id,
@@ -817,16 +817,29 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_gram_tokens
            FROM cov GROUP BY 1)
     SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
-           COALESCE(bs.nb_dup, 0) / bs.nb AS dup_block_frac,
-           COALESCE(bs.dup_block_tokens, 0) / t.n_tokens
-             AS dup_block_token_frac,
-           COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens AS top_bigram_frac,
-           COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens
-             AS dup_ngram_token_frac,
-           (COALESCE(bs.nb_dup, 0) / bs.nb <= 0.3
-            AND COALESCE(bs.dup_block_tokens, 0) / t.n_tokens <= 0.2
-            AND COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens <= 0.2
-            AND COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens <= 0.15)
+           CASE WHEN COALESCE(bs.nb, 0) > 0
+                THEN COALESCE(bs.nb_dup, 0) / bs.nb ELSE 0.0 END
+             AS dup_block_frac,
+           CASE WHEN t.n_tokens > 0
+                THEN COALESCE(bs.dup_block_tokens, 0) / t.n_tokens
+                ELSE 0.0 END AS dup_block_token_frac,
+           CASE WHEN t.n_tokens > 0
+                THEN COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN t.n_tokens > 0
+                THEN COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens
+                ELSE 0.0 END AS dup_ngram_token_frac,
+           (CASE WHEN COALESCE(bs.nb, 0) > 0
+                 THEN COALESCE(bs.nb_dup, 0) / bs.nb ELSE 0.0 END <= 0.3
+            AND CASE WHEN t.n_tokens > 0
+                     THEN COALESCE(bs.dup_block_tokens, 0) / t.n_tokens
+                     ELSE 0.0 END <= 0.2
+            AND CASE WHEN t.n_tokens > 0
+                     THEN COALESCE(tb2.top_bg_cnt, 0) * 2 / t.n_tokens
+                     ELSE 0.0 END <= 0.2
+            AND CASE WHEN t.n_tokens > 0
+                     THEN COALESCE(cv.dup_gram_tokens, 0) / t.n_tokens
+                     ELSE 0.0 END <= 0.15)
              AS passes_repetition
     FROM tot t
     LEFT JOIN bs USING (doc_id)
@@ -906,15 +919,17 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                       UNNEST(range(p.pos, p.pos + 5)) AS u(tp)
                  WHERE gc.cnt >= 2) GROUP BY 1),
     rep_pass AS (SELECT s.doc_id
-                 FROM (SELECT doc_id, len(w) AS n_tokens FROM bdocs
-                       WHERE len(w) > 0) s
+                 FROM (SELECT doc_id, len(w) AS n_tokens FROM bdocs) s
                  LEFT JOIN bs USING (doc_id)
                  LEFT JOIN tb2 USING (doc_id)
                  LEFT JOIN cv USING (doc_id)
-                 WHERE COALESCE(bs.nb_dup, 0) / bs.nb <= 0.3
+                 -- zero-token docs pass vacuously (gate never drops
+                 -- empty docs — matches gopher_repetition_scores)
+                 WHERE s.n_tokens = 0
+                    OR (COALESCE(bs.nb_dup, 0) / bs.nb <= 0.3
                    AND COALESCE(bs.dup_block_tokens, 0) / s.n_tokens <= 0.2
                    AND COALESCE(tb2.top_bg_cnt, 0) * 2 / s.n_tokens <= 0.2
-                   AND COALESCE(cv.dup_gram_tokens, 0) / s.n_tokens <= 0.15),
+                   AND COALESCE(cv.dup_gram_tokens, 0) / s.n_tokens <= 0.15)),
     -- stage 3: incremental paragraph rewrite of the surviving docs
     kept_docs AS (SELECT b.* FROM bdocs b
                   SEMI JOIN rep_pass USING (doc_id)

@@ -18,6 +18,29 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+
+def _default_driver_mem() -> str:
+    """Driver-heap default scaled to the HOST, not hardcoded for the
+    bench machine: ~0.5g per core (local[N] puts every executor thread
+    in the one driver JVM) capped at 25% of physical RAM and at 16g.
+    On the 32-core/128GB bench host this resolves to the same 16g the
+    r06 fix landed; on a 4-core/8GB laptop it resolves to 2g instead of
+    a JVM that cannot start. SPARK_GRAFT_DRIVER_MEM overrides."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    cores = os.cpu_count() or 4
+    gb_by_cores = max(2, cores // 2)
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(
+                next(l for l in fh if l.startswith("MemTotal")).split()[1]
+            )
+        gb_by_ram = max(1, total_kb // (4 * 1024 * 1024))  # 25% of RAM
+    except (OSError, StopIteration, ValueError):  # non-Linux hosts
+        gb_by_ram = gb_by_cores
+    return f"{min(16, gb_by_cores, gb_by_ram)}g"
+
 _PKG_SHIPPED: set[int] = set()
 
 
@@ -107,8 +130,9 @@ def get_spark(
         # local[N] puts driver + all executor threads in ONE JVM: 8g was
         # undersized for 32 cores (r06: heavy queries late in a 500-job
         # bench ran 1.6x their standalone medians — old-gen pressure).
-        # 16g ~ 0.5g/core; a real cluster sizes executors separately.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ~0.5g/core scaled to host RAM (r07: no longer a flat 16g that
+        # OOM-kills small hosts); a real cluster sizes executors separately.
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -252,7 +252,7 @@ def build_events_fixture(
 
     Values are JSON with integer-only fields (cents, epoch micros) —
     no float text round-trips anywhere in the path. A fingerprint file
-    (slice count + event_id sum) detects regenerated source data and
+    (slice count + whole-row content hash) detects regenerated source data and
     rebuilds; the build stages into a temp dir and publishes with one
     atomic rename so concurrent callers never see a partial fixture.
     """
@@ -265,11 +265,13 @@ def build_events_fixture(
     store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
     root = os.path.join(store, f"kafka_{sf_base}_m{modulus}p{n_partitions}")
     con = duckdb.connect()
-    n, id_sum = con.execute(
-        f"SELECT COUNT(*), COALESCE(SUM(event_id), 0) "
-        f"FROM '{sf_dir}/events.parquet' WHERE event_id % {modulus} = 0"
+    # whole-row content hash in the fingerprint: regenerated source data
+    # with identical ids but different payload must invalidate the fixture
+    n, row_sum = con.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(hash(CAST(e AS VARCHAR))), 0) "
+        f"FROM '{sf_dir}/events.parquet' e WHERE event_id % {modulus} = 0"
     ).fetchone()
-    fingerprint = f"{n}:{id_sum}"
+    fingerprint = f"{n}:{row_sum}"
     fp_file = os.path.join(root, "_fingerprint.txt")
     try:
         with open(fp_file) as fh:
@@ -352,15 +354,20 @@ def build_documents_fixture(sf_dir: str, n_partitions: int = 4) -> str:
     store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
     root = os.path.join(store, f"kafka_docs_{sf_base}_p{n_partitions}")
     con = duckdb.connect()
-    n, id_sum = con.execute(
+    # count + id-sum + CONTENT hash: regenerating documents.parquet with
+    # identical ids but different text/source must invalidate the broker
+    # fixture (text is the payload here — an id-only fingerprint would
+    # silently replay stale segments and desync the stream oracle)
+    n, id_sum, content_sum = con.execute(
         f"""
-        SELECT COUNT(*), COALESCE(SUM(doc_id), 0)
+        SELECT COUNT(*), COALESCE(SUM(doc_id), 0),
+               COALESCE(SUM(hash(source || '|' || text)), 0)
         FROM '{sf_dir}/documents.parquet'
         WHERE doc_id >= (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT)
                          FROM '{sf_dir}/documents.parquet')
         """
     ).fetchone()
-    fingerprint = f"{n}:{id_sum}"
+    fingerprint = f"{n}:{id_sum}:{content_sum}"
     fp_file = os.path.join(root, "_fingerprint.txt")
     try:
         with open(fp_file) as fh:

@@ -20,6 +20,15 @@ the same page-pinning idea as the paged sink's two-phase commit
 ``batch != current`` so a replay never sees its own crashed half-write
 as "corpus".
 
+At-least-once collapse happens at BOTH granularities: within a tick via
+``dropDuplicates(doc_id)``, and ACROSS ticks via an anti-join against
+the doc_ids already published to the output table (excluding the
+current batch partition, so a crash-replay still rewrites its own
+rows). Without the cross-tick leg, a producer retry that redelivers a
+document at new offsets in a later tick would cut it to empty against
+its own earlier index rows and publish a second, conflicting row under
+the new ``batch=`` partition.
+
 Scale notes: the index join is an equi-join on the 8-byte block hash
 (batch-bounded shuffle — the corpus text is never re-read); the index
 table grows by new-hash rows only. At 100 TB the index is itself a big
@@ -56,6 +65,22 @@ def _read_index(spark: SparkSession, index_dir: str, exclude_batch: int) -> Data
     return idx.filter(F.col("batch") != F.lit(exclude_batch))
 
 
+def _read_published_doc_ids(
+    spark: SparkSession, out_dir: str, exclude_batch: int
+) -> DataFrame:
+    """doc_ids already published by PREVIOUS ticks (empty relation before
+    the first publish). ``exclude_batch`` hides the current batch's own
+    partition so a crash-replay of this tick still republishes its rows
+    instead of anti-joining itself away. Partition pruning keeps this a
+    metadata + doc_id-column scan, never the text payload."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return spark.createDataFrame([], "doc_id long")
+    out = spark.read.parquet(out_dir)
+    return out.filter(F.col("batch") != F.lit(exclude_batch)).select("doc_id")
+
+
 def paragraph_dedup_tick(
     spark: SparkSession,
     docs: DataFrame,
@@ -67,7 +92,15 @@ def paragraph_dedup_tick(
     """One micro-batch: dedup ``docs`` against the published index,
     publish rewritten docs and the new owner rows, both under the
     ``batch=<id>`` partition (idempotent under replay)."""
-    docs = docs.dropDuplicates(["doc_id"])  # at-least-once bus
+    # at-least-once collapse: within the tick (dropDuplicates) and
+    # across ticks (anti-join vs already-published doc_ids — a producer
+    # retry redelivering at new offsets in a LATER tick must not publish
+    # a second, empty-rewritten copy under the new batch partition)
+    docs = docs.dropDuplicates(["doc_id"]).join(
+        _read_published_doc_ids(spark, out_dir, exclude_batch=batch_id),
+        "doc_id",
+        "left_anti",
+    )
     idx = _read_index(spark, index_dir, exclude_batch=batch_id)
     rewritten = dedup.incremental_paragraph_rewrite(
         docs, idx, "doc_id", "text", block_tokens

@@ -367,3 +367,28 @@ def test_repetition_fraction_ranges_on_corpus(spark):
     degenerate = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
     [d] = tx.gopher_repetition_scores(degenerate, "doc_id", "text", 10, 5).collect()
     assert d.top_bigram_frac > 1.0  # overlap artifact, documented
+
+
+def test_repetition_scores_zero_token_docs_pass_vacuously(spark):
+    """Zero-token documents are NOT dropped: they report 0.0 fractions
+    and pass the gate (length filtering is quality_scores' job, not the
+    repetition gate's) — regression for the r06 advice item where
+    empty docs silently vanished from the output."""
+    from dbt_repo_spark.operators import text as tx
+
+    clean = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, clean)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in tx.gopher_repetition_scores(df, "doc_id", "text", 10, 5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for did in (1, 2):
+        r = out[did]
+        assert r.n_tokens == 0
+        assert (r.dup_block_frac, r.dup_block_token_frac,
+                r.top_bigram_frac, r.dup_ngram_token_frac) == (0.0, 0.0, 0.0, 0.0)
+        assert r.passes_repetition
+    assert out[3].n_tokens == 30 and out[3].passes_repetition

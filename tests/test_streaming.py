@@ -885,3 +885,59 @@ def test_paragraph_dedup_stream_multi_tick_and_replay(spark, tmp_path):
     assert out3 == out2  # no duplicates, same values
     idx = spark.read.parquet(index_dir)
     assert idx.count() == idx.select("h").distinct().count()  # one owner per hash
+
+
+def test_paragraph_dedup_stream_cross_tick_redelivery(spark, tmp_path):
+    """A document redelivered in a LATER tick (producer retry at new
+    offsets, different batch id) must NOT be republished: without the
+    cross-tick anti-join it would be cut to empty against its own tick-1
+    index rows and land as a second, conflicting row under the new
+    batch= partition."""
+    import json
+
+    from dbt_repo_spark.streaming.dedup_stream import (
+        start_paragraph_dedup_stream,
+    )
+
+    broker = tmp_path / "broker"
+    pdir = broker / "documents" / "p0"
+    pdir.mkdir(parents=True)
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rec(doc_id, text):
+        return json.dumps(
+            {
+                "key": str(doc_id),
+                "value": json.dumps(
+                    {"doc_id": doc_id, "source": "s", "text": text}
+                ),
+                "timestamp_ms": 1700000000000 + doc_id,
+                "headers": {},
+            }
+        )
+
+    text10 = "a b c d e f g h i j"
+    # tick 1: doc 10 arrives (empty prior index/output)
+    (pdir / "segment-000.jsonl").write_text(rec(10, text10) + "\n")
+    q = start_paragraph_dedup_stream(spark, str(broker), index_dir, out_dir, ckpt)
+    q.awaitTermination()
+    rows1 = spark.read.parquet(out_dir).collect()
+    assert {(r.doc_id, r.n_kept) for r in rows1} == {(10, 1)}
+
+    # tick 2: the SAME doc redelivered at new offsets + one fresh doc
+    (pdir / "segment-001.jsonl").write_text(
+        rec(10, text10) + "\n" + rec(20, "k l m n o p q r s t") + "\n"
+    )
+    q = start_paragraph_dedup_stream(spark, str(broker), index_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    rows2 = spark.read.parquet(out_dir).collect()
+    per_doc = {}
+    for r in rows2:
+        per_doc.setdefault(r.doc_id, []).append((r.n_kept, r.text_rewritten))
+    # exactly ONE output row per doc_id; doc 10's tick-1 row unchanged
+    assert {k: len(v) for k, v in per_doc.items()} == {10: 1, 20: 1}
+    assert per_doc[10] == [(1, text10)]
+    assert per_doc[20] == [(1, "k l m n o p q r s t")]
