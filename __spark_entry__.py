@@ -89,20 +89,20 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    # r06 perf work (the confirmed driver-drift items): v2 gained a
-    # persist of the shared scrubbed-corpus relation; the five ANN
-    # queries share with_recall_vs_exact, which now persists the approx
-    # relation instead of recomputing the search subtree twice; v3
-    # persists its survivor + mixture relations.
-    "training_data_pipeline_v2", "embed_lsh_topk", "embed_ivf_topk",
-    "embed_ivfpq_topk", "embed_pq_topk", "embed_filtered_topk",
-    "training_data_pipeline_v3",
+    # r07 rewires: multimodal_features / multimodal_resize moved from
+    # the stub decoder (rows-only) to REAL stdlib BMP/PPM decode with
+    # full DuckDB oracles — their stale rows-only ledger records must be
+    # replaced by hash-green rows. text_repetition_scores and
+    # training_data_pipeline_v4 gained the zero-token-doc gate fix
+    # (operator + oracle changed together; fixture values unchanged).
+    "multimodal_features", "multimodal_resize",
+    "text_repetition_scores", "training_data_pipeline_v4",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 6
+_RECHECK_LISTED_FOR_ROUND = 7
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -151,12 +151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 22 keys absent here (MinHash/SimHash signatures, the approximate
-    ANN family, SemDeDup, the sketch rollups, multimodal decode, BPE,
-    the k-core fixed point) are non-SQL-expressible — seeded xxhash64,
-    approximate recall by construction, mapInPandas codecs, iterative
-    merge learning, iterative peeling — and the driver records rows-only
-    checks. The approximate ones carry in-plan
+    The 20 keys absent here (MinHash/SimHash signatures, the approximate
+    ANN family, SemDeDup, the sketch rollups, BPE, the k-core fixed
+    point) are non-SQL-expressible — seeded xxhash64, approximate recall
+    by construction, iterative merge learning, iterative peeling — and
+    the driver records rows-only checks. (Multimodal decode left this
+    set in r07: the stdlib WAV/BMP/PPM codecs are value-checked by full
+    oracles now.) The approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin
     equivalence-to-exact or reference outputs in tests — see COVERAGE.md

@@ -220,6 +220,13 @@ HEADLINE = [
     "training_data_pipeline_v4",
     # round-6 batch 5: embedding-column health audit
     "embedding_quality_audit",
+    # round-7: REAL stdlib media decode (multimodal_features was
+    # rewired from the stub decoder to BMP/PPM parsing this round — its
+    # pre-r07 floors measured a different computation); audio twin +
+    # both re-encode roundtrips
+    "multimodal_resize",
+    "multimodal_audio_decode",
+    "multimodal_audio_resample",
 ]
 
 RUNS = 3

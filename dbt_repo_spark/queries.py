@@ -1532,33 +1532,50 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_n_bytes=256)
 
 
-@q("multimodal_features")  # mapInPandas decode stub → rows-only check
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary media columns.
-
-    The raw ``array<float>`` feature vector is projected to a hashable
-    canonical form (md5 over rounded components) so the harness can
-    sort/hash rows; feature_dim and the L1 mass keep the vector's shape
-    and magnitude observable without emitting an unhashable list column.
+@q(
+    "multimodal_features",
     """
-    media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
-    feats = multimodal.extract_media_features(media)
-    canon = F.array_join(
-        F.transform("features", lambda x: F.cast("string", F.round(x, 5))), ","
-    )
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        "checksum",
-        "width",
-        "height",
-        F.size("features").alias("feature_dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
-        ).alias("feature_l1"),
-        F.md5(canon).alias("features_sig"),
-    )
+    WITH img AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+                        CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+                             ELSE 3 + doc_id % 6 END AS w,
+                        CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+                             ELSE 2 + doc_id % 5 END AS h
+                 FROM documents WHERE doc_id % 3 <> 1),
+    px AS (SELECT doc_id,
+                  (doc_id * 7 + x * 13 + y * 31) % 256 AS r,
+                  (doc_id * 7 + x * 13 + y * 31 + 101) % 256 AS g,
+                  (doc_id * 7 + x * 13 + y * 31 + 202) % 256 AS b
+           FROM img, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y))
+    SELECT i.doc_id AS media_id, i.fmt AS format,
+           CAST(CASE WHEN i.fmt = 'bmp'
+                     THEN 54 + i.h * ((i.w * 3 + 3) // 4 * 4)
+                     ELSE 9 + length(CAST(i.w AS VARCHAR))
+                            + length(CAST(i.h AS VARCHAR)) + 3 * i.w * i.h
+                END AS BIGINT) AS n_bytes,
+           CAST(i.w AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM(p.r) AS BIGINT) / (i.w * i.h) AS mean_r,
+           CAST(SUM(p.g) AS BIGINT) / (i.w * i.h) AS mean_g,
+           CAST(SUM(p.b) AS BIGINT) / (i.w * i.h) AS mean_b
+    FROM img i JOIN px p ON i.doc_id = p.doc_id
+    GROUP BY i.doc_id, i.fmt, i.w, i.h
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over binary media columns (r07 — decode is no
+    longer a stub): deterministic BMP/PPM blobs are generated from the
+    documents table (operators/multimodal.py::real_media_from_documents),
+    then PARSED by the stdlib codecs (operators/media_codecs.py) in an
+    Arrow-batched mapInPandas stage. The oracle recomputes the decoded
+    dimensions, container byte size, and exact per-channel means from
+    the generator formula alone — a green row certifies the whole
+    encoder -> container bytes -> parser -> statistics chain. Audio twin:
+    ``multimodal_audio_decode``; fake_decode remains only for formats
+    needing codec libs not in this container (JPEG/video).
+    """
+    media = multimodal.real_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.decode_image_stats(media)
 
 
 @q(
@@ -2645,12 +2662,44 @@ def kafka_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_resize")  # mapInPandas resize stub → rows-only check
+@q(
+    "multimodal_resize",
+    """
+    WITH img AS (SELECT doc_id,
+                        CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+                        CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+                             ELSE 3 + doc_id % 6 END AS w,
+                        CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+                             ELSE 2 + doc_id % 5 END AS h
+                 FROM documents WHERE doc_id % 3 <> 1),
+    tp AS (SELECT doc_id, (tx * w) // 6 AS sx, (ty * h) // 4 AS sy
+           FROM img, UNNEST(range(0, 6)) AS ux(tx), UNNEST(range(0, 4)) AS uy(ty)),
+    px AS (SELECT doc_id,
+                  (doc_id * 7 + sx * 13 + sy * 31) % 256 AS r,
+                  (doc_id * 7 + sx * 13 + sy * 31 + 101) % 256 AS g,
+                  (doc_id * 7 + sx * 13 + sy * 31 + 202) % 256 AS b
+           FROM tp)
+    SELECT i.doc_id AS media_id, i.fmt AS src_format,
+           CAST(6 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(54 + 4 * ((6 * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(SUM(p.r) AS BIGINT) / 24 AS mean_r,
+           CAST(SUM(p.g) AS BIGINT) / 24 AS mean_g,
+           CAST(SUM(p.b) AS BIGINT) / 24 AS mean_b
+    FROM img i JOIN px p ON i.doc_id = p.doc_id
+    GROUP BY i.doc_id, i.fmt
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize: shrink blobs BEFORE any shuffle so downstream
-    stages move the small representation."""
-    media = multimodal.synthetic_media_from_documents(t(spark, sf_dir, "documents"))
-    return multimodal.resize_media(media, width=64, height=64).drop("content")
+    """REAL resize roundtrip (r07): decode BMP/PPM -> nearest-neighbor
+    resample to 6x4 -> re-encode as BMP -> decode the re-encoded bytes ->
+    emit ITS statistics. The oracle recomputes the floor source-pixel
+    mapping (sx = tx*w//6, sy = ty*h//4) from the generator formula, so
+    a green row certifies the full re-encode chain — and early resize is
+    the 100 TB pattern: shrink blobs before the first shuffle moves them.
+    Audio twin: ``multimodal_audio_resample``.
+    """
+    media = multimodal.real_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.resize_real_images(media, tw=6, th=4)
 
 
 @q(

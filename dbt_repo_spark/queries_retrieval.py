@@ -1086,3 +1086,80 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@q(
+    "multimodal_audio_decode",
+    """
+    WITH wav AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                        8000 + (doc_id % 3) * 4000 AS rate,
+                        50 + doc_id % 40 AS nf
+                 FROM documents WHERE doc_id % 3 = 1),
+    s AS (SELECT doc_id,
+                 (doc_id * 1103515245 + i * 40503 + c * 997) % 65536 - 32768
+                   AS v
+          FROM wav, UNNEST(range(0, nf)) AS ui(i),
+                    UNNEST(range(0, ch)) AS uc(c))
+    SELECT w.doc_id AS media_id,
+           CAST(w.ch AS INTEGER) AS channels,
+           CAST(w.rate AS INTEGER) AS sample_rate,
+           CAST(w.nf AS BIGINT) AS n_frames,
+           CAST(44 + w.nf * w.ch * 2 AS BIGINT) AS n_bytes,
+           (w.nf * 1000) / w.rate AS duration_ms,
+           CAST(SUM(s.v) AS BIGINT) / (w.nf * w.ch) AS sample_mean,
+           CAST(SUM(s.v * s.v) AS BIGINT) / (w.nf * w.ch) AS sample_meansq
+    FROM wav w JOIN s USING (doc_id)
+    GROUP BY w.doc_id, w.ch, w.rate, w.nf
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (r07): deterministic RIFF/PCM16 blobs generated
+    from the documents table, parsed by the stdlib chunk-walking parser
+    (operators/media_codecs.py::decode_wav). The oracle recomputes the
+    layout (channels / rate / frame count), the canonical 44-byte-header
+    container size, the duration, and the exact sample mean / mean
+    square from the generator formula — every float is ONE IEEE division
+    of exact integers, so the row hashes bit-identically. Image twin:
+    ``multimodal_features``.
+    """
+    from dbt_repo_spark.operators import multimodal
+
+    media = multimodal.real_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_stats(media)
+
+
+@q(
+    "multimodal_audio_resample",
+    """
+    WITH wav AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+                        8000 + (doc_id % 3) * 4000 AS rate,
+                        50 + doc_id % 40 AS nf
+                 FROM documents WHERE doc_id % 3 = 1),
+    k AS (SELECT doc_id,
+                 (doc_id * 1103515245 + i * 40503 + c * 997) % 65536 - 32768
+                   AS v
+          FROM wav, UNNEST(range(0, nf, 2)) AS ui(i),
+                    UNNEST(range(0, ch)) AS uc(c))
+    SELECT w.doc_id AS media_id,
+           CAST(w.ch AS INTEGER) AS channels,
+           CAST(w.rate // 2 AS INTEGER) AS sample_rate,
+           CAST((w.nf + 1) // 2 AS BIGINT) AS n_frames,
+           (((w.nf + 1) // 2) * 1000) / (w.rate // 2) AS duration_ms,
+           CAST(SUM(k.v) AS BIGINT) / (((w.nf + 1) // 2) * w.ch)
+             AS sample_mean
+    FROM wav w JOIN k USING (doc_id)
+    GROUP BY w.doc_id, w.ch, w.rate, w.nf
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample roundtrip (r07): decode WAV -> keep every
+    2nd frame -> re-encode at rate/2 -> decode the re-encoded bytes ->
+    emit ITS stats (duration preserved up to the tail frame). The oracle
+    keeps frames via range(0, nf, 2) on the generator formula, so a
+    green row certifies the decimate + re-encode chain. Image twin:
+    ``multimodal_resize``.
+    """
+    from dbt_repo_spark.operators import multimodal
+
+    media = multimodal.real_media_from_documents(t(spark, sf_dir, "documents"))
+    return multimodal.resample_real_audio(media, factor=2)

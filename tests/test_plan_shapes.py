@@ -335,6 +335,13 @@ EXCHANGE_BUDGETS = {
     "map_battery": 0,
     "mart_region_revenue": 5,
     "multimodal_frames": 0,
+    # real-decode family (r07): the only exchange is fan_out's one
+    # round-robin spread before the Arrow decode stage — generation,
+    # decode, and stats are all map-side
+    "multimodal_features": 1,
+    "multimodal_resize": 1,
+    "multimodal_audio_decode": 1,
+    "multimodal_audio_resample": 1,
     "null_ordering": 1,
     "null_safe_join": 2,
     "pack_sequences": 1,
