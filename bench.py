@@ -227,6 +227,11 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_audio_decode",
     "multimodal_audio_resample",
+    # round-7: incremental ANN index maintenance tick (the similarity
+    # family's production shape; the streaming twin streaming_ann_index
+    # stays off the headline — its wall-clock is stream-startup
+    # overhead, same policy as streaming_paragraph_dedup)
+    "ann_ivf_upsert_tick",
 ]
 
 RUNS = 3

@@ -1141,3 +1141,178 @@ def embed_text_stub(
         embed_batches,
         schema=f"id long, embedding array<float>, norm_prenorm double",
     ).withColumnRenamed("id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (r07) — the similarity family's
+# production tick, mirroring the dedup family's batch-vs-persisted-index
+# shape (operators/dedup.py::incremental_paragraph_rewrite): a corpus
+# that gains embeddings continuously must EXTEND its ANN index, not
+# rebuild it. Reference analog: the incremental anti-join append
+# (/root/reference/models/facts/fact_station_status.sql:30-32) applied
+# to the postings relation.
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    codebook: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Assign vectors to their max-cosine centroid: (vec_id, cluster,
+    ascore) postings — the IVF index's row type.
+
+    ``exact=True`` (default) scores with the engine's sequential-fold
+    ``dot`` over unit-normalized doubles, bit-reproducible against a
+    DuckDB ``list_dot_product`` oracle (ties break to the smallest
+    cluster id via a (score, -idx) struct max). ``exact=False`` is the
+    Arrow/NumPy matmul fast path (same as ivf_topk's corpus stage) for
+    corpora where 16 interpreted HOF dots per row start to matter —
+    identical assignments except on float-ulp near-ties, which is why
+    the ORACLE-CHECKED path stays on the expression fold.
+    """
+    if not exact:
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.array(codebook, dtype=np.float64)
+
+        def assign(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf["v0"]), dtype=np.float64)
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                norms[norms == 0] = 1.0
+                normed = mat / norms[:, None]
+                scores = normed @ cmat.T
+                cl = np.argmax(scores, axis=1).astype("int32")
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["id"].to_numpy(),
+                        "cluster": cl,
+                        "ascore": scores[np.arange(len(cl)), cl],
+                    }
+                )
+
+        return (
+            fan_out(emb)
+            .select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v0"))
+            .mapInPandas(assign, schema="vec_id long, cluster int, ascore double")
+        )
+
+    normed = _normalized(emb, "vec_id", "v", id_col, vec_col)
+    scores = F.array(
+        *[dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in codebook]
+    )
+    # max (score, -idx) struct = max score, ties to the SMALLEST cluster
+    best = F.array_max(
+        F.zip_with(
+            scores,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(codebook) - 1)), lambda i: -i
+            ),
+            lambda s, ni: F.struct(s.alias("s"), ni.alias("ni")),
+        )
+    )
+    return normed.select(
+        "vec_id",
+        (-best.getField("ni")).cast("int").alias("cluster"),
+        best.getField("s").alias("ascore"),
+    )
+
+
+def _read_ivf_index(spark, index_dir: str, exclude_batch: int) -> DataFrame:
+    """Postings published by previous ticks (empty relation before the
+    first publish); ``exclude_batch`` hides the current batch's own
+    partition so a crash-replay never treats its half-write as corpus —
+    same contract as streaming/dedup_stream.py::_read_index."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, ascore double, batch long"
+        )
+    return spark.read.parquet(index_dir).filter(
+        F.col("batch") != F.lit(exclude_batch)
+    )
+
+
+def ivf_index_upsert(
+    spark,
+    new_vecs: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    codebook: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    drift_threshold: float = 0.05,
+) -> DataFrame:
+    """One index-maintenance tick: assign a NEW batch of vectors to the
+    EXISTING centroids, append its postings under a ``batch=<id>``
+    partition (dynamic overwrite -> idempotent crash-replay), and return
+    the per-cell drift statistics that decide when to RETRAIN.
+
+    At-least-once collapse mirrors the dedup tick: duplicates within the
+    batch drop, and vec_ids already in the index anti-join away (a
+    redelivered vector must not create a second posting). The tick never
+    touches corpus vectors — the only join is batch-postings vs the
+    postings table on the 4-byte cluster key for the drift stats, so a
+    tick's cost is bounded by the batch, not the corpus.
+
+    Drift signal (per cluster): corpus vs batch assignment-score means
+    (a falling batch mean = new data far from the codebook's cells) and
+    fill counts (one cell swallowing the batch = density moved).
+    ``retrain`` = batch mean more than ``drift_threshold`` below the
+    corpus mean on a cell with batch arrivals. Score means accumulate as
+    DECIMAL(20,6) over 6-dp-rounded scores (order-independent exact
+    sums, ONE final IEEE division) so even the float columns
+    hash-match a SQL oracle.
+    """
+    existing = _read_ivf_index(spark, index_dir, exclude_batch=batch_id)
+    batch = new_vecs.dropDuplicates([id_col]).join(
+        existing.select(F.col("vec_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    postings = ivf_assign(batch, codebook, id_col, vec_col, exact=exact)
+    (
+        postings.withColumn("batch", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .options(partitionOverwriteMode="dynamic")
+        .partitionBy("batch")
+        .parquet(index_dir)
+    )
+    # drift stats: published corpus (pre-tick) vs this batch's postings —
+    # read back from the table so the stats describe what the index
+    # actually now holds (and a replayed tick reports identically)
+    published = spark.read.parquet(index_dir)
+    corpus_side = published.filter(F.col("batch") != F.lit(batch_id))
+    batch_side = published.filter(F.col("batch") == F.lit(batch_id))
+
+    def cell_stats(df: DataFrame, n_name: str, avg_name: str) -> DataFrame:
+        dec = F.round(F.col("ascore"), 6).cast("decimal(20,6)")
+        return df.groupBy("cluster").agg(
+            F.count("*").cast("long").alias(n_name),
+            (F.sum(dec).cast("double") / F.count("*")).alias(avg_name),
+        )
+    cells = spark.range(len(codebook)).select(F.col("id").cast("int").alias("cluster"))
+    out = (
+        cells.join(cell_stats(corpus_side, "n_corpus", "corpus_avg_score"), "cluster", "left")
+        .join(cell_stats(batch_side, "n_batch", "batch_avg_score"), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_corpus", F.lit(0)).cast("long").alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).cast("long").alias("n_batch"),
+            "corpus_avg_score",
+            "batch_avg_score",
+            (F.col("corpus_avg_score") - F.col("batch_avg_score")).alias("score_drift"),
+            F.coalesce(
+                F.col("batch_avg_score")
+                < F.col("corpus_avg_score") - F.lit(drift_threshold),
+                F.lit(False),
+            ).alias("retrain"),
+        )
+    )
+    return out

@@ -1163,3 +1163,187 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.real_media_from_documents(t(spark, sf_dir, "documents"))
     return multimodal.resample_real_audio(media, factor=2)
+
+
+@q(
+    "ann_ivf_upsert_tick",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM embeddings),
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb AS (SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INTEGER)
+                    AS cl, e.v
+           FROM e, thr WHERE e.vec_id < thr.t ORDER BY e.vec_id LIMIT 16),
+    sc AS (SELECT e.vec_id, cb.cl, list_dot_product(e.v, cb.v) AS s
+           FROM e CROSS JOIN cb),
+    asg AS (SELECT vec_id, cl AS cluster, s AS ascore
+            FROM (SELECT vec_id, cl, s,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cl ASC) AS rn
+                  FROM sc)
+            WHERE rn = 1),
+    lab AS (SELECT a.vec_id, a.cluster, a.ascore,
+                   (a.vec_id >= thr.t) AS is_batch
+            FROM asg a, thr),
+    st AS (SELECT cluster, is_batch, COUNT(*) AS n,
+                  CAST(SUM(CAST(round(ascore, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) / COUNT(*) AS avg_s
+           FROM lab GROUP BY 1, 2),
+    cells AS (SELECT CAST(u AS INTEGER) AS cluster
+              FROM UNNEST(range(0, 16)) t(u))
+    SELECT c.cluster,
+           CAST(COALESCE(co.n, 0) AS BIGINT) AS n_corpus,
+           CAST(COALESCE(ba.n, 0) AS BIGINT) AS n_batch,
+           co.avg_s AS corpus_avg_score,
+           ba.avg_s AS batch_avg_score,
+           co.avg_s - ba.avg_s AS score_drift,
+           COALESCE(ba.avg_s < co.avg_s - 5e-2, FALSE) AS retrain
+    FROM cells c
+    LEFT JOIN (SELECT * FROM st WHERE NOT is_batch) co USING (cluster)
+    LEFT JOIN (SELECT * FROM st WHERE is_batch) ba USING (cluster)
+    """,
+)
+def ann_ivf_upsert_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (r07): the similarity family's
+    production tick, mirroring r06's dedup ticks. The first 80% of the
+    embeddings table seeds a persisted IVF postings index (batch=-1);
+    the last 20% arrives as a new batch and
+    ``similarity.py::ivf_index_upsert`` assigns it to the EXISTING
+    centroids, publishes its postings under an idempotent ``batch=<id>``
+    partition, and emits the per-cell drift statistics (fill counts +
+    corpus-vs-batch assignment-score means) that decide when to retrain
+    the codebook. Assignment scores use the engine's sequential-fold
+    dot over unit-normalized doubles, so the oracle reproduces them
+    bit-exactly with list_dot_product; means accumulate as
+    DECIMAL(20,6) over 6-dp scores with ONE final IEEE division.
+    Batch ≡ full-rebuild posting equivalence and crash-replay
+    idempotence are pinned by tests; the streaming twin is
+    ``streaming_ann_index``.
+    """
+    import shutil
+    import tempfile
+
+    docs_emb = t(spark, sf_dir, "embeddings")
+    thr = docs_emb.agg(
+        F.floor(F.count("*") * 0.8).cast("long").alias("thr")
+    )
+    corpus = docs_emb.join(F.broadcast(thr)).filter(F.col("vec_id") < F.col("thr"))
+    batch = docs_emb.join(F.broadcast(thr)).filter(F.col("vec_id") >= F.col("thr"))
+    codebook = [
+        r.v
+        for r in similarity._normalized(corpus, "id", "v", "vec_id", "embedding")
+        .orderBy("id")
+        .limit(16)
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="ann_upsert_")
+    index_dir = f"{work}/index"
+    (
+        similarity.ivf_assign(corpus, codebook)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    out = similarity.ivf_index_upsert(
+        spark, batch, 0, index_dir, codebook
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@q(
+    "streaming_ann_index",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM embeddings),
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb AS (SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INTEGER)
+                    AS cl, e.v
+           FROM e, thr WHERE e.vec_id < thr.t ORDER BY e.vec_id LIMIT 16),
+    sc AS (SELECT e.vec_id, cb.cl, list_dot_product(e.v, cb.v) AS s
+           FROM e CROSS JOIN cb),
+    asg AS (SELECT vec_id, cl AS cluster, s AS ascore
+            FROM (SELECT vec_id, cl, s,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cl ASC) AS rn
+                  FROM sc)
+            WHERE rn = 1),
+    st AS (SELECT cluster, COUNT(*) AS n,
+                  CAST(SUM(CAST(round(ascore, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) / COUNT(*) AS avg_s
+           FROM asg GROUP BY 1),
+    cells AS (SELECT CAST(u AS INTEGER) AS cluster
+              FROM UNNEST(range(0, 16)) t(u))
+    SELECT c.cluster,
+           CAST(COALESCE(st.n, 0) AS BIGINT) AS n_vectors,
+           st.avg_s AS avg_score
+    FROM cells c LEFT JOIN st USING (cluster)
+    """,
+)
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of ``ann_ivf_upsert_tick``
+    (streaming/ann_stream.py): the last 20% of documents arrive over
+    the Kafka wire shape (every record delivered TWICE — at-least-once
+    bus), each micro-batch looks up its embeddings from the static
+    table and a foreachBatch tick upserts their IVF postings against
+    an index seeded from the first 80%. Because the codebook is fixed
+    between retrains, assignment is order-independent, so the PUBLISHED
+    index must equal a one-shot assignment of the whole corpus — the
+    oracle checks exactly that (per-cell counts + DECIMAL-folded score
+    means over ALL embeddings), certifying the wire parse, the
+    stream-static lookup, the at-least-once collapse, and the
+    idempotent partition publish end to end.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.sources import kafka_mirror
+    from dbt_repo_spark.streaming.ann_stream import start_ann_index_stream
+
+    broker = kafka_mirror.build_documents_fixture(sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    thr = emb.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = emb.join(F.broadcast(thr)).filter(F.col("vec_id") < F.col("thr"))
+    codebook = [
+        r.v
+        for r in similarity._normalized(corpus, "id", "v", "vec_id", "embedding")
+        .orderBy("id")
+        .limit(16)
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="stream_ann_")
+    index_dir = f"{work}/index"
+    (
+        similarity.ivf_assign(corpus, codebook)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    q_ = start_ann_index_stream(
+        spark,
+        broker,
+        f"{sf_dir}/embeddings.parquet",
+        index_dir,
+        f"{work}/ckpt",
+        codebook,
+    )
+    q_.awaitTermination()
+    published = spark.read.parquet(index_dir)
+    dec = F.round(F.col("ascore"), 6).cast("decimal(20,6)")
+    st = published.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("avg_score"),
+    )
+    cells = spark.range(16).select(F.col("id").cast("int").alias("cluster"))
+    out = cells.join(st, "cluster", "left").select(
+        "cluster",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_vectors"),
+        "avg_score",
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -232,6 +232,22 @@ class KafkaMirrorDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # The Python streaming-source runner unpickles the DataSource in its
+    # OWN worker process, which does not see addPyFile includes — when
+    # the driver runs from outside the repo (bare driver emulation,
+    # production submit), a by-REFERENCE pickle of this class raises
+    # ModuleNotFoundError there. This module is deliberately
+    # stdlib+pyspark only, so registering it for by-VALUE pickling makes
+    # the source self-contained on any worker. ship_package still covers
+    # the foreachBatch/mapInPandas closures downstream of the source.
+    import sys
+
+    from pyspark import cloudpickle
+
+    from dbt_repo_spark.session import ship_package
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    ship_package(spark)
     spark.dataSource.register(KafkaMirrorDataSource)
 
 

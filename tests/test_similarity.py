@@ -479,3 +479,163 @@ def test_rag_pipeline_self_retrieval(spark, sf_dir):
         top = min(rs, key=lambda r: r["rank"])
         if top["src_doc"] == qid:  # single-chunk docs self-retrieve
             assert top["score"] == 1.0
+
+
+# ---------------------------------------------------------------- r07:
+# incremental IVF index maintenance (ivf_index_upsert + streaming twin)
+
+
+def _codebook(spark, emb, n=8):
+    return [
+        r.v
+        for r in similarity._normalized(emb, "id", "v", "vec_id", "embedding")
+        .orderBy("id")
+        .limit(n)
+        .collect()
+    ]
+
+
+def _postings(spark, index_dir):
+    return {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+
+
+def test_ivf_assign_exact_matches_arrow(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = _codebook(spark, emb)
+    ex = {r.vec_id: r.cluster for r in similarity.ivf_assign(emb, cb, exact=True).collect()}
+    ar = {r.vec_id: r.cluster for r in similarity.ivf_assign(emb, cb, exact=False).collect()}
+    assert ex == ar
+
+
+def test_ivf_upsert_equals_full_rebuild_and_replays_idempotently(spark, tmp_path):
+    """Seed(80%) + tick(20%) postings == one-shot assignment of the whole
+    corpus (fixed codebook → order-independent), and a crash-replay of
+    the tick (same batch id) overwrites instead of appending."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thr = int(emb.count() * 0.8)
+    corpus = emb.filter(F.col("vec_id") < thr)
+    batch = emb.filter(F.col("vec_id") >= thr)
+    cb = _codebook(spark, corpus)
+    index_dir = str(tmp_path / "idx")
+    (
+        similarity.ivf_assign(corpus, cb)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    drift = similarity.ivf_index_upsert(spark, batch, 0, index_dir, cb)
+    rows = {r.cluster: r for r in drift.collect()}
+    assert set(rows) == set(range(len(cb)))
+    assert sum(r.n_batch for r in rows.values()) == batch.count()
+    published = _postings(spark, index_dir)
+    full = {
+        (r.vec_id, r.cluster)
+        for r in similarity.ivf_assign(emb, cb).collect()
+    }
+    assert published == full
+    # replay: same batch id, same rows — idempotent publish
+    similarity.ivf_index_upsert(spark, batch, 0, index_dir, cb)
+    assert _postings(spark, index_dir) == published
+
+
+def test_ivf_upsert_redelivery_and_empty_tick(spark, tmp_path):
+    """A vec_id redelivered in a LATER tick must not double-post; an
+    empty tick is a no-op."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = _codebook(spark, emb)
+    index_dir = str(tmp_path / "idx")
+    first = emb.filter(F.col("vec_id") < 20)
+    similarity.ivf_index_upsert(spark, first, 0, index_dir, cb)
+    base = _postings(spark, index_dir)
+    assert len(base) == 20
+    # tick 1 redelivers ids 10-19 plus new 20-29 (and an in-batch dup)
+    redeliver = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
+    redeliver = redeliver.unionByName(emb.filter(F.col("vec_id") == 25))
+    similarity.ivf_index_upsert(spark, redeliver, 1, index_dir, cb)
+    after = _postings(spark, index_dir)
+    assert len(after) == 30 and base <= after
+    ids = [p[0] for p in after]
+    assert len(ids) == len(set(ids))  # one posting per vec_id
+    # empty tick
+    similarity.ivf_index_upsert(spark, emb.filter("vec_id < 0"), 2, index_dir, cb)
+    assert _postings(spark, index_dir) == after
+
+
+def test_ivf_upsert_retrain_trips_on_shifted_batch(spark, tmp_path):
+    """A batch pushed AWAY from every centroid (negated vectors on an
+    asymmetric codebook region... simplest: scale-preserving negation
+    changes cosine sign) must trip the retrain flag somewhere."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thr = int(emb.count() * 0.8)
+    corpus = emb.filter(F.col("vec_id") < thr)
+    cb = _codebook(spark, corpus)
+    index_dir = str(tmp_path / "idx")
+    (
+        similarity.ivf_assign(corpus, cb)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    shifted = emb.filter(F.col("vec_id") >= thr).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    drift = similarity.ivf_index_upsert(spark, shifted, 0, index_dir, cb)
+    rows = drift.collect()
+    assert any(r.retrain for r in rows if r.n_batch > 0)
+    # drift column is corpus minus batch mean where both exist
+    for r in rows:
+        if r.n_batch > 0 and r.n_corpus > 0:
+            assert abs(r.score_drift - (r.corpus_avg_score - r.batch_avg_score)) < 1e-12
+
+
+def test_ann_stream_multi_tick_carries_index_state(spark, tmp_path):
+    """Two availableNow runs (resume from checkpoint) upsert disjoint
+    arrival sets; the final index equals one-shot assignment of every
+    arrived vector, and redelivered arrivals collapse."""
+    import json
+
+    from dbt_repo_spark.streaming.ann_stream import start_ann_index_stream
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = _codebook(spark, emb)
+    broker = tmp_path / "broker"
+    pdir = broker / "documents" / "p0"
+    pdir.mkdir(parents=True)
+    index_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rec(doc_id):
+        return json.dumps(
+            {
+                "key": str(doc_id),
+                "value": json.dumps({"doc_id": doc_id, "source": "s", "text": "x"}),
+                "timestamp_ms": 1700000000000 + doc_id,
+                "headers": {},
+            }
+        )
+
+    # tick 1: ids 0-9, id 5 delivered twice
+    (pdir / "segment-000.jsonl").write_text(
+        "\n".join([rec(i) for i in range(10)] + [rec(5)]) + "\n"
+    )
+    q = start_ann_index_stream(
+        spark, str(broker), f"{SF}/embeddings.parquet", index_dir, ckpt, cb
+    )
+    q.awaitTermination()
+    assert len(_postings(spark, index_dir)) == 10
+
+    # tick 2: ids 10-14 plus a cross-tick redelivery of id 3
+    (pdir / "segment-001.jsonl").write_text(
+        "\n".join([rec(i) for i in range(10, 15)] + [rec(3)]) + "\n"
+    )
+    q = start_ann_index_stream(
+        spark, str(broker), f"{SF}/embeddings.parquet", index_dir, ckpt, cb
+    )
+    q.awaitTermination()
+    published = _postings(spark, index_dir)
+    arrived = emb.filter(F.col("vec_id") < 15)
+    full = {(r.vec_id, r.cluster) for r in similarity.ivf_assign(arrived, cb).collect()}
+    assert published == full
