@@ -151,13 +151,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 20 keys absent here (MinHash/SimHash signatures, the approximate
-    ANN family, SemDeDup, the sketch rollups, BPE, the k-core fixed
-    point) are non-SQL-expressible — seeded xxhash64, approximate recall
-    by construction, iterative merge learning, iterative peeling — and
-    the driver records rows-only checks. (Multimodal decode left this
-    set in r07: the stdlib WAV/BMP/PPM codecs are value-checked by full
-    oracles now.) The approximate ones carry in-plan
+    The 19 keys absent here (MinHash/SimHash signatures, the remaining
+    approximate ANN entries, SemDeDup, the sketch rollups, BPE, the
+    k-core fixed point) are non-SQL-expressible — seeded xxhash64,
+    approximate recall by construction, iterative merge learning,
+    iterative peeling — and the driver records rows-only checks.
+    (Multimodal decode and embed_lsh_topk left this set in r07: stdlib
+    codecs and the bit-exact hyperplane SQL gave them full oracles.
+    dedup_simhash was assessed and stays: Spark's xxhash64 token votes
+    have no DuckDB twin short of implementing xxHash64 in SQL.) The approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin
     equivalence-to-exact or reference outputs in tests — see COVERAGE.md

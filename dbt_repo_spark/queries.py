@@ -1185,13 +1185,84 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5)
 
 
-@q("embed_lsh_topk")  # approximate recall by construction → rows-only check
+@q(
+    "embed_lsh_topk",
+    """
+    WITH px AS (SELECT j, d, (j*1000003 + d*7919 + 12345) & 4294967295 AS x0
+                FROM range(4) t(j), range(64) t2(d)),
+         p1 AS (SELECT j, d, xor(x0, (x0 << 13) & 4294967295) AS x1 FROM px),
+         p2 AS (SELECT j, d, xor(x1, x1 >> 17) AS x2 FROM p1),
+         p3 AS (SELECT j, d,
+                       CAST(xor(x2, (x2 << 5) & 4294967295) AS DOUBLE)
+                       / 4294967296.0 - 0.5 AS w
+                FROM p2),
+         pl AS (SELECT j, list(w ORDER BY d) AS pw FROM p3 GROUP BY j),
+         e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e  AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+         bits AS (SELECT e.vec_id, p.j,
+                         CASE WHEN list_dot_product(e.v, p.pw) >= 0
+                              THEN '1' ELSE '0' END AS bit
+                  FROM e CROSS JOIN pl p),
+         ckey AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+                  FROM bits GROUP BY vec_id),
+         qflip AS (SELECT q.vec_id, t.f
+                   FROM (SELECT vec_id FROM e WHERE vec_id < 10) q,
+                        UNNEST(range(-1, 4)) t(f)),
+         qkey AS (SELECT q.vec_id AS query_id,
+                         string_agg(CASE WHEN b.j = q.f
+                                         THEN (CASE b.bit WHEN '1' THEN '0'
+                                               ELSE '1' END)
+                                         ELSE b.bit END, '' ORDER BY b.j)
+                           AS bucket
+                  FROM qflip q JOIN bits b ON b.vec_id = q.vec_id
+                  GROUP BY q.vec_id, q.f),
+         cand AS (SELECT DISTINCT k.query_id, c.vec_id AS neighbor_id
+                  FROM qkey k JOIN ckey c USING (bucket)
+                  WHERE c.vec_id <> k.query_id),
+         ascore AS (SELECT cand.query_id, cand.neighbor_id,
+                           list_dot_product(eq.v, ec.v) AS raw
+                    FROM cand
+                    JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e ec ON ec.vec_id = cand.neighbor_id),
+         approx AS (SELECT query_id, neighbor_id, round(raw, 6) AS score
+                    FROM (SELECT query_id, neighbor_id, raw,
+                                 row_number() OVER (PARTITION BY query_id
+                                     ORDER BY raw DESC, neighbor_id ASC) AS rn
+                          FROM ascore)
+                    WHERE rn <= 5),
+         escore AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           list_dot_product(q.v, c.v) AS raw
+                    FROM (SELECT * FROM e WHERE vec_id < 10) q
+                    JOIN e c ON c.vec_id <> q.vec_id),
+         exact AS (SELECT query_id, neighbor_id
+                   FROM (SELECT query_id, neighbor_id,
+                                row_number() OVER (PARTITION BY query_id
+                                    ORDER BY raw DESC, neighbor_id ASC) AS rn
+                         FROM escore)
+                   WHERE rn <= 5),
+         hits AS (SELECT ex.query_id,
+                         round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                             THEN 1 ELSE 0 END) AS BIGINT)
+                               / 5, 4) AS recall_at_k
+                  FROM exact ex
+                  LEFT JOIN approx a USING (query_id, neighbor_id)
+                  GROUP BY ex.query_id)
+    SELECT h.query_id, a.neighbor_id, a.score, h.recall_at_k
+    FROM hits h LEFT JOIN approx a USING (query_id)
+    """,
+)
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-k (the sub-linear scale path).
+    """Sign-LSH bucketed ANN top-k (the sub-linear scale path) — FULL
+    DuckDB oracle since r07: the deterministic xorshift hyperplanes are
+    reproduced bit-exactly in SQL (the embed_near_dup_pairs recipe,
+    driver-green since r05), the multiprobe-1 fan-out is the 5-key flip
+    union, the in-bucket rerank is the same sequential-fold dot both
+    engines compute identically, and the recall@k audit column is an
+    exact integer hit-count division. The plan is unchanged from the
+    rows-only era (same operator, same persist) — only the checking
+    got stronger.
 
-    Output is self-validating: each row carries recall@k vs the exact
-    brute-force neighbors computed in the same plan, so the rows-only
-    harness check observes retrieval quality, not just the row count.
     The audit uses the JVM expression-path exact scan: at fixture scale
     (2k vectors) codegen'd HOF scoring beats an Arrow round-trip; at
     production scale the audit would be sampled or run offline.
