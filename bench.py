@@ -232,6 +232,9 @@ HEADLINE = [
     # stays off the headline — its wall-clock is stream-startup
     # overhead, same policy as streaming_paragraph_dedup)
     "ann_ivf_upsert_tick",
+    # round-7 capstone: the multimodal nightly tick (real decode gate ->
+    # incremental paragraph rewrite -> IVF codebook assignment)
+    "training_data_pipeline_v5",
 ]
 
 RUNS = 3

@@ -1316,3 +1316,140 @@ def ivf_index_upsert(
         )
     )
     return out
+
+
+def lsh_params_for(
+    n_vectors: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_bucket: int = 64,
+    max_planes: int = 512,
+) -> tuple[int, int]:
+    """(n_planes, bands) for sign-LSH near-dup at a given corpus size —
+    the standard LSH parameter solver the r07 scale-growth sweep showed
+    is NOT optional: fixed (8 planes, 4 bands) keeps band keys 2 bits
+    wide, so every band bucket holds ~N/4 vectors and the candidate
+    join is QUADRATIC in N (measured: 2.9s -> 23s from 1x -> 4x corpus,
+    output pairs super-linear from cross-bucket collisions). The cure is
+    classic OR-of-ANDs tuning: grow the band WIDTH r with log2(N) so
+    bucket occupancy stays ~``target_bucket``, then take enough bands b
+    that a true pair at ``threshold`` still matches some band with
+    probability >= ``target_recall``:
+
+        p = 1 - acos(threshold)/pi          (per-plane sign agreement)
+        r = max(2, ceil(log2(N / target_bucket)))
+        b = ceil(log(1 - R) / log(1 - p^r))
+
+    Candidate work is then O(b * N * target_bucket) — linear in N with
+    a log-factor of planes — instead of O(N^2 / 2^r). When the ideal
+    (r, b) would exceed ``max_planes`` (low thresholds on huge corpora
+    are plane-hungry: sign agreement p is small, so b must grow fast),
+    the solver NARROWS the bands instead of silently capping b — the
+    recall target is always met and the cost degrades gracefully into
+    larger buckets (more candidate verification), never into a recall
+    cliff. Returns (n_planes = r*b, bands = b).
+    """
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    r_ideal = max(2, math.ceil(math.log2(max(n_vectors, 2) / target_bucket)))
+
+    def bands_for(r: int) -> int:
+        return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**r)))
+
+    for r in range(r_ideal, 1, -1):
+        b = bands_for(r)
+        if r * b <= max_planes:
+            return r * b, b
+    b = bands_for(2)  # r=2 always fits any sane max_planes
+    return 2 * b, b
+
+
+def _signature_arrow(
+    emb: DataFrame,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, sig) sign-LSH bit strings via ONE Arrow/NumPy matmul per
+    batch — the signature stage for solver-sized plane counts, where
+    the expression path would evaluate hundreds of interpreted HOF dot
+    products per row (at 400 planes x 40k vectors that is ~1e9
+    interpreted multiply-adds; the matmul path is one BLAS call per
+    Arrow batch). Sign bits only — the exact verify downstream uses the
+    sequential-fold dot, so approximation never enters the scores."""
+    import numpy as np
+    import pandas as pd
+
+    pmat = np.array(
+        [_hyperplane(j, dim) for j in range(n_planes)], dtype=np.float64
+    )
+
+    def sig(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v0"]), dtype=np.float64)
+            bits = (mat @ pmat.T) >= 0  # sign is scale-invariant: no normalize
+            sigs = [
+                "".join("1" if b else "0" for b in row) for row in bits
+            ]
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "sig": sigs})
+
+    return (
+        fan_out(emb)
+        .select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v0"))
+        .mapInPandas(sig, schema="id long, sig string")
+    )
+
+
+def embedding_near_duplicates_scaled(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    target_recall: float = 0.8,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with SOLVER-SIZED LSH parameters — the
+    fix for the r07 scale-growth finding that fixed (8 planes, 4 bands)
+    makes the candidate join quadratic in corpus size. Band width grows
+    with log2(N) (bucket occupancy pinned) and band count restores
+    ``target_recall`` at ``threshold``; signatures come from the Arrow
+    matmul stage (sign bits only — every emitted score is still the
+    exact sequential-fold cosine, so precision stays 1.0 and only
+    recall is probabilistic). Candidate work is O(bands x N x bucket):
+    linear in N, measured in tools/scale_growth.py.
+
+    ``n_vectors`` skips the sizing count when the caller knows it.
+    """
+    n = n_vectors if n_vectors is not None else emb.count()
+    n_planes, bands = lsh_params_for(n, threshold, target_recall)
+    r = n_planes // bands
+    sig = _signature_arrow(emb, n_planes, dim, id_col, vec_col)
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"{bi}:"), F.substring("sig", bi * r + 1, r))
+            for bi in range(bands)
+        ]
+    )
+    keyed = sig.select("id", F.explode(band_keys).alias("bkey"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "bkey")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    base = _normalized(emb, "id", "v", id_col, vec_col)
+    return (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("score", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )

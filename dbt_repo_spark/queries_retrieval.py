@@ -1347,3 +1347,167 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@q(
+    "training_data_pipeline_v5",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    batch AS (SELECT d.doc_id, d.source FROM documents d, thr
+              WHERE d.doc_id >= thr.t),
+    -- stage 1: REAL media decode gate (params are the generator formula)
+    gated AS (SELECT doc_id, source FROM batch
+              WHERE CASE
+                      WHEN doc_id % 3 = 1 THEN
+                        ((50 + doc_id % 40) * 1000)
+                          / (8000 + (doc_id % 3) * 4000) >= 5e0
+                      WHEN doc_id % 3 = 0 THEN
+                        (4 + doc_id % 5) * (3 + doc_id % 4) >= 12
+                      ELSE (3 + doc_id % 6) * (2 + doc_id % 5) >= 12
+                    END),
+    -- stage 2: incremental paragraph rewrite of gated docs vs corpus index
+    toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM toks),
+    blocks AS (SELECT doc_id, i AS blk,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nb + 1)) AS u(i)
+               WHERE nb >= 1),
+    corpus_p AS (SELECT DISTINCT p FROM blocks, thr WHERE doc_id < thr.t),
+    bblocks AS (SELECT b.doc_id, b.blk, b.p FROM blocks b
+                SEMI JOIN gated g ON b.doc_id = g.doc_id),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM bblocks GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.blk FROM bblocks b JOIN owner ow USING (p)
+             WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+               AND b.p NOT IN (SELECT p FROM corpus_p)),
+    para AS (SELECT g.doc_id, g.source,
+                    CAST(s.nb AS BIGINT) AS n_blocks,
+                    CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+             FROM gated g
+             JOIN sized s ON s.doc_id = g.doc_id
+             LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept FROM kept
+                        GROUP BY 1) k ON k.doc_id = g.doc_id),
+    -- stage 3: ANN assignment of gated docs' embeddings to the corpus
+    -- codebook (first 16 corpus vectors, normalized)
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb AS (SELECT CAST(row_number() OVER (ORDER BY e.vec_id) - 1 AS INTEGER)
+                    AS cl, e.v
+           FROM e, thr WHERE e.vec_id < thr.t ORDER BY e.vec_id LIMIT 16),
+    sc AS (SELECT e.vec_id, cb.cl, list_dot_product(e.v, cb.v) AS s
+           FROM e SEMI JOIN gated g ON e.vec_id = g.doc_id
+           CROSS JOIN cb),
+    asg AS (SELECT vec_id, s AS ascore
+            FROM (SELECT vec_id, s,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cl ASC) AS rn
+                  FROM sc)
+            WHERE rn = 1)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(g.doc_id) AS BIGINT) AS n_media_ok,
+           CAST(COALESCE(SUM(p.n_blocks), 0) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(SUM(p.n_kept), 0) AS BIGINT) AS n_blocks_kept,
+           CAST(SUM(CAST(round(a.ascore, 6) AS DECIMAL(20,6))) AS DOUBLE)
+             / COUNT(a.vec_id) AS mean_assign_score
+    FROM batch b
+    LEFT JOIN gated g ON g.doc_id = b.doc_id
+    LEFT JOIN para p ON p.doc_id = b.doc_id
+    LEFT JOIN asg a ON a.vec_id = b.doc_id
+    GROUP BY b.source
+    """,
+)
+def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed production tick v5 — the MULTIMODAL nightly (r07): the
+    new-batch documents pass a REAL media decode gate (stdlib BMP/PPM/
+    WAV parsers on generator-derived blobs: images need >= 12 px, audio
+    needs >= 5 ms — the corrupt-/degenerate-asset cut every multimodal
+    training pipeline runs), survivors get the incremental paragraph
+    rewrite against the corpus block index, and their embeddings are
+    assigned to the corpus IVF codebook (the index-upsert math of
+    ``ann_ivf_upsert_tick``, in-plan). One row per source: batch size,
+    decode-gate survivors, paragraph block totals/kept, and the
+    DECIMAL-folded mean assignment score. Composes only driver-proven
+    pieces, so the single composed oracle certifies the stage WIRING.
+    """
+    from dbt_repo_spark.operators import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    batch = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+
+    # stage 1: decode gate over REAL media blobs (media consumed by both
+    # decode stages -> persist the generated relation, not re-generate)
+    media = multimodal.real_media_from_documents(batch).persist()
+    img_ok = (
+        multimodal.decode_image_stats(media)
+        .filter(F.col("width") * F.col("height") >= 12)
+        .select(F.col("media_id").alias("doc_id"))
+    )
+    aud_ok = (
+        multimodal.decode_audio_stats(media)
+        .filter(F.col("duration_ms") >= 5.0)
+        .select(F.col("media_id").alias("doc_id"))
+    )
+    gated = batch.join(img_ok.unionByName(aud_ok), "doc_id", "semi")
+
+    # stage 2: incremental paragraph rewrite vs the corpus block index
+    idx = dedup.paragraph_block_index(corpus, "doc_id", "text", 10)
+    para = dedup.incremental_paragraph_rewrite(gated, idx, "doc_id", "text", 10)
+
+    # stage 3: assign gated docs' embeddings to the corpus codebook
+    emb = t(spark, sf_dir, "embeddings")
+    corpus_emb = emb.join(F.broadcast(thr)).filter(F.col("vec_id") < F.col("thr"))
+    codebook = [
+        r.v
+        for r in similarity._normalized(corpus_emb, "id", "v", "vec_id", "embedding")
+        .orderBy("id")
+        .limit(16)
+        .collect()
+    ]
+    gated_emb = emb.join(
+        F.broadcast(gated.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+    )
+    asg = similarity.ivf_assign(gated_emb, codebook, exact=True)
+
+    dec = F.round(F.col("ascore"), 6).cast("decimal(20,6)")
+    return (
+        batch.select("doc_id", "source")
+        .join(gated.select("doc_id").withColumn("__g", F.lit(1)), "doc_id", "left")
+        .join(para.select("doc_id", "n_blocks", "n_kept"), "doc_id", "left")
+        .join(asg.select(F.col("vec_id").alias("doc_id"), "ascore"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("__g").cast("long").alias("n_media_ok"),
+            F.coalesce(F.sum("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce(F.sum("n_kept"), F.lit(0)).cast("long").alias("n_blocks_kept"),
+            (F.sum(dec).cast("double") / F.count("ascore")).alias("mean_assign_score"),
+        )
+    )
+
+
+@q("embed_near_dup_pairs_scaled")  # approximate recall by construction → rows-only
+def embed_near_dup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with SOLVER-SIZED LSH parameters
+    (similarity.py::embedding_near_duplicates_scaled) — the scale path
+    the r07 growth sweep demanded: fixed (8 planes, 4 bands) keeps band
+    keys 2 bits wide, so candidates grow QUADRATICALLY with the corpus
+    (measured 2.9s -> 23s at 1x -> 4x); here band width tracks log2(N)
+    (bucket occupancy pinned at ~64) and band count restores the 0.8
+    recall floor at tau = 0.4. Every emitted score is the exact
+    sequential-fold cosine (precision 1.0 — only recall is
+    probabilistic, floor pinned by test vs the quadratic exact join at
+    sf0.001), so this is rows-only for the same reason as the ANN
+    family. ``embed_near_dup_pairs`` remains the FULL-oracle twin at
+    its fixed density.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates_scaled(emb, threshold=0.4)

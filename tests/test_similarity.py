@@ -639,3 +639,50 @@ def test_ann_stream_multi_tick_carries_index_state(spark, tmp_path):
     arrived = emb.filter(F.col("vec_id") < 15)
     full = {(r.vec_id, r.cluster) for r in similarity.ivf_assign(arrived, cb).collect()}
     assert published == full
+
+
+def test_lsh_params_solver_properties():
+    """Band width grows with corpus size (bucket occupancy pinned),
+    band count restores the recall floor, and the analytic recall of
+    the returned (planes, bands) meets the target."""
+    import math
+
+    prev_r = 0
+    for n in (1_000, 10_000, 100_000, 10_000_000):
+        n_planes, b = similarity.lsh_params_for(n, 0.4, target_recall=0.8)
+        r = n_planes // b
+        assert r >= prev_r  # width is monotone in corpus size
+        prev_r = r
+        p = 1 - math.acos(0.4) / math.pi
+        analytic = 1 - (1 - p**r) ** b
+        assert analytic >= 0.8 - 1e-9, (n, r, b, analytic)
+    # higher threshold -> fewer bands needed at the same width
+    np_lo, b_lo = similarity.lsh_params_for(100_000, 0.4, 0.8)
+    np_hi, b_hi = similarity.lsh_params_for(100_000, 0.8, 0.8)
+    assert b_hi < b_lo
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.lsh_params_for(1000, 1.5)
+
+
+def test_scaled_near_dup_precision_and_recall(spark):
+    """The solver-sized pair generator never emits a false pair (exact
+    verify) and recovers >= its target recall of the quadratic exact
+    join on the fixture corpus."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = similarity._normalized(emb, "id", "v", "vec_id", "embedding")
+    exact = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        .withColumn("s", similarity.dot(F.col("a.v"), F.col("b.v")))
+        .filter("s >= 0.4")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    ex = {(r.id_a, r.id_b) for r in exact.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates_scaled(emb, 0.4).collect()
+    }
+    assert got <= ex  # precision 1.0 by exact verification
+    assert len(got & ex) / max(len(ex), 1) >= 0.8

@@ -1,0 +1,198 @@
+"""Empirical scale-growth certification for the heavy headline operators
+(r06 verdict, Next round #5).
+
+SCALE.md argues asymptotics; this harness MEASURES them: the sf0.1
+corpus is replicated 1x/2x/4x/8x with structure-preserving, replica-
+disjoint transforms, and each target operator's wall-clock + output
+cardinality is recorded per scale. The goal is the ENGINE's growth at
+fixed data density — does the plan's work grow ~linearly in input —
+so replicas are built to neither merge with each other nor change
+per-replica duplicate/similarity structure:
+
+- documents: replica k suffixes every TOKEN with ``~k`` — token sets
+  are disjoint across replicas (no cross-replica shingle/gram/paragraph
+  collisions) while every within-replica duplicate relationship is
+  preserved verbatim; doc_ids offset by k*N (N % 50 == 0 keeps the
+  BM25 query-doc residue class proportional).
+- embeddings: replica k multiplies each dimension by a deterministic
+  Rademacher ±1 pattern (xorshift of (k, d)) — cosine(a*s, b*s) ==
+  cosine(a, b) exactly (s_d^2 = 1), so the within-replica near-dup
+  structure is value-preserved, while cross-replica cosines carry
+  random sign per term and cancel (a cyclic dim-shift was tried first
+  and left cross-replica correlation on this clustered corpus).
+- lineitem: replica k offsets l_orderkey and l_partkey past the
+  originals — k disjoint copies of the co-purchase graph (fixed
+  density; real catalogs densify, but that is a DATA property, not an
+  engine property).
+
+Scaled tables are cached under .scale_cache/ (gitignored), fingerprinted
+by source mtime. Run:  python tools/scale_growth.py [max_scale]
+Prints one JSON line per (op, scale) and a markdown table at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CACHE = os.path.join(REPO, ".scale_cache")
+
+OPS = [
+    "text_bm25_topk",
+    "dedup_pairs_scale",
+    "dedup_substring_rewrite",
+    "embed_near_dup_pairs",
+    "graph_triangle_census",
+]
+TABLES = {"documents", "embeddings", "lineitem"}
+
+
+def build_scaled(spark, k: int) -> str:
+    """Materialize the k-replica corpus (k=1 just re-publishes sf0.1's
+    three tables so every scale reads from the same storage tier)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(CACHE, f"x{k}")
+    stamp = os.path.join(out, "_built.txt")
+    key = f"{SRC}:{k}:v2"
+    try:
+        with open(stamp) as fh:
+            if fh.read() == key:
+                return out
+    except OSError:
+        pass
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    reps = []
+    for r in range(k):
+        if r == 0:
+            reps.append(docs)
+        else:
+            toks = F.split(F.col("text"), r"\s+")
+            tagged = F.array_join(
+                F.transform(
+                    F.filter(toks, lambda x: x != ""),
+                    lambda x: F.concat(x, F.lit(f"~{r}")),
+                ),
+                " ",
+            )
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                    *[c for c in docs.columns if c not in ("doc_id", "text")],
+                    tagged.alias("text"),
+                ).select(docs.columns)
+            )
+    scaled_docs = reps[0]
+    for rep in reps[1:]:
+        scaled_docs = scaled_docs.unionByName(rep)
+    scaled_docs.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = 64
+    reps = []
+    for r in range(k):
+        if r == 0:
+            reps.append(emb)
+        else:
+            signs = []
+            for d in range(dim):
+                x = (r * 2654435761 + d * 40503 + 97) & 0xFFFFFFFF
+                x ^= (x << 13) & 0xFFFFFFFF
+                x ^= x >> 17
+                x ^= (x << 5) & 0xFFFFFFFF
+                signs.append(1.0 if x & 1 else -1.0)
+            flipped = F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in signs]),
+                lambda v, s: v * s,
+            )
+            reps.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(r * n_vec)).alias("vec_id"),
+                    flipped.cast("array<float>").alias("embedding"),
+                    *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+                ).select(emb.columns)
+            )
+    scaled_emb = reps[0]
+    for rep in reps[1:]:
+        scaled_emb = scaled_emb.unionByName(rep)
+    scaled_emb.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).collect()[0]
+    reps = []
+    for r in range(k):
+        reps.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * (mx.mo + 1)))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * (mx.mp + 1)))
+        )
+    scaled_li = reps[0]
+    for rep in reps[1:]:
+        scaled_li = scaled_li.unionByName(rep)
+    scaled_li.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+
+    with open(stamp, "w") as fh:
+        fh.write(key)
+    return out
+
+
+def main() -> None:
+    from dbt_repo_spark.queries import QUERIES
+    from dbt_repo_spark.session import get_spark
+
+    max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    scales = [s for s in (1, 2, 4, 8) if s <= max_scale]
+    spark = get_spark(app_name="scale-growth")
+    results: dict[str, dict[int, dict]] = {op: {} for op in OPS}
+    dirs = {}
+    for k in scales:
+        dirs[k] = build_scaled(spark, k)
+    for op in OPS:
+        fn = QUERIES[op]
+        for k in scales:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                try:
+                    rdd.unpersist(False)
+                except Exception:
+                    pass
+            spark.sparkContext._jvm.System.gc()
+            fn(spark, dirs[k]).count()  # warmup (plan + codegen + cache build)
+            t0 = time.monotonic()
+            rows = fn(spark, dirs[k]).count()
+            dt = time.monotonic() - t0
+            results[op][k] = {"sec": round(dt, 3), "rows": rows}
+            print(json.dumps({"op": op, "scale": k, **results[op][k]}), flush=True)
+
+    # markdown table for SCALE.md
+    print("\n| op | " + " | ".join(f"{k}x sec (rows)" for k in scales) +
+          " | growth 1x->8x |")
+    print("|---|" + "---|" * (len(scales) + 1))
+    for op in OPS:
+        cells = [
+            f"{results[op][k]['sec']} ({results[op][k]['rows']})" for k in scales
+        ]
+        g = results[op][scales[-1]]["sec"] / max(results[op][scales[0]]["sec"], 1e-9)
+        print(f"| {op} | " + " | ".join(cells) + f" | {g:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
