@@ -315,7 +315,7 @@ def media_params(doc_id: int) -> dict:
         return {
             "format": "wav",
             "channels": 1 + doc_id % 2,
-            "rate": 8000 + (doc_id % 3) * 4000,
+            "rate": 8000 + (doc_id % 5) * 2000,  # doc_id % 3 == 1 for all wav docs, so the modulus must be coprime with 3 to vary
             "n_frames": 50 + doc_id % 40,
         }
     return {"format": "ppm", "w": 3 + doc_id % 6, "h": 2 + doc_id % 5}

@@ -1092,7 +1092,7 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_decode",
     """
     WITH wav AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
-                        8000 + (doc_id % 3) * 4000 AS rate,
+                        8000 + (doc_id % 5) * 2000 AS rate,
                         50 + doc_id % 40 AS nf
                  FROM documents WHERE doc_id % 3 = 1),
     s AS (SELECT doc_id,
@@ -1132,7 +1132,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_resample",
     """
     WITH wav AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
-                        8000 + (doc_id % 3) * 4000 AS rate,
+                        8000 + (doc_id % 5) * 2000 AS rate,
                         50 + doc_id % 40 AS nf
                  FROM documents WHERE doc_id % 3 = 1),
     k AS (SELECT doc_id,
@@ -1361,7 +1361,7 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE CASE
                       WHEN doc_id % 3 = 1 THEN
                         ((50 + doc_id % 40) * 1000)
-                          / (8000 + (doc_id % 3) * 4000) >= 5e0
+                          / (8000 + (doc_id % 5) * 2000) >= 5e0
                       WHEN doc_id % 3 = 0 THEN
                         (4 + doc_id % 5) * (3 + doc_id % 4) >= 12
                       ELSE (3 + doc_id % 6) * (2 + doc_id % 5) >= 12
