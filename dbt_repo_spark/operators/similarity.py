@@ -1202,6 +1202,16 @@ def ivf_assign(
         )
 
     normed = _normalized(emb, "vec_id", "v", id_col, vec_col)
+    return _assign_normed(normed, codebook)
+
+
+def _assign_normed(normed: DataFrame, codebook: list[list[float]]) -> DataFrame:
+    """(vec_id, cluster, ascore) over a PRE-normalized (vec_id, v)
+    relation — the expression-fold assignment shared by ``ivf_assign``'s
+    exact path and the ``ivf_retrain`` Lloyd loop. The retrain loop must
+    score the SAME normalized doubles on every iteration (re-normalizing
+    an already-unit vector divides by a ~1.0-but-not-exactly-1.0 norm
+    and shifts ulps the SQL oracle would then have to replicate)."""
     scores = F.array(
         *[dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in codebook]
     )
@@ -1316,6 +1326,99 @@ def ivf_index_upsert(
         )
     )
     return out
+
+
+def initial_codebook(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic codebook seed: the k smallest-id vectors, unit-
+    normalized — the convention every IVF fixture in this module uses
+    (reproducible in SQL as ``ORDER BY id LIMIT k``). |k| rows of driver
+    traffic, the sanctioned |centroids| collect."""
+    return [
+        list(r.v)
+        for r in _normalized(emb, "id", "v", id_col, vec_col)
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def ivf_retrain(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Retrain the IVF codebook: ``n_iters`` spherical Lloyd steps —
+    the RESPONSE to ``ivf_index_upsert``'s ``retrain`` drift flag, and
+    the missing third of the index lifecycle (build → upsert → retrain).
+
+    Every step is deterministic and cross-engine exact, so a fixed-
+    iteration retrain carries a full DuckDB oracle (unrolled — see the
+    ``ann_ivf_retrain`` registry query):
+
+    - assignment scores are the engine's sequential-fold ``dot`` over
+      unit-normalized doubles (ties to the smallest cluster) — the
+      bit-reproducible ``_assign_normed`` path, identical on every
+      iteration because vectors normalize ONCE up front;
+    - centroid update accumulates per-(cluster, component) sums as
+      DECIMAL(20,6) over 6-dp-rounded components (order-independent
+      exact addition — a float sum here would make the result depend on
+      partitioning), then ONE IEEE division by the member count;
+    - the updated centroid re-normalizes to the unit sphere (spherical
+      k-means: cosine assignment needs unit centroids), norm via the
+      same sequential fold;
+    - an EMPTY cluster keeps its previous centroid (deterministic;
+      no random re-seeding).
+
+    Scale shape: per iteration, one broadcast-codebook assignment pass
+    over the corpus (k expression dots per row, no shuffle) plus one
+    (cluster, component)-keyed partial-aggregable sum — k*dim cells
+    regardless of corpus size — and a k-row driver collect (the
+    sanctioned |centroids| traffic). At 100 TB one retrains on a
+    deterministic sample (``emb.filter(col(id) % m == 0)``) — Lloyd
+    quality depends on per-cell sample counts, not the corpus — then
+    reassigns the full corpus with the new codebook once.
+
+    Returns the new codebook (list of k unit double vectors).
+    """
+    cb = init if init is not None else initial_codebook(emb, k, id_col, vec_col)
+    if len(cb) != k:
+        raise ValueError(f"init codebook has {len(cb)} centroids, expected {k}")
+    normed = _normalized(emb, "vec_id", "v", id_col, vec_col).persist()
+    try:
+        for _ in range(n_iters):
+            asg = _assign_normed(normed, cb)
+            comp = asg.join(normed, "vec_id").select(
+                "cluster", F.posexplode("v").alias("idx", "val")
+            )
+            means = comp.groupBy("cluster", "idx").agg(
+                (
+                    F.sum(F.round(F.col("val"), 6).cast("decimal(20,6)")).cast(
+                        "double"
+                    )
+                    / F.count("*")
+                ).alias("m")
+            )
+            packed = (
+                means.groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                        lambda s: s["m"],
+                    ).alias("c")
+                )
+                .withColumn("__n", F.sqrt(dot(F.col("c"), F.col("c"))))
+                .withColumn("c", F.transform("c", lambda x: x / F.col("__n")))
+            )
+            got = {r.cluster: list(r.c) for r in packed.collect()}
+            cb = [got.get(i, cb[i]) for i in range(k)]
+    finally:
+        normed.unpersist()
+    return cb
 
 
 def lsh_params_for(

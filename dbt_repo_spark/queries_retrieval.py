@@ -1511,3 +1511,115 @@ def embed_near_dup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates_scaled(emb, threshold=0.4)
+
+
+# One spherical-Lloyd iteration, SQL template: assignment under codebook
+# {prev} -> DECIMAL-folded per-(cluster, component) means -> unit
+# renormalization; an empty cluster keeps its {prev} centroid. Used
+# unrolled (fixed iteration count = deterministic = oracle-checkable).
+_LLOYD_STEP = """
+    a{i} AS (SELECT vec_id, cl AS cluster FROM (
+               SELECT e.vec_id, cb.cl,
+                      row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_dot_product(e.v, cb.v) DESC, cb.cl ASC
+                      ) AS rn
+               FROM e CROSS JOIN {prev} cb) WHERE rn = 1),
+    x{i} AS (SELECT a.cluster, unnest(e.v) AS val,
+                    unnest(range(0, len(e.v))) AS idx
+             FROM a{i} a JOIN e USING (vec_id)),
+    m{i} AS (SELECT cluster, idx,
+                    CAST(SUM(CAST(round(val, 6) AS DECIMAL(20,6)))
+                         AS DOUBLE) / COUNT(*) AS m
+             FROM x{i} GROUP BY 1, 2),
+    p{i} AS (SELECT cluster, list(m ORDER BY idx) AS c FROM m{i} GROUP BY 1),
+    cb{i} AS (SELECT c0.cl,
+                     COALESCE(list_transform(p.c,
+                        x -> x / sqrt(list_dot_product(p.c, p.c))), c0.v) AS v
+              FROM {prev} c0 LEFT JOIN p{i} p ON p.cluster = c0.cl)"""
+
+
+@q(
+    "ann_ivf_retrain",
+    """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cl, v
+            FROM e ORDER BY vec_id LIMIT 8),"""
+    + _LLOYD_STEP.format(i=1, prev="cb0")
+    + ","
+    + _LLOYD_STEP.format(i=2, prev="cb1")
+    + """,
+    af AS (SELECT vec_id, cl AS cluster, s AS ascore FROM (
+             SELECT e.vec_id, cb.cl, list_dot_product(e.v, cb.v) AS s,
+                    row_number() OVER (
+                      PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.v, cb.v) DESC, cb.cl ASC
+                    ) AS rn
+             FROM e CROSS JOIN cb2 cb) WHERE rn = 1),
+    st AS (SELECT cluster, COUNT(*) AS n,
+                  CAST(SUM(CAST(round(ascore, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) / COUNT(*) AS avg_s
+           FROM af GROUP BY 1),
+    cent AS (SELECT cb.cl AS cluster, unnest(cb.v) AS cval,
+                    unnest(range(0, len(cb.v))) AS idx
+             FROM cb2 cb)
+    SELECT c.cluster, CAST(c.idx AS INTEGER) AS idx,
+           round(c.cval, 6) AS c,
+           CAST(COALESCE(st.n, 0) AS BIGINT) AS n_members,
+           st.avg_s AS avg_score
+    FROM cent c LEFT JOIN st ON st.cluster = c.cluster
+    """,
+)
+def ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook RETRAIN — the response to ``ann_ivf_upsert_tick``'s
+    drift flag and the third leg of the index lifecycle (build ->
+    upsert -> retrain). Two spherical Lloyd steps from the
+    deterministic seed (8 smallest-id vectors, unit-normalized), then
+    the final corpus assignment under the retrained codebook
+    (``similarity.py::ivf_retrain``). Every stage is cross-engine
+    exact — sequential-fold assignment dots, DECIMAL(20,6)-folded
+    centroid means with one IEEE division, sequential-fold
+    renormalization, empty cells keeping their previous centroid — so
+    the oracle unrolls the SAME two iterations in SQL and the 6-dp
+    centroid components themselves hash-match. Output: one row per
+    (cluster, component) with the retrained centroid value plus the
+    cell's final member count and DECIMAL-folded mean assignment score
+    (8 x 64 = 512 rows). Scale shape per iteration: broadcast-codebook
+    assignment (no shuffle), one k*dim-cell partial-aggregable sum, a
+    k-row driver collect; at 100 TB retrain runs on a deterministic
+    id-sample, then reassigns the corpus once — see the operator
+    docstring.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cb = similarity.ivf_retrain(emb, k=8, n_iters=2)
+    normed = similarity._normalized(emb, "vec_id", "v", "vec_id", "embedding")
+    asg = similarity._assign_normed(normed, cb)
+    stats = asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (
+            F.sum(F.round(F.col("ascore"), 6).cast("decimal(20,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_score"),
+    )
+    cent = spark.createDataFrame(
+        [
+            (cl, idx, float(val))
+            for cl, vec in enumerate(cb)
+            for idx, val in enumerate(vec)
+        ],
+        "cluster int, idx int, c double",
+    )
+    return (
+        cent.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            "idx",
+            F.round("c", 6).alias("c"),
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            "avg_score",
+        )
+    )

@@ -591,6 +591,71 @@ def test_ivf_upsert_retrain_trips_on_shifted_batch(spark, tmp_path):
             assert abs(r.score_drift - (r.corpus_avg_score - r.batch_avg_score)) < 1e-12
 
 
+def test_ivf_retrain_improves_drifted_batch_and_closes_the_loop(spark, tmp_path):
+    """The lifecycle: a drifted batch trips the upsert tick's retrain
+    flag (previous test); RESPONDING with ivf_retrain over the grown
+    corpus must raise the batch's mean assignment score vs the stale
+    codebook, and re-running the tick under the retrained codebook must
+    no longer trip the flag on any corpus-backed cell."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    thr = int(emb.count() * 0.8)
+    corpus = emb.filter(F.col("vec_id") < thr)
+    shifted = emb.filter(F.col("vec_id") >= thr).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    grown = corpus.select("vec_id", "embedding").unionByName(shifted)
+    stale = _codebook(spark, corpus)
+
+    def batch_mean(cb):
+        rows = similarity.ivf_assign(shifted, cb).collect()
+        return sum(r.ascore for r in rows) / len(rows)
+
+    retrained = similarity.ivf_retrain(grown, k=8, n_iters=2)
+    assert batch_mean(retrained) > batch_mean(stale)
+    # tick under the retrained codebook: no corpus-backed cell trips
+    index_dir = str(tmp_path / "idx")
+    (
+        similarity.ivf_assign(corpus, retrained)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(index_dir)
+    )
+    drift = similarity.ivf_index_upsert(
+        spark, shifted, 0, index_dir, retrained
+    ).collect()
+    tripped = [r for r in drift if r.retrain and r.n_corpus > 0 and r.n_batch > 0]
+    assert not tripped
+
+
+def test_ivf_retrain_deterministic_unit_centroids(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb1 = similarity.ivf_retrain(emb, k=8, n_iters=2)
+    cb2 = similarity.ivf_retrain(emb, k=8, n_iters=2)
+    assert cb1 == cb2  # bit-identical across runs
+    assert len(cb1) == 8 and all(len(c) == 64 for c in cb1)
+    for c in cb1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_retrain_empty_cluster_keeps_seed(spark):
+    """Two identical seed vectors: every point ties to the smaller
+    cluster, so the other cell is empty on every iteration and must
+    keep its seed centroid verbatim."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.8, 0.0, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.ivf_retrain(emb, k=2, n_iters=2)
+    assert cb[1] == [1.0, 0.0, 0.0]  # empty cell: seed kept
+    # cluster 0 moved to the renormalized mean of ALL four points
+    assert cb[0] != [1.0, 0.0, 0.0] and abs(
+        sum(x * x for x in cb[0]) - 1.0
+    ) < 1e-9
+
+
 def test_ann_stream_multi_tick_carries_index_state(spark, tmp_path):
     """Two availableNow runs (resume from checkpoint) upsert disjoint
     arrival sets; the final index equals one-shot assignment of every
