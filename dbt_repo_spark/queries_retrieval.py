@@ -1623,3 +1623,183 @@ def ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_score",
         )
     )
+
+
+@q(
+    "snapshot_novelty_report",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    newd AS (SELECT d.doc_id, d.source, d.text FROM documents d, thr
+             WHERE d.doc_id >= thr.t),
+    oldd AS (SELECT d.doc_id, d.text FROM documents d, thr
+             WHERE d.doc_id < thr.t),
+    -- doc granularity: exact content identity
+    old_sig AS (SELECT DISTINCT md5(text) AS sig FROM oldd),
+    docs AS (SELECT n.source,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(COUNT(o.sig) AS BIGINT) AS n_exact_dup
+             FROM (SELECT source, md5(text) AS sig FROM newd) n
+             LEFT JOIN old_sig o USING (sig) GROUP BY 1),
+    -- paragraph granularity: 10-token blocks (the rewrite-family rule)
+    ntoks AS (SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM newd),
+    nsized AS (SELECT doc_id, source, w,
+                      CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM ntoks),
+    nblocks AS (SELECT source,
+                       md5(array_to_string(
+                         list_slice(w, (i-1)*10 + 1, i*10), ' ')) AS ph
+                FROM nsized, UNNEST(range(1, nb + 1)) AS u(i)
+                WHERE nb >= 1),
+    otoks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM oldd),
+    osized AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS INT) AS nb
+               FROM otoks),
+    oblocks AS (SELECT DISTINCT md5(array_to_string(
+                         list_slice(w, (i-1)*10 + 1, i*10), ' ')) AS ph
+                FROM osized, UNNEST(range(1, nb + 1)) AS u(i)
+                WHERE nb >= 1),
+    blocks AS (SELECT n.source,
+                      CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                      CAST(COUNT(o.ph) AS BIGINT) AS n_blocks_known
+               FROM nblocks n LEFT JOIN oblocks o USING (ph) GROUP BY 1),
+    -- 8-gram granularity: per-doc-distinct word 8-grams (shingle rule)
+    ngrams AS (SELECT DISTINCT doc_id, source,
+                      md5(array_to_string(list_slice(w, i, i + 7), ' '))
+                        AS gh
+               FROM nsized, UNNEST(range(1, len(w) - 6)) AS u(i)
+               WHERE len(w) >= 8),
+    ograms AS (SELECT DISTINCT md5(array_to_string(list_slice(w, i, i + 7),
+                                                   ' ')) AS gh
+               FROM osized, UNNEST(range(1, len(w) - 6)) AS u(i)
+               WHERE len(w) >= 8),
+    grams AS (SELECT n.source,
+                     CAST(COUNT(DISTINCT n.gh) AS BIGINT) AS n_grams,
+                     CAST(COUNT(DISTINCT CASE WHEN o.gh IS NOT NULL
+                                              THEN n.gh END) AS BIGINT)
+                       AS n_grams_known
+              FROM ngrams n LEFT JOIN ograms o USING (gh) GROUP BY 1)
+    SELECT d.source, d.n_docs, d.n_exact_dup,
+           COALESCE(b.n_blocks, 0) AS n_blocks,
+           COALESCE(b.n_blocks_known, 0) AS n_blocks_known,
+           COALESCE(g.n_grams, 0) AS n_grams,
+           COALESCE(g.n_grams_known, 0) AS n_grams_known,
+           CAST(d.n_exact_dup AS DOUBLE) / NULLIF(d.n_docs, 0)
+             AS doc_dup_rate,
+           CAST(b.n_blocks_known AS DOUBLE) / NULLIF(b.n_blocks, 0)
+             AS block_known_rate,
+           CAST(g.n_grams_known AS DOUBLE) / NULLIF(g.n_grams, 0)
+             AS gram_known_rate
+    FROM docs d
+    LEFT JOIN blocks b USING (source)
+    LEFT JOIN grams g USING (source)
+    """,
+)
+def snapshot_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SNAPSHOT novelty audit (CCNet/CommonCrawl shape): before a
+    new crawl delta enters the corpus, measure how much of it the
+    previous snapshot already contains — per source, at three
+    granularities. Doc-level: exact content identity (md5, the
+    dedup_exact rule). Paragraph-level: 10-token blocks (the
+    rewrite-family splitter), fraction already in the old snapshot's
+    block set. 8-gram level: per-doc-distinct word shingles (the
+    decontamination rule), distinct-gram overlap with the old
+    snapshot. The three rates tell a pipeline operator whether to run
+    the cheap doc cut, the paragraph rewrite, or nothing at all on
+    this delta — the triage step ahead of the incremental ticks
+    (``dedup_paragraph_incremental``, ``dedup_substring_incremental``).
+
+    Scale shape: the old snapshot folds to three DISTINCT hash sets
+    (never re-shuffled text, 16-byte keys); each granularity is one
+    hash-equi-join bounded by |new delta| x matching rows + one
+    partial-aggregable per-source count. All counts integer-exact;
+    the three rates are single IEEE divisions. Complements
+    ``dup_rate_by_source`` (within-corpus) and
+    ``decontaminate_train_eval`` (train-vs-eval direction).
+    """
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    old = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    new = docs.join(F.broadcast(thr)).filter(F.col("doc_id") >= F.col("thr"))
+
+    old_sig = old.select(F.md5("text").alias("sig")).distinct()
+    doc_stats = (
+        new.select("source", F.md5("text").alias("sig"))
+        .join(old_sig.withColumn("__hit", F.lit(1)), "sig", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("__hit").cast("long").alias("n_exact_dup"),
+        )
+    )
+
+    src = new.select("doc_id", "source")
+    new_blocks = (
+        dedup._paragraph_blocks(new, "doc_id", "text", 10)
+        .select("doc_id", F.md5("p").alias("ph"))
+        .join(src, "doc_id")
+    )
+    old_blocks = (
+        dedup._paragraph_blocks(old, "doc_id", "text", 10)
+        .select(F.md5("p").alias("ph"))
+        .distinct()
+    )
+    block_stats = (
+        new_blocks.join(old_blocks.withColumn("__hit", F.lit(1)), "ph", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.count("__hit").cast("long").alias("n_blocks_known"),
+        )
+    )
+
+    new_grams = (
+        dedup.shingles(new, "doc_id", "text", n=8)
+        .select(F.col("id").alias("doc_id"), F.md5("shingle").alias("gh"))
+        .join(src, "doc_id")
+    )
+    old_grams = (
+        dedup.shingles(old, "doc_id", "text", n=8)
+        .select(F.md5("shingle").alias("gh"))
+        .distinct()
+    )
+    gram_stats = (
+        new_grams.join(old_grams.withColumn("__hit", F.lit(1)), "gh", "left")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("gh").cast("long").alias("n_grams"),
+            F.count_distinct(F.when(F.col("__hit").isNotNull(), F.col("gh")))
+            .cast("long")
+            .alias("n_grams_known"),
+        )
+    )
+
+    return (
+        doc_stats.join(block_stats, "source", "left")
+        .join(gram_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_blocks_known", F.lit(0)).cast("long")
+            .alias("n_blocks_known"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_grams_known", F.lit(0)).cast("long")
+            .alias("n_grams_known"),
+            (
+                F.col("n_exact_dup").cast("double")
+                / F.nullif(F.col("n_docs"), F.lit(0))
+            ).alias("doc_dup_rate"),
+            (
+                F.col("n_blocks_known").cast("double")
+                / F.nullif(F.col("n_blocks"), F.lit(0))
+            ).alias("block_known_rate"),
+            (
+                F.col("n_grams_known").cast("double")
+                / F.nullif(F.col("n_grams"), F.lit(0))
+            ).alias("gram_known_rate"),
+        )
+    )
