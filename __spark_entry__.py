@@ -97,6 +97,14 @@ _RECHECK_THIS_ROUND = [
     # (operator + oracle changed together; fixture values unchanged).
     "multimodal_features", "multimodal_resize",
     "text_repetition_scores", "training_data_pipeline_v4",
+    # r07 oracle upgrades: embed_generate_docs swapped its md5-of-
+    # formatted-floats signature for an integer micro-unit sum and
+    # gained a full DuckDB oracle (the md5-reproducible embedding
+    # CTEs); rag_retrieval_pipeline widens the stored float32 vectors
+    # to double before the score fold and gained the composed oracle —
+    # both must replace their stale rows-only ledger records with
+    # hash-green rows.
+    "embed_generate_docs", "rag_retrieval_pipeline",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
@@ -151,15 +159,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 19 keys absent here (MinHash/SimHash signatures, the remaining
+    The 18 keys absent here (MinHash/SimHash signatures, the remaining
     approximate ANN entries, SemDeDup, the sketch rollups, BPE, the
     k-core fixed point) are non-SQL-expressible — seeded xxhash64,
     approximate recall by construction, iterative merge learning,
     iterative peeling — and the driver records rows-only checks.
-    (Multimodal decode and embed_lsh_topk left this set in r07: stdlib
-    codecs and the bit-exact hyperplane SQL gave them full oracles.
-    dedup_simhash was assessed and stays: Spark's xxhash64 token votes
-    have no DuckDB twin short of implementing xxHash64 in SQL.) The approximate ones carry in-plan
+    (Multimodal decode, embed_lsh_topk, embed_generate_docs, and
+    rag_retrieval_pipeline left this set in r07: stdlib codecs, the
+    bit-exact hyperplane SQL, and the md5-reproducible embedding CTEs
+    gave them full oracles. dedup_simhash was assessed and stays:
+    Spark's xxhash64 token votes have no DuckDB twin short of
+    implementing xxHash64 in SQL.) The approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin
     equivalence-to-exact or reference outputs in tests — see COVERAGE.md

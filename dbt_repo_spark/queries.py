@@ -7178,17 +7178,85 @@ def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
-@q("embed_generate_docs")  # mapInPandas embedding seam → rows-only check
+def _md5_embed_ctes(p: str, src: str) -> str:
+    """SQL twin of ``similarity.embed_text_stub`` over a ``{src}`` CTE
+    with columns (id, txt): component j = int(md5(txt:j)[:8], 16) /
+    2^31 - 1 (hex parsed by a base-16 fold over md5's lowercase
+    digits), pre-norm via the sequential-fold dot, each normalized
+    component squeezed through FLOAT to reproduce the Arrow
+    ``array<float>`` cast. Emits ``{p}emb`` (id, v DOUBLE[], n)."""
+    return f"""
+    {p}comp AS (SELECT id, j,
+                  CAST(list_reduce(
+                    list_transform(
+                      string_split_regex(
+                        substr(md5(txt || ':' || CAST(j AS VARCHAR)), 1, 8),
+                        ''),
+                      c -> CAST(strpos('0123456789abcdef', c) - 1
+                                AS BIGINT)),
+                    (a, b) -> a * 16 + b) AS DOUBLE)
+                    / 2147483648.0 - 1.0 AS c
+               FROM {src}, UNNEST(range(0, 16)) AS u(j)),
+    {p}vec0 AS (SELECT id, list(c ORDER BY j) AS comps
+                FROM {p}comp GROUP BY id),
+    {p}emb AS (SELECT id,
+                  CASE WHEN n > 0 THEN
+                    list_transform(comps,
+                      x -> CAST(CAST(x / n AS FLOAT) AS DOUBLE))
+                  ELSE list_transform(comps,
+                      x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) END AS v,
+                  n
+               FROM (SELECT id, comps,
+                            sqrt(list_dot_product(comps, comps)) AS n
+                     FROM {p}vec0))"""
+
+
+_CHUNK_CTES = """
+    ch0 AS (SELECT doc_id, text,
+                   greatest(1, CAST(ceil((length(text) - 32) / 224.0)
+                                    AS BIGINT)) AS nc
+            FROM documents),
+    chunks AS (SELECT doc_id AS src_doc, doc_id * 100 + ci AS cid,
+                      substr(text, CAST(ci * 224 + 1 AS INT), 256)
+                        AS chunk_text
+               FROM ch0, UNNEST(range(0, nc)) AS u(ci))"""
+
+
+@q(
+    "embed_generate_docs",
+    "WITH"
+    + _CHUNK_CTES
+    + """,
+    cemb_src AS (SELECT cid AS id, chunk_text AS txt FROM chunks),"""
+    + _md5_embed_ctes("c", "cemb_src")
+    + """,
+    ex AS (SELECT id, unnest(v) AS val, unnest(range(0, 16)) AS idx
+           FROM cemb),
+    sig AS (SELECT id,
+                   CAST(SUM((idx + 1) * CAST(round(val * 1e6) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM ex GROUP BY id)
+    SELECT e.id AS cid, CAST(16 AS INTEGER) AS dim,
+           round(e.n, 6) AS norm_prenorm, sig.s AS embedding_sig
+    FROM cemb e JOIN sig ON sig.id = e.id
+    """,
+)
 def embed_generate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding GENERATION plumbing (similarity.embed_text_stub): chunk
     the corpus (text.chunk_documents) and run the Arrow-batched
     embedding stage over every chunk — the model call is the
     content-addressed deterministic fake behind the production seam
-    (multimodal real_decode's contract for text). Output canonicalizes
-    the vector to hashable columns (dim, pre-norm, md5 signature —
-    multimodal_features' rule) so the driver's rows-only check pins the
-    exact vectors run-to-run. No shuffle anywhere: chunking is
-    explode+substring and embedding is mapInPandas over the scan.
+    (multimodal real_decode's contract for text). FULL oracle as of
+    r07: the fake is md5-derived and DuckDB has md5, so the SQL twin
+    recomputes every component (base-16 fold over the digest prefix),
+    the sequential-fold pre-norm, and the Arrow float32 squeeze —
+    outputs pin each vector via an integer micro-unit weighted-sum
+    signature (order-independent exact BIGINT arithmetic; the r06
+    md5-of-formatted-floats signature was engine-portable only as a
+    rows-only check, float-to-string formatting differs across
+    engines). No shuffle anywhere: chunking is explode+substring and
+    embedding is mapInPandas over the scan; the signature is one more
+    map-side fold.
     """
     from dbt_repo_spark.operators.text import chunk_documents
 
@@ -7197,28 +7265,60 @@ def embed_generate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 100 + F.col("chunk_id")).alias("cid"), "chunk_text"
     )
     emb = similarity.embed_text_stub(chunks, "cid", "chunk_text", dim=16)
-    canon = F.array_join(
-        F.transform("embedding", lambda x: F.cast("string", F.round(x, 6))), ","
+    micro = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda c, j: F.round(c.cast("double") * 1e6, 0).cast("long")
+        * j.cast("long"),
     )
     return emb.select(
         "cid",
         F.size("embedding").alias("dim"),
         F.round("norm_prenorm", 6).alias("norm_prenorm"),
-        F.md5(canon).alias("embedding_sig"),
+        F.aggregate(micro, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "embedding_sig"
+        ),
     )
 
 
-@q("rag_retrieval_pipeline")  # composed retrieval → rows-only check
+@q(
+    "rag_retrieval_pipeline",
+    "WITH"
+    + _CHUNK_CTES
+    + """,
+    cemb_src AS (SELECT cid AS id, chunk_text AS txt FROM chunks),"""
+    + _md5_embed_ctes("c", "cemb_src")
+    + """,
+    qsrc AS (SELECT doc_id AS id, text AS txt FROM documents
+             WHERE doc_id < 5),"""
+    + _md5_embed_ctes("q", "qsrc")
+    + """,
+    sc AS (SELECT q.id AS qid, c.id AS cid,
+                  list_dot_product(c.v, q.v) AS s
+           FROM cemb c CROSS JOIN qemb q),
+    rk AS (SELECT qid, cid, s,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY s DESC, cid ASC) AS rn
+           FROM sc)
+    SELECT r.qid, r.cid, ch.src_doc, round(r.s, 6) AS score,
+           CAST(r.rn AS INTEGER) AS rank
+    FROM rk r JOIN chunks ch ON ch.cid = r.cid
+    WHERE r.rn <= 3
+    """,
+)
 def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval: chunk the corpus → embed every chunk
     (the deterministic seam) → embed 5 query documents → exact cosine
     top-3 supporting chunks per query. The retrieval math is the exact
-    brute-force fold (embed_cosine_topk's operator) — at production
-    scale the chunk index swaps to the IVF/PQ path unchanged, since the
-    chunk embedding table has exactly the embeddings-table shape. One
-    shuffle (the per-query top-k window); the query set broadcasts.
-    Deterministic end to end: content-addressed vectors, unique
-    (score, cid) tie-break.
+    brute-force fold (embed_cosine_topk's operator) over the stored
+    float32 vectors widened to double (both engines fold the identical
+    widened doubles, so the FULL oracle — new in r07, built on the
+    md5-reproducible embedding CTEs — hash-matches the scores). At
+    production scale the chunk index swaps to the IVF/PQ path
+    unchanged, since the chunk embedding table has exactly the
+    embeddings-table shape. One shuffle (the per-query top-k window);
+    the query set broadcasts. Deterministic end to end:
+    content-addressed vectors, unique (score, cid) tie-break.
     """
     from dbt_repo_spark.operators.text import chunk_documents
 
@@ -7233,6 +7333,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), F.col("text")
     )
     query_emb = similarity.embed_text_stub(queries_df, "qid", "text", dim=16)
+    dvec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     scored = (
         chunk_emb.join(chunks.select("cid", "src_doc"), "cid")
         .crossJoin(
@@ -7246,7 +7347,8 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_score",
             F.aggregate(
                 F.zip_with(
-                    "embedding", "qv", lambda a, b: a * b
+                    dvec(F.col("embedding")), dvec(F.col("qv")),
+                    lambda a, b: a * b,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
