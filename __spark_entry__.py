@@ -105,6 +105,11 @@ _RECHECK_THIS_ROUND = [
     # both must replace their stale rows-only ledger records with
     # hash-green rows.
     "embed_generate_docs", "rag_retrieval_pipeline",
+    # r07: dedup_simhash's token votes switched to the md5 hasher
+    # (cross-engine reproducible) and gained a full oracle — its
+    # signatures CHANGED, so the stale rows-only record must be
+    # replaced by a hash-green row.
+    "dedup_simhash",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
@@ -159,17 +164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 18 keys absent here (MinHash/SimHash signatures, the remaining
+    The 17 keys absent here (MinHash signatures, the remaining
     approximate ANN entries, SemDeDup, the sketch rollups, BPE, the
     k-core fixed point) are non-SQL-expressible — seeded xxhash64,
     approximate recall by construction, iterative merge learning,
     iterative peeling — and the driver records rows-only checks.
-    (Multimodal decode, embed_lsh_topk, embed_generate_docs, and
-    rag_retrieval_pipeline left this set in r07: stdlib codecs, the
-    bit-exact hyperplane SQL, and the md5-reproducible embedding CTEs
-    gave them full oracles. dedup_simhash was assessed and stays:
-    Spark's xxhash64 token votes have no DuckDB twin short of
-    implementing xxHash64 in SQL.) The approximate ones carry in-plan
+    (Multimodal decode, embed_lsh_topk, embed_generate_docs,
+    rag_retrieval_pipeline, and dedup_simhash left this set in r07:
+    stdlib codecs, the bit-exact hyperplane SQL, the md5-reproducible
+    embedding CTEs, and md5 token votes gave them full oracles.) The
+    approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin
     equivalence-to-exact or reference outputs in tests — see COVERAGE.md

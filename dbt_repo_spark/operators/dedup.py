@@ -546,18 +546,28 @@ def incremental_minhash_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """``bits``-wide SimHash per doc as a bit-string column ``simhash``.
 
     Each distinct token votes ±1 on ``bits`` bit positions (bits of its
-    xxhash64; for widths >64 additional independent 64-bit hashes are
+    64-bit token hash; for widths >64 additional independent hashes are
     drawn with distinct salts); the signature is the sign vector. ONE
     hash-aggregate: per doc, count tokens with bit k set (``bits``
     conditional sums over the token rows — no row blowup), then bit k
     of the signature is ``2*set_count > n_tokens``. Row count stays
     |tokens| end-to-end instead of bits×|tokens| with a posexplode of
     votes.
+
+    ``hasher``: SimHash's guarantees hold for ANY uniform 64-bit token
+    hash, so the choice is an engineering trade. ``"xxhash64"``
+    (default) is the fastest JVM path and what every banded near-dup
+    caller uses. ``"md5"`` (bits <= 128) assembles each 64-bit word
+    from two 32-bit halves of the md5 digest — slower, but md5 is the
+    one hash BOTH engines share, which makes the signature itself
+    DuckDB-reproducible (the ``dedup_simhash`` oracle; same convention
+    as the md5-derived embedding stub and the snapshot novelty keys).
     """
     if bits % 64 != 0:
         # ValueError, not assert: the guard must survive `python -O`
@@ -573,11 +583,24 @@ def simhash_signatures(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
     words = bits // 64
-    for w in range(words):
-        # salt 0 keeps the 64-bit signature byte-identical to the
-        # historical single-hash path
-        salted = F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")
-        tok = tok.withColumn(f"h{w}", salted)
+    if hasher == "md5":
+        if bits > 128:
+            raise ValueError("md5 hasher supports at most 128 bits")
+        digest = F.md5("tok")
+        for w in range(words):
+            hi = F.conv(F.substring(digest, 16 * w + 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(digest, 16 * w + 9, 8), 16, 10).cast("long")
+            # OR, not +: shiftleft(hi, 32) owns the high bits and the
+            # low 32 are zero, so this can't overflow under ANSI
+            tok = tok.withColumn(f"h{w}", F.shiftleft(hi, 32).bitwiseOR(lo))
+    elif hasher == "xxhash64":
+        for w in range(words):
+            # salt 0 keeps the 64-bit signature byte-identical to the
+            # historical single-hash path
+            salted = F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")
+            tok = tok.withColumn(f"h{w}", salted)
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     counts = tok.groupBy("id").agg(
         F.count("*").alias("n_tok"),
         *[

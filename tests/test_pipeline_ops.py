@@ -231,3 +231,44 @@ def test_simhash_pair_banding_cuts_candidate_volume(spark, sf_dir):
             hexed, "media_id", "bytegrams",
             max_hamming=15, chunks=16, bits=128, group=2,
         )
+
+
+def test_simhash_md5_mode_matches_python_reference(spark):
+    """hasher="md5" (the oracle-reproducible mode): per-doc signature
+    equals a pure-Python SimHash over the same md5 token votes, and
+    both hasher modes agree on dedup BEHAVIOR — identical texts get
+    identical signatures, disjoint-token texts differ."""
+    import hashlib
+
+    from dbt_repo_spark.operators.dedup import simhash_signatures
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_simhash(text):
+        toks = sorted(set(t for t in text.split(" ") if t))
+        votes = [0] * 64
+        for t in toks:
+            d = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(d[:8], 16), int(d[8:16], 16)
+            h = (hi << 32) | lo
+            for k in range(64):
+                votes[k] += (h >> k) & 1
+        return "".join(
+            "1" if 2 * v > len(toks) else "0" for v in votes
+        )
+
+    for mode in ("md5", "xxhash64"):
+        got = {
+            r.id: r.simhash
+            for r in simhash_signatures(df, "doc_id", "text", hasher=mode).collect()
+        }
+        assert got[0] == got[1]  # identical text -> identical signature
+        assert got[0] != got[2]  # disjoint tokens -> different signature
+        if mode == "md5":
+            for i, (_, text) in enumerate(rows):
+                assert got[i] == py_simhash(text)

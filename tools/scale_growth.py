@@ -49,6 +49,13 @@ OPS = [
     "dedup_substring_rewrite",
     "embed_near_dup_pairs",
     "graph_triangle_census",
+    # r07 second wave: the clustering / resolution / fusion family
+    # (all documents+embeddings-based, so the same replica transforms
+    # preserve their within-replica structure)
+    "dedup_clusters",
+    "dedup_canonical_quality",
+    "entity_resolution_docs",
+    "retrieval_rank_fusion",
 ]
 TABLES = {"documents", "embeddings", "lineitem"}
 
@@ -160,12 +167,13 @@ def main() -> None:
 
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scales = [s for s in (1, 2, 4, 8) if s <= max_scale]
+    ops = sys.argv[2].split(",") if len(sys.argv) > 2 else OPS
     spark = get_spark(app_name="scale-growth")
-    results: dict[str, dict[int, dict]] = {op: {} for op in OPS}
+    results: dict[str, dict[int, dict]] = {op: {} for op in ops}
     dirs = {}
     for k in scales:
         dirs[k] = build_scaled(spark, k)
-    for op in OPS:
+    for op in ops:
         fn = QUERIES[op]
         for k in scales:
             spark.catalog.clearCache()
@@ -186,7 +194,7 @@ def main() -> None:
     print("\n| op | " + " | ".join(f"{k}x sec (rows)" for k in scales) +
           " | growth 1x->8x |")
     print("|---|" + "---|" * (len(scales) + 1))
-    for op in OPS:
+    for op in ops:
         cells = [
             f"{results[op][k]['sec']} ({results[op][k]['rows']})" for k in scales
         ]
