@@ -235,6 +235,13 @@ HEADLINE = [
     # round-7 capstone: the multimodal nightly tick (real decode gate ->
     # incremental paragraph rewrite -> IVF codebook assignment)
     "training_data_pipeline_v5",
+    # round-7 batch 2: codebook retrain (lifecycle close) + the
+    # cross-snapshot novelty triage. embed_near_dup_pairs_scaled stays
+    # off the headline: at sf0.1's fixed density it duplicates
+    # embed_near_dup_pairs' work profile — its story is the GROWTH
+    # table in SCALE.md, not a single-scale floor.
+    "ann_ivf_retrain",
+    "snapshot_novelty_report",
 ]
 
 RUNS = 3
