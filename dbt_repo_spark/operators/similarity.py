@@ -1383,6 +1383,14 @@ def ivf_retrain(
     quality depends on per-cell sample counts, not the corpus — then
     reassigns the full corpus with the new codebook once.
 
+    Reference analog: the periodic full-refresh rebuild of a derived
+    artifact from accumulated data — ``dim_stations`` re-derives the
+    current dimension from every snapshot on each run
+    (/root/reference/models/dimensions/dim_stations.sql:5-19) — applied
+    to the codebook artifact, while ``ivf_index_upsert`` mirrors the
+    incremental append between rebuilds
+    (/root/reference/models/facts/fact_station_status.sql:30-32).
+
     Returns the new codebook (list of k unit double vectors).
     """
     cb = init if init is not None else initial_codebook(emb, k, id_col, vec_col)

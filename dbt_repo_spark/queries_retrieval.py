@@ -1710,6 +1710,10 @@ def snapshot_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap doc cut, the paragraph rewrite, or nothing at all on
     this delta — the triage step ahead of the incremental ticks
     (``dedup_paragraph_incremental``, ``dedup_substring_incremental``).
+    Reference analog: the incremental fact's "which arriving rows are
+    genuinely new" anti-join on surrogate keys
+    (/root/reference/models/facts/fact_station_status.sql:30-32),
+    generalized from exact key identity to three content granularities.
 
     Scale shape: the old snapshot folds to three DISTINCT hash sets
     (never re-shuffled text, 16-byte keys); each granularity is one
