@@ -110,6 +110,12 @@ _RECHECK_THIS_ROUND = [
     # signatures CHANGED, so the stale rows-only record must be
     # replaced by a hash-green row.
     "dedup_simhash",
+    # r07: dedup_minhash_lsh's KM bases switched to md5 halves and its
+    # band keys to raw slot concatenations (same move as dedup_simhash)
+    # and it gained the unrolled full oracle — its candidate set and
+    # audit sample CHANGED, so the stale rows-only record must be
+    # replaced by a hash-green row.
+    "dedup_minhash_lsh",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

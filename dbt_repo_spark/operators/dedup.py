@@ -268,7 +268,9 @@ def passjoin_pairs(
     )
 
 
-def _perm_hashes(num_perm: int, independent: bool = False) -> list[Column]:
+def _perm_hashes(
+    num_perm: int, independent: bool = False, hasher: str = "xxhash64"
+) -> list[Column]:
     """P hash slots from TWO base hashes (Kirsch-Mitzenmacher).
 
     ``h_i = b1 + i*b2`` gives pairwise-independent-enough permutation
@@ -289,7 +291,28 @@ def _perm_hashes(num_perm: int, independent: bool = False) -> list[Column]:
     configuration silently behaves like far fewer trials. Callers that
     rely on per-slot independence (the full-recall candidate generator
     below) must use this mode.
+
+    ``hasher="md5"`` derives the KM bases from the two 32-bit halves of
+    the shingle's md5 digest instead of xxhash64 (same convention as
+    ``simhash_signatures``): MinHash's guarantees hold for any uniform
+    base hash, and md5 is the one hash both engines share, so the whole
+    signature → band → candidate chain becomes DuckDB-reproducible (the
+    ``dedup_minhash_lsh`` full oracle). Expects STRING shingles (md5 of
+    a long would hash its string form differently per engine). b1 is a
+    full 32-bit half (< 2^32), b2 is range-reduced below 2^31, so
+    ``b1 + 63*b2`` < 2^38 — ANSI-safe with the same argument as above.
     """
+    if hasher == "md5":
+        if independent:
+            raise ValueError("independent permutations are xxhash64-only")
+        digest = F.md5(F.col("shingle"))
+        b1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        b2 = F.pmod(
+            F.conv(F.substring(digest, 9, 8), 16, 10).cast("long"), F.lit(2**31)
+        )
+        return [b1 + F.lit(i) * b2 for i in range(num_perm)]
+    if hasher != "xxhash64":
+        raise ValueError(f"unknown hasher {hasher!r}")
     if independent:
         return [F.xxhash64(F.col("shingle"), F.lit(1000 + i)) for i in range(num_perm)]
     b1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(2**61))
@@ -348,19 +371,35 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 64) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 16, rows: int = 4, raw_buckets: bool = False
+) -> DataFrame:
     """Band the signature and self-join on (band, bucket) → candidate pairs.
 
     Each doc emits ``bands`` (band, bucket-hash) rows; pairs agreeing on
     any band collide. The shuffle key is the band bucket — document-count
     bound, never shingle-frequency bound.
+
+    ``raw_buckets=True`` keys each band on the CONCATENATED slot values
+    instead of their xxhash64: semantically identical candidates (the
+    hash only compacts the shuffle key; a 2^-64 bucket collision could
+    add a stray candidate) but engine-portable — the DuckDB oracle for
+    ``dedup_minhash_lsh`` joins on the same strings.
     """
-    buckets = [
-        F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-            f"b{b}"
-        )
-        for b in range(bands)
-    ]
+    if raw_buckets:
+        buckets = [
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    else:
+        buckets = [
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
     banded = sig.select("id", *buckets)
     kv = banded.select(
         "id",
@@ -389,6 +428,7 @@ def minhash_index(
     n: int = 1,
     num_perm: int = 64,
     independent: bool = False,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash index relation: (id, sz, sset, h0..h{P-1}), persisted.
 
@@ -405,8 +445,10 @@ def minhash_index(
     """
     from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, n=n, as_hash=True)
-    hs = _perm_hashes(num_perm, independent=independent)
+    # md5 mode needs string shingles (the digest of the TEXT is what the
+    # oracle reproduces); xxhash64 mode keeps the 8-byte hashed form.
+    sh = shingles(df, id_col, text_col, n=n, as_hash=(hasher == "xxhash64"))
+    hs = _perm_hashes(num_perm, independent=independent, hasher=hasher)
     return (
         sh.groupBy("id")
         .agg(

@@ -358,6 +358,18 @@ def ivf_topk(
     # path is ~5× slower). Centroid literals are unit-normalized, so
     # argmax over dot(raw_v, c) equals argmax over cosine; normalization
     # for post-join scoring happens in the same pass.
+    #
+    # ORACLE PARITY (r07, the embed_ivf_topk / embed_filtered_topk full
+    # oracles): the norm is accumulated with a COLUMN LOOP — vectorized
+    # across the batch, SEQUENTIAL across dims — so each step is one
+    # rounded multiply + one rounded add, bit-identical to
+    # `similarity.dot`'s left fold and therefore to DuckDB's
+    # list_dot_product (parity proven by the embed_cosine_topk oracle).
+    # numpy's (mat*mat).sum(axis=1) would pairwise-sum and drift in
+    # final ulps. Only the assignment ARGMAX stays in BLAS: a flipped
+    # assignment needs two centroid scores within ~1e-15 relative, and
+    # exact ties (duplicate centroids) break the same way in both
+    # engines (np.argmax first-max ≡ ORDER BY score DESC, cidx ASC).
     import numpy as np
     import pandas as pd
 
@@ -367,8 +379,10 @@ def ivf_topk(
         for pdf in batches:
             mat = np.array(list(pdf["cv0"]), dtype=np.float64)
             cluster = np.argmax(mat @ cmat_np.T, axis=1).astype("int32")
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            normed = mat / norms[:, None]
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for j in range(mat.shape[1]):
+                acc = acc + mat[:, j] * mat[:, j]
+            normed = mat / np.sqrt(acc)[:, None]
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["id"].to_numpy(),

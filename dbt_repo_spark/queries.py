@@ -1017,7 +1017,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_minhash_lsh")  # non-SQL-expressible (xxhash64 seeds) → rows-only check
+def _duck_md5_fold(expr: str) -> str:
+    """DuckDB SQL folding an 8-hex-char slice into a BIGINT in
+    [0, 2^32) — the engine-portable half of the md5-derived hash
+    convention (same recipe as the ``dedup_simhash`` oracle)."""
+    return (
+        "list_reduce(list_transform(string_split_regex(" + expr + ", ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (a, b) -> a * 16 + b)"
+    )
+
+
+# 64 Kirsch-Mitzenmacher slot minima and 16 rows=4 band keys, unrolled —
+# mechanical expansion of exactly what the Spark plan computes.
+_MINHASH_SLOTS_SQL = ",\n                   ".join(
+    f"min(b1 + {i} * b2) AS s{i}" for i in range(64)
+)
+_MINHASH_BANDS_SQL = "\n           UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws(',', s{4 * b}, s{4 * b + 1},"
+    f" s{4 * b + 2}, s{4 * b + 3}) AS bucket FROM sig"
+    for b in range(16)
+)
+_MINHASH_LSH_SQL = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+           FROM toks),
+    hb AS (SELECT doc_id, shingle,
+                  {_duck_md5_fold("substr(md5(shingle), 1, 8)")} AS b1,
+                  {_duck_md5_fold("substr(md5(shingle), 9, 8)")} % 2147483648 AS b2
+           FROM sh),
+    sig AS (SELECT doc_id, {_MINHASH_SLOTS_SQL}
+            FROM hb GROUP BY doc_id),
+    kv AS ({_MINHASH_BANDS_SQL}),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kv a JOIN kv b USING (band, bucket)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    lsh AS (SELECT id_a, id_b,
+                   round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2),
+    samp AS (SELECT doc_id FROM documents
+             WHERE {_duck_md5_fold("substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8)")} % 2 = 0),
+    ssh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN samp USING (doc_id)),
+    ti AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+           FROM ssh a JOIN ssh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    tp AS (SELECT COUNT(*) AS n_true FROM ti
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2),
+    fnd AS (SELECT COUNT(*) AS n_found FROM lsh
+            WHERE id_a IN (SELECT doc_id FROM samp)
+              AND id_b IN (SELECT doc_id FROM samp))
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE round(CAST(n_found AS DOUBLE) / n_true, 4)
+           END AS sampled_pair_recall
+    FROM lsh, tp, fnd
+    """
+
+
+@q("dedup_minhash_lsh", _MINHASH_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on bigram shingles, exact-verified.
 
@@ -1031,20 +1102,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to avoid, so at 100 TB the ground-truth side can only ever
     run on a sample; the estimator is binomial over the sampled true
     pairs (both endpoints in-sample → ~25% of pairs audited).
+
+    FULL oracle as of r07 (was rows-only: xxhash64 seeds have no DuckDB
+    twin). Same move as ``dedup_simhash``: MinHash's S-curve holds for
+    ANY uniform base hash, so THIS query's Kirsch-Mitzenmacher bases
+    come from the two 32-bit md5 halves of each shingle
+    (``hasher="md5"``), the band keys are the raw concatenated slot
+    values (``raw_buckets=True`` — no xxhash64 bucket compaction), and
+    the 50% audit sample hashes ``'s|' || doc_id`` with the same md5
+    fold. The oracle unrolls the identical 64 slot minima and 16 band
+    keys in SQL. The banded scale-path callers (``dedup_pairs_scale``,
+    composed pipelines) keep the faster xxhash64 default.
     """
     docs = t(spark, sf_dir, "documents")
     # ONE persisted per-doc index (sz, sset, signature) backs all three
     # relations: LSH candidates, their exact verification, AND the
     # ground-truth side of the recall metric (re-exploding sset skips a
     # second scan→tokenize→shingle pass over the corpus).
-    per_doc = dedup.minhash_index(docs, "doc_id", "text", n=2, num_perm=64)
-    cands = dedup.lsh_candidate_pairs(per_doc, bands=16, rows=4)
+    per_doc = dedup.minhash_index(
+        docs, "doc_id", "text", n=2, num_perm=64, hasher="md5"
+    )
+    cands = dedup.lsh_candidate_pairs(per_doc, bands=16, rows=4, raw_buckets=True)
     lsh = (
         dedup.jaccard_from_sets(per_doc, cands)
         .filter(F.col("jaccard") >= 0.2)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    in_sample = lambda c: F.pmod(F.xxhash64(F.col(c), F.lit(7)), F.lit(2)) == 0  # noqa: E731
+    in_sample = lambda c: (  # noqa: E731
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s|"), F.col(c).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    )
     sh = per_doc.filter(in_sample("id")).select(
         "id", F.explode("sset").alias("shingle")
     )
@@ -1329,13 +1425,85 @@ def embed_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_vectorized(emb, F.col("vec_id") < 10, k=5)
 
 
-@q("embed_ivf_topk")  # approximate recall by construction → rows-only check
+def _ivf_oracle_sql(
+    corpus_where: str, query_where: str, n_centroids: int, nprobe: int, k: int
+) -> str:
+    """DuckDB twin of ``similarity.ivf_topk`` + ``with_recall_vs_exact``.
+
+    Reproducible because every float in the Spark plan is a
+    sequential-fold double: corpus/query normalization and all scoring
+    use ``similarity.dot`` (≡ ``list_dot_product``, bit-parity proven by
+    the embed_cosine_topk oracle), the codebook is the first
+    ``n_centroids`` corpus vectors by id (re-derived here, no fixture),
+    and the only BLAS stage left in the plan is the assignment ARGMAX,
+    whose ties break identically (np.argmax first-max ≡ ORDER BY score
+    DESC, cidx ASC). Probe selection ties break DESC on cidx — the
+    reverse(array_sort(struct)) semantics of the Spark side.
+    """
+    return f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                FROM embeddings{corpus_where}),
+         n AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n),
+         cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS c
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})),
+         asg AS (SELECT vec_id, cluster FROM (
+                   SELECT e.vec_id, cb.cidx AS cluster,
+                          row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, cb.c) DESC,
+                                       cb.cidx ASC) AS rn
+                   FROM e CROSS JOIN cb) WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_where}),
+         pr AS (SELECT query_id, qv, cluster FROM (
+                  SELECT q.query_id, q.qv, cb.cidx AS cluster,
+                         row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY list_dot_product(q.qv, cb.c) DESC,
+                                      cb.cidx DESC) AS rn
+                  FROM qs q CROSS JOIN cb) WHERE rn <= {nprobe}),
+         sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_dot_product(p.qv, e.v) AS raw_score
+                FROM pr p JOIN asg a ON a.cluster = p.cluster
+                          JOIN e ON e.vec_id = a.vec_id
+                WHERE a.vec_id <> p.query_id),
+         topk AS (SELECT query_id, neighbor_id, round(raw_score, 6) AS score FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY raw_score DESC, neighbor_id ASC) AS rn FROM sc)
+                  WHERE rn <= {k}),
+         ex AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY list_dot_product(q.qv, e.v) DESC,
+                                      e.vec_id ASC) AS rn
+                  FROM qs q JOIN e ON e.vec_id <> q.query_id)
+                WHERE rn <= {k}),
+         rec AS (SELECT ex.query_id,
+                        round(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                              / {k}, 4) AS recall_at_k
+                 FROM ex LEFT JOIN topk t USING (query_id, neighbor_id)
+                 GROUP BY ex.query_id)
+    SELECT query_id, t.neighbor_id, t.score, r.recall_at_k
+    FROM rec r LEFT JOIN topk t USING (query_id)
+    """
+
+
+@q("embed_ivf_topk", _ivf_oracle_sql("", "vec_id < 10", 16, 4, 5))
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: coarse-quantize corpus, probe nprobe lists, rerank.
 
     Scored fraction ≈ nprobe/n_centroids of the corpus; one shuffle on the
-    int cluster key. Output rows carry recall@k vs the exact neighbors
-    (self-validating rows-only check).
+    int cluster key. Output rows carry recall@k vs the exact neighbors.
+
+    FULL oracle as of r07 (was rows-only): normalization moved to the
+    Spark-side sequential fold BEFORE the Arrow assignment stage (see
+    ``ivf_topk``), so every score is ``list_dot_product``-reproducible;
+    the stand-in codebook is derived from the corpus itself, so the
+    oracle re-derives it with no fixture dependency. The only
+    non-reproduced float work left is the BLAS assignment argmax, whose
+    result only depends on ulps when two centroid scores tie within
+    ~1e-15 (and exact ties break identically) — a rare mismatch there
+    would be that expected variance, same argument as the
+    dedup_pairs_scale S-curve bound.
     """
     emb = t(spark, sf_dir, "embeddings")
     approx = similarity.ivf_topk(
@@ -7197,7 +7365,7 @@ def median_confidence_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("embed_filtered_topk")  # approximate recall by construction → rows-only
+@q("embed_filtered_topk", _ivf_oracle_sql(" WHERE label = 1", "vec_id < 40", 16, 6, 5))
 def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search: IVF ANN top-k restricted to a
     label predicate (label = 1) — the retrieval shape production vector
@@ -7210,6 +7378,11 @@ def embed_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter path too. Plan: the label predicate reaches the parquet scan
     (PushedFilters), then the standard IVF bucket join on the shrunken
     corpus — filter selectivity directly divides scan and score cost.
+
+    FULL oracle as of r07: the same ``_ivf_oracle_sql`` twin as
+    ``embed_ivf_topk`` with the label predicate folded into the corpus
+    CTE — the codebook, probes, and recall audit all re-derive on the
+    FILTERED corpus, so the oracle checks the filter path end-to-end.
     """
     emb = t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("label") == 1)

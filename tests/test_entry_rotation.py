@@ -128,14 +128,16 @@ def test_history_classifies_rows_only_records():
     """A clean rows-only record (err='no_oracle', count present) is NOT a
     failure; a recorded traceback or a missing count is."""
     latest, failed = entry_mod._check_history()
-    # r02/r06 recorded clean rows-only rows for these:
-    assert "dedup_minhash_lsh" not in failed
-    assert "dedup_simhash" not in failed
-    # multimodal_features GAINED an oracle in r07 after rows-only ledger
-    # records: it must re-queue for a full check, not ride the old
-    # rows-only pass (it leaves `failed` once a hash-green row lands)
-    if latest.get("multimodal_features", 0) < 7:
-        assert "multimodal_features" in failed
+    # r04/r06 recorded clean rows-only rows for these (still oracle-less):
+    assert "dedup_semantic" not in failed
+    assert "graph_kcore_parts" not in failed
+    # Queries that GAINED an oracle in r07 after rows-only ledger records
+    # (multimodal_features, dedup_minhash_lsh, dedup_simhash, the IVF
+    # pair...) must re-queue for a full check, not ride the old
+    # rows-only pass (each leaves `failed` once a hash-green row lands)
+    for gained in ("multimodal_features", "dedup_minhash_lsh", "embed_ivf_topk"):
+        if latest.get(gained, 0) < 7:
+            assert gained in failed, gained
     # timeseries_gapfill hard-failed in r02 (oracle tz drift, since fixed;
     # stays queued for re-check until a green round lands)
     if latest.get("timeseries_gapfill", 0) == 2:

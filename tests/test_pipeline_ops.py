@@ -272,3 +272,72 @@ def test_simhash_md5_mode_matches_python_reference(spark):
         if mode == "md5":
             for i, (_, text) in enumerate(rows):
                 assert got[i] == py_simhash(text)
+
+
+def test_minhash_md5_mode_matches_python_reference(spark):
+    """hasher="md5" (the oracle-reproducible mode added in r07 for the
+    dedup_minhash_lsh full oracle): the per-doc Kirsch-Mitzenmacher
+    signature equals a pure-Python MinHash over the same md5-derived
+    bases, raw band buckets collide exactly for identical signatures,
+    and both hasher modes agree on dedup BEHAVIOR (identical texts
+    collide in every band; disjoint-shingle texts share no bucket)."""
+    import hashlib
+
+    from dbt_repo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_index,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "zeta eta theta iota kappa lambada mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_minhash(text, num_perm=64):
+        toks = [t for t in text.split(" ") if t]
+        sh = sorted({" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)})
+        sig = []
+        for i in range(num_perm):
+            vals = []
+            for s in sh:
+                d = hashlib.md5(s.encode()).hexdigest()
+                b1 = int(d[:8], 16)
+                b2 = int(d[8:16], 16) % 2**31
+                vals.append(b1 + i * b2)
+            sig.append(min(vals))
+        return sig
+
+    idx = minhash_index(df, "doc_id", "text", n=2, num_perm=64, hasher="md5")
+    got = {r.id: [r[f"h{i}"] for i in range(64)] for r in idx.collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == py_minhash(text), doc_id
+
+    # identical docs collide in every band; disjoint docs in none
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(idx, bands=16, rows=4, raw_buckets=True)
+        .collect()
+    }
+    idx.unpersist()
+    assert pairs == {(0, 1)}
+
+    # behavioral agreement of the fast path on the same corpus
+    idx_xx = minhash_index(df, "doc_id", "text", n=2, num_perm=64)
+    pairs_xx = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(idx_xx, bands=16, rows=4).collect()
+    }
+    idx_xx.unpersist()
+    assert pairs_xx == {(0, 1)}
+
+    # invalid mode combinations fail loudly
+    import pytest
+
+    from dbt_repo_spark.operators.dedup import _perm_hashes
+
+    with pytest.raises(ValueError, match="independent"):
+        _perm_hashes(4, independent=True, hasher="md5")
+    with pytest.raises(ValueError, match="unknown hasher"):
+        _perm_hashes(4, hasher="sha1")
