@@ -519,8 +519,21 @@ def lsh_verified_pairs(
     )
 
 
-def _band_kv(index: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(id, band, bucket) banding rows from an index's signature columns."""
+def _band_kv(
+    index: DataFrame, bands: int, rows: int, raw_buckets: bool = False
+) -> DataFrame:
+    """(id, band, bucket) banding rows from an index's signature columns.
+
+    ``raw_buckets=True``: engine-portable concatenated-slot keys instead
+    of xxhash64 compaction (see ``lsh_candidate_pairs``)."""
+    if raw_buckets:
+        bucket_of = lambda b: F.concat_ws(  # noqa: E731
+            ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+        )
+    else:
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+        )
     kv = index.select(
         "id",
         F.explode(
@@ -528,9 +541,7 @@ def _band_kv(index: DataFrame, bands: int, rows: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
+                        bucket_of(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -546,6 +557,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.7,
     bands: int = 16,
     rows: int = 4,
+    raw_buckets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an EXISTING corpus index.
 
@@ -561,8 +573,8 @@ def incremental_minhash_dedup(
     Output: (id_a, id_b, jaccard, origin) with origin ∈
     {'corpus', 'batch'}; id_b is always the batch doc.
     """
-    kv_new = _band_kv(batch_index, bands, rows)
-    kv_old = _band_kv(corpus_index, bands, rows)
+    kv_new = _band_kv(batch_index, bands, rows, raw_buckets=raw_buckets)
+    kv_old = _band_kv(corpus_index, bands, rows, raw_buckets=raw_buckets)
     cross = (
         kv_old.alias("a")
         .join(kv_new.alias("b"), ["band", "bucket"])

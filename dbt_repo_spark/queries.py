@@ -3417,7 +3417,45 @@ def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_incremental_minhash")  # seeded xxhash64 signatures → rows-only check
+_INCR_MINHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+           FROM toks),
+    hb AS (SELECT doc_id, shingle,
+                  {_duck_md5_fold("substr(md5(shingle), 1, 8)")} AS b1,
+                  {_duck_md5_fold("substr(md5(shingle), 9, 8)")} % 2147483648 AS b2
+           FROM sh),
+    sig AS (SELECT doc_id, {_MINHASH_SLOTS_SQL}
+            FROM hb GROUP BY doc_id),
+    kv AS ({_MINHASH_BANDS_SQL}),
+    kvt AS (SELECT kv.*, (doc_id % 4 = 0) AS is_batch FROM kv),
+    crossb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'corpus' AS origin
+               FROM kvt a JOIN kvt b USING (band, bucket)
+               WHERE NOT a.is_batch AND b.is_batch GROUP BY 1, 2, 3),
+    intra AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'batch' AS origin
+              FROM kvt a JOIN kvt b USING (band, bucket)
+              WHERE a.is_batch AND b.is_batch AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3),
+    cand AS (SELECT * FROM crossb UNION ALL SELECT * FROM intra),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, c.origin, COUNT(*) AS n_common
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2, 3)
+    SELECT id_a, id_b,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard, origin
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2
+    """
+
+
+@q("dedup_incremental_minhash", _INCR_MINHASH_SQL)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup tick: new batch vs precomputed corpus index.
 
@@ -3427,14 +3465,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape for deduping a daily crawl against a 100 TB corpus.
     tests/test_similarity.py asserts the pair set equals the full-corpus
     run restricted to pairs touching the batch.
+
+    FULL oracle as of r07 (was rows-only): both indexes use the md5
+    hasher + raw band buckets (the dedup_minhash_lsh recipe); the oracle
+    reuses the same unrolled 64-slot/16-band SQL and splits the banding
+    rows by the batch predicate, mirroring the two bounded joins. The
+    oracle necessarily re-derives the corpus signatures that production
+    reads from the index relation — identical values by the
+    index-is-just-a-materialization argument the equivalence test pins.
     """
     docs = t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
-    corpus_idx = dedup.minhash_index(corpus, "doc_id", "text", n=2, num_perm=64)
-    batch_idx = dedup.minhash_index(batch, "doc_id", "text", n=2, num_perm=64)
+    corpus_idx = dedup.minhash_index(
+        corpus, "doc_id", "text", n=2, num_perm=64, hasher="md5"
+    )
+    batch_idx = dedup.minhash_index(
+        batch, "doc_id", "text", n=2, num_perm=64, hasher="md5"
+    )
     return dedup.incremental_minhash_dedup(
-        batch_idx, corpus_idx, threshold=0.2, bands=16, rows=4
+        batch_idx, corpus_idx, threshold=0.2, bands=16, rows=4, raw_buckets=True
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "origin")
 
 
