@@ -739,6 +739,7 @@ def simhash_near_duplicates(
     bits: int = 64,
     group: int = 1,
     cache_signatures: bool = False,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded exact-match join + Hamming verify.
 
@@ -767,7 +768,7 @@ def simhash_near_duplicates(
             f"chunks-group >= {max_hamming}, got {chunks}-{group}"
         )
     sig = _sig_with_words(
-        simhash_signatures(df, id_col, text_col, bits=bits), bits
+        simhash_signatures(df, id_col, text_col, bits=bits, hasher=hasher), bits
     )
     if cache_signatures:
         # The signature relation feeds BOTH sides of the banded

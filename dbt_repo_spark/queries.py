@@ -8602,7 +8602,42 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_near_dedup")  # seeded signatures → rows-only check
+_MM_NEAR_DEDUP_SQL = f"""
+    WITH base AS (SELECT doc_id AS media_id, text FROM documents),
+    tw AS (SELECT doc_id + 1000000 AS media_id, text || '!!' AS text
+           FROM documents WHERE doc_id % 7 = 0),
+    aug AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+    hx AS (SELECT media_id, hex(encode(text)) AS h FROM aug),
+    gr AS (SELECT DISTINCT media_id, gram FROM (
+             SELECT media_id, substr(h, CAST(i AS INTEGER), 8) AS gram
+             FROM hx, UNNEST(generate_series(1, greatest(1, len(h) - 7), 4)) AS t(i))),
+    hh AS (SELECT media_id,
+                  {_duck_md5_fold("substr(md5(gram), 1, 8)")} AS hi0,
+                  {_duck_md5_fold("substr(md5(gram), 9, 8)")} AS lo0,
+                  {_duck_md5_fold("substr(md5(gram), 17, 8)")} AS hi1,
+                  {_duck_md5_fold("substr(md5(gram), 25, 8)")} AS lo1
+           FROM gr),
+    v AS (SELECT media_id, k,
+                 SUM(CASE WHEN k < 32 THEN (lo0 >> k) & 1
+                          WHEN k < 64 THEN (hi0 >> (k - 32)) & 1
+                          WHEN k < 96 THEN (lo1 >> (k - 64)) & 1
+                          ELSE (hi1 >> (k - 96)) & 1 END) AS c,
+                 COUNT(*) AS n
+          FROM hh, UNNEST(range(0, 128)) AS u(k)
+          GROUP BY 1, 2),
+    sig AS (SELECT media_id,
+                   string_agg(CASE WHEN 2 * c > n THEN '1' ELSE '0' END, ''
+                              ORDER BY k) AS s
+            FROM v GROUP BY media_id)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(hamming(a.s, b.s) AS BIGINT) AS hamming,
+           (b.media_id = a.media_id + 1000000) AS is_seeded_twin
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE hamming(a.s, b.s) <= 14
+    """
+
+
+@q("multimodal_near_dedup", _MM_NEAR_DEDUP_SQL)
 def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-free NEAR-duplicate detection for binary media: SimHash
     over overlapping byte 4-grams (8 hex chars, stride 4) of the raw
@@ -8611,9 +8646,9 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended/prepended junk, padding, and metadata edits are caught) —
     banded Hamming join, never all-pairs. Every 7th blob is SEEDED with
     a 2-byte-appended twin (mirrored nowhere else: the fixture has no
-    organic near-dup blobs), so the rows-only check is non-vacuous and
-    the ``is_seeded_twin`` flag makes twin recovery visible in the
-    output; the unit test pins ≥95% seeded-twin recall at the
+    organic near-dup blobs) and the ``is_seeded_twin`` flag makes twin
+    recovery visible in the output; the unit test pins ≥95%
+    seeded-twin recall at the
     (hamming ≤ 14, 128-bit, 16-chunk pair-band) operating point — the
     shortest blobs can exceed the radius because a fixed 2-byte edit is
     a LARGER relative perturbation of a 24-gram signature, the
@@ -8660,10 +8695,17 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive subtree runs once and both join sides + the Hamming
     # verify read the tiny cached relation (10.7 -> 5.6s cold).
     hexed = aug.select("media_id", grams.alias("bytegrams"))
+    # hasher="md5" (r07): the gram votes become engine-reproducible, and
+    # because the C(16,2) pair banding is a pigeonhole GUARANTEE at
+    # radius 14 (not an S-curve), the banded-join output EQUALS the
+    # all-pairs Hamming join — so the oracle skips the 120-band
+    # reproduction entirely and checks the full quadratic join at test
+    # scale. The oracle being quadratic while the plan is banded is the
+    # point: same output, different asymptotics.
     pairs = dedup.simhash_near_duplicates(
         hexed, "media_id", "bytegrams",
         max_hamming=14, chunks=16, bits=128, group=2,
-        cache_signatures=True,
+        cache_signatures=True, hasher="md5",
     )
     return pairs.withColumn(
         "is_seeded_twin", F.col("id_b") == F.col("id_a") + 1000000
