@@ -493,15 +493,25 @@ def ivfpq_topk(
     )
     qids = np.array([r.query_id for r in queries], dtype=np.int64)
     qmat = np.array([r.qv for r in queries], dtype=np.float64)
-    probes = np.argsort(-(qmat @ cmat.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    luts = np.stack(
-        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m_)],
-        axis=1,
-    )  # (nq, m, ksub)
     nq = len(qids)
+    # ORACLE PARITY (r07, same recipe as pq_topk/ivf_topk): probe dots
+    # and LUTs accumulate with dim-sequential column loops (bit-identical
+    # to the SQL left fold); the probe argsort is STABLE so exact score
+    # ties pick the lowest centroid index, matching the oracle's
+    # ORDER BY score DESC, cidx ASC. Only the corpus-assignment argmax
+    # stays in BLAS (ulp-tie argument as in ivf_topk).
+    qcs = np.zeros((nq, cmat.shape[0]), dtype=np.float64)
+    for d in range(qmat.shape[1]):
+        qcs = qcs + qmat[:, d, None] * cmat[None, :, d]
+    probes = np.argsort(-qcs, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    luts = np.zeros((nq, m_, ksub), dtype=np.float64)
+    for j in range(m_):
+        acc = np.zeros((nq, ksub), dtype=np.float64)
+        for d in range(dsub):
+            acc = acc + qmat[:, j * dsub + d, None] * books[j][None, :, d]
+        luts[:, j] = acc
 
     def assign_encode_scan(batches):
-        cols = np.arange(m_)[None, :]
         for pdf in batches:
             mat = np.array(list(pdf["v"]), dtype=np.float64)
             nid = pdf["neighbor_id"].to_numpy()
@@ -509,9 +519,11 @@ def ivfpq_topk(
             cluster = np.argmax(mat @ cmat.T, axis=1)
             codes = np.empty((n, m_), dtype=np.int64)
             for j in range(m_):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                acc = np.zeros((n, ksub), dtype=np.float64)
+                for d in range(dsub):
+                    diff = mat[:, j * dsub + d, None] - books[j][None, :, d]
+                    acc = acc + diff * diff
+                codes[:, j] = acc.argmin(axis=1)
             out_q, out_n, out_s = [], [], []
             for qi in range(nq):
                 hit = np.nonzero(
@@ -519,14 +531,19 @@ def ivfpq_topk(
                 )[0]
                 if not len(hit):
                     continue
-                scores = luts[qi][cols, codes[hit]].sum(axis=1)
+                scores = np.zeros(len(hit), dtype=np.float64)
+                for j in range(m_):
+                    scores = scores + luts[qi, j, codes[hit, j]]
                 take = min(rerank, len(hit))
-                top = (
-                    hit[np.argpartition(-scores, take - 1)[:take]]
-                    if len(hit) > take
-                    else hit
-                )
-                sc = luts[qi][cols, codes[top]].sum(axis=1)
+                if len(hit) > take:
+                    # tie-safe prune (see pq_topk): keep boundary ties
+                    # so the candidate set is batching-independent
+                    part = np.argpartition(-scores, take - 1)
+                    thresh = scores[part[take - 1]]
+                    keep = scores >= thresh
+                    top, sc = hit[keep], scores[keep]
+                else:
+                    top, sc = hit, scores
                 out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
                 out_n.append(nid[top])
                 out_s.append(sc)

@@ -1513,23 +1513,103 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
-@q("embed_ivfpq_topk")  # approximate recall by construction → rows-only check
+_IVFPQ_TOPK_SQL = """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n),
+         fb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+         cb AS (SELECT c AS cidx, v AS cv FROM fb),
+         books AS (SELECT t.j AS j, fb.c AS c,
+                          fb.v[(t.j * 8 + 1):(t.j * 8 + 8)] AS w
+                   FROM fb, UNNEST(range(0, 8)) AS t(j)),
+         asg AS (SELECT vec_id, cluster FROM (
+                   SELECT e.vec_id, cb.cidx AS cluster,
+                          row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, cb.cv) DESC,
+                                       cb.cidx ASC) AS rn
+                   FROM e CROSS JOIN cb) WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         pr AS (SELECT query_id, cluster FROM (
+                  SELECT q.query_id, cb.cidx AS cluster,
+                         row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY list_dot_product(q.qv, cb.cv) DESC,
+                                      cb.cidx ASC) AS rn
+                  FROM qs q CROSS JOIN cb) WHERE rn <= 4),
+         enc AS (SELECT vec_id, j, c AS code FROM (
+                   SELECT e.vec_id, b.j, b.c,
+                          row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+                            list_reduce(list_transform(range(1, 9),
+                              d -> (e.v[b.j * 8 + d] - b.w[d])
+                                 * (e.v[b.j * 8 + d] - b.w[d])),
+                              (a, x) -> a + x) ASC, b.c ASC) AS rn
+                   FROM e CROSS JOIN books b) WHERE rn = 1),
+         lut AS (SELECT q.query_id, b.j, b.c,
+                        list_reduce(list_transform(range(1, 9),
+                          d -> q.qv[b.j * 8 + d] * b.w[d]),
+                          (a, x) -> a + x) AS val
+                 FROM qs q CROSS JOIN books b),
+         pairs AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                   FROM pr p JOIN asg a ON a.cluster = p.cluster
+                   WHERE a.vec_id <> p.query_id),
+         adc AS (SELECT pp.query_id, pp.neighbor_id,
+                        list_reduce(list(l.val ORDER BY l.j),
+                                    (a, x) -> a + x) AS approx
+                 FROM pairs pp
+                 JOIN enc en ON en.vec_id = pp.neighbor_id
+                 JOIN lut l ON l.query_id = pp.query_id
+                           AND l.j = en.j AND l.c = en.code
+                 GROUP BY 1, 2),
+         cand AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY approx DESC, neighbor_id ASC) AS rn
+                    FROM adc) WHERE rn <= 100),
+         topk AS (SELECT query_id, neighbor_id, round(raw_score, 6) AS score FROM (
+                    SELECT c.query_id, c.neighbor_id,
+                           list_dot_product(q.qv, e.v) AS raw_score,
+                           row_number() OVER (PARTITION BY c.query_id ORDER BY
+                             list_dot_product(q.qv, e.v) DESC,
+                             c.neighbor_id ASC) AS rn
+                    FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+                                JOIN qs q ON q.query_id = c.query_id)
+                  WHERE rn <= 5),
+         ex AS (SELECT query_id, neighbor_id FROM (
+                  SELECT q.query_id, e.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_dot_product(q.qv, e.v) DESC, e.vec_id ASC) AS rn
+                  FROM qs q JOIN e ON e.vec_id <> q.query_id) WHERE rn <= 5),
+         rec AS (SELECT ex.query_id,
+                        round(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                              / 5, 4) AS recall_at_k
+                 FROM ex LEFT JOIN topk t USING (query_id, neighbor_id)
+                 GROUP BY ex.query_id)
+    SELECT query_id, t.neighbor_id, t.score, r.recall_at_k
+    FROM rec r LEFT JOIN topk t USING (query_id)
+    """
+
+
+@q("embed_ivfpq_topk", _IVFPQ_TOPK_SQL)
 def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-k (similarity.py::ivfpq_topk): the production
     composition — IVF probing bounds compute (~nprobe/n_centroids of the
     corpus scored per query), PQ codes bound memory (32× smaller scan),
     one fused Arrow stage does assign+encode+ADC, exact rerank bounds
-    the approximation. Codebooks are the precomputed fixture artifacts
-    shared with embed_pq_topk. Output rows carry recall@k vs the exact
-    brute-force neighbors (self-validating rows-only check; floor pinned
-    in test_similarity).
-    """
-    import os
+    the approximation. Output rows carry recall@k vs the exact
+    brute-force neighbors (floor pinned in test_similarity).
 
+    FULL oracle as of r07 (was rows-only) by composing the two proven
+    halves: the IVF coarse stage from the embed_ivf_topk oracle (probe
+    ties here break cidx ASC — numpy's STABLE argsort — unlike
+    ivf_topk's reverse-sort DESC) and the PQ encode/ADC stage from the
+    embed_pq_topk oracle (stand-in codebooks from the same first-16
+    vectors, dim-sequential folds, tie-safe batch prune). Production
+    trains real k-means codebooks via the ``codebooks`` param (the
+    default path, exercised by test_similarity's trained-recall pins).
+    """
     emb = t(spark, sf_dir, "embeddings")
-    books = similarity.load_or_train_pq_codebooks(
-        emb, os.path.basename(os.path.normpath(sf_dir)), m=8, nbits=4
-    )
+    books = similarity.standin_pq_codebooks(emb, m=8, nbits=4)
     approx = similarity.ivfpq_topk(
         emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=4,
         m=8, nbits=4, rerank=100, codebooks=books,
