@@ -1100,8 +1100,10 @@ def semantic_dedup(
     runs per CLUSTER, and cluster count grows with the corpus (SemDeDup
     uses 50k clusters for LAION-scale) so cluster SIZE stays ~constant;
     total work is O(n_clusters x avg_size²) with one shuffle on the int
-    cluster key. The codebook is trained on a sample (train_centroids)
-    and inlined as literals — no training shuffle in this plan.
+    cluster key. The codebook comes from ``ivf_retrain``'s order-exact
+    spherical Lloyd (r07; train_centroids remains the float-mean
+    variant for callers that don't need cross-engine parity) and is
+    inlined as literals — no training shuffle in this plan.
 
     Self-validation: intra-cluster qualifying pairs are a SUBSET of the
     exact all-pairs near-dup set by construction, so pair_recall =
@@ -1119,8 +1121,15 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    codebook = train_centroids(
-        emb, id_col, vec_col, n_centroids=n_clusters, iters=iters
+    # ORACLE PARITY (r07): the codebook comes from ivf_retrain's
+    # order-exact spherical Lloyd (DECIMAL-folded component means,
+    # sequential-fold assignment dots) instead of train_centroids'
+    # float-mean variant — bit-identical across engines and therefore
+    # unrollable in the dedup_semantic oracle. Normalization below is
+    # the dim-sequential column loop (≡ the SQL left fold); only the
+    # cluster argmax stays in BLAS (ulp-tie argument as in ivf_topk).
+    codebook = ivf_retrain(
+        emb, k=n_clusters, n_iters=iters, id_col=id_col, vec_col=vec_col
     )
     cmat_np = np.array(codebook, dtype=np.float64)
 
@@ -1128,12 +1137,14 @@ def semantic_dedup(
         for pdf in batches:
             mat = np.array(list(pdf["cv0"]), dtype=np.float64)
             cluster = np.argmax(mat @ cmat_np.T, axis=1).astype("int32")
-            norms = np.sqrt((mat * mat).sum(axis=1))
+            acc = np.zeros(mat.shape[0], dtype=np.float64)
+            for d in range(mat.shape[1]):
+                acc = acc + mat[:, d] * mat[:, d]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
                     "cluster": cluster,
-                    "v": list(mat / norms[:, None]),
+                    "v": list(mat / np.sqrt(acc)[:, None]),
                 }
             )
 
@@ -1157,7 +1168,21 @@ def semantic_dedup(
         )
     )
     dups = intra.select(F.col("id_b").alias("id")).distinct()
-    in_sample = lambda c: F.pmod(F.xxhash64(F.col(c), F.lit(7)), F.lit(2)) == 0  # noqa: E731
+    # md5-folded sample (engine-portable; same convention as
+    # dedup_minhash_lsh's audit sample)
+    in_sample = lambda c: (  # noqa: E731
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s|"), F.col(c).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    )
     exact_n = (
         cosine_pairs(
             emb.filter(in_sample(id_col)), threshold, id_col, vec_col
@@ -1299,28 +1324,45 @@ def ivf_assign(
 
 def _assign_normed(normed: DataFrame, codebook: list[list[float]]) -> DataFrame:
     """(vec_id, cluster, ascore) over a PRE-normalized (vec_id, v)
-    relation — the expression-fold assignment shared by ``ivf_assign``'s
-    exact path and the ``ivf_retrain`` Lloyd loop. The retrain loop must
-    score the SAME normalized doubles on every iteration (re-normalizing
-    an already-unit vector divides by a ~1.0-but-not-exactly-1.0 norm
-    and shifts ulps the SQL oracle would then have to replicate)."""
-    scores = F.array(
-        *[dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c])) for c in codebook]
-    )
-    # max (score, -idx) struct = max score, ties to the SMALLEST cluster
-    best = F.array_max(
-        F.zip_with(
-            scores,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(len(codebook) - 1)), lambda i: -i
-            ),
-            lambda s, ni: F.struct(s.alias("s"), ni.alias("ni")),
-        )
-    )
-    return normed.select(
-        "vec_id",
-        (-best.getField("ni")).cast("int").alias("cluster"),
-        best.getField("s").alias("ascore"),
+    relation — the assignment shared by ``ivf_assign``'s exact path and
+    the ``ivf_retrain`` Lloyd loop. The retrain loop must score the
+    SAME normalized doubles on every iteration (re-normalizing an
+    already-unit vector divides by a ~1.0-but-not-exactly-1.0 norm and
+    shifts ulps the SQL oracle would then have to replicate).
+
+    r07: runs as an Arrow/NumPy stage with a DIM-SEQUENTIAL column loop
+    — vectorized across the batch, one rounded multiply + one rounded
+    add per dim — so every score stays bit-identical to the expression
+    fold it replaced (≡ DuckDB list_dot_product), while dropping the
+    interpreted-HOF cost that made the Lloyd iterations the slow leg of
+    dedup_semantic (~5× on the assignment pass). np.argmax's first-max
+    tie-break ≡ the old max(s, -idx) struct ≡ ORDER BY s DESC, cl ASC.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(codebook, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            n = mat.shape[0]
+            scores = np.zeros((n, cmat.shape[0]), dtype=np.float64)
+            for d in range(cmat.shape[1]):
+                scores = scores + mat[:, d, None] * cmat[None, :, d]
+            cl = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cl.astype("int32"),
+                    "ascore": scores[np.arange(n), cl],
+                }
+            )
+
+    return normed.select("vec_id", "v").mapInPandas(
+        assign, schema="vec_id long, cluster int, ascore double"
     )
 
 

@@ -4743,7 +4743,81 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_semantic")  # k-means assignment + sampled-centroid seed → rows-only
+# Order-exact spherical Lloyd step, unrolled per iteration — shared by
+# the ann_ivf_retrain oracle (queries_retrieval.py, which imports it
+# from here) and the dedup_semantic oracle below. Mirrors
+# similarity.ivf_retrain: sequential-fold assignment dots with ties to
+# the smallest cluster, DECIMAL(20,6)-folded component means over
+# 6-dp-rounded values (order-independent exact addition), unit
+# re-normalization, empty clusters keep their previous centroid.
+_LLOYD_STEP = """
+    a{i} AS (SELECT vec_id, cl AS cluster FROM (
+               SELECT e.vec_id, cb.cl,
+                      row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_dot_product(e.v, cb.v) DESC, cb.cl ASC
+                      ) AS rn
+               FROM e CROSS JOIN {prev} cb) WHERE rn = 1),
+    x{i} AS (SELECT a.cluster, unnest(e.v) AS val,
+                    unnest(range(0, len(e.v))) AS idx
+             FROM a{i} a JOIN e USING (vec_id)),
+    m{i} AS (SELECT cluster, idx,
+                    CAST(SUM(CAST(round(val, 6) AS DECIMAL(20,6)))
+                         AS DOUBLE) / COUNT(*) AS m
+             FROM x{i} GROUP BY 1, 2),
+    p{i} AS (SELECT cluster, list(m ORDER BY idx) AS c FROM m{i} GROUP BY 1),
+    cb{i} AS (SELECT c0.cl,
+                     COALESCE(list_transform(p.c,
+                        x -> x / sqrt(list_dot_product(p.c, p.c))), c0.v) AS v
+              FROM {prev} c0 LEFT JOIN p{i} p ON p.cluster = c0.cl)"""
+
+
+_SEMANTIC_SQL = (
+    """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cl, v
+            FROM e ORDER BY vec_id LIMIT 16),"""
+    + _LLOYD_STEP.format(i=1, prev="cb0")
+    + ","
+    + _LLOYD_STEP.format(i=2, prev="cb1")
+    + f""",
+    asg AS (SELECT vec_id, cl AS cluster FROM (
+              SELECT e.vec_id, cb.cl,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, cb.v) DESC,
+                                cb.cl ASC) AS rn
+              FROM e CROSS JOIN cb2 cb) WHERE rn = 1),
+    intra AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg a JOIN asg b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+              WHERE list_dot_product(ea.v, eb.v) >= 0.4),
+    dups AS (SELECT DISTINCT id_b AS vec_id FROM intra),
+    samp AS (SELECT vec_id FROM embeddings
+             WHERE {_duck_md5_fold("substr(md5('s|' || CAST(vec_id AS VARCHAR)), 1, 8)")} % 2 = 0),
+    exn AS (SELECT COUNT(*) AS n_exact FROM e a JOIN e b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id IN (SELECT vec_id FROM samp)
+              AND b.vec_id IN (SELECT vec_id FROM samp)
+              AND list_dot_product(a.v, b.v) >= 0.4),
+    inn AS (SELECT COUNT(*) AS n_intra FROM intra
+            WHERE id_a IN (SELECT vec_id FROM samp)
+              AND id_b IN (SELECT vec_id FROM samp))
+    SELECT asg.vec_id AS id, asg.cluster,
+           (d.vec_id IS NOT NULL) AS is_duplicate,
+           CASE WHEN n_exact > 0
+                THEN round(CAST(n_intra AS DOUBLE) / n_exact, 6)
+                ELSE CAST(1.0 AS DOUBLE) END AS pair_recall
+    FROM asg LEFT JOIN dups d USING (vec_id), exn, inn
+    """
+)
+
+
+@q("dedup_semantic", _SEMANTIC_SQL)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (similarity.py::semantic_dedup):
     spherical-k-means cluster the embedding space, then near-dup-mark
@@ -4751,17 +4825,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket, trading the all-pairs O(n²) for O(Σ cluster_size²)
     with cluster size held ~constant by scaling cluster count.
 
-    Rows-only check by construction (assignment depends on the trained
-    codebook), but self-validating: every row carries pair_recall =
-    intra-cluster qualifying pairs / exact near-dups, both sides
-    restricted to a SEEDED 50% id sample (~25% of pairs audited — the
-    sampled-audit pattern proven on dedup_minhash_lsh; r03 verdict: a
-    full-strength quadratic audit just relocates the cost the operator
-    avoids; floor pinned in test_similarity). Threshold 0.4 matches
-    dedup_embed_cosine's exact twin so the audit set is non-empty on
-    the isotropic fixture embeddings (at the paper's 0.9+ on real
-    embeddings the same plan applies; on isotropic noise no pair
-    reaches it).
+    FULL oracle as of r07 (was rows-only "by construction — assignment
+    depends on the trained codebook"): the construction changed. The
+    codebook now comes from ivf_retrain's ORDER-EXACT spherical Lloyd
+    (DECIMAL-folded means — the ann_ivf_retrain recipe, whose unrolled
+    _LLOYD_STEP SQL this oracle reuses verbatim), normalization runs as
+    the dim-sequential column loop, and the audit sample is md5-folded
+    — so cluster assignment, intra-cluster pairs, AND the pair_recall
+    audit all reproduce bit-exactly in SQL. Every row still carries
+    pair_recall = intra-cluster qualifying pairs / exact near-dups,
+    both sides restricted to a SEEDED 50% id sample (~25% of pairs
+    audited; a full-strength quadratic audit would just relocate the
+    cost the operator avoids — but the ORACLE runs the quadratic joins
+    gladly at test scale, which is the division of labor). Threshold
+    0.4 matches dedup_embed_cosine's exact twin so the audit set is
+    non-empty on the isotropic fixture embeddings.
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(

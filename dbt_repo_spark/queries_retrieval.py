@@ -1517,26 +1517,10 @@ def embed_near_dup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # {prev} -> DECIMAL-folded per-(cluster, component) means -> unit
 # renormalization; an empty cluster keeps its {prev} centroid. Used
 # unrolled (fixed iteration count = deterministic = oracle-checkable).
-_LLOYD_STEP = """
-    a{i} AS (SELECT vec_id, cl AS cluster FROM (
-               SELECT e.vec_id, cb.cl,
-                      row_number() OVER (
-                        PARTITION BY e.vec_id
-                        ORDER BY list_dot_product(e.v, cb.v) DESC, cb.cl ASC
-                      ) AS rn
-               FROM e CROSS JOIN {prev} cb) WHERE rn = 1),
-    x{i} AS (SELECT a.cluster, unnest(e.v) AS val,
-                    unnest(range(0, len(e.v))) AS idx
-             FROM a{i} a JOIN e USING (vec_id)),
-    m{i} AS (SELECT cluster, idx,
-                    CAST(SUM(CAST(round(val, 6) AS DECIMAL(20,6)))
-                         AS DOUBLE) / COUNT(*) AS m
-             FROM x{i} GROUP BY 1, 2),
-    p{i} AS (SELECT cluster, list(m ORDER BY idx) AS c FROM m{i} GROUP BY 1),
-    cb{i} AS (SELECT c0.cl,
-                     COALESCE(list_transform(p.c,
-                        x -> x / sqrt(list_dot_product(p.c, p.c))), c0.v) AS v
-              FROM {prev} c0 LEFT JOIN p{i} p ON p.cluster = c0.cl)"""
+# The order-exact Lloyd-step SQL template moved to dbt_repo_spark.queries
+# (r07) so the dedup_semantic oracle can share it; imported here for the
+# ann_ivf_retrain oracle below.
+from dbt_repo_spark.queries import _LLOYD_STEP  # noqa: E402  isort:skip
 
 
 @q(

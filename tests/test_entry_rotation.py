@@ -129,7 +129,7 @@ def test_history_classifies_rows_only_records():
     failure; a recorded traceback or a missing count is."""
     latest, failed = entry_mod._check_history()
     # r04/r06 recorded clean rows-only rows for these (still oracle-less):
-    assert "dedup_semantic" not in failed
+    assert "graph_pagerank_parts" not in failed
     assert "graph_kcore_parts" not in failed
     # Queries that GAINED an oracle in r07 after rows-only ledger records
     # (multimodal_features, dedup_minhash_lsh, dedup_simhash, the IVF
