@@ -1130,6 +1130,89 @@ def paragraph_block_index(
     )
 
 
+def paragraph_index_delete(
+    df: DataFrame,
+    delete_pred: Column,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """DELETE-propagation tick for the paragraph dedup index: owner
+    re-election for every block whose corpus-first owner is on the
+    delete list — the right-to-be-forgotten path every production
+    corpus eventually runs. The keep-first rewrite contract makes
+    deletes the one mutation the append-only index cannot absorb: a
+    removed OWNER takes the block's only surviving copy with it (every
+    other holder's published rewrite already cut it), so the tick must
+    (a) re-elect the minimum surviving (doc, blk) holder or (b)
+    tombstone the block, and the emitted delta IS the re-publication
+    work list (regenerate the new owners' rewrites).
+
+    Block identity here is ``md5(block_text)`` (16-byte engine-portable
+    key — the ``exact_duplicates`` shuffle convention) rather than the
+    index's xxhash64, which keeps the whole delta DuckDB-reproducible
+    (``dedup_index_delete_tick``'s full oracle).
+
+    Scale shape: one corpus block scan (amortized over the nightly
+    delete batch, same cost class as the full index rebuild it
+    replaces for every non-affected block), an owner fold on the md5
+    key (partial-aggregable), and a BROADCAST semi-join of survivor
+    blocks against the delete-bounded affected-key set — the re-election
+    fold only ever groups the affected keys' holders, never the corpus.
+
+    Output: (block_key, old_doc, old_blk, new_doc, new_blk, status)
+    with status ∈ {'reelected', 'tombstoned'}; new_* are NULL for
+    tombstones. Blocks whose owner survives are not emitted.
+
+    Reference analog: deletes are the mutation the reference handles by
+    FULL-REFRESH (models/dimensions/dim_stations.sql:5-19 re-derives
+    the dimension from all snapshots); this tick is the incremental
+    alternative that touches only the affected keys.
+    """
+    blocks = _paragraph_blocks(df, id_col, text_col, block_tokens).withColumn(
+        "k", F.md5("p")
+    )
+    owners = (
+        blocks.groupBy("k")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o"))
+        .select(
+            "k",
+            F.col("o.doc_id").alias("old_doc"),
+            F.col("o.blk").alias("old_blk"),
+        )
+    )
+    dels = df.filter(delete_pred).select(F.col(id_col).alias("old_doc"))
+    affected = owners.join(dels, "old_doc", "semi")
+    surv = blocks.join(
+        df.filter(delete_pred).select(F.col(id_col).alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    new_owner = (
+        surv.join(F.broadcast(affected.select("k")), "k", "semi")
+        .groupBy("k")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("blk"))).alias("o"))
+        .select(
+            "k",
+            F.col("o.doc_id").alias("new_doc"),
+            F.col("o.blk").alias("new_blk"),
+        )
+    )
+    return (
+        affected.join(new_owner, "k", "left")
+        .select(
+            F.col("k").alias("block_key"),
+            "old_doc",
+            "old_blk",
+            "new_doc",
+            "new_blk",
+            F.when(F.col("new_doc").isNull(), "tombstoned")
+            .otherwise("reelected")
+            .alias("status"),
+        )
+    )
+
+
 def _paragraph_blocks(
     df: DataFrame, id_col: str, text_col: str, block_tokens: int
 ) -> DataFrame:

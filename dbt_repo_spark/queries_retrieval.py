@@ -1350,6 +1350,140 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_index_delete_tick",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INTEGER) AS nb FROM toks),
+    blocks AS (SELECT doc_id, CAST(i AS BIGINT) AS blk,
+                      md5(array_to_string(w[((i - 1) * 10 + 1):(i * 10)], ' ')) AS k
+               FROM sized, UNNEST(range(1, nb + 1)) AS t(i)
+               WHERE nb >= 1),
+    owners AS (SELECT k, min(struct_pack(d := doc_id, b := blk)) AS o
+               FROM blocks GROUP BY k),
+    dels AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 0),
+    aff AS (SELECT o.k, o.o.d AS old_doc, o.o.b AS old_blk
+            FROM owners o JOIN dels d ON o.o.d = d.doc_id),
+    surv AS (SELECT b.doc_id, b.blk, b.k FROM blocks b
+             ANTI JOIN dels d ON b.doc_id = d.doc_id),
+    newo AS (SELECT s.k, min(struct_pack(d := s.doc_id, b := s.blk)) AS o
+             FROM surv s SEMI JOIN aff a ON s.k = a.k
+             GROUP BY s.k)
+    SELECT a.k AS block_key, a.old_doc, a.old_blk,
+           n.o.d AS new_doc, n.o.b AS new_blk,
+           CASE WHEN n.k IS NULL THEN 'tombstoned'
+                ELSE 'reelected' END AS status
+    FROM aff a LEFT JOIN newo n ON n.k = a.k
+    """,
+)
+def dedup_index_delete_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE propagation through the paragraph dedup index
+    (dedup.py::paragraph_index_delete): every 31st document is the
+    right-to-be-forgotten batch; the tick emits the owner re-election
+    delta — blocks whose corpus-first owner is deleted get the minimum
+    surviving holder re-elected, blocks with no surviving holder are
+    tombstoned. Under the keep-first rewrite contract this delta IS the
+    re-publication work list: the deleted owner's copy was the block's
+    only published copy (every other holder's rewrite already cut it),
+    so each re-elected row says whose rewrite must be regenerated.
+
+    Scale: one corpus block scan, an owner fold on the md5 block key,
+    and a broadcast semi-join of survivor blocks against the
+    delete-bounded affected-key set — re-election only ever groups the
+    affected keys' holders. The oracle replays the identical election
+    relationally (min struct_pack owner folds, ANTI/SEMI joins).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return dedup.paragraph_index_delete(
+        docs, F.col("doc_id") % 31 == 0, "doc_id", "text", block_tokens=10
+    )
+
+
+@q(
+    "ann_index_delete_tick",
+    """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                    AS cl, v
+           FROM e ORDER BY vec_id LIMIT 16),
+    sc AS (SELECT e.vec_id, cb.cl, list_dot_product(e.v, cb.v) AS s
+           FROM e CROSS JOIN cb),
+    asg AS (SELECT vec_id, cl AS cluster, s AS ascore
+            FROM (SELECT vec_id, cl, s,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cl ASC) AS rn
+                  FROM sc)
+            WHERE rn = 1),
+    st AS (SELECT cluster,
+                  COUNT(*) AS n_before,
+                  CAST(SUM(CASE WHEN vec_id % 31 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_removed,
+                  SUM(CASE WHEN vec_id % 31 = 0
+                           THEN CAST(round(ascore, 6) AS DECIMAL(20,6))
+                           ELSE CAST(0 AS DECIMAL(20,6)) END) AS s_removed
+           FROM asg GROUP BY cluster),
+    cells AS (SELECT CAST(u AS INTEGER) AS cluster
+              FROM UNNEST(range(0, 16)) t(u))
+    SELECT c.cluster,
+           CAST(COALESCE(st.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(st.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(st.n_before, 0) - COALESCE(st.n_removed, 0)
+                AS BIGINT) AS n_after,
+           CASE WHEN COALESCE(st.n_removed, 0) > 0
+                THEN CAST(st.s_removed AS DOUBLE) / st.n_removed
+                ELSE NULL END AS mean_removed_score
+    FROM cells c LEFT JOIN st USING (cluster)
+    """,
+)
+def ann_index_delete_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE propagation through the ANN index — the second half of
+    the right-to-be-forgotten tick (``dedup_index_delete_tick`` handles
+    the dedup index): postings of the deleted vec_ids (every 31st) are
+    dropped per cell, and the report carries before/after fill plus the
+    DECIMAL-folded mean assignment score of the removed vectors — the
+    drift-accounting a production index keeps so the retrain trigger
+    (``ann_ivf_retrain``) sees deletions as well as arrivals. Unlike
+    inserts, deletes need no re-assignment (the codebook is fixed
+    between retrains), so the tick is ONE pass over the postings: at
+    100 TB it anti-joins the stored postings table against the
+    delete-bounded id set — here the postings relation is re-derived
+    in-plan via the proven exact assignment (``ivf_assign``) because
+    the registry query must be self-contained over the parquet tables.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    codebook = similarity.initial_codebook(emb, 16)
+    asg = similarity.ivf_assign(emb, codebook)
+    dec = F.when(
+        F.col("vec_id") % 31 == 0,
+        F.round(F.col("ascore"), 6).cast("decimal(20,6)"),
+    ).otherwise(F.lit(0).cast("decimal(20,6)"))
+    st = asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_before"),
+        F.sum(F.when(F.col("vec_id") % 31 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(dec).alias("s_removed"),
+    )
+    cells = spark.range(16).select(F.col("id").cast("int").alias("cluster"))
+    return cells.join(st, "cluster", "left").select(
+        "cluster",
+        F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        (F.coalesce("n_before", F.lit(0)) - F.coalesce("n_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_after"),
+        F.when(
+            F.coalesce("n_removed", F.lit(0)) > 0,
+            F.col("s_removed").cast("double") / F.col("n_removed"),
+        ).alias("mean_removed_score"),
+    )
+
+
+@q(
     "training_data_pipeline_v5",
     """
     WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t

@@ -392,3 +392,66 @@ def test_repetition_scores_zero_token_docs_pass_vacuously(spark):
                 r.top_bigram_frac, r.dup_ngram_token_frac) == (0.0, 0.0, 0.0, 0.0)
         assert r.passes_repetition
     assert out[3].n_tokens == 30 and out[3].passes_repetition
+
+
+def test_paragraph_index_delete_reelects_and_tombstones(spark):
+    """Delete-propagation tick (dedup.paragraph_index_delete): a block
+    whose deleted owner has a surviving holder is re-elected to the
+    MINIMUM surviving (doc, blk); a block only the deleted doc held is
+    tombstoned; blocks whose owner survives are not emitted."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))   # one full block
+    unique = " ".join(f"u{i}" for i in range(10))
+    keeper = " ".join(f"k{i}" for i in range(10))
+    rows = [
+        # doc 0 (deleted): owns `shared` (first by id) and `unique`
+        (0, shared + " " + unique),
+        # docs 31 and 7 also hold `shared` -> re-election picks min id 7
+        (31, shared),
+        (7, keeper + " " + shared),
+        # doc 5 owns `keeper` and survives -> not emitted
+        (5, keeper),
+    ]
+    # deletes: doc_id % 31 == 0 -> docs 0 and 31
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.block_key: r
+        for r in dedup.paragraph_index_delete(
+            df, F.col("doc_id") % 31 == 0, "doc_id", "text", 10
+        ).collect()
+    }
+    import hashlib
+
+    k_shared = hashlib.md5(shared.encode()).hexdigest()
+    k_unique = hashlib.md5(unique.encode()).hexdigest()
+    k_keeper = hashlib.md5(keeper.encode()).hexdigest()
+    assert set(out) == {k_shared, k_unique}
+    assert k_keeper not in out  # owner 5 survives
+    r = out[k_shared]
+    assert (r.old_doc, r.status) == (0, "reelected")
+    # doc 7 holds `shared` at block 2; min-surviving (doc, blk) = (7, 2)
+    assert (r.new_doc, r.new_blk) == (7, 2)
+    r = out[k_unique]
+    assert (r.old_doc, r.status, r.new_doc) == (0, "tombstoned", None)
+
+
+def test_ann_delete_tick_counts_reconcile(spark, sf_dir):
+    """ann_index_delete_tick: n_after = n_before - n_removed per cell,
+    totals reconcile with the corpus and the delete predicate, and
+    mean_removed_score is NULL exactly on cells with no removals."""
+    from dbt_repo_spark.queries import QUERIES, t
+
+    rows = QUERIES["ann_index_delete_tick"](spark, sf_dir).collect()
+    emb_n = t(spark, sf_dir, "embeddings").count()
+    del_n = (
+        t(spark, sf_dir, "embeddings").filter("vec_id % 31 = 0").count()
+    )
+    assert len(rows) == 16
+    assert sum(r.n_before for r in rows) == emb_n
+    assert sum(r.n_removed for r in rows) == del_n
+    for r in rows:
+        assert r.n_after == r.n_before - r.n_removed
+        assert (r.mean_removed_score is None) == (r.n_removed == 0)
