@@ -242,6 +242,10 @@ HEADLINE = [
     # table in SCALE.md, not a single-scale floor.
     "ann_ivf_retrain",
     "snapshot_novelty_report",
+    # round-7 batch 3: delete propagation (right-to-be-forgotten) —
+    # dedup-index owner re-election + ANN postings removal
+    "dedup_index_delete_tick",
+    "ann_index_delete_tick",
 ]
 
 RUNS = 3
