@@ -116,6 +116,13 @@ _RECHECK_THIS_ROUND = [
     # audit sample CHANGED, so the stale rows-only record must be
     # replaced by a hash-green row.
     "dedup_minhash_lsh",
+    # r07 (second pass): graph_pagerank_parts moved to the exact integer
+    # micro-unit power iteration (graph.py::pagerank_units — output
+    # schema changed to rank_units/l1_residual_units) and gained an
+    # unrolled full oracle; graph_kcore_parts kept its plan but gained
+    # the unrolled-peeling oracle. Both must replace stale rows-only
+    # ledger records with hash-green rows.
+    "graph_pagerank_parts", "graph_kcore_parts",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

@@ -206,6 +206,105 @@ def pagerank(
     return ranks
 
 
+def pagerank_units(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 17,
+    damping_den: int = 20,
+    iters: int = 10,
+    total_units: int = 10**15,
+    with_residual: bool = False,
+) -> DataFrame:
+    """PageRank in exact integer micro-units (1.0 == ``total_units``).
+
+    Same power iteration as :func:`pagerank`, but every quantity is a
+    BIGINT: the initial mass is ``total_units // n``, a node's per-edge
+    contribution is ``rank_units div out_deg`` (truncating division —
+    positive operands, so identical to floor), and damping is the exact
+    rational ``damping_num/damping_den`` applied as
+    ``(num * x) div den``. Integer sums are ORDER-INDEPENDENT, so the
+    result is bit-identical across engines and partitionings — the
+    float version's Σ(rank/deg) depends on accumulation order at the
+    last ulp, which is exactly the drift a differential-testing hash
+    sees. Quantization bias per op is ≤1 unit (1e-15 of total mass),
+    ~1e2 units per node after 10 rounds — far below float64 noise at
+    graph sizes where ranks are ~1e-4 (unit tests pin agreement with
+    the float version at 1e-9).
+
+    Overflow headroom: all sums are ≤ total_units (mass never grows),
+    so the largest intermediate is damping_num * total_units ≈ 1.7e16
+    « 2^63. Returns (node, rank_units, rank) where rank is the single
+    deterministic double division rank_units / total_units; with
+    ``with_residual`` every row also carries the exact integer
+    ``l1_residual_units`` = Σ|Δunits| between the final two iterations.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    links = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select("node", F.lit(total_units // n).alias("rank_units"))
+    prev = ranks
+    for _ in range(iters):
+        prev = ranks
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("rank_units div deg")).alias("contrib_units")
+            )
+        )
+        dangling_units = int(
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_units"), F.lit(0)))
+            .collect()[0][0]
+        )
+        base_units = (damping_den - damping_num) * total_units // (
+            damping_den * n
+        ) + damping_num * dangling_units // (damping_den * n)
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_units)
+                    + F.expr(
+                        f"({damping_num} * coalesce(contrib_units, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(
+        "node",
+        "rank_units",
+        (F.col("rank_units") / F.lit(float(total_units))).alias("rank"),
+    )
+    if with_residual:
+        resid = (
+            ranks.join(
+                prev.withColumnRenamed("rank_units", "__prev_units"), "node"
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank_units") - F.col("__prev_units"))).alias(
+                    "l1_residual_units"
+                )
+            )
+        )
+        return out.crossJoin(F.broadcast(resid))
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "id_a",

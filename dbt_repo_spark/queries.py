@@ -2790,20 +2790,88 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("graph_pagerank_parts")  # iterative power method → rows-only check
-def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (operators/graph.py::pagerank) over the order→part
-    bipartite reference graph: which parts are load-bearing across
-    orders. Per round one O(|E|) join + hash-agg with dangling-mass
-    redistribution; lineage cut per round. Validated against dense NumPy
-    power iteration in tests (1e-12 agreement incl. dangling nodes).
+def _pagerank_oracle(iters: int = 5, total: int = 10**15) -> str:
+    """Unrolled integer-unit PageRank oracle (see graph.py::pagerank_units).
 
-    Self-validating rows-only output: every row carries ``l1_residual``
-    (Σ|Δrank| between the final two iterations, floor pinned in
-    test_graph) so the driver's values-hash observes convergence, not
-    just the top-20 ids.
+    Every iteration is three MATERIALIZED CTEs — dangling mass, in-edge
+    contribution sums, the rank update — in exact BIGINT arithmetic
+    (DuckDB ``//`` == Spark ``div`` on positive operands), so the unroll
+    reproduces the Spark relation bit-exactly with no float-order
+    caveats. The only doubles in the output are single divisions of
+    identical integers by the same constant.
     """
-    from dbt_repo_spark.operators.graph import pagerank
+    num, den = 17, 20  # damping 0.85 as the exact rational 17/20
+    ctes = [
+        "edges AS MATERIALIZED (SELECT l_orderkey AS src,"
+        " l_partkey + 1000000000 AS dst FROM lineitem)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg"
+        " FROM edges GROUP BY src)",
+        "links AS MATERIALIZED (SELECT e.src, e.dst, o.deg"
+        " FROM edges e JOIN outdeg o USING (src))",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({total} //"
+        " (SELECT c FROM nn) AS BIGINT) AS rank_units FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT CAST(COALESCE((SELECT SUM(rank_units)"
+            f" FROM r{p} WHERE node NOT IN (SELECT src FROM outdeg)), 0)"
+            " AS BIGINT) AS dangling)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT l.dst,"
+            " CAST(SUM(r.rank_units // l.deg) AS BIGINT) AS contrib_units"
+            f" FROM links l JOIN r{p} r ON l.src = r.node GROUP BY l.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, CAST("
+            f" ({den - num} * {total}) // ({den} * (SELECT c FROM nn))"
+            f" + ({num} * (SELECT dangling FROM g{i}))"
+            f" // ({den} * (SELECT c FROM nn))"
+            f" + ({num} * COALESCE(c.contrib_units, 0)) // {den}"
+            f" AS BIGINT) AS rank_units"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
+        )
+    ctes.append(
+        f"resid AS MATERIALIZED (SELECT CAST(SUM(ABS(a.rank_units"
+        f" - b.rank_units)) AS BIGINT) AS l1_residual_units"
+        f" FROM r{iters} a JOIN r{iters - 1} b USING (node))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT r.node - 1000000000 AS part_id,
+           r.rank_units,
+           r.rank_units / {float(total)!r} AS rank,
+           (SELECT l1_residual_units FROM resid) AS l1_residual_units
+    FROM r{iters} r
+    WHERE r.node >= 1000000000
+    ORDER BY r.rank_units DESC, part_id
+    LIMIT 20
+    """
+    )
+
+
+@q("graph_pagerank_parts", _pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the order→part bipartite reference graph: which
+    parts are load-bearing across orders. Per round one O(|E|) join +
+    hash-agg with dangling-mass redistribution; lineage cut per round.
+
+    FULL oracle as of r07: runs on graph.py::pagerank_units — the exact
+    integer micro-unit power iteration (1.0 == 1e15 units, damping as
+    the rational 17/20, per-edge contribution ``rank_units div deg``).
+    Integer sums are order-independent, so Spark and the unrolled DuckDB
+    SQL (``_pagerank_oracle``) agree bit-for-bit; the float version's
+    Σ(rank/deg) differs across engines at the last ulp, which is why
+    this entry was rows-only through r06. Unit tests pin the integer
+    variant against the float/NumPy power iteration at 1e-9, and
+    ``l1_residual_units`` rides in every row as the in-plan convergence
+    certificate (power iteration contracts at rate 0.85).
+    """
+    from dbt_repo_spark.operators.graph import pagerank_units
 
     li = t(spark, sf_dir, "lineitem")
     # part node ids offset out of the orderkey range
@@ -2811,15 +2879,16 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("src"),
         (F.col("l_partkey") + F.lit(1_000_000_000)).alias("dst"),
     )
-    ranks = pagerank(edges, iters=5, with_residual=True)
+    ranks = pagerank_units(edges, iters=5, with_residual=True)
     return (
         ranks.filter(F.col("node") >= 1_000_000_000)
         .select(
             (F.col("node") - 1_000_000_000).alias("part_id"),
+            "rank_units",
             "rank",
-            F.round("l1_residual", 8).alias("l1_residual"),
+            "l1_residual_units",
         )
-        .orderBy(F.col("rank").desc(), "part_id")
+        .orderBy(F.col("rank_units").desc(), "part_id")
         .limit(20)
     )
 
@@ -7406,17 +7475,64 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("graph_kcore_parts")  # iterative peeling → rows-only + certificate
+def _kcore_oracle(k: int = 65, peels: int = 8) -> str:
+    """Unrolled-peeling DuckDB oracle for the k-core fixed point.
+
+    Peeling is order-independent and IDEMPOTENT once converged (a round
+    with no sub-k nodes removes nothing), so unrolling a fixed number of
+    peel rounds computes the exact k-core whenever the data converges
+    within that depth — measured 1 peel at sf0.01 and 3 at sf0.001 for
+    k=65, so ``peels=8`` carries >2x headroom. All arithmetic is integer
+    (degrees), so the oracle is bit-exact vs Spark with no float-order
+    caveats. Spark side raises after 50 rounds rather than returning a
+    partial core; the oracle's depth is the analogous certificate.
+    """
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        " FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v"
+        " FROM li a JOIN li b ON a.o = b.o WHERE a.p < b.p)",
+        "d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM"
+        " (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node)",
+    ]
+    # AS MATERIALIZED: each CTE is referenced 2-3x by the next level; if
+    # DuckDB inlined them the plan would expand ~2^peels scans of the base
+    # relation (observed as fd exhaustion at peels=8).
+    for i in range(1, peels + 1):
+        p = i - 1
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p}"
+            f" WHERE u NOT IN (SELECT node FROM d{p} WHERE deg < {k})"
+            f" AND v NOT IN (SELECT node FROM d{p} WHERE deg < {k}))"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM"
+            f" (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})"
+            f" GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           COUNT(*) AS n_core_nodes,
+           MIN(deg) AS min_core_degree,
+           CAST(SUM(deg) AS BIGINT) AS sum_core_degree
+    FROM d{peels}
+    """
+    )
+
+
+@q("graph_kcore_parts", _kcore_oracle())
 def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense kernel of the part co-occurrence graph: the k-core
     (graph.py::k_core, k=65 — inside the fixture degree distribution, so
     peeling removes fringe nodes and cascades without unraveling the
     whole graph) with a self-validating certificate row —
     ``min_core_degree >= k`` holds by the k-core definition, so the
-    output itself proves the peeling terminated correctly (the rows-only
-    pattern: no SQL oracle for an iterative fixed point, but the
-    invariant rides in the result). Same edge derivation as
-    graph_triangle_census.
+    output itself proves the peeling terminated correctly. FULL oracle as
+    of r07: peeling is idempotent once converged, so a fixed unroll of 8
+    peel rounds in DuckDB (``_kcore_oracle``) reproduces the fixed point
+    bit-exactly — every quantity is an integer degree, no float-order
+    caveats. Same edge derivation as graph_triangle_census.
     """
     from dbt_repo_spark.operators.graph import k_core
 

@@ -129,13 +129,20 @@ def test_history_classifies_rows_only_records():
     failure; a recorded traceback or a missing count is."""
     latest, failed = entry_mod._check_history()
     # r04/r06 recorded clean rows-only rows for these (still oracle-less):
-    assert "graph_pagerank_parts" not in failed
-    assert "graph_kcore_parts" not in failed
+    assert "text_pii_spans" not in failed
+    assert "bpe_tokenize" not in failed
     # Queries that GAINED an oracle in r07 after rows-only ledger records
     # (multimodal_features, dedup_minhash_lsh, dedup_simhash, the IVF
-    # pair...) must re-queue for a full check, not ride the old
-    # rows-only pass (each leaves `failed` once a hash-green row lands)
-    for gained in ("multimodal_features", "dedup_minhash_lsh", "embed_ivf_topk"):
+    # pair, the graph iteratives...) must re-queue for a full check, not
+    # ride the old rows-only pass (each leaves `failed` once a
+    # hash-green row lands)
+    for gained in (
+        "multimodal_features",
+        "dedup_minhash_lsh",
+        "embed_ivf_topk",
+        "graph_pagerank_parts",
+        "graph_kcore_parts",
+    ):
         if latest.get(gained, 0) < 7:
             assert gained in failed, gained
     # timeseries_gapfill hard-failed in r02 (oracle tz drift, since fixed;

@@ -137,7 +137,32 @@ def test_registry_sketch_and_pagerank_quality_floors(spark, sf_dir):
     (roll,) = QUERIES["distinct_sketch_rollup"](spark, sf_dir).collect()
     assert roll.rel_err <= 0.05, roll
     rows = QUERIES["graph_pagerank_parts"](spark, sf_dir).collect()
-    assert rows and all(0.0 <= r.l1_residual <= 2 * 0.85**5 for r in rows)
+    # integer micro-units as of r07: 1.0 of rank mass == 1e15 units
+    assert rows and all(
+        0 <= r.l1_residual_units <= 2 * 0.85**5 * 10**15 for r in rows
+    )
+    assert all(abs(r.rank - r.rank_units / 1e15) < 1e-18 for r in rows)
+
+
+def test_pagerank_units_matches_float(spark):
+    """The exact integer micro-unit PageRank (pagerank_units) agrees with
+    the float power iteration to 1e-9 — quantization bias is ≤ a few
+    hundred units of 1e15 after 10 rounds — and conserves mass up to
+    truncation (sum of units ≤ total, within iters·n units of it)."""
+    from dbt_repo_spark.operators.graph import pagerank, pagerank_units
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    flt = {r.node: r.rank for r in pagerank(edges, damping=0.85, iters=10).collect()}
+    rows = pagerank_units(edges, iters=10).collect()
+    got = {r.node: r.rank for r in rows}
+    assert set(got) == set(flt)
+    for node, rank in flt.items():
+        assert abs(got[node] - rank) < 1e-9, (node, got[node], rank)
+    total_units = sum(r.rank_units for r in rows)
+    n, iters = 5, 10
+    # floor losses: ≤1 unit per edge/node per round, so the gap is tiny
+    assert 10**15 - 20 * (n + len(edge_list)) * iters <= total_units <= 10**15
 
 
 def test_canonical_by_quality_keeps_best_per_cluster(spark):
