@@ -123,6 +123,11 @@ _RECHECK_THIS_ROUND = [
     # the unrolled-peeling oracle. Both must replace stale rows-only
     # ledger records with hash-green rows.
     "graph_pagerank_parts", "graph_kcore_parts",
+    # r07 (second pass): embed_cosine_topk_np reuses the proven
+    # brute-force SQL as a full oracle (plan unchanged — BLAS noise is
+    # absorbed by the 6dp rounding both sides already did); its stale
+    # rows-only record must be replaced by a hash-green row.
+    "embed_cosine_topk_np",
 ]
 
 # The round whose driver run is meant to verify the list above: a listed

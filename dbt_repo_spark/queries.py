@@ -1413,13 +1413,33 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_recall_vs_exact(approx, exact, k=5)
 
 
-@q("embed_cosine_topk_np")  # fp summation order differs from SQL → rows-only
+@q(
+    "embed_cosine_topk_np",
+    """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         n AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+         e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n),
+         qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qs.v, c.v) AS raw
+               FROM qs CROSS JOIN e c WHERE c.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, round(raw, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, neighbor_id) AS rn FROM s)
+    WHERE rn <= 5
+    """,
+)
 def embed_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+NumPy brute-force top-k: one BLAS matmul per corpus batch.
 
-    Exact same candidate math as embed_cosine_topk; the test suite asserts
-    identical neighbor sets. Registered rows-only because BLAS summation
-    order differs from the sequential SQL fold in the last float bits.
+    Exact same candidate math as embed_cosine_topk, so the oracle is the
+    same brute-force SQL (FULL as of r07). BLAS pairwise summation
+    differs from the sequential fold only at ~1e-16 on unit-norm 64-dim
+    dots, which the shared round-to-6dp output absorbs; ranking happens
+    on the raw double with neighbor_id tie-break in both engines, and
+    adjacent scores on the synthetic corpus are separated by far more
+    than the summation-order noise (the suite also asserts neighbor-set
+    equality against the expression path).
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_vectorized(emb, F.col("vec_id") < 10, k=5)
