@@ -246,6 +246,11 @@ HEADLINE = [
     # dedup-index owner re-election + ANN postings removal
     "dedup_index_delete_tick",
     "ann_index_delete_tick",
+    # round-7 batch 4: crawl preprocessing — C4 line cleanup (zero
+    # shuffles, scan-speed) + URL canonicalization / domain rollup
+    "text_c4_cleanup",
+    "web_url_canonical",
+    "web_domain_stats",
 ]
 
 RUNS = 3

@@ -778,3 +778,60 @@ def gopher_repetition_scores(
             ).alias("passes_repetition"),
         )
     )
+
+
+def c4_line_cleanup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style heuristic line-level cleanup (Raffel et al. 2020, §2.2 of
+    "Exploring the Limits of Transfer Learning..." — the public recipe
+    behind the C4 corpus; reference parallel: the staging-layer row
+    filters at models/staging/stg_*.sql, applied per-LINE instead of
+    per-row).
+
+    Line rules (a line survives iff ALL hold):
+      - ends in terminal punctuation (``. ! ? "``)
+      - has at least ``min_words`` whitespace words
+      - does not contain the word "javascript" (case-insensitive)
+      - contains no code braces ``{`` ``}``
+    Document rules:
+      - a document containing the phrase "lorem ipsum" (case-insensitive)
+        is dropped entirely
+      - a document with fewer than ``min_lines`` surviving lines is
+        dropped
+
+    Output: (doc_id, n_lines, n_kept, has_lorem, doc_kept, clean_text)
+    for EVERY input document (doc_kept=false rows keep their stats so the
+    caller can audit drop reasons — filtering is the caller's one-liner).
+
+    Scale shape: a pure per-row Catalyst expression battery — split,
+    HOF filter, array_join — no shuffle, no Python; at 100 TB this runs
+    at parquet-scan speed. The filter lambda is referenced by three
+    output columns (n_kept / doc_kept / clean_text), which Catalyst
+    evaluates per reference inside one projection — 3x a cheap map op,
+    the house trade-off (see quality_scores' ``toks`` reuse) vs adding
+    an explode+groupBy shuffle to deduplicate it.
+    """
+    lines = F.split(F.col(text_col), sep)
+    is_clean = (
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= min_words)
+        & ~F.lower(x).contains("javascript")
+        & ~x.contains("{")
+        & ~x.contains("}")
+    )
+    kept = F.filter(lines, is_clean)
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        ((F.size(kept) >= min_lines) & ~has_lorem).alias("doc_kept"),
+        F.array_join(kept, sep).alias("clean_text"),
+    )

@@ -1,0 +1,129 @@
+"""Unit tests for the web-crawl preprocessing operators (r07):
+C4 line cleanup semantics on handcrafted newline documents, URL
+canonicalization edge cases, and the domain rollup arithmetic —
+independent of the registry queries' synthesized fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_repo_spark.operators.text import c4_line_cleanup
+from dbt_repo_spark.operators.web import canonicalize_urls, domain_stats
+
+
+def _c4(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], ["id", "txt"])
+    return c4_line_cleanup(df, "id", "txt", **kw).collect()[0]
+
+
+def test_c4_keeps_only_clean_lines(spark):
+    r = _c4(
+        spark,
+        "this is a good first sentence.\n"      # kept
+        "short one.\n"                           # < 5 words
+        "no terminal punctuation here at all\n"  # no [.!?"]
+        "a javascript menu widget appeared here.\n"  # javascript
+        "function f() { return 1; }.\n"          # code brace
+        'he said "this is a quote!"\n'           # kept (quote terminal)
+        "is this a real question though?"        # kept (?)
+    )
+    assert r.n_lines == 7
+    assert r.n_kept == 3
+    assert not r.has_lorem
+    assert r.doc_kept  # 3 kept lines == min_lines floor
+    assert r.clean_text.split("\n") == [
+        "this is a good first sentence.",
+        'he said "this is a quote!"',
+        "is this a real question though?",
+    ]
+
+
+def test_c4_doc_gates(spark):
+    # lorem ipsum anywhere kills the doc even if every line is clean
+    r = _c4(
+        spark,
+        "lorem ipsum dolor sit amet friend.\n"
+        "another perfectly fine clean sentence here.\n"
+        "and one more to clear the floor.",
+    )
+    assert r.has_lorem and not r.doc_kept and r.n_kept == 3
+    # fewer than min_lines surviving lines kills the doc
+    r = _c4(spark, "one good clean long sentence here.\nshort.\n")
+    assert r.n_kept == 1 and not r.doc_kept
+    # thresholds are parameters
+    r = _c4(spark, "one good clean long sentence here.", min_lines=1)
+    assert r.doc_kept
+
+
+def test_c4_javascript_case_insensitive(spark):
+    r = _c4(spark, "The JavaScript framework loaded very slowly today.")
+    assert r.n_kept == 0
+
+
+@pytest.mark.parametrize(
+    "url,canon,domain",
+    [
+        # scheme folds, www strips, host lowercases, params sort,
+        # tracking strips, fragment drops, trailing slash strips
+        (
+            "HTTP://WWW.News.Example.COM/a/b/?b=2&utm_source=x&a=1#frag",
+            "https://news.example.com/a/b?a=1&b=2",
+            "example.com",
+        ),
+        # no params, no fragment, no path
+        ("https://example.org", "https://example.org", "example.org"),
+        # tracking-only query collapses to no query at all
+        (
+            "https://a.io/p?utm_campaign=c&gclid=123&fbclid=9&ref=hn",
+            "https://a.io/p",
+            "a.io",
+        ),
+        # only ONE leading www. strips (www.www.x keeps the inner one)
+        (
+            "https://www.www.example.net/x",
+            "https://www.example.net/x",
+            "example.net",
+        ),
+        # root slash is a trailing slash
+        ("https://b.example.com/", "https://b.example.com", "example.com"),
+        # non-tracking params keep their values, sorted as strings
+        (
+            "https://c.dev/q?z=26&m=13&a=1",
+            "https://c.dev/q?a=1&m=13&z=26",
+            "c.dev",
+        ),
+    ],
+)
+def test_canonicalize_urls_cases(spark, url, canon, domain):
+    df = spark.createDataFrame([(1, url)], ["id", "u"])
+    r = canonicalize_urls(df, "id", "u").collect()[0]
+    assert r.url_canon == canon, url
+    assert r.domain == domain, url
+
+
+def test_domain_stats_counts_dup_mass(spark):
+    rows = [
+        (1, "https://www.a.com/x?utm_source=1"),
+        (2, "HTTP://A.com/x/"),        # same canon as 1
+        (3, "https://a.com/y"),        # same domain, new key
+        (4, "https://b.org/x"),        # other domain
+    ]
+    df = spark.createDataFrame(rows, ["id", "u"])
+    stats = {
+        r.domain: r
+        for r in domain_stats(canonicalize_urls(df, "id", "u")).collect()
+    }
+    assert stats["a.com"].n_urls == 3
+    assert stats["a.com"].n_canon == 2
+    assert stats["a.com"].n_dup == 1
+    assert stats["b.org"].n_dup == 0
+
+
+def test_c4_query_plan_is_shuffle_free(spark):
+    """The registry C4 query (synthesis + cleanup) must stay a pure
+    per-row projection: no Exchange in the optimized plan."""
+    from dbt_repo_spark.queries import QUERIES
+
+    df = QUERIES["text_c4_cleanup"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
