@@ -251,6 +251,7 @@ HEADLINE = [
     "text_c4_cleanup",
     "web_url_canonical",
     "web_domain_stats",
+    "training_data_pipeline_v6",
 ]
 
 RUNS = 3

@@ -276,3 +276,142 @@ def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     urls = _synth_urls(t(spark, sf_dir, "documents"))
     return web.domain_stats(web.canonicalize_urls(urls, "doc_id", "url"))
+
+
+_V6_ORACLE = f"""
+    WITH {_URL_SYNTH_CTES},
+    owner AS (SELECT url_canon, MIN(doc_id) AS doc_id FROM canon GROUP BY 1),
+    urlkept AS (SELECT doc_id FROM owner),
+    {_C4_SYNTH_CTES.lstrip()},
+    c4 AS (SELECT doc_id,
+                  contains(lower(text_nl), 'lorem ipsum') AS has_lorem,
+                  list_filter(string_split(text_nl, chr(10)), x ->
+                      regexp_matches(x, '[.!?"]$')
+                      AND len(string_split(x, ' ')) >= 5
+                      AND NOT contains(lower(x), 'javascript')
+                      AND NOT contains(x, '{{')
+                      AND NOT contains(x, '}}')) AS kept
+           FROM synth s
+           WHERE doc_id IN (SELECT doc_id FROM urlkept)),
+    surv AS (SELECT doc_id,
+                    replace(COALESCE(array_to_string(kept, chr(10)), ''),
+                            chr(10), ' ') AS ct
+             FROM c4
+             WHERE len(kept) >= 3 AND NOT has_lorem),
+    ptoks AS (SELECT doc_id, list_filter(string_split(ct, ' '),
+                                         x -> x <> '') AS w
+              FROM surv),
+    psized AS (SELECT doc_id, w,
+                      CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM ptoks),
+    pblocks AS (SELECT doc_id, i AS blk,
+                       array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                         AS p
+                FROM psized, UNNEST(range(1, nb + 1)) AS u(i)
+                WHERE nb >= 1),
+    powner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+               FROM pblocks GROUP BY 1),
+    pkept AS (SELECT b.doc_id, b.blk, b.p
+              FROM pblocks b JOIN powner ow USING (p)
+              WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS tr
+                FROM pkept GROUP BY 1),
+    final AS (SELECT s.doc_id, s.nb,
+                     COALESCE(r.n_kept, 0) AS n_kept,
+                     COALESCE(r.tr, '') AS tr
+              FROM psized s LEFT JOIN rebuilt r USING (doc_id)),
+    perdoc AS (
+      SELECT d.doc_id, d.source,
+             (u.doc_id IS NULL) AS url_dropped,
+             (u.doc_id IS NOT NULL AND f.doc_id IS NULL) AS c4_dropped,
+             f.nb, f.n_kept, length(f.tr) AS n_chars
+      FROM documents d
+      LEFT JOIN urlkept u USING (doc_id)
+      LEFT JOIN final f USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN url_dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_url_dup,
+           CAST(SUM(CASE WHEN c4_dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c4_dropped,
+           CAST(SUM(CASE WHEN nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_final,
+           CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(SUM(n_kept), 0) AS BIGINT) AS n_blocks_kept,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars_final
+    FROM perdoc GROUP BY source
+"""
+
+
+@q("training_data_pipeline_v6", _V6_ORACLE)
+def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CRAWL preprocessing tick (v6): the nightly pass a
+    web-crawl corpus runs BEFORE the v1-v5 pipelines see it —
+    URL-level exact dedup on the canonical key (keep-first by doc_id),
+    C4 line cleanup + doc gates on the survivors, cross-document exact
+    paragraph dedup with rewrite on the cleaned text, folded to one
+    certified per-source audit row (url-dup mass, C4 drop mass,
+    surviving block/char mass).
+
+    Scale shape: the URL and C4 stages are per-row expressions (zero
+    shuffles); the paragraph stage shuffles once on the block key with
+    the partial-aggregable min(struct) owner fold; the audit is one
+    hash-agg. Working sets that feed two consumers (survivors feed both
+    the paragraph stage and the audit join) are persisted, the v2/v3
+    lesson. All output columns are integers — no float caveats.
+    """
+    from pyspark import StorageLevel
+
+    docs = t(spark, sf_dir, "documents")
+    urls = web.canonicalize_urls(_synth_urls(docs), "doc_id", "url")
+    url_owner = urls.groupBy("url_canon").agg(F.min("doc_id").alias("doc_id"))
+    url_kept = url_owner.select("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    from dbt_repo_spark.operators.dedup import paragraph_dedup_rewrite
+
+    c4 = text_ops.c4_line_cleanup(
+        _synth_lines(docs.join(url_kept, "doc_id", "left_semi")),
+        "doc_id",
+        "text_nl",
+    )
+    surv = (
+        c4.filter(F.col("doc_kept"))
+        .select(
+            "doc_id",
+            F.regexp_replace("clean_text", "\n", " ").alias("ct"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rewritten = paragraph_dedup_rewrite(surv, "doc_id", "ct", block_tokens=10)
+
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(url_kept.withColumn("__u", F.lit(1)), "doc_id", "left")
+        .join(
+            rewritten.select(
+                "doc_id",
+                F.col("n_blocks").alias("nb"),
+                F.col("n_kept"),
+                F.length("text_rewritten").alias("n_chars"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__u").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_url_dup"),
+        F.sum(
+            F.when(F.col("__u").isNotNull() & F.col("nb").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_c4_dropped"),
+        F.sum(F.when(F.col("nb").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_final"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("n_kept"), F.lit(0)).cast("long").alias("n_blocks_kept"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("n_chars_final"),
+    )

@@ -127,3 +127,19 @@ def test_c4_query_plan_is_shuffle_free(spark):
     df = QUERIES["text_c4_cleanup"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_v6_crawl_tick_conservation(spark):
+    """Every document lands in exactly one v6 bucket per source:
+    n_url_dup + n_c4_dropped + n_final == n_docs, and block/char mass
+    only exists where survivors do."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["training_data_pipeline_v6"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_url_dup + r.n_c4_dropped + r.n_final == r.n_docs, r
+        assert r.n_blocks_kept <= r.n_blocks
+        assert (r.n_final == 0) == (r.n_blocks == 0), r

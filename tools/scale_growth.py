@@ -56,6 +56,17 @@ OPS = [
     "dedup_canonical_quality",
     "entity_resolution_docs",
     "retrieval_rank_fusion",
+    # r07 third wave: the production-tick / text-gate family (documents-
+    # based; token-suffix replicas keep grams replica-disjoint, source
+    # values unchanged so the KMV source pairs stay fixed while each
+    # source's gram set grows linearly)
+    "training_data_pipeline_v4",
+    "decontaminate_train_eval",
+    "text_repetition_scores",
+    "dedup_paragraph_rewrite",
+    "sketch_kmv_source_overlap",
+    "text_c4_cleanup",
+    "web_domain_stats",
 ]
 TABLES = {"documents", "embeddings", "lineitem"}
 
