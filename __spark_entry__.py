@@ -182,15 +182,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 17 keys absent here (MinHash signatures, the remaining
-    approximate ANN entries, SemDeDup, the sketch rollups, BPE, the
-    k-core fixed point) are non-SQL-expressible — seeded xxhash64,
-    approximate recall by construction, iterative merge learning,
-    iterative peeling — and the driver records rows-only checks.
-    (Multimodal decode, embed_lsh_topk, embed_generate_docs,
-    rag_retrieval_pipeline, and dedup_simhash left this set in r07:
-    stdlib codecs, the bit-exact hyperplane SQL, the md5-reproducible
-    embedding CTEs, and md5 token votes gave them full oracles.) The
+    The 6 keys absent here (the Spark-internal sketch states —
+    HLL++/DataSketches/QuantileSummaries, which `sketch_hll_portable`
+    and `sketch_kmv_source_overlap` twin with fully-oracled portable
+    state — plus BPE's data-dependent merge learning, PII span offsets
+    with no SQL surface, and the solver-sized LSH whose recall is
+    probabilistic by construction with a FULL-oracle fixed-density twin)
+    are documented rows-only. (Multimodal decode, embed_lsh_topk,
+    embed_generate_docs, rag_retrieval_pipeline, dedup_simhash,
+    dedup_minhash_lsh, the IVF/PQ family, the graph iteratives, and
+    embed_cosine_topk_np all left this set in r07: stdlib codecs,
+    bit-exact hyperplane SQL, md5-reproducible embedding CTEs, md5
+    votes/bases, integer micro-unit PageRank, unrolled peeling, and the
+    shared brute-force SQL gave them full oracles.) The
     approximate ones carry in-plan
     quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
     residual) with floors pinned in tests; the deterministic ones pin

@@ -252,6 +252,7 @@ HEADLINE = [
     "web_url_canonical",
     "web_domain_stats",
     "training_data_pipeline_v6",
+    "sketch_hll_portable",
 ]
 
 RUNS = 3

@@ -332,3 +332,99 @@ def kmv_estimate(kmv: DataFrame, group_col: str, k: int = 256) -> DataFrame:
             9,
         ).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL (r07): a register-fold HyperLogLog built from the same
+# 60-bit md5 hash as KMV, so the sketch STATE — not just the estimate —
+# is bit-reproducible in any engine (full DuckDB oracle). The
+# DataSketches-backed distinct_sketch_table above remains the
+# interop/production path; this is its oracle-checkable twin with the
+# identical store-and-union contract (Flajolet et al. 2007).
+# ---------------------------------------------------------------------------
+
+HLL_B = 10                      # 2^10 = 1024 registers (rsd ~ 1.04/32 = 3.3%)
+HLL_M = 1 << HLL_B
+_HLL_P = 60 - HLL_B             # payload bits below the register index
+_HLL_UNIT = 1 << (_HLL_P + 1)   # 2^51: denominator scale for exact sums
+# alpha_m * m^2 for m=1024, spelled once so Spark and every oracle embed
+# the IDENTICAL double literal (the only non-integer constant).
+HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+
+def hll_portable_sketch_table(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Per-period portable-HLL register table: (period, reg, max_rho).
+
+    reg = top HLL_B bits of the 60-bit md5 hash; rho = leading-zero run
+    of the remaining 50 payload bits + 1, computed EXACTLY via integer
+    string length (``51 - length(bin(w))``; bin() drops leading zeros in
+    both Spark and DuckDB — no float log anywhere). max per register is
+    the HLL fold: associative, commutative, idempotent — partials
+    combine map-side, a restated day overwrites one period's rows, and
+    range union is max-per-register over the rows (see
+    ``hll_portable_union_estimate``). Output is ≤ m rows per period of
+    three small integers — KBs regardless of key cardinality.
+    """
+    period = F.date_trunc(grain, F.col(time_col)).alias("period")
+    h = _kmv_hash(F.col(key))
+    reg = F.shiftright(h, _HLL_P).alias("reg")
+    w = h.bitwiseAND(F.lit((1 << _HLL_P) - 1))
+    rho = (
+        F.when(w == 0, F.lit(_HLL_P + 1))
+        .otherwise(F.lit(_HLL_P + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return df.select(period, reg, rho.alias("rho")).groupBy(
+        "period", "reg"
+    ).agg(F.max("rho").alias("max_rho"))
+
+
+def hll_portable_union_estimate(
+    sketches: DataFrame,
+    period_pred: Column | None = None,
+) -> DataFrame:
+    """Distinct estimate over any period range by register-max union.
+
+    Scans only the register table. The harmonic-mean denominator is an
+    EXACT integer: register r contributes 2^(51 - rho_r) units (empty
+    registers 2^51), so Σ ≤ m·2^51 ≈ 2.3e18 fits int64 and both engines
+    fold it bit-identically in any order. The raw estimate is then two
+    deterministic double ops on identical operands (2^51/denom, ×
+    alpha·m²); the standard small-range correction m·ln(m/V) applies
+    below 2.5m when V = empty registers > 0 (the 60-bit hash needs no
+    large-range correction). Output: one row
+    (m, n_used_regs, n_zero_regs, denom_units, raw_est, est).
+    """
+    if period_pred is not None:
+        sketches = sketches.filter(period_pred)
+    regs = sketches.groupBy("reg").agg(F.max("max_rho").alias("rho"))
+    agg = regs.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_P + 1} - rho)")).alias("used_units"),
+    )
+    m = HLL_M
+    denom = (
+        F.col("used_units")
+        + (F.lit(m) - F.col("n_used")) * F.lit(_HLL_UNIT)
+    ).alias("denom_units")
+    zeros = (F.lit(m) - F.col("n_used")).cast("long")
+    raw = F.lit(HLL_ALPHA_M2) * (
+        F.lit(float(_HLL_UNIT)) / denom.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_used").cast("long").alias("n_used_regs"),
+        zeros.alias("n_zero_regs"),
+        denom.cast("long").alias("denom_units"),
+        F.round(raw, 6).alias("raw_est"),
+        F.round(est, 6).alias("est"),
+    )

@@ -9365,6 +9365,78 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_SQL = """
+    WITH hs AS (SELECT date_trunc('day', ts) AS period,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS h
+                FROM events),
+    pr AS (SELECT period, h >> 50 AS reg,
+                  CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                       ELSE 51 - length(bin(h & 1125899906842623)) END AS rho
+           FROM hs),
+    tab AS (SELECT period, reg, MAX(rho) AS max_rho FROM pr GROUP BY 1, 2),
+    regs AS (SELECT reg, MAX(max_rho) AS rho FROM tab GROUP BY 1),
+    agg AS (SELECT COUNT(*) AS n_used,
+                   CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT)
+                     AS used_units
+            FROM regs),
+    calc AS (SELECT n_used, 1024 - n_used AS zeros,
+                    used_units + (1024 - n_used) * 2251799813685248 AS denom
+             FROM agg),
+    esti AS (SELECT n_used, zeros, denom,
+                    755541.746198293 * (2251799813685248.0 / denom) AS raw
+             FROM calc),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT CAST(1024 AS BIGINT) AS m,
+           CAST(n_used AS BIGINT) AS n_used_regs,
+           CAST(zeros AS BIGINT) AS n_zero_regs,
+           CAST(denom AS BIGINT) AS denom_units,
+           round(raw, 6) AS raw_est,
+           round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                      THEN 1024.0 * ln(1024.0 / zeros)
+                      ELSE raw END, 6) AS est,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                                THEN 1024.0 * ln(1024.0 / zeros)
+                                ELSE raw END, 6) - exact_distinct)
+                 / exact_distinct, 4) AS rel_err
+    FROM esti CROSS JOIN ex
+"""
+
+
+@q("sketch_hll_portable", _HLL_SQL)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-and-union distinct sketch on the PORTABLE register-fold HLL
+    (sketches.py::hll_portable_*): per-day (reg, max_rho) tables of
+    events.user_id, range-unioned by register max, estimated with the
+    exact-integer harmonic denominator. Unlike `distinct_sketch_rollup`
+    (DataSketches state — engine-internal, rows-only forever), the
+    sketch STATE here is the same md5-derived integers in any engine, so
+    the whole pipeline carries a FULL DuckDB oracle: register index and
+    rho are integer bit/string ops, the denominator is an
+    order-independent BIGINT sum, and the only doubles are two
+    deterministic ops on identical operands plus the documented
+    small-range ln (rounded at 6dp). The exact audit column and rel_err
+    ride in the row (fixture-scale self-validation, as in the
+    DataSketches twin)."""
+    from dbt_repo_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events")
+    tab = sketches.hll_portable_sketch_table(ev, "user_id", "ts", "day")
+    est = sketches.hll_portable_union_estimate(tab)
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip

@@ -254,3 +254,55 @@ def test_k_core_random_graphs_match_brute_force(spark):
             continue
         got = {r["node"]: r["deg"] for r in k_core(df, k=k).collect()}
         assert got == want, (trial, k, edges)
+
+
+def test_hll_portable_registers_match_reference(spark):
+    """The portable-HLL register table equals a hashlib reference
+    (reg = top 10 bits of the 60-bit md5 int, rho = 50-bit LZ run + 1),
+    and the union-of-halves register maxes equal the whole-range sketch
+    (the store-and-union mergeability contract, exact state equality)."""
+    import hashlib
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.sketches import (
+        hll_portable_sketch_table,
+        hll_portable_union_estimate,
+    )
+
+    rows = [
+        (i % 37, datetime(2024, 1, 1 + (i % 10))) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    tab = hll_portable_sketch_table(df, "user_id", "ts", "day")
+
+    # hashlib reference over the distinct keys
+    expect: dict[int, int] = {}
+    for k in {r[0] for r in rows}:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        reg, w = h >> 50, h & ((1 << 50) - 1)
+        rho = 51 if w == 0 else 51 - w.bit_length()
+        expect[reg] = max(expect.get(reg, 0), rho)
+    got: dict[int, int] = {}
+    for r in tab.collect():
+        got[r.reg] = max(got.get(r.reg, 0), r.max_rho)
+    assert got == expect
+
+    # mergeability: max-union of the two half-range sketches == the
+    # whole sketch's register maxes (STATE equality, not just estimate)
+    cut = datetime(2024, 1, 6)
+    a = hll_portable_sketch_table(df.filter(F.col("ts") < F.lit(cut)),
+                                  "user_id", "ts", "day")
+    b = hll_portable_sketch_table(df.filter(F.col("ts") >= F.lit(cut)),
+                                  "user_id", "ts", "day")
+    merged: dict[int, int] = {}
+    for r in a.unionByName(b).collect():
+        merged[r.reg] = max(merged.get(r.reg, 0), r.max_rho)
+    assert merged == expect
+
+    (est,) = hll_portable_union_estimate(tab).collect()
+    assert est.m == 1024 and est.n_used_regs == len(expect)
+    # 37 distinct keys, m=1024 -> deep small-range regime; the
+    # linear-counting correction is near-exact here
+    assert abs(est.est - 37) <= 2, est
