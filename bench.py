@@ -253,6 +253,7 @@ HEADLINE = [
     "web_domain_stats",
     "training_data_pipeline_v6",
     "sketch_hll_portable",
+    "sketch_quantile_portable",
 ]
 
 RUNS = 3

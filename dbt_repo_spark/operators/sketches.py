@@ -428,3 +428,111 @@ def hll_portable_union_estimate(
         F.round(raw, 6).alias("raw_est"),
         F.round(est, 6).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable quantile sketch (r07): exact per-period ORDER-STATISTIC grids
+# with an all-integer weighted-CDF merge. The percentile_approx-backed
+# quantile_sketch_table above stays as the interop path (its summary
+# state is Spark-internal); this twin's state is k+1 raw data values
+# picked by exact integer ranks, so any engine reproduces it bit-for-bit
+# and the merge needs no float fold at all (the repo's
+# quantile_normalize lesson: engine quantile INTERPOLATIONS differ by
+# 1 ulp, order statistics don't).
+# ---------------------------------------------------------------------------
+
+
+def quantile_grid_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    time_col: str,
+    grain: str = "day",
+    k: int = 32,
+) -> DataFrame:
+    """Per-(keys, period) exact quantile grid: k+1 order statistics at
+    ranks ``1 + (i*(n-1)) div k`` for i = 0..k (min, k-1 interior knots,
+    max) — values are PICKED from the data, never interpolated.
+
+    Output: (keys..., period, n_rows, i, x) — k+1 rows per group of
+    small exact values; the store-and-merge analogue of
+    ``quantile_sketch_table`` with engine-portable state.
+
+    Scale shape: one shuffle (the rank window, partitioned by group —
+    group size is bounded by the period grain), then a broadcast-sized
+    join of the k+1 target ranks per group. Restating a period
+    overwrites k+1 rows.
+    """
+    from pyspark.sql.window import Window
+
+    period = F.date_trunc(grain, F.col(time_col)).alias("period")
+    base = df.select(*key_cols, period, F.col(value_col).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    w = Window.partitionBy(*key_cols, "period").orderBy("x")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    groups = base.groupBy(*key_cols, "period").agg(
+        F.count("*").alias("n_rows")
+    )
+    pos = groups.select(
+        *key_cols,
+        "period",
+        "n_rows",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    ).withColumn("pos", 1 + F.expr(f"(i * (n_rows - 1)) div {k}"))
+    return pos.join(
+        ranked, [*key_cols, "period"]
+    ).filter(F.col("rn") == F.col("pos")).select(
+        *key_cols, "period", "n_rows", "i", "x"
+    )
+
+
+def quantile_units_estimate(
+    sketches: DataFrame,
+    key_cols: list[str],
+    probs: list[tuple[int, int]],
+    k: int = 32,
+) -> DataFrame:
+    """Quantiles over any union of exact-grid sketch rows — all-integer.
+
+    Each knot i>0 of a sketch carries its group's ``n_rows`` weight
+    UNITS (the cell (x_{i-1}, x_i] holds n_rows/k of that sketch's mass;
+    scaling every weight by k keeps it integral); knot 0 carries none.
+    Pooling is a per-x integer mass fold + one integer running sum over
+    ascending x, and quantile p = num/den reads the smallest x whose
+    cumulative units satisfy ``cum * den >= num * total`` — exact
+    integer comparison, no float anywhere. Rank error ≤ 1/k per source
+    sketch, as for the float merge.
+
+    ``probs`` are exact rationals [(1,4), (1,2), (9,10), ...]. Output:
+    (keys..., prob_num, prob_den, value_est).
+    """
+    from pyspark.sql.window import Window
+
+    pts = sketches.select(
+        *key_cols,
+        "x",
+        F.when(F.col("i") == 0, F.lit(0))
+        .otherwise(F.col("n_rows"))
+        .cast("long")
+        .alias("wu"),
+    )
+    mass = pts.groupBy(*key_cols, "x").agg(F.sum("wu").alias("mass"))
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*key_cols)
+    cum = mass.withColumn("cum", F.sum("mass").over(wcum)).withColumn(
+        "total", F.sum("mass").over(wtot)
+    )
+    pr = cum.sparkSession.createDataFrame(
+        [(n, d) for n, d in probs], "prob_num long, prob_den long"
+    )
+    hits = cum.crossJoin(F.broadcast(pr)).filter(
+        F.col("cum") * F.col("prob_den") >= F.col("prob_num") * F.col("total")
+    )
+    return hits.groupBy(*key_cols, "prob_num", "prob_den").agg(
+        F.min("x").alias("value_est")
+    )

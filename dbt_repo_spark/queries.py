@@ -9437,6 +9437,107 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QPORT_SQL = """
+    WITH base AS (SELECT event_type, date_trunc('day', ts) AS period,
+                         value AS x
+                  FROM events WHERE value IS NOT NULL),
+    ranked AS (SELECT event_type, period, x,
+                      row_number() OVER (PARTITION BY event_type, period
+                                         ORDER BY x) AS rn
+               FROM base),
+    groups AS (SELECT event_type, period, COUNT(*) AS n_rows
+               FROM base GROUP BY 1, 2),
+    pos AS (SELECT event_type, period, n_rows, i,
+                   1 + (i * (n_rows - 1)) // 32 AS pos
+            FROM groups, UNNEST(range(0, 33)) AS u(i)),
+    sk AS (SELECT p.event_type, p.n_rows, p.i, r.x
+           FROM pos p JOIN ranked r
+             ON r.event_type = p.event_type AND r.period = p.period
+            AND r.rn = p.pos),
+    mass AS (SELECT event_type, x,
+                    CAST(SUM(CASE WHEN i = 0 THEN 0 ELSE n_rows END)
+                         AS BIGINT) AS mass
+             FROM sk GROUP BY 1, 2),
+    cum AS (SELECT event_type, x,
+                   SUM(mass) OVER (PARTITION BY event_type ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(mass) OVER (PARTITION BY event_type) AS total
+            FROM mass),
+    pr AS (SELECT CAST(prob_num AS BIGINT) AS prob_num,
+                  CAST(prob_den AS BIGINT) AS prob_den
+           FROM (VALUES (1, 4), (1, 2), (9, 10)) t(prob_num, prob_den)),
+    est AS (SELECT event_type, prob_num, prob_den, MIN(x) AS value_est
+            FROM cum CROSS JOIN pr
+            WHERE cum * prob_den >= prob_num * total
+            GROUP BY 1, 2, 3),
+    audit AS (SELECT e.event_type, e.prob_num, e.prob_den, e.value_est,
+                     CAST(SUM(CASE WHEN b.x <= e.value_est THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cnt,
+                     COUNT(*) AS n
+              FROM est e JOIN base b USING (event_type)
+              GROUP BY 1, 2, 3, 4)
+    SELECT event_type, prob_num, prob_den, value_est,
+           cnt / n AS est_rank_frac,
+           round(abs(cnt / n - CAST(prob_num AS DOUBLE) / prob_den), 6)
+             AS rank_err
+    FROM audit
+"""
+
+
+@q("sketch_quantile_portable", _QPORT_SQL)
+def sketch_quantile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-and-merge quantile sketch on the PORTABLE exact-grid twin
+    (sketches.py::quantile_grid_exact + quantile_units_estimate):
+    per-(event_type, day) grids of k+1 = 33 order statistics of
+    events.value, merged over the full range by the all-integer
+    weighted-CDF fold, read at p = 1/4, 1/2, 9/10 as exact rationals.
+    Unlike `quantile_sketch_rollup` (percentile_approx summary state —
+    Spark-internal, rows-only forever), every state value here is a raw
+    datum picked by an integer rank and every merge op is an integer
+    sum/comparison, so the pipeline carries a FULL DuckDB oracle. Each
+    row also carries the exact rank of its estimate in the RAW data
+    (``est_rank_frac``, int/int exact) and ``rank_err`` vs the target —
+    the 1/k + 1/min(n_source) bound rides in the output and is pinned in
+    tests (a source grid with n_rows < k quantizes at its raw 1/n rank
+    quantum, not 1/k; fixture-scale audit, sampled at 100 TB)."""
+    from dbt_repo_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events")
+    grid = sketches.quantile_grid_exact(
+        ev, ["event_type"], "value", "ts", "day", k=32
+    )
+    est = sketches.quantile_units_estimate(
+        grid, ["event_type"], [(1, 4), (1, 2), (9, 10)], k=32
+    )
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").alias("x")
+    )
+    audit = (
+        est.join(base, "event_type")
+        .groupBy("event_type", "prob_num", "prob_den", "value_est")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("value_est"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt"),
+            F.count("*").alias("n"),
+        )
+    )
+    return audit.select(
+        "event_type",
+        "prob_num",
+        "prob_den",
+        "value_est",
+        (F.col("cnt") / F.col("n")).alias("est_rank_frac"),
+        F.round(
+            F.abs(
+                F.col("cnt") / F.col("n")
+                - F.col("prob_num").cast("double") / F.col("prob_den")
+            ),
+            6,
+        ).alias("rank_err"),
+    )
+
+
 # Extension registries (import side-effect populates QUERIES/ORACLES).
 from dbt_repo_spark import queries_tpch  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_geo  # noqa: E402,F401  isort:skip

@@ -306,3 +306,52 @@ def test_hll_portable_registers_match_reference(spark):
     # 37 distinct keys, m=1024 -> deep small-range regime; the
     # linear-counting correction is near-exact here
     assert abs(est.est - 37) <= 2, est
+
+
+def test_quantile_portable_grid_and_merge(spark):
+    """Exact-grid quantile sketch: a single-period sketch merges to the
+    exact integer-rank order statistic; the registry query's in-plan
+    rank_err stays within the 1/k merge bound at fixture scale."""
+    from datetime import datetime
+
+    from dbt_repo_spark.operators.sketches import (
+        quantile_grid_exact,
+        quantile_units_estimate,
+    )
+    from dbt_repo_spark.queries import QUERIES
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5, 8.0, 7.0]
+    rows = [("a", datetime(2024, 1, 1), v) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    grid = quantile_grid_exact(df, ["g"], "value", "ts", "day", k=4)
+    got = {r.i: r.x for r in grid.collect()}
+    s = sorted(vals)  # ranks 1 + (i*9)//4 -> positions 1,3,5,7,10
+    assert got == {0: s[0], 1: s[2], 2: s[4], 3: s[6], 4: s[9]}
+
+    est = quantile_units_estimate(grid, ["g"], [(1, 2), (9, 10)], k=4)
+    by_p = {(r.prob_num, r.prob_den): r.value_est for r in est.collect()}
+    # single sketch: p=1/2 -> first knot with cum >= total/2 is knot 2
+    assert by_p[(1, 2)] == s[4]
+    assert by_p[(9, 10)] == s[9]
+
+    # registry-query bound: 1/k per source sketch PLUS the per-sketch
+    # raw rank quantum (grids of groups with n_rows < k quantize at 1/n,
+    # not 1/k — sf0.001's per-(type, day) groups are that small)
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.sketches import quantile_grid_exact as qge
+    from dbt_repo_spark.queries import t as load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    min_n = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts"))
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    bound = 1.0 / 32 + 1.0 / min_n
+    for r in QUERIES["sketch_quantile_portable"](
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert r.rank_err <= bound, (r, bound)
