@@ -415,3 +415,158 @@ def training_data_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_kept"), F.lit(0)).cast("long").alias("n_blocks_kept"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("n_chars_final"),
     )
+
+
+_CRAWL_STREAM_ORACLE = f"""
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t
+                 FROM documents),
+    {_URL_SYNTH_CTES.lstrip()},
+    corpus_keys AS (SELECT DISTINCT url_canon FROM canon, thr
+                    WHERE doc_id < thr.t),
+    batch_fresh AS (SELECT c.url_canon, c.doc_id FROM canon c, thr
+                    WHERE c.doc_id >= thr.t
+                      AND c.url_canon NOT IN (SELECT url_canon
+                                              FROM corpus_keys)),
+    batch_admit AS (SELECT url_canon, MIN(doc_id) AS doc_id
+                    FROM batch_fresh GROUP BY 1),
+    corpus_admit AS (SELECT url_canon, MIN(doc_id) AS doc_id
+                     FROM (SELECT c.url_canon, c.doc_id FROM canon c, thr
+                           WHERE c.doc_id < thr.t) GROUP BY 1),
+    {_C4_SYNTH_CTES.lstrip()},
+    c4 AS (SELECT doc_id,
+                  contains(lower(text_nl), 'lorem ipsum') AS has_lorem,
+                  list_filter(string_split(text_nl, chr(10)), x ->
+                      regexp_matches(x, '[.!?"]$')
+                      AND len(string_split(x, ' ')) >= 5
+                      AND NOT contains(lower(x), 'javascript')
+                      AND NOT contains(x, '{{')
+                      AND NOT contains(x, '}}')) AS kept
+           FROM synth),
+    surv AS (SELECT doc_id,
+                    replace(COALESCE(array_to_string(kept, chr(10)), ''),
+                            chr(10), ' ') AS ct
+             FROM c4
+             WHERE len(kept) >= 3 AND NOT has_lorem),
+    surv_corpus AS (SELECT s.doc_id, s.ct FROM surv s
+                    WHERE s.doc_id IN (SELECT doc_id FROM corpus_admit)),
+    surv_batch AS (SELECT s.doc_id, s.ct FROM surv s
+                   WHERE s.doc_id IN (SELECT doc_id FROM batch_admit)),
+    ctoks AS (SELECT doc_id, list_filter(string_split(ct, ' '),
+                                         x -> x <> '') AS w
+              FROM surv_corpus),
+    cblocks AS (SELECT DISTINCT array_to_string(
+                         list_slice(w, (i-1)*10 + 1, i*10), ' ') AS p
+                FROM (SELECT doc_id, w,
+                             CAST(ceil(len(w) / 10.0) AS INT) AS nb
+                      FROM ctoks),
+                     UNNEST(range(1, nb + 1)) AS u(i)
+                WHERE nb >= 1),
+    btoks AS (SELECT doc_id, list_filter(string_split(ct, ' '),
+                                         x -> x <> '') AS w
+              FROM surv_batch),
+    bsized AS (SELECT doc_id, w,
+                      CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM btoks),
+    bblocks AS (SELECT doc_id, i AS blk,
+                       array_to_string(list_slice(w, (i-1)*10 + 1, i*10),
+                                       ' ') AS p
+                FROM bsized, UNNEST(range(1, nb + 1)) AS u(i)
+                WHERE nb >= 1),
+    bowner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+               FROM bblocks GROUP BY 1),
+    bkept AS (SELECT b.doc_id, b.blk, b.p
+              FROM bblocks b JOIN bowner ow USING (p)
+              WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+                AND b.p NOT IN (SELECT p FROM cblocks)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS text_rewritten
+                FROM bkept GROUP BY 1)
+    SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM bsized s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@q("streaming_crawl_tick", _CRAWL_STREAM_ORACLE)
+def streaming_crawl_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of the composed crawl tick
+    (streaming/crawl_stream.py): the last 20% of documents arrive over
+    the Kafka wire shape (every record delivered TWICE — at-least-once
+    bus), and each foreachBatch tick runs URL-canonical dedup against a
+    persisted key index, C4 cleanup, and incremental paragraph rewrite
+    against a persisted block index — all three relations seeded from
+    the corpus 80% at batch=-1 and extended under idempotent batch
+    partitions. The published output must EQUAL the batch computation —
+    the oracle composes the URL/C4 synthesis with the corpus/batch
+    threshold split, so a full rows+schema+hash match proves the wire
+    parse, all three index reads, the at-least-once collapse, and the
+    idempotent publish end to end.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.operators.dedup import paragraph_block_index
+    from dbt_repo_spark.sources import kafka_mirror
+    from dbt_repo_spark.streaming.crawl_stream import start_crawl_stream
+
+    broker = kafka_mirror.build_documents_fixture(sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_crawl_")
+    url_index_dir = f"{work}/url_index"
+    block_index_dir = f"{work}/block_index"
+    out_dir = f"{work}/out"
+
+    def synthesize(df: DataFrame) -> DataFrame:
+        return _synth_urls(df).join(_synth_lines(df), "doc_id")
+
+    # corpus seed (batch=-1): the 80% that went through the same
+    # pipeline historically — its canonical KEYS and the block owners of
+    # its URL-deduped, C4-cleaned survivors
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.count("*") * 0.8).cast("long").alias("thr"))
+    corpus = docs.join(F.broadcast(thr)).filter(F.col("doc_id") < F.col("thr"))
+    ccanon = web.canonicalize_urls(_synth_urls(corpus), "doc_id", "url")
+    (
+        ccanon.select("url_canon")
+        .distinct()
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(url_index_dir)
+    )
+    cadmit = ccanon.groupBy("url_canon").agg(F.min("doc_id").alias("doc_id"))
+    csurv = (
+        text_ops.c4_line_cleanup(
+            _synth_lines(
+                corpus.join(cadmit.select("doc_id"), "doc_id", "left_semi")
+            ),
+            "doc_id",
+            "text_nl",
+        )
+        .filter(F.col("doc_kept"))
+        .select(
+            "doc_id", F.regexp_replace("clean_text", "\n", " ").alias("ct")
+        )
+    )
+    (
+        paragraph_block_index(csurv, "doc_id", "ct", 10)
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .write.partitionBy("batch")
+        .parquet(block_index_dir)
+    )
+
+    q_ = start_crawl_stream(
+        spark,
+        broker,
+        url_index_dir,
+        block_index_dir,
+        out_dir,
+        f"{work}/ckpt",
+        synthesize,
+        block_tokens=10,
+    )
+    q_.awaitTermination()
+    out = spark.read.parquet(out_dir).select(
+        "doc_id", "n_blocks", "n_kept", "text_rewritten"
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

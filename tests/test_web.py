@@ -143,3 +143,92 @@ def test_v6_crawl_tick_conservation(spark):
         assert r.n_url_dup + r.n_c4_dropped + r.n_final == r.n_docs, r
         assert r.n_blocks_kept <= r.n_blocks
         assert (r.n_final == 0) == (r.n_blocks == 0), r
+
+
+def test_crawl_tick_multi_tick_and_replay(spark, tmp_path):
+    """crawl_stream.py tick semantics across batches:
+
+    - tick 1: a doc whose canonical key is corpus-owned is dropped; the
+      within-batch keep-first collapses two docs sharing a key; a doc
+      failing the C4 min-lines gate is dropped; the survivor's
+      corpus-owned paragraph is cut and its fresh blocks are kept;
+    - tick 2: the URL-key and block indexes carry tick-1 state (a tick-1
+      key blocks, a tick-1 paragraph cuts) and a redelivered doc_id is
+      not republished;
+    - a hand replay of tick 2 (same batch id) is idempotent.
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.dedup import paragraph_block_index
+    from dbt_repo_spark.streaming.crawl_stream import crawl_tick
+
+    l_corpus = "a b c d e f g h i j."
+    l_t1 = "k l m n o p q r s t."
+    l_t1b = "u v w x y z aa bb cc dd."
+    l_f1 = "ee ff gg hh ii jj kk ll mm nn."
+    l_f2 = "oo pp qq rr ss tt uu vv ww xx."
+
+    url_index_dir = str(tmp_path / "url_index")
+    block_index_dir = str(tmp_path / "block_index")
+    out_dir = str(tmp_path / "out")
+
+    # corpus seed: key https://a.com/x admitted; corpus ct owns l_corpus
+    spark.createDataFrame([("https://a.com/x",)], "url_canon string").withColumn(
+        "batch", F.lit(-1).cast("long")
+    ).write.partitionBy("batch").parquet(url_index_dir)
+    corpus_ct = spark.createDataFrame([(1, l_corpus)], "doc_id long, ct string")
+    paragraph_block_index(corpus_ct, "doc_id", "ct", 10).withColumn(
+        "batch", F.lit(-1).cast("long")
+    ).write.partitionBy("batch").parquet(block_index_dir)
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text_nl string"
+        )
+
+    three_clean = "\n".join([l_corpus, l_t1, l_t1b])
+    tick1 = batch_df(
+        [
+            (10, "HTTP://WWW.A.com/x?utm_source=z", three_clean),  # corpus key
+            (11, "https://b.com/y", three_clean),                  # survivor
+            (12, "https://b.com/y?ref=x", three_clean),            # batch dup key
+            (13, "https://c.com/z", "\n".join([l_t1, l_f1])),      # <3 lines
+        ]
+    )
+    crawl_tick(spark, tick1, 0, url_index_dir, block_index_dir, out_dir, 10)
+    out1 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out1 == {11: (3, 2, f"{l_t1} {l_t1b}")}
+
+    # tick 2: doc 20 repeats l_t1 (tick-1 owned) + fresh; doc 11
+    # redelivered (cross-tick collapse); doc 22 hits tick-1's key
+    tick2 = batch_df(
+        [
+            (20, "https://d.com/w", "\n".join([l_t1, l_f1, l_f2])),
+            (11, "https://e.com/v", three_clean),
+            (22, "https://b.com/y#frag", "\n".join([l_f1, l_f2, l_t1b])),
+        ]
+    )
+    crawl_tick(spark, tick2, 1, url_index_dir, block_index_dir, out_dir, 10)
+    out2 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out2 == {
+        11: (3, 2, f"{l_t1} {l_t1b}"),
+        20: (3, 2, f"{l_f1} {l_f2}"),
+    }
+
+    # crash-replay of tick 2: same batch id, same rows — idempotent
+    crawl_tick(spark, tick2, 1, url_index_dir, block_index_dir, out_dir, 10)
+    out3 = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.text_rewritten)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out3 == out2
+    keys = spark.read.parquet(url_index_dir)
+    assert keys.count() == keys.select("url_canon").distinct().count()
+    idx = spark.read.parquet(block_index_dir)
+    assert idx.count() == idx.select("h").distinct().count()
