@@ -458,10 +458,15 @@ def quantile_grid_exact(
     small exact values; the store-and-merge analogue of
     ``quantile_sketch_table`` with engine-portable state.
 
-    Scale shape: one shuffle (the rank window, partitioned by group —
-    group size is bounded by the period grain), then a broadcast-sized
-    join of the k+1 target ranks per group. Restating a period
-    overwrites k+1 rows.
+    Scale shape: one shuffle (the rank window, partitioned by group),
+    then a broadcast-sized join of the k+1 target ranks per group. The
+    parallelism unit is the (keys, period) group, and the window sorts
+    ONE group per task — so the grain is the knob: at 100 TB you build
+    hourly grids (still mergeable to any range) to bound the per-task
+    sort, and if a single group still outgrows a task the grid build
+    swaps to the ids.py::exact_quantiles range-shuffle selection run
+    per group (same output contract, no change for consumers). At the
+    fixture's per-day groups the window is the cheaper plan by far.
     """
     from pyspark.sql.window import Window
 

@@ -232,3 +232,86 @@ def test_crawl_tick_multi_tick_and_replay(spark, tmp_path):
     assert keys.count() == keys.select("url_canon").distinct().count()
     idx = spark.read.parquet(block_index_dir)
     assert idx.count() == idx.select("h").distinct().count()
+
+
+# --- property-based: idempotence of the two crawl normalizers ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SEG = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    host_parts=st.lists(_SEG, min_size=2, max_size=4),
+    path_parts=st.lists(_SEG, min_size=0, max_size=3),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["a", "zz", "q1", "utm_source", "utm_campaign", "gclid",
+                 "fbclid", "ref", "msclkid"]
+            ),
+            _SEG,
+        ),
+        min_size=0,
+        max_size=5,
+    ),
+    www=st.booleans(),
+    upper=st.booleans(),
+    slash=st.booleans(),
+    frag=st.booleans(),
+)
+@settings(max_examples=12, deadline=None)
+def test_canonicalize_is_idempotent(
+    spark, host_parts, path_parts, params, www, upper, slash, frag
+):
+    """canonicalize(canonicalize(u)) == canonicalize(u): a canonical key
+    must be a FIXPOINT, otherwise re-ingesting published keys would
+    shift them and break the incremental URL-index contract."""
+    host = ".".join(host_parts)
+    url = (
+        ("HTTPS" if upper else "https")
+        + "://"
+        + ("www." if www else "")
+        + (host.upper() if upper else host)
+        + ("/" + "/".join(path_parts) if path_parts else "")
+        + ("/" if slash else "")
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + ("#x" if frag else "")
+    )
+    df = spark.createDataFrame([(1, url)], ["id", "u"])
+    once = canonicalize_urls(df, "id", "u").collect()[0]
+    df2 = spark.createDataFrame([(1, once.url_canon)], ["id", "u"])
+    twice = canonicalize_urls(df2, "id", "u").collect()[0]
+    assert twice.url_canon == once.url_canon, url
+    assert twice.domain == once.domain, url
+
+
+def test_c4_cleanup_is_idempotent_on_fixture(spark):
+    """Cleaning already-clean text is a no-op: every surviving line
+    still passes every line rule, and surviving docs still pass the doc
+    gates — re-running the pass on its own output must change nothing
+    (checked on the full synthesized fixture, kept docs only)."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import QUERIES
+
+    first = (
+        QUERIES["text_c4_cleanup"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("doc_kept"))
+        .select("doc_id", F.col("clean_text").alias("text1"))
+    )
+    second = c4_line_cleanup(first, "doc_id", "text1")
+    drift = (
+        second.join(first, "doc_id")
+        .filter(
+            (F.col("n_lines") != F.col("n_kept"))
+            | ~F.col("doc_kept")
+            | (F.col("clean_text") != F.col("text1"))
+        )
+        .count()
+    )
+    assert drift == 0
