@@ -254,6 +254,7 @@ HEADLINE = [
     "training_data_pipeline_v6",
     "sketch_hll_portable",
     "sketch_quantile_portable",
+    "text_unicode_normalize",
 ]
 
 RUNS = 3

@@ -835,3 +835,73 @@ def c4_line_cleanup(
         ((F.size(kept) >= min_lines) & ~has_lorem).alias("doc_kept"),
         F.array_join(kept, sep).alias("clean_text"),
     )
+
+
+# Whitespace class for normalize_text, spelled once: the Python regex
+# and the DuckDB RE2 oracle must collapse the IDENTICAL set (RE2's \s
+# is ASCII-only, Python's is Unicode — an implicit class would diverge
+# on U+00A0/U+3000, exactly the characters crawls carry).
+NORM_WS_CLASS = "[ \\t\\n\\r\\x0b\\x0c\\u00a0\\u3000]"
+NORM_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    casefold: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the pass every multilingual corpus
+    runs BEFORE tokenization/dedup so that byte-different renderings of
+    the same text ('Cafe'+U+0301 vs 'Café', NBSP vs space, stray control
+    bytes) collapse to one canonical form and downstream exact/fuzzy
+    dedup sees them as equal.
+
+    Steps, in order: strip control characters (C0 minus \\t/\\n/\\r,
+    plus DEL) → Unicode ``form`` normalization (NFC default; NFKC
+    available for compatibility folding) → ``str.lower()`` (or
+    ``casefold=True`` for aggressive folding — lower is the default
+    because it round-trips with SQL ``lower()``; casefold's ß→ss does
+    not) → collapse ``NORM_WS_CLASS`` runs to one space → trim.
+
+    Sanctioned Arrow seam: Unicode normalization tables live in Python's
+    stdlib (unicodedata) and nowhere in Spark's expression library, so
+    this is a mapInPandas batch pass (same class as PII spans / media
+    decode); everything around it stays JVM-side. Output:
+    (doc_id, text_norm, n_chars_raw, n_chars_norm, changed).
+    """
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    ctrl = re.compile(NORM_CTRL_CLASS)
+    ws = re.compile(NORM_WS_CLASS + "+")
+
+    def norm_batches(batches):
+        for pdf in batches:
+            raw = pdf[text_col].astype("string")
+
+            def one(s: str) -> str:
+                t = ctrl.sub("", s)
+                t = unicodedata.normalize(form, t)
+                t = t.casefold() if casefold else t.lower()
+                return ws.sub(" ", t).strip(" ")
+
+            normed = raw.map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text_norm": normed,
+                    "n_chars_raw": raw.str.len().astype("int64"),
+                    "n_chars_norm": normed.str.len().astype("int64"),
+                    "changed": (raw != normed),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        norm_batches,
+        schema="doc_id long, text_norm string, n_chars_raw long,"
+        " n_chars_norm long, changed boolean",
+    )

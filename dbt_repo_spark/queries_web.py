@@ -570,3 +570,77 @@ def streaming_crawl_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# Unicode decorations for text_unicode_normalize, content-addressed from
+# md5(doc_id:':uni') — each class of crawl noise the normalizer must
+# collapse appears on a deterministic fixture slice (DuckDB spells the
+# same characters as chr(codepoint)):
+#   nibble1 == 0 -> prepend decomposed 'Cafe'+U+0301 (NFC composes it)
+#   nibble2 <  4 -> append tab + double-space + uppercase tail
+#   nibble3 == 0 -> append U+3000 ideographic space + 'STRASSE ß'
+#   nibble4 == 0 -> prepend the control byte \x07
+#   nibble5 <  8 -> append ' MiXeD' (case folding)
+def _synth_unicode(df: DataFrame) -> DataFrame:
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":uni")))
+
+    def nib(pos):
+        return F.conv(F.substring(k, pos, 1), 16, 10).cast("int")
+
+    text2 = F.concat(
+        F.when(nib(4) == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.when(nib(1) == 0, F.lit("Cafe\u0301 ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(nib(2) < 4, F.lit(" \t Trailing  DOUBLE")).otherwise(F.lit("")),
+        F.when(nib(3) == 0, F.lit("\u3000STRASSE ß")).otherwise(F.lit("")),
+        F.when(nib(5) < 8, F.lit(" MiXeD")).otherwise(F.lit("")),
+    )
+    return df.select("doc_id", text2.alias("text_uni"))
+
+
+_UNI_NIB = "instr('0123456789abcdef', substr(md5(doc_id || ':uni'), {pos}, 1)) - 1"
+
+_UNI_SQL = f"""
+    WITH synth AS (SELECT doc_id,
+             (CASE WHEN {_UNI_NIB.format(pos=4)} = 0 THEN chr(7) ELSE '' END)
+             || (CASE WHEN {_UNI_NIB.format(pos=1)} = 0
+                      THEN 'Cafe' || chr(769) || ' ' ELSE '' END)
+             || text
+             || (CASE WHEN {_UNI_NIB.format(pos=2)} < 4
+                      THEN ' ' || chr(9) || ' Trailing  DOUBLE' ELSE '' END)
+             || (CASE WHEN {_UNI_NIB.format(pos=3)} = 0
+                      THEN chr(12288) || 'STRASSE ß' ELSE '' END)
+             || (CASE WHEN {_UNI_NIB.format(pos=5)} < 8
+                      THEN ' MiXeD' ELSE '' END) AS t
+           FROM documents),
+    normed AS (SELECT doc_id, t,
+             trim(regexp_replace(
+               lower(nfc_normalize(
+                 regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                                '', 'g'))),
+               '[ \\t\\n\\r\\x{{000b}}\\x{{000c}}\\x{{00a0}}\\x{{3000}}]+',
+               ' ', 'g'), ' ') AS text_norm
+           FROM synth)
+    SELECT doc_id, text_norm,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+           (t <> text_norm) AS changed
+    FROM normed
+"""
+
+
+@q("text_unicode_normalize", _UNI_SQL)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (text.py::normalize_text) over the
+    unicode-decorated corpus: decomposed accents compose, control bytes
+    strip, NBSP/ideographic-space/tab runs collapse, case folds to
+    lower — every decoration class fires on a deterministic fixture
+    slice, so ``changed`` is non-vacuous in both directions. The
+    normalizer is a sanctioned Arrow mapInPandas seam (unicodedata lives
+    in the Python stdlib, not in Spark's expression library); the oracle
+    reproduces the decoration AND the normalization chain with DuckDB's
+    nfc_normalize + RE2 classes (explicit whitespace class — RE2's \\s
+    is ASCII-only, which is why NORM_WS_CLASS is spelled out once and
+    shared)."""
+    docs = _synth_unicode(t(spark, sf_dir, "documents"))
+    return text_ops.normalize_text(docs, "doc_id", "text_uni")

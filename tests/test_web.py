@@ -315,3 +315,37 @@ def test_c4_cleanup_is_idempotent_on_fixture(spark):
         .count()
     )
     assert drift == 0
+
+
+def test_normalize_text_unicode_semantics(spark):
+    """normalize_text collapses every decoration class: decomposed
+    accents compose (NFC), control bytes strip, NBSP/ideographic-space/
+    tab runs collapse to one space, case lowers (eszett preserved —
+    lower, not casefold), and already-normal text reports
+    changed=false. All non-ASCII characters are spelled as escapes so
+    the fixture is editor-proof."""
+    from dbt_repo_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Cafe\u0301 du Monde"),           # decomposed accent + case
+        (2, "a\x07b\x00c"),                   # control bytes
+        (3, "x\u00a0\t y z\u3000w"),          # exotic whitespace
+        (4, "STRASSE \u00df"),                 # lower keeps eszett
+        (5, "  padded  "),                     # trim + collapse
+        (6, "already clean"),                  # fixpoint
+    ]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = {r.doc_id: r for r in normalize_text(df, "id", "txt").collect()}
+    assert out[1].text_norm == "caf\u00e9 du monde"
+    assert out[1].n_chars_raw == 14 and out[1].n_chars_norm == 13
+    assert out[2].text_norm == "abc"
+    assert out[3].text_norm == "x y z w"
+    assert out[4].text_norm == "strasse \u00df"
+    assert out[5].text_norm == "padded"
+    assert not out[6].changed and all(out[i].changed for i in range(1, 6))
+    # casefold option folds eszett
+    folded = {
+        r.doc_id: r.text_norm
+        for r in normalize_text(df, "id", "txt", casefold=True).collect()
+    }
+    assert folded[4] == "strasse ss"
