@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 # the Spark filter lambda and the DuckDB oracle share it verbatim.
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 
+# Two-level public suffixes where the registered domain spans THREE
+# labels (bbc.co.uk, not co.uk). A pinned subset of the Mozilla Public
+# Suffix List covering the common ccTLD second-level conventions; a
+# production deployment broadcasts the full PSL the same way. One regex
+# so the Spark expression and the DuckDB oracle share it verbatim.
+TWO_LEVEL_SUFFIX_RE = (
+    r"\.(co|com|org|net|ac|gov|edu)\.(uk|au|jp|nz|br|in|za|kr|mx|id)$"
+)
+
 
 def canonicalize_urls(
     df: DataFrame, id_col: str, url_col: str
@@ -38,7 +47,9 @@ def canonicalize_urls(
       4. strip one trailing ``/`` from the path
       5. rebuild as ``https://host/path[?params]`` (scheme folded to
          https — crawls see both schemes for the same page)
-      6. extract the registered domain (last two dot-labels of the host)
+      6. extract the registered domain — last two dot-labels, or last
+         THREE when the host ends in a two-level public suffix
+         (``TWO_LEVEL_SUFFIX_RE``: the co.uk / com.au class)
 
     Output: (doc_id, url, url_canon, domain) — one row per input row.
     """
@@ -68,7 +79,10 @@ def canonicalize_urls(
             F.concat(F.lit("?"), F.array_join(kept_params, "&")),
         ).otherwise(F.lit("")),
     )
-    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    domain = F.when(
+        host.rlike(TWO_LEVEL_SUFFIX_RE),
+        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
     return df.select(
         F.col(id_col).alias("doc_id"),
         url.alias("url"),

@@ -181,7 +181,12 @@ _URL_SYNTH_CTES = f"""
                      || (CASE WHEN len(kept) > 0
                               THEN '?' || array_to_string(kept, '&')
                               ELSE '' END) AS url_canon,
-                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+                     CASE WHEN regexp_matches(host,
+                            '\\.(co|com|org|net|ac|gov|edu)\\.(uk|au|jp|nz|br|in|za|kr|mx|id)$')
+                          THEN regexp_extract(host,
+                                 '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                     END AS domain
               FROM (SELECT doc_id, url,
                            regexp_replace(lower(regexp_extract(base,
                                '^[a-zA-Z]+://([^/]+)', 1)), '^www\\.', '')

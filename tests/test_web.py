@@ -92,6 +92,17 @@ def test_c4_javascript_case_insensitive(spark):
             "https://c.dev/q?a=1&m=13&z=26",
             "c.dev",
         ),
+        # two-level public suffixes keep three labels (PSL subset)
+        (
+            "https://www.news.BBC.co.uk/story",
+            "https://news.bbc.co.uk/story",
+            "bbc.co.uk",
+        ),
+        ("https://shop.example.com.au/", "https://shop.example.com.au",
+         "example.com.au"),
+        # a host that merely CONTAINS 'co' labels stays two-label
+        ("https://co.uk.example.org/x", "https://co.uk.example.org/x",
+         "example.org"),
     ],
 )
 def test_canonicalize_urls_cases(spark, url, canon, domain):
