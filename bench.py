@@ -255,6 +255,7 @@ HEADLINE = [
     "sketch_hll_portable",
     "sketch_quantile_portable",
     "text_unicode_normalize",
+    "dedup_index_compaction",
 ]
 
 RUNS = 3

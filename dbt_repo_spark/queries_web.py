@@ -649,3 +649,95 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared)."""
     docs = _synth_unicode(t(spark, sf_dir, "documents"))
     return text_ops.normalize_text(docs, "doc_id", "text_uni")
+
+
+@q(
+    "dedup_index_compaction",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.75) AS BIGINT) AS t
+                 FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS w
+             FROM documents),
+    sized AS (SELECT doc_id, w,
+                     CAST(ceil(len(w) / 10.0) AS INT) AS nb FROM toks),
+    blocks AS (SELECT doc_id, i AS blk,
+                      array_to_string(list_slice(w, (i-1)*10 + 1, i*10), ' ')
+                        AS p
+               FROM sized, UNNEST(range(1, nb + 1)) AS u(i)
+               WHERE nb >= 1),
+    corpus_p AS (SELECT DISTINCT p FROM blocks, thr WHERE doc_id < thr.t),
+    bblocks AS (SELECT b.doc_id, b.blk, b.p FROM blocks b, thr
+                WHERE b.doc_id >= thr.t),
+    owner AS (SELECT p, min(struct_pack(d := doc_id, b := blk)) AS o
+              FROM bblocks GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.blk, b.p
+             FROM bblocks b JOIN owner ow USING (p)
+             WHERE b.doc_id = ow.o.d AND b.blk = ow.o.b
+               AND b.p NOT IN (SELECT p FROM corpus_p)),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' ' ORDER BY blk) AS text_rewritten
+                FROM kept GROUP BY 1)
+    SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM (SELECT sized.doc_id, sized.nb FROM sized, thr
+          WHERE sized.doc_id >= thr.t) s
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-compaction tick (streaming/dedup_stream.py::
+    compact_index_batches): the paragraph block index is built the way
+    the stream builds it — three tick batches (doc_id quartiles 1-3,
+    each upserting only the hashes it introduces, one ``batch=<id>``
+    partition each) — then COMPACTED into one base partition, and the
+    last quartile rewrites against the compacted index. The result must
+    equal a plain incremental rewrite against the first 75% (the
+    oracle), which proves the fold preserved exactly the hash set while
+    collapsing 4 partitions to 1 — the small-files maintenance pass a
+    per-tick-partitioned index needs at 100 TB.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.operators.dedup import (
+        incremental_paragraph_rewrite,
+        paragraph_block_index,
+    )
+    from dbt_repo_spark.streaming.dedup_stream import (
+        _read_index,
+        compact_index_batches,
+    )
+
+    work = tempfile.mkdtemp(prefix="index_compact_")
+    index_dir = f"{work}/index"
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    bounds = [0, int(n * 0.25), int(n * 0.5), int(n * 0.75)]
+    for i in range(3):
+        lo, hi = bounds[i], bounds[i + 1]
+        tick_docs = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        new = paragraph_block_index(tick_docs, "doc_id", "text", 10)
+        if i > 0:
+            seen = _read_index(spark, index_dir, exclude_batch=i)
+            new = new.join(seen.select("h"), "h", "left_anti")
+        (
+            new.withColumn("batch", F.lit(i).cast("long"))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch")
+            .parquet(index_dir)
+        )
+    removed = compact_index_batches(spark, index_dir, upto_batch=2)
+    assert removed == 3, f"expected 3 folded tick partitions, got {removed}"
+
+    batch = docs.filter(F.col("doc_id") >= bounds[3])
+    idx = _read_index(spark, index_dir, exclude_batch=10**9)
+    out = incremental_paragraph_rewrite(batch, idx, "doc_id", "text", 10)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -172,3 +172,66 @@ def start_paragraph_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index_batches(
+    spark: SparkSession, index_dir: str, upto_batch: int
+) -> int:
+    """Fold index batch partitions ``batch <= upto_batch`` (including the
+    batch=-1 seed/base) into ONE base partition — the small-files answer
+    for the streaming ticks, which add a ``batch=<id>`` partition per
+    micro-batch forever.
+
+    Contract: ``upto_batch`` must be at most the newest batch id whose
+    tick can NEVER replay (committed in the stream's checkpoint and past
+    any retention window). A replay of a folded batch would re-publish
+    its rows under ``batch=<id>`` NEXT TO the folded copy in base —
+    which is why the fold is also a full-row ``distinct()``: re-running
+    compaction (the crash recovery protocol, see below) always converges
+    back to one copy of every row.
+
+    Crash safety, two-phase: the merged base is materialized
+    (localCheckpoint) BEFORE any file is touched, the base partition is
+    overwritten (dynamic mode — only batch=-1 is replaced), and the
+    folded partitions are deleted last. A crash between overwrite and
+    delete leaves duplicate rows split across base and folded
+    partitions; compaction re-run folds them away (distinct) — so the
+    recovery protocol after ANY compaction crash is simply "run it
+    again". Readers (_read_index / _read_url_index) only filter
+    ``batch != current``, so a half-compacted index stays correct for
+    existence checks and over-counts nothing after the re-run.
+
+    Returns the number of batch partitions removed.
+    """
+    idx = spark.read.parquet(index_dir)
+    folded_ids = [
+        r.batch
+        for r in idx.select("batch").distinct().collect()
+        if r.batch <= upto_batch
+    ]
+    if not folded_ids:
+        return 0
+    merged = (
+        idx.filter(F.col("batch") <= upto_batch)
+        .drop("batch")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin rows BEFORE touching files
+    )
+    (
+        merged.withColumn("batch", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .options(partitionOverwriteMode="dynamic")
+        .partitionBy("batch")
+        .parquet(index_dir)
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(index_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    removed = 0
+    for b in folded_ids:
+        if b == -1:
+            continue  # the base partition was just rewritten in place
+        p = jpath(f"{index_dir}/batch={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed

@@ -360,3 +360,58 @@ def test_normalize_text_unicode_semantics(spark):
         for r in normalize_text(df, "id", "txt", casefold=True).collect()
     }
     assert folded[4] == "strasse ss"
+
+
+def test_compact_index_batches_semantics(spark, tmp_path):
+    """compact_index_batches folds base + committed tick partitions into
+    one base partition with the exact same row set, leaves newer ticks
+    alone, is idempotent under crash re-run, and the stream's index
+    reader sees identical state before and after."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.streaming.dedup_stream import (
+        _read_index,
+        compact_index_batches,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    rows = [
+        (-1, 100, 1, 0), (-1, 101, 1, 1),   # seed/base
+        (0, 200, 2, 0),                      # tick 0
+        (1, 300, 3, 0), (1, 301, 3, 1),      # tick 1
+        (2, 400, 4, 0),                      # tick 2 (NOT folded)
+    ]
+    df = spark.createDataFrame(rows, "batch long, h long, doc_id long, blk long")
+    df.write.partitionBy("batch").parquet(index_dir)
+
+    before = {
+        (r.h, r.doc_id, r.blk)
+        for r in _read_index(spark, index_dir, exclude_batch=10**9).collect()
+    }
+    removed = compact_index_batches(spark, index_dir, upto_batch=1)
+    assert removed == 2  # tick partitions 0 and 1 deleted, base rewritten
+    after_parts = sorted(
+        r.batch
+        for r in spark.read.parquet(index_dir).select("batch").distinct().collect()
+    )
+    assert after_parts == [-1, 2]
+    after = {
+        (r.h, r.doc_id, r.blk)
+        for r in _read_index(spark, index_dir, exclude_batch=10**9).collect()
+    }
+    assert after == before
+
+    # crash protocol: re-running compaction (even at a higher watermark)
+    # converges — no duplicate rows, base still carries everything
+    compact_index_batches(spark, index_dir, upto_batch=2)
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.dropDuplicates(["h", "doc_id", "blk"]).count()
+    assert {
+        (r.h, r.doc_id, r.blk) for r in idx.collect()
+    } == before
+    # and a NEW tick keeps working against the compacted base
+    spark.createDataFrame(
+        [(3, 500, 5, 0)], "batch long, h long, doc_id long, blk long"
+    ).write.mode("append").partitionBy("batch").parquet(index_dir)
+    visible = _read_index(spark, index_dir, exclude_batch=3)
+    assert visible.count() == len(before)  # own batch excluded
