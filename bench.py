@@ -256,6 +256,7 @@ HEADLINE = [
     "sketch_quantile_portable",
     "text_unicode_normalize",
     "dedup_index_compaction",
+    "sketch_hll_portable_by_type",
 ]
 
 RUNS = 3

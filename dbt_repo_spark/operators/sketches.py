@@ -357,8 +357,10 @@ def hll_portable_sketch_table(
     key: str,
     time_col: str,
     grain: str = "day",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-period portable-HLL register table: (period, reg, max_rho).
+    """Per-(groups, period) portable-HLL register table:
+    (group_cols..., period, reg, max_rho).
 
     reg = top HLL_B bits of the 60-bit md5 hash; rho = leading-zero run
     of the remaining 50 payload bits + 1, computed EXACTLY via integer
@@ -367,9 +369,10 @@ def hll_portable_sketch_table(
     the HLL fold: associative, commutative, idempotent — partials
     combine map-side, a restated day overwrites one period's rows, and
     range union is max-per-register over the rows (see
-    ``hll_portable_union_estimate``). Output is ≤ m rows per period of
-    three small integers — KBs regardless of key cardinality.
+    ``hll_portable_union_estimate``). Output is ≤ m rows per (group,
+    period) of small integers — KBs regardless of key cardinality.
     """
+    group_cols = group_cols or []
     period = F.date_trunc(grain, F.col(time_col)).alias("period")
     h = _kmv_hash(F.col(key))
     reg = F.shiftright(h, _HLL_P).alias("reg")
@@ -379,16 +382,18 @@ def hll_portable_sketch_table(
         .otherwise(F.lit(_HLL_P + 1) - F.length(F.bin(w)))
         .cast("int")
     )
-    return df.select(period, reg, rho.alias("rho")).groupBy(
-        "period", "reg"
+    return df.select(*group_cols, period, reg, rho.alias("rho")).groupBy(
+        *group_cols, "period", "reg"
     ).agg(F.max("rho").alias("max_rho"))
 
 
 def hll_portable_union_estimate(
     sketches: DataFrame,
     period_pred: Column | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Distinct estimate over any period range by register-max union.
+    """Distinct estimate over any period range by register-max union,
+    one row per group (or one global row with no ``group_cols``).
 
     Scans only the register table. The harmonic-mean denominator is an
     EXACT integer: register r contributes 2^(51 - rho_r) units (empty
@@ -397,13 +402,16 @@ def hll_portable_union_estimate(
     deterministic double ops on identical operands (2^51/denom, ×
     alpha·m²); the standard small-range correction m·ln(m/V) applies
     below 2.5m when V = empty registers > 0 (the 60-bit hash needs no
-    large-range correction). Output: one row
-    (m, n_used_regs, n_zero_regs, denom_units, raw_est, est).
+    large-range correction). Output: (group_cols..., m, n_used_regs,
+    n_zero_regs, denom_units, raw_est, est).
     """
+    group_cols = group_cols or []
     if period_pred is not None:
         sketches = sketches.filter(period_pred)
-    regs = sketches.groupBy("reg").agg(F.max("max_rho").alias("rho"))
-    agg = regs.agg(
+    regs = sketches.groupBy(*group_cols, "reg").agg(
+        F.max("max_rho").alias("rho")
+    )
+    agg = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_used"),
         F.sum(F.expr(f"shiftleft(1L, {_HLL_P + 1} - rho)")).alias("used_units"),
     )
@@ -421,6 +429,7 @@ def hll_portable_union_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.lit(m).cast("long").alias("m"),
         F.col("n_used").cast("long").alias("n_used_regs"),
         zeros.alias("n_zero_regs"),

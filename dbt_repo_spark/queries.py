@@ -9437,6 +9437,81 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_GROUPED_SQL = """
+    WITH hs AS (SELECT event_type, date_trunc('day', ts) AS period,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS h
+                FROM events),
+    pr AS (SELECT event_type, period, h >> 50 AS reg,
+                  CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                       ELSE 51 - length(bin(h & 1125899906842623)) END AS rho
+           FROM hs),
+    tab AS (SELECT event_type, period, reg, MAX(rho) AS max_rho
+            FROM pr GROUP BY 1, 2, 3),
+    regs AS (SELECT event_type, reg, MAX(max_rho) AS rho
+             FROM tab GROUP BY 1, 2),
+    agg AS (SELECT event_type, COUNT(*) AS n_used,
+                   CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT)
+                     AS used_units
+            FROM regs GROUP BY 1),
+    calc AS (SELECT event_type, n_used, 1024 - n_used AS zeros,
+                    used_units + (1024 - n_used) * 2251799813685248 AS denom
+             FROM agg),
+    esti AS (SELECT event_type, n_used, zeros, denom,
+                    755541.746198293 * (2251799813685248.0 / denom) AS raw
+             FROM calc),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(1024 AS BIGINT) AS m,
+           CAST(n_used AS BIGINT) AS n_used_regs,
+           CAST(zeros AS BIGINT) AS n_zero_regs,
+           CAST(denom AS BIGINT) AS denom_units,
+           round(raw, 6) AS raw_est,
+           round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                      THEN 1024.0 * ln(1024.0 / zeros)
+                      ELSE raw END, 6) AS est,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(round(CASE WHEN raw <= 2560.0 AND zeros > 0
+                                THEN 1024.0 * ln(1024.0 / zeros)
+                                ELSE raw END, 6) - x.exact_distinct)
+                 / x.exact_distinct, 4) AS rel_err
+    FROM esti e JOIN ex x USING (event_type)
+"""
+
+
+@q("sketch_hll_portable_by_type", _HLL_GROUPED_SQL)
+def sketch_hll_portable_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED store-and-union portable HLL: one register table keyed by
+    (event_type, day), range-unioned per event_type — the per-dimension
+    distinct-users dashboard shape, where one KB-scale sketch relation
+    answers every (dimension, period-range) cell without rescanning the
+    fact. Same exact-integer recipe as ``sketch_hll_portable`` (the
+    global twin), grouped: register folds and the harmonic denominator
+    stay order-independent BIGINTs per group, so the full oracle holds
+    per row. Exact audit + rel_err ride along per group."""
+    from dbt_repo_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events")
+    tab = sketches.hll_portable_sketch_table(
+        ev, "user_id", "ts", "day", group_cols=["event_type"]
+    )
+    est = sketches.hll_portable_union_estimate(
+        tab, group_cols=["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ),
+    )
+
+
 _QPORT_SQL = """
     WITH base AS (SELECT event_type, date_trunc('day', ts) AS period,
                          value AS x

@@ -355,3 +355,57 @@ def test_quantile_portable_grid_and_merge(spark):
         spark, "/root/testdata/sf0.001"
     ).collect():
         assert r.rank_err <= bound, (r, bound)
+
+
+def test_hll_portable_grouped_union(spark):
+    """Grouped register tables fold per group: each group's register
+    maxes equal its own hashlib reference, and a group never leaks
+    registers into another."""
+    import hashlib
+    from datetime import datetime
+
+    from dbt_repo_spark.operators.sketches import (
+        hll_portable_sketch_table,
+        hll_portable_union_estimate,
+    )
+
+    rows = [("g" + str(i % 2), i % 23, datetime(2024, 1, 1 + i % 5))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["grp", "user_id", "ts"])
+    tab = hll_portable_sketch_table(
+        df, "user_id", "ts", "day", group_cols=["grp"]
+    )
+
+    def ref(keys):
+        out = {}
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            reg, w = h >> 50, h & ((1 << 50) - 1)
+            rho = 51 if w == 0 else 51 - w.bit_length()
+            out[reg] = max(out.get(reg, 0), rho)
+        return out
+
+    # group g0 sees even ids, g1 odd ids (i%2 vs i%23 parity aligns per i)
+    per_group: dict[str, dict[int, int]] = {"g0": {}, "g1": {}}
+    for grp, uid, _ in rows:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        reg, w = h >> 50, h & ((1 << 50) - 1)
+        rho = 51 if w == 0 else 51 - w.bit_length()
+        d = per_group[grp]
+        d[reg] = max(d.get(reg, 0), rho)
+    got: dict[str, dict[int, int]] = {"g0": {}, "g1": {}}
+    for r in tab.collect():
+        d = got[r.grp]
+        d[r.reg] = max(d.get(r.reg, 0), r.max_rho)
+    assert got == per_group
+
+    ests = {
+        r.grp: r
+        for r in hll_portable_union_estimate(
+            tab, group_cols=["grp"]
+        ).collect()
+    }
+    for grp, regd in per_group.items():
+        assert ests[grp].n_used_regs == len(regd)
+        n_true = len({uid for g, uid, _ in rows if g == grp})
+        assert abs(ests[grp].est - n_true) <= 2, (grp, ests[grp].est, n_true)
