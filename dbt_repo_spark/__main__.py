@@ -181,6 +181,45 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.streaming.crawl_stream import start_crawl_stream
+
+    spark = _spark("dbt-repo-spark-crawl")
+
+    def synthesize(df):
+        # wire payloads carry (doc_id, source, text); text is the
+        # newline-structured document body, and when the bus carries no
+        # URL the key defaults to the source-derived location (real
+        # crawls put the fetched URL in the payload and map it here)
+        return df.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit("/docs/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.col("text").alias("text_nl"),
+        )
+
+    q = start_crawl_stream(
+        spark,
+        args.broker,
+        args.url_index,
+        args.block_index,
+        args.out,
+        args.checkpoint,
+        synthesize,
+        topic=args.topic,
+        block_tokens=args.block_tokens,
+        available_now=args.available_now,
+    )
+    q.awaitTermination()
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """dbt `snapshot` verb: one SCD2 tick of a warehouse table.
 
@@ -371,6 +410,19 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--trigger-seconds", type=int, default=60)
     st.add_argument("--available-now", action="store_true")
     st.set_defaults(fn=cmd_stream)
+
+    cw = sub.add_parser(
+        "crawl", help="start the streaming crawl-preprocessing tick"
+    )
+    cw.add_argument("--broker", required=True)
+    cw.add_argument("--url-index", required=True)
+    cw.add_argument("--block-index", required=True)
+    cw.add_argument("--out", required=True)
+    cw.add_argument("--checkpoint", required=True)
+    cw.add_argument("--topic", default="documents")
+    cw.add_argument("--block-tokens", type=int, default=10)
+    cw.add_argument("--available-now", action="store_true")
+    cw.set_defaults(fn=cmd_crawl)
 
     sn = sub.add_parser("snapshot", help="SCD2 snapshot tick of a table")
     sn.add_argument("--warehouse", required=True)
