@@ -199,13 +199,19 @@ def cosine_topk_vectorized(
             scores = mat @ qmat.T  # (n, nq) one BLAS call
             out = []
             for j, qid in enumerate(qids):
-                col = scores[:, j]
+                # Rank on the round-to-6dp score (ties → neighbor_id asc):
+                # BLAS pairwise summation differs from the SQL sequential
+                # fold at ~1e-16, so ranking on the raw double could flip
+                # near-tied candidates vs the oracle. Rounding BEFORE the
+                # ranking makes both engines order identical values.
+                col = np.round(scores[:, j], 6)
                 mask = ids != qid
                 cand_idx = np.nonzero(mask)[0]
                 take = min(k, len(cand_idx))
                 if take == 0:
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:take]]
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:take]
+                top = cand_idx[order]
                 out.append(
                     pd.DataFrame(
                         {
@@ -226,7 +232,13 @@ def cosine_topk_vectorized(
     return (
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("raw_score", 6).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # already rounded in the batch stage; re-round is a no-op
+            # kept for schema clarity
+            F.round("raw_score", 6).alias("score"),
+        )
     )
 
 

@@ -818,9 +818,12 @@ def c4_line_cleanup(
     an explode+groupBy shuffle to deduplicate it.
     """
     lines = F.split(F.col(text_col), sep)
+    # "whitespace words" = non-empty tokens: consecutive/leading spaces
+    # must not inflate the count (r8 fix — split alone counts empties).
+    n_words = lambda x: F.size(F.filter(F.split(x, " "), lambda t: t != ""))
     is_clean = (
         lambda x: x.rlike('[.!?"]$')
-        & (F.size(F.split(x, " ")) >= min_words)
+        & (n_words(x) >= min_words)
         & ~F.lower(x).contains("javascript")
         & ~x.contains("{")
         & ~x.contains("}")
@@ -889,13 +892,17 @@ def normalize_text(
                 t = t.casefold() if casefold else t.lower()
                 return ws.sub(" ", t).strip(" ")
 
-            normed = raw.map(one)
+            # na_action keeps NULL documents NULL instead of raising
+            # inside ctrl.sub (real crawls carry null text); stats use
+            # nullable Int64 so the NULL propagates, matching how the
+            # Catalyst-side operators in this family degrade on NULL.
+            normed = raw.map(one, na_action="ignore").astype("string")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "text_norm": normed,
-                    "n_chars_raw": raw.str.len().astype("int64"),
-                    "n_chars_norm": normed.str.len().astype("int64"),
+                    "n_chars_raw": raw.str.len().astype("Int64"),
+                    "n_chars_norm": normed.str.len().astype("Int64"),
                     "changed": (raw != normed),
                 }
             )

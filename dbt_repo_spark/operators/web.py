@@ -61,9 +61,10 @@ def canonicalize_urls(
     path = F.regexp_replace(
         F.regexp_extract(base, r"^[a-zA-Z]+://[^/]*(/.*)?$", 1), r"/$", ""
     )
-    params_raw = F.when(
-        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
-    ).otherwise(F.lit(""))
+    # Everything after the FIRST '?' (a second literal '?' belongs to the
+    # query string, not a new one) — regexp_extract returns '' on no match,
+    # matching the oracle's CASE WHEN contains(...) guard exactly.
+    params_raw = F.regexp_extract(nofrag, r"^[^?]*\?(.*)$", 1)
     kept_params = F.array_sort(
         F.filter(
             F.split(params_raw, "&"),

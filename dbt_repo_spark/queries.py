@@ -1421,11 +1421,11 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM n),
          qs AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
          s AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_dot_product(qs.v, c.v) AS raw
+                      round(list_dot_product(qs.v, c.v), 6) AS score
                FROM qs CROSS JOIN e c WHERE c.vec_id <> qs.vec_id)
-    SELECT query_id, neighbor_id, round(raw, 6) AS score
+    SELECT query_id, neighbor_id, score
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY raw DESC, neighbor_id) AS rn FROM s)
+                                       ORDER BY score DESC, neighbor_id) AS rn FROM s)
     WHERE rn <= 5
     """,
 )
@@ -1435,11 +1435,11 @@ def embed_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact same candidate math as embed_cosine_topk, so the oracle is the
     same brute-force SQL (FULL as of r07). BLAS pairwise summation
     differs from the sequential fold only at ~1e-16 on unit-norm 64-dim
-    dots, which the shared round-to-6dp output absorbs; ranking happens
-    on the raw double with neighbor_id tie-break in both engines, and
-    adjacent scores on the synthetic corpus are separated by far more
-    than the summation-order noise (the suite also asserts neighbor-set
-    equality against the expression path).
+    dots, so as of r08 BOTH engines round to 6dp BEFORE the row_number
+    ranking (ties still break on neighbor_id asc): ranking happens on
+    identical values by construction, not merely because the fixture's
+    adjacent scores are well-separated. (The suite also asserts
+    neighbor-set equality against the expression path.)
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_vectorized(emb, F.col("vec_id") < 10, k=5)

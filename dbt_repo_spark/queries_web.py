@@ -122,7 +122,7 @@ _C4_SYNTH_CTES = f"""
                      string_split(text_nl, chr(10)) AS ls,
                      list_filter(string_split(text_nl, chr(10)), x ->
                          regexp_matches(x, '[.!?"]$')
-                         AND len(string_split(x, ' ')) >= 5
+                         AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= 5
                          AND NOT contains(lower(x), 'javascript')
                          AND NOT contains(x, '{{')
                          AND NOT contains(x, '}}')) AS kept
@@ -196,7 +196,8 @@ _URL_SYNTH_CTES = f"""
                              AS path,
                            list_sort(list_filter(string_split(
                                CASE WHEN contains(nofrag, '?')
-                                    THEN split_part(nofrag, '?', 2)
+                                    THEN regexp_extract(nofrag,
+                                        '^[^?]*\\?(.*)$', 1)
                                     ELSE '' END, '&'),
                                p -> p <> '' AND NOT regexp_matches(p,
                                    '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)=')))
@@ -292,7 +293,7 @@ _V6_ORACLE = f"""
                   contains(lower(text_nl), 'lorem ipsum') AS has_lorem,
                   list_filter(string_split(text_nl, chr(10)), x ->
                       regexp_matches(x, '[.!?"]$')
-                      AND len(string_split(x, ' ')) >= 5
+                      AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= 5
                       AND NOT contains(lower(x), 'javascript')
                       AND NOT contains(x, '{{')
                       AND NOT contains(x, '}}')) AS kept
@@ -442,7 +443,7 @@ _CRAWL_STREAM_ORACLE = f"""
                   contains(lower(text_nl), 'lorem ipsum') AS has_lorem,
                   list_filter(string_split(text_nl, chr(10)), x ->
                       regexp_matches(x, '[.!?"]$')
-                      AND len(string_split(x, ' ')) >= 5
+                      AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= 5
                       AND NOT contains(lower(x), 'javascript')
                       AND NOT contains(x, '{{')
                       AND NOT contains(x, '}}')) AS kept

@@ -136,6 +136,19 @@ def start_crawl_stream(
     carries the url and newline text and this is the identity; the
     registry query passes the content-addressed fixture synthesizers.
     Wire shape is the canonical Kafka schema (sources/kafka_mirror.py).
+
+    SINGLE-BATCH availableNow CONTRACT: the within-batch URL keep-first
+    in ``crawl_tick`` (min doc_id per url_canon) matches the batch
+    oracle's GLOBAL min only when the whole backlog arrives as one
+    micro-batch. That is structurally guaranteed by the broker —
+    ``_KafkaMirrorStreamReader.read`` (sources/kafka_mirror.py) always
+    drains [committed, tail) in one shot with no chunking knob — and is
+    additionally ENFORCED here: if a second non-empty tick ever fires
+    within one availableNow run (e.g. a future broker swap that chunks
+    delivery), the tick raises instead of silently publishing an
+    admission order that can diverge from the batch oracle. Successive
+    *runs* (incremental crawl) are unaffected: cross-run admission is
+    first-run-wins by design, matching the persisted-index semantics.
     """
     from dbt_repo_spark.sources import kafka_mirror
 
@@ -152,7 +165,22 @@ def start_crawl_stream(
         .select("j.*")
     )
 
+    nonempty_ticks: list[int] = []
+
     def tick(batch_df: DataFrame, batch_id: int) -> None:
+        if available_now and not batch_df.isEmpty():
+            # crash-replay of the SAME batch id is fine (crawl_tick is
+            # idempotent per batch); a SECOND distinct non-empty batch
+            # inside one availableNow run breaks the global keep-first
+            # contract documented above — fail loudly.
+            if any(b != batch_id for b in nonempty_ticks):
+                raise RuntimeError(
+                    "crawl stream: availableNow delivered more than one "
+                    f"non-empty micro-batch (saw {nonempty_ticks}, now "
+                    f"{batch_id}); within-run URL keep-first would no "
+                    "longer equal the batch oracle's global min"
+                )
+            nonempty_ticks.append(batch_id)
         crawl_tick(
             batch_df.sparkSession,
             synthesize(batch_df),

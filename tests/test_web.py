@@ -103,6 +103,14 @@ def test_c4_javascript_case_insensitive(spark):
         # a host that merely CONTAINS 'co' labels stays two-label
         ("https://co.uk.example.org/x", "https://co.uk.example.org/x",
          "example.org"),
+        # a SECOND literal '?' belongs to the query string, not a new
+        # one — params are everything after the FIRST '?' (r8 parity
+        # fix: Spark used to split on the LAST '?')
+        (
+            "https://q.example.com/p?b=x?y&a=1",
+            "https://q.example.com/p?a=1&b=x?y",
+            "example.com",
+        ),
     ],
 )
 def test_canonicalize_urls_cases(spark, url, canon, domain):
@@ -360,6 +368,34 @@ def test_normalize_text_unicode_semantics(spark):
         for r in normalize_text(df, "id", "txt", casefold=True).collect()
     }
     assert folded[4] == "strasse ss"
+
+
+def test_normalize_text_null_documents(spark):
+    """NULL text degrades gracefully (r8 fix: used to raise TypeError
+    inside the mapInPandas batch): text_norm and both char counts come
+    back NULL, changed comes back NULL, and non-null neighbors in the
+    same Arrow batch are unaffected."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dbt_repo_spark.operators.text import normalize_text
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("txt", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "  Some TEXT  "), (2, None), (3, "ok.")], schema
+    )
+    out = {r.doc_id: r for r in normalize_text(df, "id", "txt").collect()}
+    assert out[1].text_norm == "some text"
+    assert out[2].text_norm is None
+    assert out[2].n_chars_raw is None and out[2].n_chars_norm is None
+    assert out[2].changed is None
+    assert out[3].text_norm == "ok." and out[3].changed is False
 
 
 def test_compact_index_batches_semantics(spark, tmp_path):
