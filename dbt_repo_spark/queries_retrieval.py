@@ -1628,7 +1628,52 @@ def training_data_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("embed_near_dup_pairs_scaled")  # approximate recall by construction → rows-only
+@q(
+    "embed_near_dup_pairs_scaled",
+    """
+    WITH nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    pp AS (SELECT 1.0 - acos(0.4)/pi() AS p,
+                  greatest(2, CAST(ceil(log2(greatest(n, 2.0) / 64.0))
+                               AS BIGINT)) AS r_ideal
+           FROM nv),
+    rb AS (SELECT rr.r,
+                  greatest(1, CAST(ceil(ln(1.0 - 0.8)
+                      / ln(1.0 - pow(p, CAST(rr.r AS DOUBLE))))
+                      AS BIGINT)) AS b
+           FROM pp, range(2, 65) rr(r) WHERE rr.r <= pp.r_ideal),
+    prm AS (SELECT r, b FROM rb WHERE r * b <= 512 ORDER BY r DESC LIMIT 1),
+    px AS (SELECT j, d, (j*1000003 + d*7919 + 12345) & 4294967295 AS x0
+           FROM range(512) t(j), range(64) t2(d), prm
+           WHERE j < prm.r * prm.b),
+    p1 AS (SELECT j, d, xor(x0, (x0 << 13) & 4294967295) AS x1 FROM px),
+    p2 AS (SELECT j, d, xor(x1, x1 >> 17) AS x2 FROM p1),
+    p3 AS (SELECT j, d,
+                  CAST(xor(x2, (x2 << 5) & 4294967295) AS DOUBLE)
+                  / 4294967296.0 - 0.5 AS w
+           FROM p2),
+    pl AS (SELECT j, list(w ORDER BY d) AS pw FROM p3 GROUP BY j),
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+    bits AS (SELECT e0.vec_id, p.j,
+                    CASE WHEN list_dot_product(e0.v0, p.pw) >= 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM e0 CROSS JOIN pl p),
+    keys AS (SELECT vec_id, j // prm.r AS band,
+                    string_agg(bit, '' ORDER BY j) AS bkey
+             FROM bits, prm GROUP BY vec_id, j // prm.r),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM keys a JOIN keys b
+               ON a.band = b.band AND a.bkey = b.bkey
+              AND a.vec_id < b.vec_id),
+    nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nrm, v0 FROM e0),
+    e  AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM nr),
+    scored AS (SELECT c.id_a, c.id_b,
+                      list_dot_product(ea.v, eb.v) AS raw
+               FROM cand c
+               JOIN e ea ON ea.vec_id = c.id_a
+               JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, round(raw, 6) AS score FROM scored WHERE raw >= 0.4
+    """,
+)
 def embed_near_dup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with SOLVER-SIZED LSH parameters
     (similarity.py::embedding_near_duplicates_scaled) — the scale path
@@ -1636,12 +1681,20 @@ def embed_near_dup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys 2 bits wide, so candidates grow QUADRATICALLY with the corpus
     (measured 2.9s -> 23s at 1x -> 4x); here band width tracks log2(N)
     (bucket occupancy pinned at ~64) and band count restores the 0.8
-    recall floor at tau = 0.4. Every emitted score is the exact
-    sequential-fold cosine (precision 1.0 — only recall is
-    probabilistic, floor pinned by test vs the quadratic exact join at
-    sf0.001), so this is rows-only for the same reason as the ANN
-    family. ``embed_near_dup_pairs`` remains the FULL-oracle twin at
-    its fixed density.
+    recall floor at tau = 0.4.
+
+    FULL oracle as of r08 (was the registry's last no_oracle row): the
+    whole pipeline is deterministic given N, so the SQL reproduces ALL
+    of it — the OR-of-ANDs parameter solver (r = max(2, ceil(log2(N/64))),
+    b = ceil(ln(1-R)/ln(1-p^r)), max-r-fitting-512-planes selection ≡
+    lsh_params_for's descending loop), the xorshift32 hyperplanes (the
+    embed_near_dup_pairs recipe), the sign bits on the RAW vectors
+    (matching _signature_arrow — sign is scale-invariant), the banded
+    candidate join, and the sequential-fold exact verify. Verified
+    bit-green at sf0.001/0.01 (r=3,b=6) AND sf0.1 (n=2000 → r=5,b=16:
+    the solver's variable path). Residual cross-engine risk is a BLAS
+    signature dot whose true value sits within ~1e-13 of zero — none
+    exist in the content-addressed fixture at any sf tier.
     """
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates_scaled(emb, threshold=0.4)

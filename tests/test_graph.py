@@ -136,6 +136,23 @@ def test_registry_sketch_and_pagerank_quality_floors(spark, sf_dir):
         assert row.rel_err <= 0.06, row
     (roll,) = QUERIES["distinct_sketch_rollup"](spark, sf_dir).collect()
     assert roll.rel_err <= 0.05, roll
+    # the native HLL++ estimator stays the ad-hoc scale default (the
+    # registry row moved to portable registers in r8) — pin its quality
+    # directly: rel_err <= 3x the requested rsd per event_type
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import t as load
+
+    native = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.countDistinct("user_id").alias("x"),
+        )
+        .collect()
+    )
+    assert native and all(abs(r.a - r.x) / r.x <= 0.06 for r in native)
     rows = QUERIES["graph_pagerank_parts"](spark, sf_dir).collect()
     # integer micro-units as of r07: 1.0 of rank mass == 1e15 units
     assert rows and all(

@@ -383,14 +383,27 @@ def test_semantic_dedup_registry_floor_and_subset(spark):
 
 
 def test_quantile_sketch_rollup_rank_error_floor(spark):
-    """Merged per-day quantile grids answer whole-range quantiles within
-    the 1/k rank bound (k=32 -> 0.03125), certified in-plan by rank_err
-    = |F_exact(est) - p| against the true CDF."""
-    from dbt_repo_spark.queries import QUERIES
+    """Range-merged per-day quantile grids (day <= 15, r8 portable
+    exact-grid swap) answer range quantiles within 1/k + the raw 1/n
+    rank quantum of the smallest source day (sf0.001's per-(type, day)
+    groups fall under k=32 rows, so they quantize at 1/n_rows),
+    certified in-plan by rank_err = |F_exact(est) - p| vs the true
+    range CDF."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.queries import QUERIES, t as load
 
     rows = QUERIES["quantile_sketch_rollup"](spark, SF).collect()
     assert len(rows) == 15  # 5 event types x 3 probs
-    assert max(r.rank_err for r in rows) <= 1 / 32 + 1e-6
+    min_n = (
+        load(spark, SF, "events")
+        .filter(F.col("value").isNotNull() & (F.dayofmonth("ts") <= 15))
+        .groupBy("event_type", F.date_trunc("day", "ts"))
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    assert max(r.rank_err for r in rows) <= 1 / 32 + 1.0 / min_n
 
 
 def test_quantile_sketch_merge_matches_unsplit_sketch(spark):
