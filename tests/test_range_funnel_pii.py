@@ -214,3 +214,22 @@ def test_pii_spans_agree_with_redaction(spark, sf_dir):
         F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
     ).collect()[0][0]
     assert n_spans == total_redacted
+
+
+def test_pii_spans_registry_certificates_all_true(spark, sf_dir):
+    """The r8-hardened registry entry carries three certificates per
+    span row (Python slice match, an independent JVM substring re-check
+    of the offsets, and per-class count agreement with redact_pii's JVM
+    regexp_count) — every one must hold on the seeded corpus, and the
+    relation must be non-vacuous (the %3 seeding guarantees spans)."""
+    from dbt_repo_spark.queries import QUERIES
+
+    rows = QUERIES["text_pii_spans"](spark, sf_dir).collect()
+    assert rows, "seeded corpus must produce spans"
+    assert {r.span_type for r in rows} == {"email", "ipv4", "phone"}
+    bad = [
+        r
+        for r in rows
+        if not (r.span_matches_text and r.jvm_slice_match and r.class_count_match)
+    ]
+    assert not bad, bad[:3]

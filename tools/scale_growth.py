@@ -24,6 +24,11 @@ per-replica duplicate/similarity structure:
   originals — k disjoint copies of the co-purchase graph (fixed
   density; real catalogs densify, but that is a DATA property, not an
   engine property).
+- events (r08, for the grouped portable-HLL certification): replica k
+  offsets user_id and event_id past the originals, keeping ts and
+  event_type — per-(type, day) distinct cardinality scales by k while
+  the HLL register STATE stays bounded at m rows per group, which is
+  exactly the claim being certified.
 
 Scaled tables are cached under .scale_cache/ (gitignored), fingerprinted
 by source mtime. Run:  python tools/scale_growth.py [max_scale]
@@ -67,8 +72,17 @@ OPS = [
     "sketch_kmv_source_overlap",
     "text_c4_cleanup",
     "web_domain_stats",
+    # r08 wave (r07 verdict ask #6): the incremental-index lifecycle —
+    # compaction, the live streaming tick, both delete-propagation
+    # ticks, and the grouped portable HLL (state-bounded by design;
+    # the growth table certifies the scan is the only linear term)
+    "dedup_index_compaction",
+    "streaming_crawl_tick",
+    "dedup_index_delete_tick",
+    "ann_index_delete_tick",
+    "sketch_hll_portable_by_type",
 ]
-TABLES = {"documents", "embeddings", "lineitem"}
+TABLES = {"documents", "embeddings", "lineitem", "events"}
 
 
 def build_scaled(spark, k: int) -> str:
@@ -78,7 +92,7 @@ def build_scaled(spark, k: int) -> str:
 
     out = os.path.join(CACHE, f"x{k}")
     stamp = os.path.join(out, "_built.txt")
-    key = f"{SRC}:{k}:v2"
+    key = f"{SRC}:{k}:v3"
     try:
         with open(stamp) as fh:
             if fh.read() == key:
@@ -148,6 +162,23 @@ def build_scaled(spark, k: int) -> str:
         scaled_emb = scaled_emb.unionByName(rep)
     scaled_emb.coalesce(max(k, 4)).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
+    )
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    mxe = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).collect()[0]
+    reps = []
+    for r in range(k):
+        reps.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(r * (mxe.mu + 1)))
+            .withColumn("event_id", F.col("event_id") + F.lit(r * (mxe.me + 1)))
+        )
+    scaled_ev = reps[0]
+    for rep in reps[1:]:
+        scaled_ev = scaled_ev.unionByName(rep)
+    scaled_ev.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
     )
 
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
