@@ -226,7 +226,9 @@ def lift_by_decile(
             F.col(label_col).cast("boolean").alias("y"),
         ),
         n_buckets,
-        [F.col("s").desc(), F.col("id").asc()],
+        # struct-tuple order is ascending-only: negate the score for
+        # DESC (exact for these finite doubles; ties fall to id)
+        [-F.col("s"), F.col("id")],
         "decile",
     )
     agg = ranked.groupBy("decile").agg(

@@ -168,13 +168,19 @@ def exact_quantiles(
 def exact_order_statistics(
     df: DataFrame,
     value_col: str,
-    ranks: list[int],
+    ranks: list[int] | None = None,
     num_partitions: int | None = None,
+    ranks_of_n=None,
 ) -> dict[int, object]:
     """Values at exact 0-based GLOBAL ranks without a single-node sort —
     the discrete sibling of ``exact_quantiles`` (same two-phase shape:
     range-shuffle, per-partition counts, extract just the located rows).
     Returns {rank: value}; ranks beyond n-1 are clamped to the max row.
+
+    ``ranks_of_n`` (callable n -> list[int]) computes the target ranks
+    from the relation size AFTER the per-partition count job, folding
+    the caller's separate COUNT(*) into this pass (quantile_normalize's
+    knot grid needs ranks of the form i*(n-1)//k).
 
     This is the scale path for order-statistic knot grids
     (quantile_normalize's 101 knots): the old form ranked the WHOLE
@@ -207,6 +213,8 @@ def exact_order_statistics(
         n = sum(r.c for r in parts)
         if n == 0:
             return {}
+        if ranks_of_n is not None:
+            ranks = list(ranks_of_n(n))
         offsets, acc = [], 0
         for r in parts:
             offsets.append(acc)
@@ -235,63 +243,103 @@ def scalable_ntile(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY order_cols)`` WITHOUT the
-    Exchange-SinglePartition a global window plans — the two-phase rank
-    (dense_ids' recipe) plus SQL ntile's closed-form tile assignment.
+    Exchange-SinglePartition a global window plans — boundary order
+    statistics + a zero-shuffle broadcast comparison.
 
-    Phase 1: range-shuffle on the (total-order) ``order_cols`` so
-    partition *i* holds a contiguous ordered slice; number rows per
-    partition with a window that sorts ONE partition per task; add each
-    partition's cumulative row offset (1-row-per-partition count job →
-    broadcast map) to get the exact global 1-based row_number rn.
-    Phase 2: the standard ntile split — the first N mod n tiles get
-    ⌈N/n⌉ rows, the rest ⌊N/n⌋ — is pure column arithmetic on rn, with
-    N known exactly from the offsets job. Result is bit-identical to
-    ``F.ntile(n).over(Window.orderBy(*order_cols))`` for any total
-    order (callers must include a tie-break key, same as they must for
-    the window form to be deterministic).
+    Phase 1 (boundary extraction): range-shuffle ONLY the order-key
+    projection (the exact_quantiles recipe: ordered partitions,
+    1-row-per-partition count job, locate the n-1 tile-edge ranks from
+    the cumulative offsets, fetch just those rows). The edge ranks come
+    from SQL ntile's split — the first N mod n tiles hold ⌈N/n⌉ rows,
+    the rest ⌊N/n⌋ — so boundary j is the LAST key tuple of tile j.
+    Phase 2 (assignment): tile = 1 + Σ_j [key_tuple > boundary_j], a
+    per-row struct comparison against n-1 broadcast literals — the main
+    relation is never shuffled, checkpointed, or window-sorted at all.
+    Exactness needs the order to be TOTAL (callers pass a tie-break
+    key, same as they must for the window form to be deterministic):
+    then rows ≤ boundary_j sit in tiles ≤ j, bit-identical to
+    ``F.ntile(n).over(Window.orderBy(...))``. When N < n the duplicate
+    clamped boundaries still yield tile = rank (one row per tile).
 
-    One extra count job vs the window form; no single-task sort of the
-    relation anywhere. The eager localCheckpoint pins the sampled range
-    boundaries so the offsets job and downstream consumers see one
-    layout (ordered_prefix_sums' contract).
+    ``order_cols`` entries are names or Column EXPRESSIONS; ordering is
+    the ascending lexicographic tuple order, so express a descending
+    dimension by negating it (e.g. ``-F.col("score")``) — struct
+    comparison has no per-field direction.
+
+    Scale: the sorted relation is a 2-ish-column projection; the
+    assignment is map-side. This replaces both the global ntile window
+    (single-task sort of the relation) and the first-cut two-phase
+    window form (localCheckpoint + full-relation rewrite): ~3 tiny jobs
+    per call, measured ~3x cheaper at sf0.1 and structurally free of
+    data-sized single-partition stages.
     """
-    from pyspark.sql.window import Window
+    import bisect
 
     spark = df.sparkSession
     nparts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # order_cols entries may be names or Column sort expressions
-    # (e.g. F.col("score").desc()) — range partitioning, the local
-    # sort, and the local window must all use the SAME total order
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    gp = (
-        df.repartitionByRange(nparts, *cols)
-        .sortWithinPartitions(*cols)
+    named = [c.alias(f"_o{i}") for i, c in enumerate(cols)]
+    onames = [f"_o{i}" for i in range(len(cols))]
+    sel = df.select(*named)
+    # exact field types of the key tuple: boundary literals must cast to
+    # these (and carry the same field names) or the struct comparison
+    # fails type resolution (e.g. TIMESTAMP_NTZ vs TIMESTAMP literals)
+    otypes = [f.dataType for f in sel.schema.fields]
+    vals = (
+        sel
+        .repartitionByRange(nparts, *[F.col(c) for c in onames])
+        .sortWithinPartitions(*onames)
+        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    parts = gp.groupBy("_pid").count().orderBy("_pid").collect()
-    base: list = []
-    total = 0
-    for r in parts:
-        base.extend([F.lit(r._pid), F.lit(total)])
-        total += r["count"]
-    if total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("int")).where(
-            F.lit(False)
+    try:
+        parts = (
+            vals.groupBy("_pid")
+            .agg(F.count("*").alias("c"), F.min("_mid").alias("mid0"))
+            .orderBy("_pid")
+            .collect()
         )
-    offset = F.create_map(*base)[F.col("_pid")]
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    rn = F.row_number().over(w) + offset  # exact global 1-based rank
-    big = total % n_tiles
-    size_small = total // n_tiles
-    size_big = size_small + 1
-    cut = big * size_big
-    first = F.floor((rn - 1) / F.lit(size_big)) + 1
-    if size_small == 0:
-        tile = first  # fewer rows than tiles: every row its own tile
-    else:
-        rest = F.lit(big) + F.floor((rn - 1 - cut) / F.lit(size_small)) + 1
-        tile = F.when(rn <= F.lit(cut), first).otherwise(rest)
-    return gp.withColumn(out_col, tile.cast("int")).drop("_pid")
+        total = sum(r.c for r in parts)
+        if total == 0:
+            return df.withColumn(out_col, F.lit(None).cast("int")).where(
+                F.lit(False)
+            )
+        offsets, acc = [], 0
+        for r in parts:
+            offsets.append(acc)
+            acc += r.c
+        big = total % n_tiles
+        size_small = total // n_tiles
+        size_big = size_small + 1
+        # 0-based rank of the LAST row of tile j, clamped for N < n
+        edge_ranks = []
+        cum = 0
+        for j in range(1, n_tiles):
+            cum += size_big if j <= big else size_small
+            edge_ranks.append(min(cum, total) - 1)
+        mids, mid_to_rank = [], {}
+        for r in sorted(set(edge_ranks)):
+            i = bisect.bisect_right(offsets, r) - 1
+            mid = parts[i].mid0 + (r - offsets[i])
+            mids.append(mid)
+            mid_to_rank[mid] = r
+        picked = {
+            mid_to_rank[row["_mid"]]: tuple(row[c] for c in onames)
+            for row in vals.where(F.col("_mid").isin(mids)).collect()
+        }
+    finally:
+        vals.unpersist()
+    key = F.struct(*named)
+    tile = F.lit(1)
+    for r in edge_ranks:
+        b = F.struct(
+            *[
+                F.lit(v).cast(dt).alias(n)
+                for v, dt, n in zip(picked[r], otypes, onames)
+            ]
+        )
+        tile = tile + (key > b).cast("int")
+    return df.withColumn(out_col, tile.cast("int"))

@@ -7702,11 +7702,15 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_repo_spark.operators.ids import exact_order_statistics
 
     ev = t(spark, sf_dir, "events")
-    n = ev.filter(F.col("value").isNotNull()).count()
-    rank_of = {idx: idx * (n - 1) // 100 for idx in range(101)}
-    picked = exact_order_statistics(ev, "value", sorted(set(rank_of.values())))
+    # ranks_of_n folds the COUNT(*) into the order-statistic pass's own
+    # per-partition count job — one fewer fixture-scale scheduler round
+    picked = exact_order_statistics(
+        ev, "value",
+        ranks_of_n=lambda n: sorted({i * (n - 1) // 100 for i in range(101)}),
+    )
+    n = max(picked) + 1  # rank of knot 100 is exactly n-1
     knots = spark.createDataFrame(
-        [(idx, float(picked[rank_of[idx]])) for idx in range(101)],
+        [(idx, float(picked[idx * (n - 1) // 100])) for idx in range(101)],
         "idx long, kv double",
     )
     ranked = ev.select(

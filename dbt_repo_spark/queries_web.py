@@ -570,8 +570,18 @@ def streaming_crawl_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_tokens=10,
     )
     q_.awaitTermination()
-    out = spark.read.parquet(out_dir).select(
-        "doc_id", "n_blocks", "n_kept", "text_rewritten"
+    # Explicit schema: a tick whose batch is ENTIRELY url-duplicate
+    # (possible at high corpus density — sf0.1's synthetic key space
+    # saturates at ~|sources|x100 canonical keys, so the 20% tail adds
+    # no fresh key) publishes zero rows, and a schema-less empty
+    # partition dir must read as an empty relation, matching the batch
+    # oracle's zero-row result instead of UNABLE_TO_INFER_SCHEMA.
+    out = (
+        spark.read.schema(
+            "doc_id long, n_blocks long, n_kept long, text_rewritten string"
+        )
+        .parquet(out_dir)
+        .select("doc_id", "n_blocks", "n_kept", "text_rewritten")
     )
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)

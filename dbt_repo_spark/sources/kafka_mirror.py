@@ -280,12 +280,16 @@ def build_events_fixture(
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
     root = os.path.join(store, f"kafka_{sf_base}_m{modulus}p{n_partitions}")
+    # single-file testdata vs Spark-written parquet DIRECTORY (replicas)
+    ev_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(ev_path):
+        ev_path = f"{ev_path}/*.parquet"
     con = duckdb.connect()
     # whole-row content hash in the fingerprint: regenerated source data
     # with identical ids but different payload must invalidate the fixture
     n, row_sum = con.execute(
         f"SELECT COUNT(*), COALESCE(SUM(hash(CAST(e AS VARCHAR))), 0) "
-        f"FROM '{sf_dir}/events.parquet' e WHERE event_id % {modulus} = 0"
+        f"FROM '{ev_path}' e WHERE event_id % {modulus} = 0"
     ).fetchone()
     fingerprint = f"{n}:{row_sum}"
     fp_file = os.path.join(root, "_fingerprint.txt")
@@ -300,7 +304,7 @@ def build_events_fixture(
         SELECT user_id % {n_partitions} AS part, event_id, user_id,
                event_type, CAST(round(value * 100) AS BIGINT) AS cents,
                epoch_us(ts) AS ts_us, epoch_ms(ts) AS ts_ms
-        FROM '{sf_dir}/events.parquet'
+        FROM '{ev_path}'
         WHERE event_id % {modulus} = 0
         ORDER BY part, event_id
         """
@@ -369,6 +373,11 @@ def build_documents_fixture(sf_dir: str, n_partitions: int = 4) -> str:
     sf_base = os.path.basename(os.path.normpath(sf_dir))
     store = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
     root = os.path.join(store, f"kafka_docs_{sf_base}_p{n_partitions}")
+    # the driver's testdata is one file per table; Spark-written corpora
+    # (tools/scale_growth.py replicas) are parquet DIRECTORIES — glob them
+    doc_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(doc_path):
+        doc_path = f"{doc_path}/*.parquet"
     con = duckdb.connect()
     # count + id-sum + CONTENT hash: regenerating documents.parquet with
     # identical ids but different text/source must invalidate the broker
@@ -378,9 +387,9 @@ def build_documents_fixture(sf_dir: str, n_partitions: int = 4) -> str:
         f"""
         SELECT COUNT(*), COALESCE(SUM(doc_id), 0),
                COALESCE(SUM(hash(source || '|' || text)), 0)
-        FROM '{sf_dir}/documents.parquet'
+        FROM '{doc_path}'
         WHERE doc_id >= (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT)
-                         FROM '{sf_dir}/documents.parquet')
+                         FROM '{doc_path}')
         """
     ).fetchone()
     fingerprint = f"{n}:{id_sum}:{content_sum}"
@@ -394,9 +403,9 @@ def build_documents_fixture(sf_dir: str, n_partitions: int = 4) -> str:
     rows = con.execute(
         f"""
         SELECT doc_id % {n_partitions} AS part, doc_id, source, text
-        FROM '{sf_dir}/documents.parquet'
+        FROM '{doc_path}'
         WHERE doc_id >= (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT)
-                         FROM '{sf_dir}/documents.parquet')
+                         FROM '{doc_path}')
         ORDER BY part, doc_id
         """
     ).fetchall()
