@@ -128,14 +128,22 @@ def test_history_classifies_rows_only_records():
     """A clean rows-only record (err='no_oracle', count present) is NOT a
     failure; a recorded traceback or a missing count is."""
     latest, failed = entry_mod._check_history()
-    # r04/r06 recorded clean rows-only rows for these (still oracle-less):
+    # the one remaining oracle-less entry rides its clean rows-only rows:
     assert "text_pii_spans" not in failed
-    assert "bpe_tokenize" not in failed
-    # Queries that GAINED an oracle in r07 after rows-only ledger records
-    # (multimodal_features, dedup_minhash_lsh, dedup_simhash, the IVF
-    # pair, the graph iteratives...) must re-queue for a full check, not
-    # ride the old rows-only pass (each leaves `failed` once a
-    # hash-green row lands)
+    # Queries that GAINED an oracle after rows-only ledger records (r07:
+    # multimodal_features, dedup_minhash_lsh, the IVF pair, the graph
+    # iteratives; r08: bpe_tokenize, the sketch trio, the solver-sized
+    # pair generator) must re-queue for a full check, not ride the old
+    # rows-only pass (each leaves `failed` once a hash-green row lands)
+    for gained in (
+        "bpe_tokenize",
+        "approx_distinct_sketch",
+        "distinct_sketch_rollup",
+        "quantile_sketch_rollup",
+        "embed_near_dup_pairs_scaled",
+    ):
+        if latest.get(gained, 0) < 8:
+            assert gained in failed, gained
     for gained in (
         "multimodal_features",
         "dedup_minhash_lsh",
