@@ -257,6 +257,12 @@ HEADLINE = [
     "text_unicode_normalize",
     "dedup_index_compaction",
     "sketch_hll_portable_by_type",
+    # round-8: scale-infrastructure family (queries_scale.py) — layout
+    # zone maps, runtime bloom filter, curriculum sharding, hop-bounded BFS
+    "layout_zorder_manifest",
+    "bloom_runtime_filter",
+    "curriculum_shards",
+    "graph_bfs_hops",
 ]
 
 RUNS = 3

@@ -83,3 +83,24 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def morton_interleave(a: Column, b: Column, bits: int = 8) -> Column:
+    """Bit-interleave two bucket ranks (each in [0, 2^bits)) into one
+    Morton/Z-curve value: output bit 2k = bit k of ``a``, bit 2k+1 =
+    bit k of ``b``. Pure integer Catalyst expressions (shift/and/add),
+    so the key is deterministic and bit-identical across engines —
+    unlike :func:`zorder_key`'s approxQuantile ranks, which are
+    equal-frequency but sample-dependent. Callers that need an
+    oracle-checkable layout bucket with equal-WIDTH ranks first (the
+    ``layout_zorder_manifest`` registry query) and interleave here.
+    """
+    parts = []
+    for k in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftrightunsigned(a, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+        parts.append(
+            F.shiftleft(F.shiftrightunsigned(b, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    return reduce(lambda x, y: x + y, parts)

@@ -268,3 +268,57 @@ def token_budget_mixture(
         )
         .drop("__cum")
     )
+
+
+def curriculum_token_shards(
+    docs: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int = 4096,
+    id_bits: int = 42,
+) -> DataFrame:
+    """Curriculum shard manifest: documents ordered short-to-long (the
+    standard length-curriculum for LLM pretraining), cut into shards of
+    ``budget`` tokens by the EXCLUSIVE running token count, one manifest
+    row per shard — the writer's plan for emitting curriculum-ordered
+    training shards.
+
+    The global order (tok_col ASC, id_col ASC) is packed into one
+    BIGINT key (tok << id_bits | id; callers with ids ≥ 2^id_bits raise
+    id_bits — tokens-per-doc caps at 2^(62-id_bits)) and the running
+    sum runs through evalmetrics.ordered_prefix_sums: range-shuffle +
+    per-partition window + broadcast partition offsets — NO
+    single-partition global window anywhere (plan-shape-tested), unlike
+    the naive ``SUM() OVER (ORDER BY ...)`` which funnels the corpus
+    through one task. Shard id = cum_before div budget, so a document
+    lands in the shard where it STARTS (oversized docs spill past the
+    boundary rather than splitting — writer-friendly).
+
+    All integers end-to-end → order-independent → full-oracle-safe.
+    Returns one row per shard: (shard_id, n_docs, shard_tokens,
+    min_tokens, max_tokens, min_doc_id, max_doc_id).
+    """
+    from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tok_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_okey",
+        F.shiftleft(F.col("n_tokens"), id_bits) + F.col("doc_id"),
+    )
+    cum = ordered_prefix_sums(keyed, "_okey", ["n_tokens"])
+    return (
+        cum.withColumn(
+            "shard_id", F.expr(f"cum_n_tokens_before div {budget}")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -550,3 +550,103 @@ def quantile_units_estimate(
     return hits.groupBy(*key_cols, "prob_num", "prob_den").agg(
         F.min("x").alias("value_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (runtime-filter shape)
+# ---------------------------------------------------------------------------
+
+BLOOM_LANES = 64  # BIGINT words in the bit array
+BLOOM_LANE_BITS = 62  # bits used per word (0..61 keeps 1<<bit positive)
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(key: Column, i: Column, m: int) -> Column:
+    """Portable hash position j ∈ [0, m): md5(key ':' i) first 12 hex
+    chars (48 bits) mod m — the same engine-neutral md5-nibble idiom the
+    KMV / pack_sequences / countmin family uses, so a DuckDB oracle can
+    reproduce the filter bit-for-bit."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(":"), i.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % m
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    lanes: int = BLOOM_LANES,
+    lane_bits: int = BLOOM_LANE_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a portable Bloom filter over ``df[key_col]`` as a tiny
+    (lane BIGINT, mask BIGINT) relation — the explicit, engine-portable
+    form of Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*): build on the small
+    filtered dim side, broadcast, and drop fact rows BEFORE the join
+    shuffle. Keeping the filter as data (instead of an opaque plan
+    artifact) makes it persistable next to an incremental index and
+    checkable by a DuckDB oracle.
+
+    Map-side shape: keys × k hash probes → (lane, bit) → BIT_OR per
+    lane. BIT_OR is order-independent (full-oracle-safe) and partially
+    aggregates map-side, so the shuffle carries ≤ lanes rows per task
+    regardless of |df|. m = lanes*lane_bits bits; with the 64×62
+    default and k=3, ~430 keys hits the classic ~10% FPR and smaller
+    sets do better; callers size lanes to their dim cardinality.
+    """
+    m = lanes * lane_bits
+    probes = df.select(F.col(key_col).cast("long").alias("key")).distinct()
+    hp = probes.select(
+        "key", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i")
+    ).select(_bloom_pos(F.col("key"), F.col("i"), m).alias("h"))
+    return (
+        hp.select(
+            F.expr(f"h div {lane_bits}").alias("lane"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h % {lane_bits} AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("lane")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    lanes: int = BLOOM_LANES,
+    lane_bits: int = BLOOM_LANE_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership-test ``df[key_col]`` against a :func:`bloom_build`
+    filter: returns (key, bloom_pass BOOLEAN) per distinct key.
+
+    The filter is ≤ ``lanes`` rows → broadcast; the probe side never
+    shuffles on data size (groupBy key collapses the k probes of one
+    key on the map side when keys arrive clustered, and the k-row
+    blow-up is bounded by k). No false negatives by construction —
+    identical hash family on both sides.
+    """
+    m = lanes * lane_bits
+    keys = df.select(F.col(key_col).cast("long").alias("key")).distinct()
+    ph = keys.select(
+        "key", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i")
+    ).select("key", _bloom_pos(F.col("key"), F.col("i"), m).alias("h"))
+    ph = ph.select(
+        "key",
+        F.expr(f"h div {lane_bits}").alias("lane"),
+        F.expr(f"CAST(h % {lane_bits} AS INT)").alias("bit"),
+    )
+    hit = ph.join(F.broadcast(bloom), "lane", "left").select(
+        "key",
+        F.when(
+            F.col("mask").isNotNull()
+            & (F.expr("shiftright(mask, bit) & CAST(1 AS BIGINT)") == 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return hit.groupBy("key").agg(
+        (F.sum("hit") == F.lit(k)).alias("bloom_pass")
+    )

@@ -1,0 +1,356 @@
+"""Scale-infrastructure query family (round-8 additions).
+
+Four operators a 100 TB deployment leans on that the registry did not yet
+expose as oracle-checked queries:
+
+- **Z-order layout manifest** (`layout.morton_interleave`): the
+  oracle-checkable twin of the approxQuantile-ranked write path in
+  `operators/layout.py` / `python -m dbt_repo_spark optimize --zorder`.
+  Equal-WIDTH bucket ranks (pure integer math from the relation's
+  min/max) keep the whole computation deterministic, so the per-block
+  zone map AND the probe-pruning verdict get a full DuckDB oracle. This
+  is the Delta/Iceberg OPTIMIZE ZORDER shape: multi-column clustering so
+  per-file min/max stats prune scans on EVERY participating column.
+- **Portable Bloom runtime filter** (`sketches.bloom_build/bloom_probe`):
+  the explicit form of Spark's runtime bloom-filter join pruning — build
+  on the filtered dim side, broadcast 64 BIGINT lanes, classify every
+  fact key, and AUDIT the filter (no false negatives, measured FPR)
+  instead of trusting it.
+- **Curriculum shard manifest** (`sampling.curriculum_token_shards`):
+  short-to-long curriculum order + token-budget shard cuts via the
+  two-phase `ordered_prefix_sums` (no single-partition window — the
+  r07 verdict's ntile fix, applied from birth here).
+- **Multi-source BFS hops** (`graph.bfs_hops`): bounded-radius shortest
+  hops over the order↔part bipartite graph — the blast-radius /
+  ego-network primitive the CC / PageRank / k-core family doesn't cover.
+
+Cross-engine exactness: every query here is integers and booleans end to
+end — no float columns at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.queries import q, t
+
+_ZBITS = 8  # bucket bits per dimension (256 equal-width buckets)
+
+
+def _zbits_sql(ra: str, rb: str) -> str:
+    """Unrolled Morton interleave for the DuckDB oracle: bit 2k of the
+    z-value = bit k of rank ``ra``, bit 2k+1 = bit k of rank ``rb``."""
+    parts = []
+    for k in range(_ZBITS):
+        parts.append(f"((({ra} >> {k}) & 1) << {2 * k})")
+        parts.append(f"((({rb} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(parts)
+
+
+@q(
+    "layout_zorder_manifest",
+    f"""
+    WITH st AS (
+      SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+             MIN(CAST(o_orderdate AS DATE)) AS min_d,
+             MAX(CAST(o_orderdate AS DATE)) AS max_d
+      FROM orders),
+    r AS (
+      SELECT o.o_custkey AS ck,
+             date_diff('day', st.min_d, CAST(o.o_orderdate AS DATE)) AS day,
+             LEAST(((o.o_custkey - st.min_ck) * 256)
+                   // (st.max_ck - st.min_ck + 1), 255) AS rck,
+             LEAST((date_diff('day', st.min_d, CAST(o.o_orderdate AS DATE)) * 256)
+                   // (date_diff('day', st.min_d, st.max_d) + 1), 255) AS rdy
+      FROM orders o CROSS JOIN st),
+    z AS (SELECT ck, day, ({_zbits_sql("rck", "rdy")}) AS zval FROM r),
+    pr AS (
+      SELECT min_ck + (max_ck - min_ck) // 4 AS lo_ck,
+             min_ck + (max_ck - min_ck) // 2 AS hi_ck,
+             date_diff('day', min_d, max_d) // 4 AS lo_day,
+             date_diff('day', min_d, max_d) // 2 AS hi_day
+      FROM st)
+    SELECT CAST(zval >> 8 AS BIGINT) AS block_id,
+           COUNT(*) AS n_rows,
+           MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day,
+           (MIN(ck) <= MAX(pr.hi_ck) AND MAX(ck) >= MIN(pr.lo_ck)
+            AND MIN(day) <= MAX(pr.hi_day) AND MAX(day) >= MIN(pr.lo_day))
+             AS probe_overlaps,
+           CAST(SUM(CASE WHEN ck BETWEEN pr.lo_ck AND pr.hi_ck
+                          AND day BETWEEN pr.lo_day AND pr.hi_day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS probe_rows
+    FROM z CROSS JOIN pr
+    GROUP BY block_id
+    """,
+)
+def layout_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering manifest over orders (o_custkey × order day).
+
+    Equal-width 8-bit bucket ranks per dimension (integer math off the
+    broadcast min/max row), Morton-interleaved into a 16-bit z-value
+    (layout.morton_interleave); block = top 8 z bits, i.e. a 16×16-bucket
+    quadtree cell — exactly the per-file grain `zorder_layout` writes.
+    The manifest row per block is the zone map (count + min/max of both
+    keys), plus the pruning verdict for a fixed probe box (middle
+    quartile band of both dimensions): ``probe_overlaps`` is what a scan
+    planner would decide from the zone map alone, ``probe_rows`` is the
+    ground truth — blocks with probe_rows > 0 are always overlapping
+    (zone maps never false-prune), and the overlapping∖matching gap is
+    the measured clustering slack.
+
+    Scale: one broadcast of a 1-row stats relation + one hash-agg on the
+    block id (≤256 groups). The write path itself (range-repartition +
+    in-partition sort on zval) is `layout.zorder_layout`, CLI-tested; this
+    query is the oracle-checked PLAN of that layout.
+    """
+    from dbt_repo_spark.operators.layout import morton_interleave
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    st = o.agg(
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    j = o.join(F.broadcast(st))
+    day = F.datediff(F.col("d"), F.col("min_d")).cast("long")
+    span_day = F.datediff(F.col("max_d"), F.col("min_d")).cast("long")
+    j = j.select(
+        "ck",
+        day.alias("day"),
+        F.least(
+            F.expr("((ck - min_ck) * 256) div (max_ck - min_ck + 1)"),
+            F.lit(255).cast("long"),
+        ).alias("rck"),
+        F.least(
+            F.expr(
+                "((datediff(d, min_d)) * CAST(256 AS BIGINT))"
+                " div (datediff(max_d, min_d) + 1)"
+            ),
+            F.lit(255).cast("long"),
+        ).alias("rdy"),
+        (F.col("min_ck") + F.expr("(max_ck - min_ck) div 4")).alias("lo_ck"),
+        (F.col("min_ck") + F.expr("(max_ck - min_ck) div 2")).alias("hi_ck"),
+        F.expr("CAST(datediff(max_d, min_d) AS BIGINT) div 4").alias("lo_day"),
+        F.expr("CAST(datediff(max_d, min_d) AS BIGINT) div 2").alias("hi_day"),
+    )
+    z = j.withColumn(
+        "zval", morton_interleave(F.col("rck"), F.col("rdy"), bits=_ZBITS)
+    )
+    return (
+        z.groupBy(F.shiftrightunsigned("zval", 8).cast("long").alias("block_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+            (
+                (F.min("ck") <= F.max("hi_ck"))
+                & (F.max("ck") >= F.min("lo_ck"))
+                & (F.min("day") <= F.max("hi_day"))
+                & (F.max("day") >= F.min("lo_day"))
+            ).alias("probe_overlaps"),
+            F.sum(
+                F.when(
+                    F.col("ck").between(F.col("lo_ck"), F.col("hi_ck"))
+                    & F.col("day").between(F.col("lo_day"), F.col("hi_day")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("probe_rows"),
+        )
+    )
+
+
+@q(
+    "bloom_runtime_filter",
+    """
+    WITH dim AS (SELECT DISTINCT s_suppkey AS key FROM supplier
+                 WHERE s_acctbal > 6000),
+    hs AS (SELECT key,
+                  ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+                    % 3968 AS h
+           FROM dim CROSS JOIN (SELECT unnest(range(1, 4)) AS i)),
+    bloom AS (SELECT h // 62 AS lane,
+                     bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INTEGER))
+                       AS mask
+              FROM hs GROUP BY 1),
+    nbits AS (SELECT CAST(SUM(bit_count(mask)) AS BIGINT) AS n_bits_set
+              FROM bloom),
+    probe AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+    ph AS (SELECT key,
+                  ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+                    % 3968 AS h
+           FROM probe CROSS JOIN (SELECT unnest(range(1, 4)) AS i)),
+    hits AS (SELECT ph.key,
+                    SUM(CASE WHEN b.mask IS NOT NULL
+                              AND ((b.mask >> CAST(ph.h % 62 AS INTEGER)) & 1) = 1
+                             THEN 1 ELSE 0 END) AS nhit
+             FROM ph LEFT JOIN bloom b ON b.lane = ph.h // 62
+             GROUP BY 1),
+    cls AS (SELECT hits.key, hits.nhit = 3 AS pass,
+                   dim.key IS NOT NULL AS member
+            FROM hits LEFT JOIN dim ON dim.key = hits.key)
+    SELECT CASE WHEN member AND pass THEN 'true_positive'
+                WHEN member THEN 'false_negative'
+                WHEN pass THEN 'false_positive'
+                ELSE 'true_negative' END AS class,
+           COUNT(*) AS n_keys,
+           nbits.n_bits_set AS n_bits_set
+    FROM cls CROSS JOIN nbits
+    GROUP BY 1, 3
+    """,
+)
+def bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom runtime filter, built AND audited.
+
+    Build side: suppliers with s_acctbal > 6000 (the filtered dim a
+    runtime filter would harvest) → 64-lane/62-bit/3-hash filter
+    (sketches.bloom_build; BIT_OR partial-aggregates map-side). Probe
+    side: every distinct lineitem supplier key through
+    sketches.bloom_probe (filter broadcast — probe never shuffles on
+    data size). The output is the AUDIT a planner needs before trusting
+    the filter: per-classification key counts (false_negative must
+    never appear — same hash family both sides, and the oracle proves
+    it) plus the filter's set-bit count, from which expected FPR
+    follows. At 100 TB this relation is what you persist next to an
+    incremental index so every later tick reuses the filter instead of
+    re-scanning the dim.
+    """
+    from dbt_repo_spark.operators.sketches import bloom_build, bloom_probe
+
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 6000)
+    bloom = bloom_build(sup, "s_suppkey").localCheckpoint(eager=True)
+    n_bits = bloom.agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_bits_set")
+    )
+    probed = bloom_probe(t(spark, sf_dir, "lineitem"), bloom, "l_suppkey")
+    member = sup.select(
+        F.col("s_suppkey").cast("long").alias("key"), F.lit(True).alias("m")
+    ).distinct()
+    cls = probed.join(member, "key", "left").select(
+        "key",
+        F.col("bloom_pass").alias("pass"),
+        F.coalesce(F.col("m"), F.lit(False)).alias("member"),
+    )
+    return (
+        cls.select(
+            F.when(F.col("member") & F.col("pass"), "true_positive")
+            .when(F.col("member"), "false_negative")
+            .when(F.col("pass"), "false_positive")
+            .otherwise("true_negative")
+            .alias("class")
+        )
+        .groupBy("class")
+        .agg(F.count("*").alias("n_keys"))
+        .join(F.broadcast(n_bits))
+    )
+
+
+@q(
+    "curriculum_shards",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY n_tokens, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumb
+      FROM tok)
+    SELECT CAST(cumb // 4096 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM cum GROUP BY 1
+    """,
+)
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum training-shard manifest over documents.
+
+    Documents in short-to-long order (n_tokens, doc_id — a total order),
+    cut into 4096-token shards by the exclusive running token count
+    (sampling.curriculum_token_shards). The Spark side computes the
+    running sum via the two-phase ordered_prefix_sums — range exchange,
+    per-partition window, broadcast offsets; NO Exchange-SinglePartition
+    (plan-shape-tested) — while the oracle states the same thing as the
+    naive global window DuckDB can afford at oracle scale.
+    """
+    from dbt_repo_spark.operators.dedup import tokens
+    from dbt_repo_spark.operators.sampling import curriculum_token_shards
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return curriculum_token_shards(docs, "doc_id", "n_tokens", budget=4096)
+
+
+def _bfs_oracle(iters: int = 4) -> str:
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(
+            f"""d{r} AS (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d{r - 1}.hops + 1 AS hops
+        FROM d{r - 1} JOIN e ON e.src = d{r - 1}.node)
+      GROUP BY node)"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst FROM lineitem
+      UNION ALL
+      SELECT l_partkey + 1000000000 AS src, l_orderkey AS dst FROM lineitem),
+    seeds AS (SELECT DISTINCT l_orderkey AS node FROM lineitem
+              WHERE l_orderkey % 64 = 0),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),
+    {", ".join(rounds)}
+    SELECT hops, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM d{iters} GROUP BY hops
+    """
+
+
+@q("graph_bfs_hops", _bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the order↔part bipartite graph: exact hop
+    distance (≤4) from the seed set {orderkeys ≡ 0 mod 64} — the
+    blast-radius primitive (graph.bfs_hops; min-relaxation per round,
+    all integers → full oracle). Aggregated to one row per hop level
+    (count + node-id extrema) so the check covers every node's distance
+    without shipping the node list.
+    """
+    from dbt_repo_spark.operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    part = (F.col("l_partkey") + F.lit(1_000_000_000)).alias("p")
+    edges = li.select(F.col("l_orderkey").alias("src"), part.alias("dst")).unionByName(
+        li.select(part.alias("src"), F.col("l_orderkey").alias("dst"))
+    )
+    seeds = (
+        li.filter(F.col("l_orderkey") % 64 == 0)
+        .select(F.col("l_orderkey").alias("node"))
+        .distinct()
+    )
+    dist = bfs_hops(edges, seeds, iters=4)
+    return dist.groupBy("hops").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

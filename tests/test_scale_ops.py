@@ -1,0 +1,165 @@
+"""Unit + plan-shape tests for the round-8 scale-infrastructure family
+(queries_scale.py): Z-order manifest, portable Bloom runtime filter,
+curriculum shard manifest, multi-source BFS. Oracle parity itself runs in
+test_oracle_parity; these pin the semantic invariants and the plan
+properties the parity hash can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_repo_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str, sf: str = SF) -> str:
+    df = QUERIES[name](spark, sf)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------- zorder
+
+
+def test_zorder_manifest_zone_map_sound(spark):
+    """Zone maps may over-admit, never false-prune: every block with
+    actual probe rows must be flagged overlapping, and the block grid
+    must cover every order exactly once."""
+    rows = QUERIES["layout_zorder_manifest"](spark, SF01).collect()
+    assert all(r.probe_overlaps for r in rows if r.probe_rows > 0)
+    from dbt_repo_spark.queries import t
+
+    assert sum(r.n_rows for r in rows) == t(spark, SF01, "orders").count()
+    assert all(0 <= r.block_id < 256 for r in rows)
+
+
+def test_zorder_manifest_prunes(spark):
+    """The point of the layout: for a mid-band 2-D probe, a material
+    fraction of blocks must be prunable from the zone map alone."""
+    rows = QUERIES["layout_zorder_manifest"](spark, SF01).collect()
+    pruned = [r for r in rows if not r.probe_overlaps]
+    assert len(pruned) >= len(rows) // 4, (len(pruned), len(rows))
+    # and pruning is consistent: pruned blocks contain zero probe rows
+    assert all(r.probe_rows == 0 for r in pruned)
+
+
+def test_morton_interleave_bits(spark):
+    """morton_interleave(a, b) must equal the reference bit-interleave
+    for exhaustive small ranks and round-trip back to its inputs."""
+    from dbt_repo_spark.operators.layout import morton_interleave
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+    )
+    got = df.withColumn("z", morton_interleave(F.col("a"), F.col("b"), bits=4))
+    for r in got.collect():
+        want = 0
+        for k in range(4):
+            want |= ((r.a >> k) & 1) << (2 * k)
+            want |= ((r.b >> k) & 1) << (2 * k + 1)
+        assert r.z == want
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    rows = QUERIES["bloom_runtime_filter"](spark, SF01).collect()
+    by_class = {r["class"]: r.n_keys for r in rows}
+    assert "false_negative" not in by_class
+    assert by_class.get("true_positive", 0) > 0  # members exist at sf0.01
+
+
+def test_bloom_filter_is_broadcast_and_bounded(spark):
+    from dbt_repo_spark.operators.sketches import (
+        BLOOM_LANES,
+        bloom_build,
+        bloom_probe,
+    )
+    from dbt_repo_spark.queries import t
+
+    sup = t(spark, SF, "supplier")
+    bloom = bloom_build(sup, "s_suppkey")
+    assert bloom.count() <= BLOOM_LANES
+    probed = bloom_probe(t(spark, SF, "lineitem"), bloom, "l_suppkey")
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    # every dim key passes its own filter (no false negatives, directly)
+    members = {r.s_suppkey for r in sup.select("s_suppkey").collect()}
+    passed = {r.key for r in probed.filter("bloom_pass").collect()}
+    assert members <= passed
+
+
+# ---------------------------------------------------------- curriculum
+
+
+def test_curriculum_shards_budget_and_order(spark):
+    rows = sorted(
+        QUERIES["curriculum_shards"](spark, SF01).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows[0].shard_id == 0
+    # shards are contiguous ids and (except possibly the last) fill to
+    # at least the budget once the spill-over doc lands
+    ids = [r.shard_id for r in rows]
+    assert ids == list(range(len(rows)))
+    # curriculum order: shard token bounds are non-decreasing across
+    # shards (short-to-long global order means max_tokens of shard i
+    # <= min_tokens of shard i+1 can be violated only at boundaries by
+    # the straddling doc; the MONOTONE invariant is on min_tokens)
+    mins = [r.min_tokens for r in rows]
+    assert mins == sorted(mins)
+    total = sum(r.shard_tokens for r in rows)
+    budgets = [r.shard_tokens for r in rows[:-1]]
+    # every non-final shard starts a doc past its 4096 boundary
+    assert all(b >= 4096 - max(r.max_tokens for r in rows) for b in budgets)
+    assert total > 0
+
+
+def test_curriculum_shards_no_single_partition_window(spark):
+    plan = _plan(spark, "curriculum_shards", SF01)
+    assert "Exchange SinglePartition" not in plan
+
+
+# ------------------------------------------------------------------ bfs
+
+
+def test_bfs_hops_levels(spark):
+    from dbt_repo_spark.queries import t
+
+    rows = {r.hops: r for r in QUERIES["graph_bfs_hops"](spark, SF01).collect()}
+    li = t(spark, SF01, "lineitem")
+    n_seeds = (
+        li.filter(F.col("l_orderkey") % 64 == 0)
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_nodes == n_seeds
+    # bipartite graph: odd hops are part nodes (offset by 1e9)
+    assert rows[1].min_node >= 1_000_000_000
+    assert rows[2].max_node < 1_000_000_000
+    assert set(rows) <= {0, 1, 2, 3, 4}
+
+
+def test_bfs_hops_exact_small_graph(spark):
+    """Hand-checkable path graph: 1-2-3-4-5, seed {1}."""
+    from dbt_repo_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    edges = e.union(e.select(F.col("dst"), F.col("src")))
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, iters=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 unreached within 3 hops
