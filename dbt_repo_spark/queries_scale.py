@@ -23,9 +23,15 @@ expose as oracle-checked queries:
 - **Multi-source BFS hops** (`graph.bfs_hops`): bounded-radius shortest
   hops over the order↔part bipartite graph — the blast-radius /
   ego-network primitive the CC / PageRank / k-core family doesn't cover.
+- **Stateful streaming sessionization** (`streaming/stateful.py::
+  sessionize`): the applyInPandasWithState event-time-timer operator
+  promoted to a full oracle — live closed sessions hash-equal the batch
+  gap-sessionization (sentinel-tick watermark flush).
 
 Cross-engine exactness: every query here is integers and booleans end to
-end — no float columns at all.
+end except streaming_sessionize's total_value, which is kept exact by
+integer-cent scaling (float sums of integer-valued doubles are
+order-independent).
 """
 
 from __future__ import annotations
@@ -354,3 +360,101 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+@q(
+    "streaming_sessionize",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('second', ts) AS ts,
+             round(value * 100, 0) AS value
+      FROM events WHERE value IS NOT NULL),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM ev),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(value) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE stateful sessionizer (streaming/stateful.py::sessionize —
+    applyInPandasWithState + EventTimeTimeout) promoted to a full-oracle
+    check: every real session the stream CLOSES must hash-equal the batch
+    gap-sessionization of the same events.
+
+    Delivery: all real events in tick 1 (in-batch gaps close interior
+    sessions immediately), then two SENTINEL ticks — one event each for
+    users -1 / -2 at max(ts)+1d / +2d — whose only job is to advance the
+    watermark across restarts so every real open session's event-time
+    timer fires (tick N's watermark = max event time through tick N-1,
+    so two sentinel ticks flush everything real). The sentinels' own
+    sessions never close and are filtered by user_id >= 0; the batch
+    oracle needs no such carve-out because it never sees them.
+
+    Exactness: ts is second-truncated on BOTH sides (the state tuple
+    holds epoch-millis) and value is scaled to integer cents — float
+    sums of integer-valued doubles are order-independent-exact, so the
+    per-session totals are bit-identical between the Python fold and
+    DuckDB's SUM. 100 TB note: state is one fixed-width tuple per OPEN
+    key, event-volume-independent; the batch fixture delivering the
+    whole corpus as tick 1 is oracle plumbing, not the deployment shape.
+    """
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.streaming.stateful import sessionize
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    schema = "user_id long, ts timestamp, value double"
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_trunc("second", "ts").alias("ts"),
+            F.round(F.col("value") * 100, 0).alias("value"),
+        )
+    )
+    ev.write.parquet(src)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        qh = (
+            sessionize(stream, gap_minutes=30, delay="2 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
+
+    run_once()
+    for i in (1, 2):
+        spark.createDataFrame(
+            [(-i, mx + dt.timedelta(days=i), 0.0)], schema
+        ).write.mode("append").parquet(src)
+        run_once()
+    res = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res
