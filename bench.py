@@ -263,6 +263,8 @@ HEADLINE = [
     "bloom_runtime_filter",
     "curriculum_shards",
     "graph_bfs_hops",
+    "theil_sen_trend",
+    "dp_laplace_counts",
 ]
 
 RUNS = 3

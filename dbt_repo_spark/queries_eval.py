@@ -1352,3 +1352,146 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lift_by_decile(cust, "id", "s", "y")
+
+
+@q(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+    mind AS (SELECT MIN(d) AS d0 FROM daily),
+    xs AS (SELECT CAST(date_diff('day', mind.d0, d) AS DOUBLE) AS x, rev
+           FROM daily, mind),
+    pairs AS (SELECT (b.rev - a.rev) / (b.x - a.x) AS slope
+              FROM xs a JOIN xs b ON b.x > a.x),
+    rs AS (SELECT slope, row_number() OVER (ORDER BY slope) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM pairs),
+    med AS (SELECT AVG(slope) AS slope FROM rs
+            WHERE rk IN ((n - 1) // 2, n // 2)),
+    resid AS (SELECT rev - med.slope * x AS r FROM xs, med),
+    rr AS (SELECT r, row_number() OVER (ORDER BY r) - 1 AS rk,
+                  COUNT(*) OVER () AS n FROM resid),
+    imed AS (SELECT AVG(r) AS intercept FROM rr
+             WHERE rk IN ((n - 1) // 2, n // 2))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           med.slope AS slope, imed.intercept AS intercept
+    FROM med, imed
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the median of all
+    pairwise day-to-day slopes (breakdown point 29% — one bad ingest
+    day can't bend it, unlike the OLS family's groupwise_ols_slope),
+    intercept = median residual at that slope.
+
+    Scale shape: facts fold to ONE row per day first (day-level
+    relation — size grows with calendar time, not data volume), the
+    O(days²) pair relation comes from a broadcast self-join of that
+    fold, and BOTH medians are exact order statistics through the
+    two-phase ids.exact_order_statistics (range shuffle + per-partition
+    counts + fetch-two-rows) — no global row_number window anywhere on
+    the Spark side. Exactness: daily revenue is DECIMAL-summed; slopes
+    are single IEEE divisions of identical operands; the median of an
+    even count is (a+b)/2 of identical doubles — bit-equal to the
+    oracle's AVG over the two picked ranks.
+    """
+    from dbt_repo_spark.operators.ids import exact_order_statistics
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("rev"))
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    xs = daily.join(F.broadcast(mind)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("double").alias("x"), "rev"
+    )
+    a = xs.alias("a")
+    b = xs.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        )
+    )
+    picked = exact_order_statistics(
+        pairs, "slope", ranks_of_n=lambda n: [(n - 1) // 2, n // 2]
+    )
+    ks = sorted(picked)  # one key when the pair count is odd
+    slope = (picked[ks[0]] + picked[ks[-1]]) / 2
+    resid = xs.select((F.col("rev") - F.lit(slope) * F.col("x")).alias("r"))
+    ipick = exact_order_statistics(
+        resid, "r", ranks_of_n=lambda n: [(n - 1) // 2, n // 2]
+    )
+    iks = sorted(ipick)
+    intercept = (ipick[iks[0]] + ipick[iks[-1]]) / 2
+    return daily.agg(F.count("*").alias("n_days")).select(
+        "n_days",
+        F.expr("n_days * (n_days - 1) div 2").alias("n_pairs"),
+        F.lit(slope).alias("slope"),
+        F.lit(intercept).alias("intercept"),
+    )
+
+
+@q(
+    "dp_laplace_counts",
+    """
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw
+               FROM events GROUP BY 1),
+    u AS (SELECT event_type, n_raw,
+                 (('0x' || substr(md5('dp:' || event_type), 1, 6))::BIGINT
+                  + 0.5) / 16777216.0 AS u
+          FROM g)
+    SELECT event_type, n_raw,
+           round(n_raw + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                         * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy,
+           1.0 AS epsilon
+    FROM u
+    """,
+)
+def dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, ε=1):
+    per-event-type counts plus Laplace(1/ε) noise via inverse-CDF —
+    noise = -sign(U-½)·(1/ε)·ln(1-2|U-½|), U uniform on (0,1). The
+    governance sibling of k_anonymity_audit / masked_customer_view:
+    counts leave the boundary with calibrated noise instead of raw.
+
+    U is SEEDED from md5('dp:'||group) — deterministic fixture plumbing
+    so the differential oracle can reproduce the release bit-for-bit
+    (the same seeded-mechanism pattern as the contrastive-sampling
+    oracle); a production release swaps in real entropy, everything
+    else unchanged. n_raw rides along as the audit column (the
+    production view drops it). Exactness: U is an exact dyadic
+    rational, both engines evaluate the same IEEE expression tree, and
+    the result is 6-dp-rounded per the float-score rule. Scale: one
+    partial-aggregable count + map-side noise — group-count-sized.
+    """
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_raw"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(0.5)
+        )
+        / F.lit(16777216.0)
+    ).alias("u")
+    return g.select("event_type", "n_raw", u).select(
+        "event_type",
+        "n_raw",
+        F.round(
+            F.col("n_raw")
+            + F.when(F.col("u") >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("u") - F.lit(0.5))),
+            6,
+        ).alias("n_noisy"),
+        F.lit(1.0).alias("epsilon"),
+    )
