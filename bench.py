@@ -265,6 +265,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "theil_sen_trend",
     "dp_laplace_counts",
+    "multimodal_phash_dedup",
 ]
 
 RUNS = 3

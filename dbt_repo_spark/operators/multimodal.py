@@ -565,3 +565,109 @@ def resample_real_audio(media: DataFrame, factor: int) -> DataFrame:
     return fan_out(media.select("media_id", "content")).mapInPandas(
         rs, schema=RESAMPLED_STATS_SCHEMA
     )
+
+
+def real_media_with_format_twins(docs: DataFrame, every: int = 5) -> DataFrame:
+    """Image media table with CROSS-FORMAT twins: every ``every``-th
+    image doc also appears re-encoded in the OTHER container (bmp↔ppm,
+    twin id = media_id + 1_000_000) with IDENTICAL pixels. The twin set
+    is the ground truth for perceptual (decoded-pixel) near-dup: a
+    byte-level signature (multimodal_near_dedup's SimHash) CANNOT match
+    a re-encoded blob — its bytes share nothing — while a pixel hash
+    matches it exactly. Audio docs are excluded (images only)."""
+    from dbt_repo_spark.operators import media_codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 1:
+                    continue  # wav
+                p = media_params(did)
+                px = [
+                    [
+                        tuple(synth_pixel(did, x, y, c) for c in range(3))
+                        for x in range(p["w"])
+                    ]
+                    for y in range(p["h"])
+                ]
+                enc = (
+                    media_codecs.encode_bmp
+                    if p["format"] == "bmp"
+                    else media_codecs.encode_ppm
+                )
+                other = (
+                    media_codecs.encode_ppm
+                    if p["format"] == "bmp"
+                    else media_codecs.encode_bmp
+                )
+                rows.append(
+                    {"media_id": did, "media_type": "image", "content": enc(px)}
+                )
+                if did % every == 0:
+                    rows.append(
+                        {
+                            "media_id": did + 1_000_000,
+                            "media_type": "image",
+                            "content": other(px),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("v", IntegerType(), False),
+    ]
+)
+
+
+def phash_nibbles(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels, emitted as 4-bit
+    band values (the aHash: nearest-sample the image to ``grid``×
+    ``grid``, gray = r+g+b, bit_p = [gray_p·grid² > Σ gray] — integer
+    compare, no division) — 16 nibble rows per image for grid=8, ready
+    for the pair-band candidate join without any 64-bit packing (nibble
+    XOR + bit_count gives Hamming distance bandwise).
+
+    The decode (container → pixel grid) is the sanctioned Arrow seam
+    (real stdlib codecs, same as decode_image_stats); everything
+    downstream — banding, candidate join, Hamming verify — is JVM-side
+    relational algebra. Container-invariant by construction: a bmp and
+    a ppm of the same pixels produce identical nibbles.
+    """
+    from dbt_repo_spark.operators import media_codecs
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_pos = grid * grid
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                d = media_codecs.decode_any(bytes(blob))
+                if "pixels" not in d:
+                    continue  # non-image blob
+                px, w, h = d["pixels"], d["width"], d["height"]
+                grays = []
+                for ty in range(grid):
+                    sy = (ty * h) // grid
+                    for tx in range(grid):
+                        sx = (tx * w) // grid
+                        r, g, b = px[sy][sx]
+                        grays.append(r + g + b)
+                total = sum(grays)
+                nib = [0] * (n_pos // 4)
+                for p, gray in enumerate(grays):
+                    if gray * n_pos > total:
+                        nib[p // 4] |= 1 << (p % 4)
+                for band, v in enumerate(nib):
+                    rows.append({"media_id": int(mid), "band": band, "v": v})
+            yield pd.DataFrame(rows, columns=["media_id", "band", "v"])
+
+    return media.select("media_id", "content").mapInPandas(
+        hash_batches, schema=PHASH_SCHEMA
+    )

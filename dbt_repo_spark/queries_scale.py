@@ -458,3 +458,128 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+_PHASH_SQL = """
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id AS pid,
+             CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+                  ELSE 3 + doc_id % 6 END AS w,
+             CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+                  ELSE 2 + doc_id % 5 END AS h
+      FROM documents WHERE doc_id % 3 <> 1
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
+                  ELSE 3 + doc_id % 6 END,
+             CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
+                  ELSE 2 + doc_id % 5 END
+      FROM documents WHERE doc_id % 3 <> 1 AND doc_id % 5 = 0),
+    g AS (
+      SELECT media_id, ty * 8 + tx AS p,
+             (pid * 7 + ((tx * w) // 8) * 13 + ((ty * h) // 8) * 31) % 256
+           + (pid * 7 + ((tx * w) // 8) * 13 + ((ty * h) // 8) * 31 + 101) % 256
+           + (pid * 7 + ((tx * w) // 8) * 13 + ((ty * h) // 8) * 31 + 202) % 256
+               AS gray
+      FROM img, UNNEST(range(0, 8)) AS ux(tx), UNNEST(range(0, 8)) AS uy(ty)),
+    tot AS (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1),
+    bits AS (
+      SELECT g.media_id, g.p // 4 AS band,
+             CASE WHEN g.gray * 64 > tot.total
+                  THEN 1 << CAST(g.p % 4 AS INTEGER) ELSE 0 END AS bv
+      FROM g JOIN tot USING (media_id)),
+    nib AS (SELECT media_id, CAST(band AS INTEGER) AS band,
+                   CAST(SUM(bv) AS INTEGER) AS v
+            FROM bits GROUP BY 1, 2),
+    bp AS (SELECT a.media_id, a.band AS b1, b.band AS b2, a.v AS v1, b.v AS v2
+           FROM nib a JOIN nib b
+             ON a.media_id = b.media_id AND a.band < b.band),
+    cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+             FROM bp x JOIN bp y
+               ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.v1 = y.v1 AND x.v2 = y.v2
+             WHERE x.media_id < y.media_id),
+    ham AS (SELECT c.id_a, c.id_b,
+                   CAST(SUM(bit_count(xor(na.v, nb.v))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN nib na ON na.media_id = c.id_a
+            JOIN nib nb ON nb.media_id = c.id_b AND nb.band = na.band
+            GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming,
+           (id_b = id_a + 1000000) AS is_format_twin
+    FROM ham WHERE hamming <= 10
+"""
+
+
+@q("multimodal_phash_dedup", _PHASH_SQL)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (decoded-PIXEL) image near-dup: average-hash over the
+    8x8 nearest-sample gray grid, pair-band candidate join, exact
+    Hamming <= 10 verify — the semantic complement of
+    ``multimodal_near_dedup``'s raw-BYTE SimHash: a re-encoded image
+    (bmp <-> ppm, same pixels) shares no bytes with its original, so the
+    byte detector is blind to it, while the pixel hash matches it at
+    Hamming 0. Every 5th image doc is seeded with a cross-format twin
+    (``is_format_twin``) and the unit test pins 100% twin recall —
+    container-invariance by construction, not luck.
+
+    Shape: decode + 64-bit hash in ONE Arrow pass (the sanctioned codec
+    seam), emitted as 16 nibble rows per image — no 64-bit packing, so
+    banding, candidate generation (C(16,2) nibble-pair bands, 8-bit
+    buckets — the multimodal_near_dedup banding at half width), and the
+    bandwise XOR/bit_count Hamming verify are all JVM-side relational
+    algebra. Pigeonhole: hamming <= 10 flips <= 10 of 16 nibbles, >= 6
+    stay intact, so >= C(6,2) = 15 pair bands match exactly — recall 1
+    within the radius, never all-pairs.
+    """
+    from dbt_repo_spark.operators import multimodal
+
+    media = multimodal.real_media_with_format_twins(
+        t(spark, sf_dir, "documents"), every=5
+    )
+    nib = multimodal.phash_nibbles(media, grid=8).localCheckpoint(eager=True)
+    a, b = nib.alias("a"), nib.alias("b")
+    bp = a.join(
+        b,
+        (F.col("a.media_id") == F.col("b.media_id"))
+        & (F.col("a.band") < F.col("b.band")),
+    ).select(
+        F.col("a.media_id").alias("mid"),
+        F.col("a.band").alias("b1"),
+        F.col("b.band").alias("b2"),
+        F.col("a.v").alias("v1"),
+        F.col("b.v").alias("v2"),
+    )
+    x, y = bp.alias("x"), bp.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b1") == F.col("y.b1"))
+            & (F.col("x.b2") == F.col("y.b2"))
+            & (F.col("x.v1") == F.col("y.v1"))
+            & (F.col("x.v2") == F.col("y.v2"))
+            & (F.col("x.mid") < F.col("y.mid")),
+        )
+        .select(F.col("x.mid").alias("id_a"), F.col("y.mid").alias("id_b"))
+        .distinct()
+    )
+    na, nb = nib.alias("na"), nib.alias("nb")
+    ham = (
+        cand.join(na, F.col("na.media_id") == F.col("id_a"))
+        .join(
+            nb,
+            (F.col("nb.media_id") == F.col("id_b"))
+            & (F.col("nb.band") == F.col("na.band")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.bit_count(F.col("na.v").bitwiseXOR(F.col("nb.v"))))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= 10).select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (F.col("id_b") == F.col("id_a") + 1_000_000).alias("is_format_twin"),
+    )

@@ -163,3 +163,42 @@ def test_bfs_hops_exact_small_graph(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.hops for r in bfs_hops(edges, seeds, iters=3).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 unreached within 3 hops
+
+
+# ---------------------------------------------------------------- phash
+
+
+def test_phash_container_invariance(spark):
+    """The same pixel grid encoded as BMP and as PPM must produce
+    IDENTICAL nibbles — the property that separates pixel-space pHash
+    from byte-space SimHash."""
+    from dbt_repo_spark.operators import media_codecs
+    from dbt_repo_spark.operators.multimodal import phash_nibbles
+
+    px = [[((x * 37 + y * 11) % 256,) * 3 for x in range(5)] for y in range(4)]
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(media_codecs.encode_bmp(px))),
+            (2, "image", bytearray(media_codecs.encode_ppm(px))),
+        ],
+        "media_id long, media_type string, content binary",
+    )
+    nib = phash_nibbles(media).collect()
+    a = {r.band: r.v for r in nib if r.media_id == 1}
+    b = {r.band: r.v for r in nib if r.media_id == 2}
+    assert len(a) == 16 and a == b
+
+
+def test_phash_twin_recall_total(spark):
+    """Every seeded cross-format twin pair is recovered at Hamming 0."""
+    from dbt_repo_spark.queries import t
+
+    df = QUERIES["multimodal_phash_dedup"](spark, SF01)
+    twins = df.filter("is_format_twin").collect()
+    expected = (
+        t(spark, SF01, "documents")
+        .filter((F.col("doc_id") % 3 != 1) & (F.col("doc_id") % 5 == 0))
+        .count()
+    )
+    assert len(twins) == expected
+    assert all(r.hamming == 0 for r in twins)
