@@ -266,6 +266,7 @@ HEADLINE = [
     "theil_sen_trend",
     "dp_laplace_counts",
     "multimodal_phash_dedup",
+    "event_pattern_match",
 ]
 
 RUNS = 3

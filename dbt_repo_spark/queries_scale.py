@@ -489,97 +489,266 @@ _PHASH_SQL = """
                   THEN 1 << CAST(g.p % 4 AS INTEGER) ELSE 0 END AS bv
       FROM g JOIN tot USING (media_id)),
     nib AS (SELECT media_id, CAST(band AS INTEGER) AS band,
-                   CAST(SUM(bv) AS INTEGER) AS v
+                   CAST(SUM(bv) AS BIGINT) AS v
             FROM bits GROUP BY 1, 2),
-    bp AS (SELECT a.media_id, a.band AS b1, b.band AS b2, a.v AS v1, b.v AS v2
-           FROM nib a JOIN nib b
-             ON a.media_id = b.media_id AND a.band < b.band),
-    cand AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
-             FROM bp x JOIN bp y
-               ON x.b1 = y.b1 AND x.b2 = y.b2 AND x.v1 = y.v1 AND x.v2 = y.v2
-             WHERE x.media_id < y.media_id),
-    ham AS (SELECT c.id_a, c.id_b,
-                   CAST(SUM(bit_count(xor(na.v, nb.v))) AS BIGINT) AS hamming
-            FROM cand c
-            JOIN nib na ON na.media_id = c.id_a
-            JOIN nib nb ON nb.media_id = c.id_b AND nb.band = na.band
-            GROUP BY 1, 2)
-    SELECT id_a, id_b, hamming,
-           (id_b = id_a + 1000000) AS is_format_twin
-    FROM ham WHERE hamming <= 10
+    pk AS (SELECT media_id,
+                  CAST(SUM(CASE WHEN band < 8
+                                THEN v << CAST(4 * band AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS h1,
+                  CAST(SUM(CASE WHEN band >= 8
+                                THEN v << CAST(4 * (band - 8) AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS h2
+           FROM nib GROUP BY 1),
+    cl AS (SELECT h1, h2, MIN(media_id) AS canonical,
+                  CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM pk GROUP BY 1, 2),
+    rep AS (SELECT canonical, h1, h2,
+                   h1 & 16777215 AS g0,
+                   (h1 >> 24) | ((h2 & 4095) << 8) AS g1,
+                   h2 >> 12 AS g2
+            FROM cl),
+    bands AS (SELECT canonical, 0 AS b, g0 AS val FROM rep
+              UNION ALL SELECT canonical, 1, g1 FROM rep
+              UNION ALL SELECT canonical, 2, g2 FROM rep),
+    cand AS (SELECT DISTINCT x.canonical AS ca, y.canonical AS cb
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.val = y.val AND x.canonical < y.canonical),
+    ham AS (SELECT ca, cb,
+                   CAST(bit_count(xor(a.h1, b.h1))
+                        + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hd
+            FROM cand
+            JOIN rep a ON a.canonical = ca
+            JOIN rep b ON b.canonical = cb),
+    near0 AS (SELECT ca AS c, cb AS o, hd FROM ham WHERE hd BETWEEN 1 AND 2
+              UNION ALL
+              SELECT cb, ca, hd FROM ham WHERE hd BETWEEN 1 AND 2),
+    near AS (SELECT c, MIN(struct_pack(h := hd, o := o)) AS nn
+             FROM near0 GROUP BY 1)
+    SELECT pk.media_id, cl.canonical AS canonical_id, cl.cluster_size,
+           near.nn.o AS near_canon, near.nn.h AS near_ham
+    FROM pk
+    JOIN cl ON pk.h1 = cl.h1 AND pk.h2 = cl.h2
+    LEFT JOIN near ON near.c = cl.canonical
 """
 
 
 @q("multimodal_phash_dedup", _PHASH_SQL)
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual (decoded-PIXEL) image near-dup: average-hash over the
-    8x8 nearest-sample gray grid, pair-band candidate join, exact
-    Hamming <= 10 verify — the semantic complement of
+    """Perceptual (decoded-PIXEL) image dedup: average-hash over the 8x8
+    nearest-sample gray grid — the semantic complement of
     ``multimodal_near_dedup``'s raw-BYTE SimHash: a re-encoded image
     (bmp <-> ppm, same pixels) shares no bytes with its original, so the
-    byte detector is blind to it, while the pixel hash matches it at
-    Hamming 0. Every 5th image doc is seeded with a cross-format twin
-    (``is_format_twin``) and the unit test pins 100% twin recall —
-    container-invariance by construction, not luck.
+    byte detector is blind to it, while the pixel hash matches it
+    exactly. Every 5th image doc is seeded with a cross-format twin and
+    the unit test pins that every twin lands in its base's cluster.
 
-    Shape: decode + 64-bit hash in ONE Arrow pass (the sanctioned codec
-    seam), emitted as 16 nibble rows per image — no 64-bit packing, so
-    banding, candidate generation (C(16,2) nibble-pair bands, 8-bit
-    buckets — the multimodal_near_dedup banding at half width), and the
-    bandwise XOR/bit_count Hamming verify are all JVM-side relational
-    algebra. Pigeonhole: hamming <= 10 flips <= 10 of 16 nibbles, >= 6
-    stay intact, so >= C(6,2) = 15 pair bands match exactly — recall 1
-    within the radius, never all-pairs.
+    SCALE-CORRECT OUTPUT SHAPE (first cut emitted all Hamming<=10 pairs
+    and measured 4x pairs per 2x corpus on this dup-heavy fixture —
+    pair lists over identical-hash groups are inherently quadratic):
+    1. CLUSTER identical 64-bit hashes (one hash-agg; min-id canonical)
+       — exact-dup mass collapses to one row per image, linear.
+    2. NEAR-link only between DISTINCT hashes (996 of 4000 images at
+       sf0.1 — bounded by distinct perceptual content, not corpus
+       size): 3-group banding (24/20/20 bits; Hamming <= 2 flips <= 2
+       bit-groups, so >= 1 band matches exactly — pigeonhole recall 1),
+       bandwise XOR/bit_count verify, nearest neighbor per cluster as
+       MIN(struct(ham, canonical)).
+    Output: one row per image (media_id, canonical_id, cluster_size,
+    near_canon, near_ham) — linear in the corpus.
+
+    Decode + hash is ONE Arrow pass over the real codecs (the
+    sanctioned seam); packing, clustering, banding, and the Hamming
+    verify are JVM-side integer relational algebra.
     """
     from dbt_repo_spark.operators import multimodal
 
     media = multimodal.real_media_with_format_twins(
         t(spark, sf_dir, "documents"), every=5
     )
-    nib = multimodal.phash_nibbles(media, grid=8).localCheckpoint(eager=True)
-    a, b = nib.alias("a"), nib.alias("b")
-    bp = a.join(
-        b,
-        (F.col("a.media_id") == F.col("b.media_id"))
-        & (F.col("a.band") < F.col("b.band")),
-    ).select(
-        F.col("a.media_id").alias("mid"),
-        F.col("a.band").alias("b1"),
-        F.col("b.band").alias("b2"),
-        F.col("a.v").alias("v1"),
-        F.col("b.v").alias("v2"),
+    nib = multimodal.phash_nibbles(media, grid=8)
+    pk = nib.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("band") < 8,
+                F.expr("shiftleft(CAST(v AS BIGINT), CAST(4 * band AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("h1"),
+        F.sum(
+            F.when(
+                F.col("band") >= 8,
+                F.expr("shiftleft(CAST(v AS BIGINT), CAST(4 * (band - 8) AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("h2"),
     )
-    x, y = bp.alias("x"), bp.alias("y")
+    pk = pk.localCheckpoint(eager=True)
+    cl = pk.groupBy("h1", "h2").agg(
+        F.min("media_id").alias("canonical"),
+        F.count("*").alias("cluster_size"),
+    )
+    rep = cl.select(
+        "canonical",
+        "h1",
+        "h2",
+        F.col("h1").bitwiseAND(F.lit(16777215)).alias("g0"),
+        F.shiftrightunsigned("h1", 24)
+        .bitwiseOR(F.shiftleft(F.col("h2").bitwiseAND(F.lit(4095)), 8))
+        .alias("g1"),
+        F.shiftrightunsigned("h2", 12).alias("g2"),
+    ).localCheckpoint(eager=True)
+    bands = (
+        rep.select("canonical", F.lit(0).alias("b"), F.col("g0").alias("val"))
+        .unionByName(
+            rep.select("canonical", F.lit(1).alias("b"), F.col("g1").alias("val"))
+        )
+        .unionByName(
+            rep.select("canonical", F.lit(2).alias("b"), F.col("g2").alias("val"))
+        )
+    )
+    x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.b1") == F.col("y.b1"))
-            & (F.col("x.b2") == F.col("y.b2"))
-            & (F.col("x.v1") == F.col("y.v1"))
-            & (F.col("x.v2") == F.col("y.v2"))
-            & (F.col("x.mid") < F.col("y.mid")),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.canonical") < F.col("y.canonical")),
         )
-        .select(F.col("x.mid").alias("id_a"), F.col("y.mid").alias("id_b"))
+        .select(F.col("x.canonical").alias("ca"), F.col("y.canonical").alias("cb"))
         .distinct()
     )
-    na, nb = nib.alias("na"), nib.alias("nb")
+    a, bb = rep.alias("a"), rep.alias("b")
     ham = (
-        cand.join(na, F.col("na.media_id") == F.col("id_a"))
-        .join(
-            nb,
-            (F.col("nb.media_id") == F.col("id_b"))
-            & (F.col("nb.band") == F.col("na.band")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.bit_count(F.col("na.v").bitwiseXOR(F.col("nb.v"))))
+        cand.join(a, F.col("a.canonical") == F.col("ca"))
+        .join(bb, F.col("b.canonical") == F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            (
+                F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+                + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+            )
             .cast("long")
-            .alias("hamming")
+            .alias("hd"),
+        )
+        .filter(F.col("hd").between(1, 2))
+    )
+    near = (
+        ham.select(F.col("ca").alias("c"), F.col("cb").alias("o"), "hd")
+        .unionByName(ham.select(F.col("cb").alias("c"), F.col("ca").alias("o"), "hd"))
+        .groupBy("c")
+        .agg(F.min(F.struct(F.col("hd").alias("h"), F.col("o").alias("o"))).alias("nn"))
+    )
+    return (
+        pk.join(cl, ["h1", "h2"])
+        .join(near, F.col("canonical") == F.col("c"), "left")
+        .select(
+            "media_id",
+            F.col("canonical").alias("canonical_id"),
+            "cluster_size",
+            F.col("nn.o").alias("near_canon"),
+            F.col("nn.h").alias("near_ham"),
         )
     )
-    return ham.filter(F.col("hamming") <= 10).select(
-        "id_a",
-        "id_b",
-        "hamming",
-        (F.col("id_b") == F.col("id_a") + 1_000_000).alias("is_format_twin"),
+
+
+@q(
+    "event_pattern_match",
+    """
+    WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+    nx AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN struct_pack(t := ts, i := event_id) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+             MIN(CASE WHEN event_type = 'error'
+                      THEN struct_pack(t := ts, i := event_id) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne
+      FROM ev),
+    sg AS (
+      SELECT user_id, ts, np, ne,
+             (np IS NOT NULL
+              AND np.t <= ts + INTERVAL 7 DAY
+              AND (ne IS NULL OR ne > np)) AS matched
+      FROM nx WHERE event_type = 'signup')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           MIN(CASE WHEN matched
+                    THEN epoch_us(np.t) - epoch_us(ts) END) AS min_delay_us
+    FROM sg GROUP BY user_id
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence pattern: signup followed by a
+    purchase within 7 days with NO error event in between — the
+    NEGATIVE-condition funnel (funnel_signup_purchase counts A→B;
+    pattern engines also need "…without C between", which windowed
+    next-event structs express relationally).
+
+    Per user-ordered event: the NEXT purchase and NEXT error as
+    MIN(struct(ts, event_id)) over the strictly-following frame — the
+    (ts, event_id) tuple is a TOTAL order, so tie-breaking is
+    deterministic and the struct comparison "error before purchase"
+    is exact. One shuffle on user_id; windows are per-key (no global
+    sort); output is user-level (n_signups, n_matched, min match
+    delay in µs — integer epoch arithmetic end to end).
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i")),
+            )
+        )
+        .over(w)
+        .alias("np"),
+        F.min(
+            F.when(
+                F.col("event_type") == "error",
+                F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i")),
+            )
+        )
+        .over(w)
+        .alias("ne"),
+    )
+    sg = nxt.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "np",
+        (
+            F.col("np").isNotNull()
+            & (F.col("np.t") <= F.col("ts") + F.expr("INTERVAL 7 DAY"))
+            & (F.col("ne").isNull() | (F.col("ne") > F.col("np")))
+        ).alias("matched"),
+    )
+    return sg.groupBy("user_id").agg(
+        F.count("*").alias("n_signups"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.min(
+            F.when(
+                F.col("matched"),
+                F.unix_micros(F.col("np.t")) - F.unix_micros(F.col("ts")),
+            )
+        ).alias("min_delay_us"),
     )

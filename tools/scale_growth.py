@@ -81,6 +81,17 @@ OPS = [
     "dedup_index_delete_tick",
     "ann_index_delete_tick",
     "sketch_hll_portable_by_type",
+    # r08 second wave: the new scale-infrastructure + perceptual family.
+    # phash replicas are NOT hash-disjoint by construction (pixel hashes
+    # are value-keyed, so a denser corpus legitimately collides more) —
+    # the measured exponent documents that honestly. bfs replicas are
+    # disjoint bipartite graphs; curriculum / pattern-match / sessionize
+    # are one-shuffle linear shapes.
+    "multimodal_phash_dedup",
+    "graph_bfs_hops",
+    "curriculum_shards",
+    "event_pattern_match",
+    "streaming_sessionize",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events"}
 
