@@ -752,3 +752,59 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("min_delay_us"),
     )
+
+
+@q(
+    "streaming_bloom_index",
+    """
+    WITH dim AS (SELECT DISTINCT s_suppkey AS key FROM supplier
+                 WHERE s_acctbal > 6000),
+    hs AS (SELECT ('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                       || CAST(i AS VARCHAR)), 1, 12))::BIGINT
+                    % 3968 AS h
+           FROM dim CROSS JOIN (SELECT unnest(range(1, 4)) AS i))
+    SELECT h // 62 AS lane,
+           bit_or(CAST(1 AS BIGINT) << CAST(h % 62 AS INTEGER)) AS mask
+    FROM hs GROUP BY 1
+    """,
+)
+def streaming_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental Bloom-index maintenance
+    (streaming/bloom_stream.py): the filtered dim keys arrive over TWO
+    availableNow ticks with at-least-once redelivery (every key of the
+    first wave is redelivered in the second, and each wave carries
+    within-tick duplicates), each tick publishes its own 64-lane table
+    under batch=<id> (idempotent dynamic-partition overwrite), and the
+    BIT_OR fold of all committed partitions must be BYTE-IDENTICAL to
+    the filter one batch build would produce — which is exactly what
+    the oracle states. BIT_OR's idempotence is the load-bearing
+    property: redelivery re-sets already-set bits, so no collapse
+    stage is needed anywhere.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.streaming.bloom_stream import (
+        read_bloom_index,
+        start_bloom_index_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_bloom_")
+    src, idx, ckpt = f"{work}/src", f"{work}/index", f"{work}/ckpt"
+    keys = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 6000)
+        .select(F.col("s_suppkey").cast("long").alias("key"))
+    )
+    w1 = keys.filter(F.col("key") % 2 == 0)
+    w1 = w1.unionByName(w1)  # within-tick duplicates
+    # wave 2: the odd keys PLUS a full redelivery of wave 1 (at-least-
+    # once across ticks)
+    w2 = keys.filter(F.col("key") % 2 == 1).unionByName(keys)
+    w1.coalesce(1).write.parquet(f"{src}/wave=1")
+    w2.coalesce(1).write.parquet(f"{src}/wave=2")
+    qh = start_bloom_index_stream(spark, src, idx, ckpt, key_col="key")
+    qh.awaitTermination()
+    out = read_bloom_index(spark, idx).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
