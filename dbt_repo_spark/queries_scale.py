@@ -801,8 +801,10 @@ def streaming_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wave 2: the odd keys PLUS a full redelivery of wave 1 (at-least-
     # once across ticks)
     w2 = keys.filter(F.col("key") % 2 == 1).unionByName(keys)
-    w1.coalesce(1).write.parquet(f"{src}/wave=1")
-    w2.coalesce(1).write.parquet(f"{src}/wave=2")
+    # two appends into the source root: one file each, so
+    # maxFilesPerTrigger=1 delivers exactly two ticks
+    w1.coalesce(1).write.mode("append").parquet(src)
+    w2.coalesce(1).write.mode("append").parquet(src)
     qh = start_bloom_index_stream(spark, src, idx, ckpt, key_col="key")
     qh.awaitTermination()
     out = read_bloom_index(spark, idx).localCheckpoint(eager=True)

@@ -208,3 +208,37 @@ def test_phash_twin_recall_total(spark):
     for r in rows.values():
         if r.near_canon is not None:
             assert 1 <= r.near_ham <= 2
+
+
+# -------------------------------------------------------- bloom stream
+
+
+def test_streaming_bloom_index_equals_batch_build(spark, tmp_path):
+    """Two ticks with duplicates + cross-tick redelivery must fold to
+    the EXACT filter a single batch build produces (BIT_OR idempotence),
+    and each tick leaves its own batch partition (idempotent publish)."""
+    import os
+
+    from dbt_repo_spark.operators.sketches import bloom_build
+    from dbt_repo_spark.streaming.bloom_stream import (
+        read_bloom_index,
+        start_bloom_index_stream,
+    )
+
+    keys = spark.range(40).select((F.col("id") * 3 + 1).alias("key"))
+    src, idx, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    w1 = keys.filter("key % 2 = 0")
+    w1.unionByName(w1).coalesce(1).write.mode("append").parquet(src)
+    keys.filter("key % 2 = 1").unionByName(keys).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    start_bloom_index_stream(spark, src, idx, ckpt).awaitTermination()
+    got = {(r.lane, r.mask) for r in read_bloom_index(spark, idx).collect()}
+    want = {(r.lane, r.mask) for r in bloom_build(keys, "key").collect()}
+    assert got == want
+    parts = {d for d in os.listdir(idx) if d.startswith("batch=")}
+    assert len(parts) == 2
