@@ -11,9 +11,10 @@ the experiment lifecycle (power plan / z-test readout / Wilson-CI
 reporting), governance (masked views), and the pre-publish audit
 (table diff). Every SQL-expressible query is exact-arithmetic end to
 end — integer/decimal aggregation with one final division of identical
-operands — and carries a full DuckDB oracle; the one exception is
-text_pii_spans (regex match OFFSETS are inexpressible in either SQL
-surface), which instead certifies itself in-plan.
+operands — and carries a full DuckDB oracle. Even text_pii_spans does
+since r08: match OFFSETS have no SQL builtin, but they are derivable
+exactly by zipping split-segments with extracted matches and
+prefix-summing lengths (see _PII_SPANS_SQL).
 
 Registered into the shared QUERIES/ORACLES maps (imported from
 ``dbt_repo_spark.queries`` at the bottom of that module).
@@ -980,7 +981,100 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("text_pii_spans")
+# ---------------------------------------------------------------------
+# text_pii_spans FULL oracle (r08): regex match OFFSETS have no direct
+# SQL builtin in either engine, but they are DERIVABLE exactly — zip
+# string_split_regex (the between-match segments, in order) with
+# regexp_extract_all (the matches, in order) and prefix-sum the lengths.
+# Precedence is reproduced by REBUILDING the same-length-masked text
+# between classes (chr(1) runs — inert for every pattern class and a
+# non-word char exactly like the Python \x00 mask, so \b behaves
+# identically). This retires the registry's LAST rows-only row.
+# ---------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d ]{6,14}\d"
+
+def _pii_stage(c, pat, prev):
+    return f"""
+    {c}_parts AS (
+      SELECT doc_id, string_split_regex(m, '{pat}') AS segs,
+             regexp_extract_all(m, '{pat}') AS ms
+      FROM {prev}),
+    {c}_rows AS (
+      SELECT doc_id, i, ms[i] AS mt, length(ms[i]) AS mlen,
+             length(segs[i]) AS slen
+      FROM {c}_parts, UNNEST(range(1, len(ms) + 1)) AS u(i)),
+    {c}_spans AS (
+      SELECT doc_id, '{c}' AS span_type,
+             CAST(SUM(slen) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING)
+                  + COALESCE(SUM(mlen) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS INTEGER) AS start,
+             CAST(mlen AS INTEGER) AS mlen, mt
+      FROM {c}_rows),
+    {c}_masked AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS m
+      FROM (
+        SELECT doc_id, 0 AS ord, segs[1] AS piece FROM {c}_parts
+        UNION ALL
+        SELECT doc_id, 2*i - 1, repeat(chr(1), length(ms[i]))
+        FROM {c}_parts, UNNEST(range(1, len(ms) + 1)) AS u(i)
+        UNION ALL
+        SELECT doc_id, 2*i, segs[i + 1]
+        FROM {c}_parts, UNNEST(range(1, len(ms) + 1)) AS u(i)
+      ) GROUP BY doc_id)"""
+
+_PII_SPANS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 call +47 2255 01'
+                    || CAST(doc_id % 10 AS VARCHAR) || CAST(doc_id % 7 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL),
+    m0 AS (SELECT doc_id, text AS m FROM base),
+    {_pii_stage("email", _PII_EMAIL, "m0")},
+    {_pii_stage("ipv4", _PII_IPV4, "email_masked")},
+    {_pii_stage("phone", _PII_PHONE, "ipv4_masked")},
+    spans AS (
+      SELECT * FROM email_spans
+      UNION ALL SELECT * FROM ipv4_spans
+      UNION ALL SELECT * FROM phone_spans),
+    jvm AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}')) AS BIGINT) AS n_phone
+      FROM base),
+    jvm_long AS (
+      SELECT doc_id, 'email' AS span_type, n_email AS n_jvm FROM jvm
+      UNION ALL SELECT doc_id, 'ipv4', n_ipv4 FROM jvm
+      UNION ALL SELECT doc_id, 'phone', n_phone FROM jvm),
+    py_counts AS (
+      SELECT doc_id, span_type, COUNT(*) AS n_py FROM spans GROUP BY 1, 2)
+    SELECT s.doc_id, s.span_type, s.start,
+           CAST(s.start + s.mlen AS INTEGER) AS "end",
+           substr(b.text, s.start + 1, s.mlen) AS span_text,
+           substr(b.text, s.start + 1, s.mlen) = s.mt AS span_matches_text,
+           substr(b.text, s.start + 1, s.mlen) = s.mt AS jvm_slice_match,
+           pc.n_py = COALESCE(j.n_jvm, -1) AS class_count_match
+    FROM spans s
+    JOIN base b ON b.doc_id = s.doc_id
+    JOIN py_counts pc ON pc.doc_id = s.doc_id AND pc.span_type = s.span_type
+    LEFT JOIN jvm_long j ON j.doc_id = s.doc_id AND j.span_type = s.span_type
+"""
+
+
+@q("text_pii_spans", _PII_SPANS_SQL)
 def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-offset PII spans over the documents table — the
     span-labeling training-data shape (NER targets, surgical redaction
@@ -988,10 +1082,13 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     email/IP/phone suffix as text_pii_redaction (the synthetic corpus
     carries no organic PII — non-vacuous by construction).
 
-    rows-only by necessity: neither engine's SQL surface exposes regex
-    match OFFSETS, so there is no DuckDB twin — instead the row carries
-    THREE independent in-plan certificates the harness hash observes
-    (r08 hardening, r07 verdict ask #8):
+    FULL oracle since r08 (this was the registry's last rows-only
+    row): no SQL builtin exposes match offsets, but they are DERIVABLE
+    exactly — the DuckDB twin zips string_split_regex segments with
+    regexp_extract_all matches and prefix-sums their lengths, and
+    reproduces the precedence chain by rebuilding the same-length
+    chr(1)-masked text between classes. The row ALSO carries three
+    independent in-plan certificates (r07 verdict ask #8):
 
     - ``span_matches_text`` — text[start:end] == span_text inside the
       Python extraction (masked-match vs original-text agreement);

@@ -1,6 +1,6 @@
 """Scale-infrastructure query family (round-8 additions).
 
-Four operators a 100 TB deployment leans on that the registry did not yet
+Operators a 100 TB deployment leans on that the registry did not yet
 expose as oracle-checked queries:
 
 - **Z-order layout manifest** (`layout.morton_interleave`): the
@@ -27,6 +27,13 @@ expose as oracle-checked queries:
   sessionize`): the applyInPandasWithState event-time-timer operator
   promoted to a full oracle — live closed sessions hash-equal the batch
   gap-sessionization (sentinel-tick watermark flush).
+- **Perceptual image dedup** (`multimodal.phash_nibbles`): decoded-pixel
+  average-hash, cluster-first linear output, 3-group-banded Hamming<=2
+  near links; container-invariant where byte SimHash is blind.
+- **MATCH_RECOGNIZE-lite pattern match** (`event_pattern_match`): the
+  negative-condition funnel via next-event struct windows.
+- **LIVE incremental Bloom-index tick** (`streaming/bloom_stream.py`):
+  per-tick lane publish + BIT_OR fold, byte-identical to a batch build.
 
 Cross-engine exactness: every query here is integers and booleans end to
 end except streaming_sessionize's total_value, which is kept exact by
