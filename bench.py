@@ -267,6 +267,9 @@ HEADLINE = [
     "dp_laplace_counts",
     "multimodal_phash_dedup",
     "event_pattern_match",
+    "streaming_sessionize",
+    "streaming_bloom_index",
+    "funnel_paths_topk",
 ]
 
 RUNS = 3

@@ -817,3 +817,61 @@ def streaming_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_bloom_index(spark, idx).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@q(
+    "funnel_paths_topk",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             CAST(COUNT(*) AS BIGINT) AS path_len
+      FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, path_len, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path, path_len
+    ORDER BY n_users DESC, path ASC LIMIT 10
+    """,
+)
+def funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most common opening event sequences (each
+    user's first 3 events in (ts, event_id) order, joined with '>') —
+    the product-analytics "paths" report that pairwise
+    event_transition_matrix can't express (it loses sequence identity
+    beyond one step).
+
+    Shape: per-user rank via WindowGroupLimit-prunable row_number
+    (rn <= 3 filter lets Spark cap each key map-side), one hash-agg to
+    the path string, one hash-agg to path counts, then a
+    TakeOrderedAndProject top-10 — k rows per partition cross the
+    wire, never the full path dictionary. Deterministic: the rank
+    order carries the event_id tie-break and the final sort breaks
+    count ties on the path string.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    first3 = ev.withColumn("rn", rn).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
