@@ -267,8 +267,9 @@ HEADLINE = [
     "dp_laplace_counts",
     "multimodal_phash_dedup",
     "event_pattern_match",
-    "streaming_sessionize",
-    "streaming_bloom_index",
+    # streaming_sessionize / streaming_bloom_index stay OFF the headline
+    # per the streaming-twin policy (stream-startup dominated; their
+    # floors live in SCALE.md and the oracle gate)
     "funnel_paths_topk",
 ]
 
