@@ -20,11 +20,9 @@ def test_oracle_parity(name, spark, sf_dir):
     assert result["values_match"], f"value mismatch: {result}"
 
 
-NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
-
-
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """r08 milestone, pinned as an invariant: the registry carries ZERO
+    rows-only entries — every query has a full DuckDB value oracle. A
+    new query without one fails here (add the oracle, or consciously
+    revive the rows-only harness this test replaced)."""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
