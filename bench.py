@@ -271,6 +271,7 @@ HEADLINE = [
     # per the streaming-twin policy (stream-startup dominated; their
     # floors live in SCALE.md and the oracle gate)
     "funnel_paths_topk",
+    "multimodal_phash_groups",
 ]
 
 RUNS = 3

@@ -467,8 +467,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-_PHASH_SQL = """
-    WITH img AS (
+_PHASH_CTES = """img AS (
       SELECT doc_id AS media_id, doc_id AS pid,
              CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
                   ELSE 3 + doc_id % 6 END AS w,
@@ -525,7 +524,10 @@ _PHASH_SQL = """
                         + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hd
             FROM cand
             JOIN rep a ON a.canonical = ca
-            JOIN rep b ON b.canonical = cb),
+            JOIN rep b ON b.canonical = cb)"""
+
+_PHASH_SQL = f"""
+    WITH {_PHASH_CTES},
     near0 AS (SELECT ca AS c, cb AS o, hd FROM ham WHERE hd BETWEEN 1 AND 2
               UNION ALL
               SELECT cb, ca, hd FROM ham WHERE hd BETWEEN 1 AND 2),
@@ -538,35 +540,36 @@ _PHASH_SQL = """
     LEFT JOIN near ON near.c = cl.canonical
 """
 
+_PHASH_GROUPS_SQL = f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    hamf AS (SELECT ca, cb FROM ham WHERE hd BETWEEN 1 AND 2),
+    bidir AS (SELECT ca AS s, cb AS d FROM hamf
+              UNION SELECT cb, ca FROM hamf),
+    cc(node, label) AS (
+      SELECT s, s FROM bidir
+      UNION
+      SELECT b.d, cc.label FROM cc JOIN bidir b ON b.s = cc.node),
+    lab AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+    member AS (
+      SELECT pk.media_id, cl.canonical,
+             COALESCE(lab.label, cl.canonical) AS group_id
+      FROM pk
+      JOIN cl ON pk.h1 = cl.h1 AND pk.h2 = cl.h2
+      LEFT JOIN lab ON lab.node = cl.canonical)
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_clusters,
+           MIN(media_id) AS min_media_id, MAX(media_id) AS max_media_id
+    FROM member GROUP BY group_id
+"""
 
-@q("multimodal_phash_dedup", _PHASH_SQL)
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual (decoded-PIXEL) image dedup: average-hash over the 8x8
-    nearest-sample gray grid — the semantic complement of
-    ``multimodal_near_dedup``'s raw-BYTE SimHash: a re-encoded image
-    (bmp <-> ppm, same pixels) shares no bytes with its original, so the
-    byte detector is blind to it, while the pixel hash matches it
-    exactly. Every 5th image doc is seeded with a cross-format twin and
-    the unit test pins that every twin lands in its base's cluster.
 
-    SCALE-CORRECT OUTPUT SHAPE (first cut emitted all Hamming<=10 pairs
-    and measured 4x pairs per 2x corpus on this dup-heavy fixture —
-    pair lists over identical-hash groups are inherently quadratic):
-    1. CLUSTER identical 64-bit hashes (one hash-agg; min-id canonical)
-       — exact-dup mass collapses to one row per image, linear.
-    2. NEAR-link only between DISTINCT hashes (996 of 4000 images at
-       sf0.1 — bounded by distinct perceptual content, not corpus
-       size): 3-group banding (24/20/20 bits; Hamming <= 2 flips <= 2
-       bit-groups, so >= 1 band matches exactly — pigeonhole recall 1),
-       bandwise XOR/bit_count verify, nearest neighbor per cluster as
-       MIN(struct(ham, canonical)).
-    Output: one row per image (media_id, canonical_id, cluster_size,
-    near_canon, near_ham) — linear in the corpus.
-
-    Decode + hash is ONE Arrow pass over the real codecs (the
-    sanctioned seam); packing, clustering, banding, and the Hamming
-    verify are JVM-side integer relational algebra.
-    """
+def _phash_base(spark: SparkSession, sf_dir: str):
+    """Shared perceptual-hash relations for the dedup + groups queries:
+    pk (image -> packed 32-bit hash halves), cl (identical-hash
+    clusters), ham (canonical near-pairs at Hamming 1..2). pk and the
+    band representative relation are lineage-cut so the Arrow decode
+    runs once per query."""
     from dbt_repo_spark.operators import multimodal
 
     media = multimodal.real_media_with_format_twins(
@@ -585,7 +588,9 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("band") >= 8,
-                F.expr("shiftleft(CAST(v AS BIGINT), CAST(4 * (band - 8) AS INT))"),
+                F.expr(
+                    "shiftleft(CAST(v AS BIGINT), CAST(4 * (band - 8) AS INT))"
+                ),
             ).otherwise(F.lit(0))
         )
         .cast("long")
@@ -642,11 +647,49 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hd").between(1, 2))
     )
+    return pk, cl, ham
+
+
+@q("multimodal_phash_dedup", _PHASH_SQL)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (decoded-PIXEL) image dedup: average-hash over the 8x8
+    nearest-sample gray grid — the semantic complement of
+    ``multimodal_near_dedup``'s raw-BYTE SimHash: a re-encoded image
+    (bmp <-> ppm, same pixels) shares no bytes with its original, so the
+    byte detector is blind to it, while the pixel hash matches it
+    exactly. Every 5th image doc is seeded with a cross-format twin and
+    the unit test pins that every twin lands in its base's cluster.
+
+    SCALE-CORRECT OUTPUT SHAPE (first cut emitted all Hamming<=10 pairs
+    and measured 4x pairs per 2x corpus on this dup-heavy fixture —
+    pair lists over identical-hash groups are inherently quadratic):
+    1. CLUSTER identical 64-bit hashes (one hash-agg; min-id canonical)
+       — exact-dup mass collapses to one row per image, linear.
+    2. NEAR-link only between DISTINCT hashes (996 of 4000 images at
+       sf0.1 — bounded by distinct perceptual content, not corpus
+       size): 3-group banding (24/20/20 bits; Hamming <= 2 flips <= 2
+       bit-groups, so >= 1 band matches exactly — pigeonhole recall 1),
+       bandwise XOR/bit_count verify, nearest neighbor per cluster as
+       MIN(struct(ham, canonical)).
+    Output: one row per image (media_id, canonical_id, cluster_size,
+    near_canon, near_ham) — linear in the corpus.
+
+    Decode + hash is ONE Arrow pass over the real codecs (the
+    sanctioned seam); packing, clustering, banding, and the Hamming
+    verify are JVM-side integer relational algebra.
+    """
+    pk, cl, ham = _phash_base(spark, sf_dir)
     near = (
         ham.select(F.col("ca").alias("c"), F.col("cb").alias("o"), "hd")
-        .unionByName(ham.select(F.col("cb").alias("c"), F.col("ca").alias("o"), "hd"))
+        .unionByName(
+            ham.select(F.col("cb").alias("c"), F.col("ca").alias("o"), "hd")
+        )
         .groupBy("c")
-        .agg(F.min(F.struct(F.col("hd").alias("h"), F.col("o").alias("o"))).alias("nn"))
+        .agg(
+            F.min(
+                F.struct(F.col("hd").alias("h"), F.col("o").alias("o"))
+            ).alias("nn")
+        )
     )
     return (
         pk.join(cl, ["h1", "h2"])
@@ -658,6 +701,40 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn.o").alias("near_canon"),
             F.col("nn.h").alias("near_ham"),
         )
+    )
+
+
+@q("multimodal_phash_groups", _PHASH_GROUPS_SQL)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual GROUPS: connected components over the Hamming<=2
+    near-links between identical-hash clusters — the transitive-closure
+    half of perceptual dedup (A~B and B~C group A,B,C even when A,C sit
+    just past the radius), composing two proven pieces: _phash_base's
+    cluster/near relations and graph.connected_components' min-label
+    propagation. Output is group-level (bounded by distinct perceptual
+    content): (group_id, n_images, n_clusters, min/max member id);
+    clusters with no near-link form their own singleton group. The
+    oracle replays the closure as a recursive min-label CTE (the
+    dedup_clusters recipe) over the same banded pair set.
+    """
+    from dbt_repo_spark.operators.graph import connected_components
+
+    pk, cl, ham = _phash_base(spark, sf_dir)
+    lab = connected_components(ham, src="ca", dst="cb")
+    member = (
+        pk.join(cl, ["h1", "h2"])
+        .join(lab, F.col("canonical") == F.col("node"), "left")
+        .select(
+            "media_id",
+            "canonical",
+            F.coalesce(F.col("cluster_id"), F.col("canonical")).alias("group_id"),
+        )
+    )
+    return member.groupBy("group_id").agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("canonical").cast("long").alias("n_clusters"),
+        F.min("media_id").alias("min_media_id"),
+        F.max("media_id").alias("max_media_id"),
     )
 
 
