@@ -128,15 +128,15 @@ def test_history_classifies_rows_only_records():
     """A clean rows-only record (err='no_oracle', count present) is NOT a
     failure; a recorded traceback or a missing count is."""
     latest, failed = entry_mod._check_history()
-    # the one remaining oracle-less entry rides its clean rows-only rows:
-    assert "text_pii_spans" not in failed
     # Queries that GAINED an oracle after rows-only ledger records (r07:
     # multimodal_features, dedup_minhash_lsh, the IVF pair, the graph
     # iteratives; r08: bpe_tokenize, the sketch trio, the solver-sized
-    # pair generator) must re-queue for a full check, not ride the old
+    # pair generator, and finally text_pii_spans — the registry's last
+    # rows-only row) must re-queue for a full check, not ride the old
     # rows-only pass (each leaves `failed` once a hash-green row lands)
     for gained in (
         "bpe_tokenize",
+        "text_pii_spans",
         "approx_distinct_sketch",
         "distinct_sketch_rollup",
         "quantile_sketch_rollup",
