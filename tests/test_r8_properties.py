@@ -1,0 +1,145 @@
+"""Property-based tests for the round-8 scale-infrastructure primitives
+(morton interleave, portable Bloom, curriculum packing, BFS) on
+hypothesis-generated inputs — adversarial values where the fixture
+sweeps can't reach (negative-adjacent ranks, collision-heavy key sets,
+degenerate token distributions, disconnected graphs).
+
+Each property runs ONE Spark job over a generated batch (examples are
+lists); R8_FUZZ_EXAMPLES widens the sweep pre-judging like the shim
+fuzzer's SHIM_FUZZ_EXAMPLES.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=int(os.environ.get("R8_FUZZ_EXAMPLES", "5")), deadline=None
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_interleave_matches_reference(spark, batch):
+    """morton_interleave == the pure-Python bit interleave for arbitrary
+    8-bit rank pairs, and the z-value round-trips to its inputs (the
+    curve is a bijection on the rank grid)."""
+    from dbt_repo_spark.operators.layout import morton_interleave
+
+    df = spark.createDataFrame([Row(i=i, a=a, b=b) for i, (a, b) in enumerate(batch)])
+    got = {
+        r.i: r.z
+        for r in df.withColumn(
+            "z", morton_interleave(F.col("a"), F.col("b"), bits=8)
+        ).collect()
+    }
+    for i, (a, b) in enumerate(batch):
+        want = 0
+        for k in range(8):
+            want |= ((a >> k) & 1) << (2 * k)
+            want |= ((b >> k) & 1) << (2 * k + 1)
+        assert got[i] == want
+        # inverse: de-interleave recovers (a, b)
+        ra = sum(((got[i] >> (2 * k)) & 1) << k for k in range(8))
+        rb = sum(((got[i] >> (2 * k + 1)) & 1) << k for k in range(8))
+        assert (ra, rb) == (a, b)
+
+
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=80, unique=True),
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=80, unique=True),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Every member key passes its own filter regardless of key values
+    or collision density (the Bloom contract), and the lane table stays
+    bounded."""
+    from dbt_repo_spark.operators.sketches import (
+        BLOOM_LANES,
+        bloom_build,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([Row(key=int(k)) for k in members])
+    bloom = bloom_build(mdf, "key")
+    assert bloom.count() <= BLOOM_LANES
+    pdf = spark.createDataFrame([Row(key=int(k)) for k in set(members) | set(probes)])
+    passed = {r.key for r in bloom_probe(pdf, bloom, "key").filter("bloom_pass").collect()}
+    assert set(members) <= passed
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    st.integers(16, 512),
+)
+@settings(**SETTINGS)
+def test_curriculum_shards_conserve_and_order(spark, token_counts, budget):
+    """Shard manifests conserve docs and tokens exactly; shard ids are
+    strictly increasing from 0 (an oversized doc legitimately SKIPS the
+    budget boundaries it spills past — ids are dense only when every doc
+    fits one budget); curriculum order (min_tokens non-decreasing across
+    shards) holds for any token distribution."""
+    from dbt_repo_spark.operators.sampling import curriculum_token_shards
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=int(t)) for i, t in enumerate(token_counts)]
+    )
+    rows = sorted(
+        curriculum_token_shards(docs, "doc_id", "n_tokens", budget=budget).collect(),
+        key=lambda r: r.shard_id,
+    )
+    ids = [r.shard_id for r in rows]
+    assert ids[0] == 0 and ids == sorted(set(ids))
+    if max(token_counts) <= budget:
+        assert ids == list(range(len(rows)))
+    assert sum(r.n_docs for r in rows) == len(token_counts)
+    assert sum(r.shard_tokens for r in rows) == sum(token_counts)
+    mins = [r.min_tokens for r in rows]
+    assert mins == sorted(mins)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(st.integers(0, 30), min_size=1, max_size=5, unique=True),
+)
+@settings(**SETTINGS)
+def test_bfs_hops_matches_reference(spark, edge_list, seed_list):
+    """bfs_hops == a pure-Python BFS on arbitrary small graphs (self
+    loops, parallel edges, disconnected components, seeds off-graph)."""
+    from dbt_repo_spark.operators.graph import bfs_hops
+
+    iters = 4
+    e = spark.createDataFrame([Row(src=a, dst=b) for a, b in edge_list])
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([Row(node=s) for s in seed_list])
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, iters=iters).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seed_list}
+    frontier = set(seed_list)
+    for d in range(1, iters + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    assert got == want
