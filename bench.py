@@ -272,6 +272,7 @@ HEADLINE = [
     # floors live in SCALE.md and the oracle gate)
     "funnel_paths_topk",
     "multimodal_phash_groups",
+    "mv_join_delta_maintenance",
 ]
 
 RUNS = 3

@@ -952,3 +952,79 @@ def funnel_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@q(
+    "mv_join_delta_maintenance",
+    """
+    WITH thr AS (SELECT CAST(floor(COUNT(*) * 0.8) AS BIGINT) AS t,
+                        CAST(MAX(o_orderkey) AS BIGINT) AS mx
+                 FROM orders),
+    ranked AS (SELECT o.*, row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders o),
+    v AS (SELECT r.o_orderkey, r.o_totalprice, c.c_mktsegment,
+                 r.rn > thr.t AS from_delta
+          FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+          CROSS JOIN thr)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN from_delta THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_delta,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM v GROUP BY c_mktsegment
+    """,
+)
+def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: V = orders ⋈ customer kept
+    current by the delta rule ΔV = ΔA ⋈ B — the join-view sibling of
+    plans/mv.py's aggregate rollups (those re-aggregate; join views
+    append their delta). The first 80% of orders (by key order) is the
+    materialized view; the last 20% arrives as a delta batch DELIVERED
+    TWICE (at-least-once), is collapsed by the incremental anti-join
+    against the view's key set (the J6 primitive), joined to the
+    broadcast dim, and unioned in. The maintained view must equal the
+    full recompute — the oracle states the recompute, and n_from_delta
+    proves the delta path actually contributed rows.
+
+    Scale: the fact is never re-scanned — maintenance cost is
+    |Δ| ⋈ broadcast(dim) plus one anti-join against the view's key
+    projection. This is the production shape for keeping a 10¹¹-row
+    denormalized view current from a stream of fact appends.
+    """
+    from dbt_repo_spark.operators.ids import exact_order_statistics
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # deterministic 80/20 split WITHOUT a global row_number window: the
+    # orderkey at exact rank floor(0.8n)-1 via the two-phase selection
+    # (orderkeys are unique, so value <= boundary == rank <= floor(0.8n))
+    cut = exact_order_statistics(
+        orders, "o_orderkey", ranks_of_n=lambda n: [(n * 8) // 10 - 1]
+    )
+    boundary = next(iter(cut.values()))
+    base_facts = orders.filter(F.col("o_orderkey") <= boundary)
+    delta_facts = orders.filter(F.col("o_orderkey") > boundary)
+    delta_facts = delta_facts.unionByName(delta_facts)  # at-least-once
+
+    join_view = (
+        lambda f, flag: f.join(F.broadcast(cust), f["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+        .withColumn("from_delta", F.lit(flag))
+    )
+    v0 = join_view(base_facts, False)
+    # exactly-once collapse: drop redelivered keys already in the view,
+    # and keys duplicated within the delta batch itself
+    fresh = delta_facts.join(
+        v0.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).dropDuplicates(["o_orderkey"])
+    maintained = v0.unionByName(join_view(fresh, True))
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("from_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_from_delta"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
