@@ -273,6 +273,7 @@ HEADLINE = [
     "funnel_paths_topk",
     "multimodal_phash_groups",
     "mv_join_delta_maintenance",
+    "unigram_lm_tokenize",
 ]
 
 RUNS = 3

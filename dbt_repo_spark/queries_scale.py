@@ -1028,3 +1028,205 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+_UNIGRAM_MAXLEN = 12  # DP rounds; words longer than this are excluded
+_UNIGRAM_PIECE_MAX = 4
+
+
+def _unigram_oracle() -> str:
+    """Unrolled Viterbi CTEs: dp{p} holds, per word of length >= p, the
+    minimum-cost (then lexicographically-least-path) segmentation of the
+    first p characters; dp0 is the empty prefix. Costs are 6-dp-scaled
+    integer negative log-probs — ln over identical doubles rounds to the
+    SAME integer in both engines, so the whole DP is exact integer
+    arithmetic and the argmin is deterministic."""
+    dps = []
+    for p in range(1, _UNIGRAM_MAXLEN + 1):
+        legs = []
+        for l in range(1, min(_UNIGRAM_PIECE_MAX, p) + 1):
+            legs.append(f"""
+        SELECT d.w, d.len, d.freq, d.cost + k.c AS cand_c,
+               CASE WHEN d.path = '' THEN d.pc
+                    ELSE d.path || '|' || d.pc END AS cand_p
+        FROM (SELECT *, substr(w, {p - l + 1}, {l}) AS pc
+              FROM dp{p - l} WHERE len >= {p}) d
+        JOIN pcost k ON k.piece = d.pc""")
+        dps.append(f"""
+    dp{p} AS MATERIALIZED (
+      SELECT w, len, freq, m.c AS cost, m.p AS path FROM (
+        SELECT w, len, freq, MIN(struct_pack(c := cand_c, p := cand_p)) AS m
+        FROM ({" UNION ALL ".join(legs)})
+        GROUP BY w, len, freq))""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM dp{p} WHERE len = {p}"
+        for p in range(1, _UNIGRAM_MAXLEN + 1)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+                  FROM documents),
+    wl AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, length(w) AS len
+           FROM toks GROUP BY 1
+           HAVING length(w) <= {_UNIGRAM_MAXLEN}),
+    pc AS (SELECT substr(w, s, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM wl,
+                UNNEST(range(1, len + 1)) AS us(s),
+                UNNEST(range(1, {_UNIGRAM_PIECE_MAX + 1})) AS ul(l)
+           WHERE s + l - 1 <= len GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pc),
+    pcost AS (SELECT piece,
+                     CAST(round(-ln(CAST(cnt AS DOUBLE)
+                                    / CAST(tot.tot AS DOUBLE))
+                                * 1000000.0, 0) AS BIGINT) AS c
+              FROM pc, tot),
+    dp0 AS MATERIALIZED (SELECT w, len, freq, CAST(0 AS BIGINT) AS cost,
+                         '' AS path
+                         FROM wl),
+    {",".join(dps)}
+    SELECT w AS word, freq, CAST(len AS BIGINT) AS word_len,
+           cost AS total_cost,
+           CAST(length(path) - length(replace(path, '|', '')) + 1 AS BIGINT)
+             AS n_pieces,
+           path AS segmentation
+    FROM ({finals})
+    """
+
+
+@q("unigram_lm_tokenize", _unigram_oracle())
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi tokenization — the
+    E-step of unigram tokenizer training, the other half of the
+    tokenizer family next to bpe_tokenize (BPE merges greedily;
+    unigram picks each word's GLOBALLY optimal segmentation under
+    piece log-probs): vocabulary = every 1..4-char substring with its
+    corpus occurrence count, piece cost = 6-dp-scaled integer
+    -ln(count/total), per-word best split by Viterbi DP over word
+    positions.
+
+    Exactness across engines: ln of identical doubles rounds to the
+    same 6-dp integer (the bigram-LM rule), so the DP runs in exact
+    integer arithmetic; ties in cost break on the lexicographically
+    least path string via MIN(struct(cost, path)) — fully
+    deterministic, no backtracking (the path rides the DP state).
+
+    Scale: everything is DISTINCT-WORD-relation work (Zipf-bounded —
+    the corpus explodes once to count pieces, then never again); the
+    DP is MAXLEN unrolled rounds of (vocab-row join piece-cost table),
+    lineage-cut per round. Words longer than {maxlen} chars are
+    excluded by contract (production caps piece/word length the same
+    way). Output: one row per distinct word with its freq, optimal
+    cost, piece count, and '|'-joined segmentation.
+    """
+    from dbt_repo_spark.operators.dedup import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    wl = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn("len", F.length("w"))
+        .filter(F.col("len") <= _UNIGRAM_MAXLEN)
+        .localCheckpoint(eager=True)
+    )
+    pieces = (
+        wl.select(
+            "w",
+            "freq",
+            "len",
+            F.explode(F.sequence(F.lit(1), F.col("len"))).alias("s"),
+        )
+        .select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_UNIGRAM_PIECE_MAX))
+            ).alias("l"),
+            "s",
+            "len",
+        )
+        .filter(F.col("s") + F.col("l") - 1 <= F.col("len"))
+        .select(F.expr("substr(w, s, l)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    tot = pieces.agg(F.sum("cnt").cast("long").alias("tot"))
+    pcost = (
+        pieces.join(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(
+                -F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dps = {
+        0: wl.select(
+            "w", "len", "freq", F.lit(0).cast("long").alias("cost"),
+            F.lit("").alias("path"),
+        )
+    }
+    # rounds beyond the observed longest word are empty frames; skip the
+    # scheduler round-trips (bounded driver read: one MAX over the
+    # checkpointed vocab relation — the oracle stays statically unrolled)
+    max_len = wl.agg(F.max("len")).collect()[0][0] or 0
+    rounds = min(int(max_len), _UNIGRAM_MAXLEN)
+    for p in range(1, rounds + 1):
+        legs = []
+        for l in range(1, min(_UNIGRAM_PIECE_MAX, p) + 1):
+            d = (
+                dps[p - l]
+                .filter(F.col("len") >= p)
+                .withColumn("pc", F.expr(f"substr(w, {p - l + 1}, {l})"))
+            )
+            legs.append(
+                d.join(pcost, d["pc"] == pcost["piece"]).select(
+                    "w",
+                    "len",
+                    "freq",
+                    (F.col("cost") + F.col("c")).alias("cand_c"),
+                    F.when(F.col("path") == "", F.col("pc"))
+                    .otherwise(F.concat("path", F.lit("|"), F.col("pc")))
+                    .alias("cand_p"),
+                )
+            )
+        cands = legs[0]
+        for leg in legs[1:]:
+            cands = cands.unionByName(leg)
+        dp = (
+            cands.groupBy("w", "len", "freq")
+            .agg(
+                F.min(
+                    F.struct(F.col("cand_c").alias("c"), F.col("cand_p").alias("p"))
+                ).alias("m")
+            )
+            .select(
+                "w", "len", "freq",
+                F.col("m.c").alias("cost"), F.col("m.p").alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dps[p] = dp
+    done = None
+    for p in range(1, rounds + 1):
+        leg = dps[p].filter(F.col("len") == p)
+        done = leg if done is None else done.unionByName(leg)
+    return done.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.col("len").cast("long").alias("word_len"),
+        F.col("cost").alias("total_cost"),
+        (
+            F.length("path")
+            - F.length(F.regexp_replace("path", "\\|", ""))
+            + 1
+        )
+        .cast("long")
+        .alias("n_pieces"),
+        F.col("path").alias("segmentation"),
+    )

@@ -242,3 +242,61 @@ def test_streaming_bloom_index_equals_batch_build(spark, tmp_path):
     assert got == want
     parts = {d for d in os.listdir(idx) if d.startswith("batch=")}
     assert len(parts) == 2
+
+
+# -------------------------------------------------------------- unigram
+
+
+def test_unigram_viterbi_is_optimal(spark):
+    """Brute-force optimality certificate: for every word, the DP's
+    total_cost equals the minimum over ALL segmentations into 1..4-char
+    pieces under the same integer cost table, and the emitted path
+    re-joins to the word with exactly that cost."""
+    import math
+
+    from dbt_repo_spark.queries import t
+    from dbt_repo_spark.operators.dedup import tokens as tok
+
+    rows = QUERIES["unigram_lm_tokenize"](spark, SF01).collect()
+    words = {
+        (r.w, r.freq)
+        for r in t(spark, SF01, "documents")
+        .select(F.explode(tok(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    counts: dict[str, int] = {}
+    for w, f in words:
+        for s in range(len(w)):
+            for l in range(1, 5):
+                if s + l <= len(w):
+                    counts[w[s : s + l]] = counts.get(w[s : s + l], 0) + f
+    total = sum(counts.values())
+    cost = {
+        p: int(
+            __import__("decimal").Decimal(
+                -math.log(c / total) * 1e6
+            ).quantize(0, rounding="ROUND_HALF_UP")
+        )
+        for p, c in counts.items()
+    }
+
+    def best(w: str) -> int:
+        dp = [0] + [None] * len(w)
+        for p in range(1, len(w) + 1):
+            cands = [
+                dp[p - l] + cost[w[p - l : p]]
+                for l in range(1, min(4, p) + 1)
+                if dp[p - l] is not None
+            ]
+            dp[p] = min(cands)
+        return dp[len(w)]
+
+    assert len(rows) == len(words)
+    for r in rows:
+        assert r.total_cost == best(r.word), r.word
+        pieces = r.segmentation.split("|")
+        assert "".join(pieces) == r.word
+        assert sum(cost[p] for p in pieces) == r.total_cost
+        assert r.n_pieces == len(pieces)
