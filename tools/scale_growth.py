@@ -92,6 +92,13 @@ OPS = [
     "curriculum_shards",
     "event_pattern_match",
     "streaming_sessionize",
+    # r08 third wave: path mining (events), perceptual groups
+    # (documents), and the unigram Viterbi tokenizer — token-suffix
+    # replicas multiply the DISTINCT vocab by k, which is exactly the
+    # relation the DP claims to be bounded by.
+    "funnel_paths_topk",
+    "multimodal_phash_groups",
+    "unigram_lm_tokenize",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events"}
 
