@@ -1209,6 +1209,10 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w", "len", "freq",
                 F.col("m.c").alias("cost"), F.col("m.p").alias("path"),
             )
+            # per-round lineage cut: checkpointing every 3rd round was
+            # MEASURED SLOWER (7.98s vs 5.26s median at sf0.1) — the
+            # 4^3-duplicated analysis/codegen between cuts costs more
+            # than the saved scheduler round-trips on vocab-sized data
             .localCheckpoint(eager=True)
         )
         dps[p] = dp
