@@ -1034,13 +1034,14 @@ _UNIGRAM_MAXLEN = 12  # DP rounds; words longer than this are excluded
 _UNIGRAM_PIECE_MAX = 4
 
 
-def _unigram_oracle() -> str:
-    """Unrolled Viterbi CTEs: dp{p} holds, per word of length >= p, the
-    minimum-cost (then lexicographically-least-path) segmentation of the
-    first p characters; dp0 is the empty prefix. Costs are 6-dp-scaled
-    integer negative log-probs — ln over identical doubles rounds to the
-    SAME integer in both engines, so the whole DP is exact integer
-    arithmetic and the argmin is deterministic."""
+def _unigram_dp_sql(prefix: str, cost_rel: str) -> str:
+    """Unrolled Viterbi CTE chain `{prefix}0..{prefix}N` + `{prefix}done`
+    over the `wl` word relation under cost table ``cost_rel``: {prefix}p
+    holds, per word of length >= p, the minimum-cost (then
+    lexicographically-least-path) segmentation of the first p chars.
+    MATERIALIZED is load-bearing: each dp stage is referenced by up to
+    PIECE_MAX later stages and inlining re-evaluates the chain
+    exponentially (measured as a hang)."""
     dps = []
     for p in range(1, _UNIGRAM_MAXLEN + 1):
         legs = []
@@ -1050,20 +1051,27 @@ def _unigram_oracle() -> str:
                CASE WHEN d.path = '' THEN d.pc
                     ELSE d.path || '|' || d.pc END AS cand_p
         FROM (SELECT *, substr(w, {p - l + 1}, {l}) AS pc
-              FROM dp{p - l} WHERE len >= {p}) d
-        JOIN pcost k ON k.piece = d.pc""")
+              FROM {prefix}{p - l} WHERE len >= {p}) d
+        JOIN {cost_rel} k ON k.piece = d.pc""")
         dps.append(f"""
-    dp{p} AS MATERIALIZED (
+    {prefix}{p} AS MATERIALIZED (
       SELECT w, len, freq, m.c AS cost, m.p AS path FROM (
         SELECT w, len, freq, MIN(struct_pack(c := cand_c, p := cand_p)) AS m
         FROM ({" UNION ALL ".join(legs)})
         GROUP BY w, len, freq))""")
     finals = " UNION ALL ".join(
-        f"SELECT * FROM dp{p} WHERE len = {p}"
+        f"SELECT * FROM {prefix}{p} WHERE len = {p}"
         for p in range(1, _UNIGRAM_MAXLEN + 1)
     )
     return f"""
-    WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+    {prefix}0 AS MATERIALIZED (SELECT w, len, freq, CAST(0 AS BIGINT) AS cost,
+                               '' AS path
+                               FROM wl),
+    {",".join(dps)},
+    {prefix}done AS MATERIALIZED (SELECT * FROM ({finals}))"""
+
+
+_UNIGRAM_BASE_SQL = f"""toks AS (SELECT unnest(list_filter(string_split(text, ' '),
                                             x -> x <> '')) AS w
                   FROM documents),
     wl AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, length(w) AS len
@@ -1079,45 +1087,53 @@ def _unigram_oracle() -> str:
                      CAST(round(-ln(CAST(cnt AS DOUBLE)
                                     / CAST(tot.tot AS DOUBLE))
                                 * 1000000.0, 0) AS BIGINT) AS c
-              FROM pc, tot),
-    dp0 AS MATERIALIZED (SELECT w, len, freq, CAST(0 AS BIGINT) AS cost,
-                         '' AS path
-                         FROM wl),
-    {",".join(dps)}
+              FROM pc, tot)"""
+
+
+def _unigram_oracle() -> str:
+    return f"""
+    WITH {_UNIGRAM_BASE_SQL},
+    {_unigram_dp_sql("dp", "pcost")}
     SELECT w AS word, freq, CAST(len AS BIGINT) AS word_len,
            cost AS total_cost,
            CAST(length(path) - length(replace(path, '|', '')) + 1 AS BIGINT)
              AS n_pieces,
            path AS segmentation
-    FROM ({finals})
+    FROM dpdone
     """
 
 
-@q("unigram_lm_tokenize", _unigram_oracle())
-def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM (SentencePiece-style) Viterbi tokenization — the
-    E-step of unigram tokenizer training, the other half of the
-    tokenizer family next to bpe_tokenize (BPE merges greedily;
-    unigram picks each word's GLOBALLY optimal segmentation under
-    piece log-probs): vocabulary = every 1..4-char substring with its
-    corpus occurrence count, piece cost = 6-dp-scaled integer
-    -ln(count/total), per-word best split by Viterbi DP over word
-    positions.
-
-    Exactness across engines: ln of identical doubles rounds to the
-    same 6-dp integer (the bigram-LM rule), so the DP runs in exact
-    integer arithmetic; ties in cost break on the lexicographically
-    least path string via MIN(struct(cost, path)) — fully
-    deterministic, no backtracking (the path rides the DP state).
-
-    Scale: everything is DISTINCT-WORD-relation work (Zipf-bounded —
-    the corpus explodes once to count pieces, then never again); the
-    DP is MAXLEN unrolled rounds of (vocab-row join piece-cost table),
-    lineage-cut per round. Words longer than {maxlen} chars are
-    excluded by contract (production caps piece/word length the same
-    way). Output: one row per distinct word with its freq, optimal
-    cost, piece count, and '|'-joined segmentation.
+def _unigram_em_oracle() -> str:
+    return f"""
+    WITH {_UNIGRAM_BASE_SQL},
+    {_unigram_dp_sql("dp", "pcost")},
+    used AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, unnest(string_split(path, '|')) AS piece
+                   FROM dpdone)
+             GROUP BY 1),
+    tot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM used),
+    pcost1 AS (SELECT piece,
+                      CAST(round(-ln(CAST(cnt AS DOUBLE)
+                                     / CAST(tot1.tot AS DOUBLE))
+                                 * 1000000.0, 0) AS BIGINT) AS c
+               FROM used, tot1),
+    {_unigram_dp_sql("ep", "pcost1")},
+    vc AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pcost) AS n_vocab_init,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM pcost1) AS n_vocab_em)
+    SELECT e.w AS word, e.freq, CAST(e.len AS BIGINT) AS word_len,
+           e.cost AS total_cost_em,
+           CAST(length(e.path) - length(replace(e.path, '|', '')) + 1
+                AS BIGINT) AS n_pieces_em,
+           e.path AS segmentation_em,
+           e.path <> d.path AS seg_changed,
+           vc.n_vocab_init, vc.n_vocab_em
+    FROM epdone e JOIN dpdone d ON d.w = e.w CROSS JOIN vc
     """
+
+
+def _unigram_word_relation(spark: SparkSession, sf_dir: str):
+    """(wl, pcost): the distinct-word relation (freq, len, capped at
+    MAXLEN) and the initial substring-count cost table."""
     from dbt_repo_spark.operators.dedup import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -1150,9 +1166,15 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
-    tot = pieces.agg(F.sum("cnt").cast("long").alias("tot"))
-    pcost = (
-        pieces.join(F.broadcast(tot))
+    return wl, _cost_table(pieces)
+
+
+def _cost_table(counts: DataFrame) -> DataFrame:
+    """(piece, cnt) -> (piece, c): 6-dp-scaled integer -ln(cnt/total),
+    lineage-cut (it joins into every DP round)."""
+    tot = counts.agg(F.sum("cnt").cast("long").alias("tot"))
+    return (
+        counts.join(F.broadcast(tot))
         .select(
             "piece",
             F.round(
@@ -1165,15 +1187,20 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _viterbi_segment(wl: DataFrame, pcost: DataFrame) -> DataFrame:
+    """Exact integer-cost Viterbi over the word relation under ``pcost``:
+    returns one row per word (w, len, freq, cost, path). Per-round
+    lineage cuts (batching cuts was measured slower — see the module
+    history); rounds beyond the observed longest word are skipped from
+    one bounded MAX read."""
     dps = {
         0: wl.select(
             "w", "len", "freq", F.lit(0).cast("long").alias("cost"),
             F.lit("").alias("path"),
         )
     }
-    # rounds beyond the observed longest word are empty frames; skip the
-    # scheduler round-trips (bounded driver read: one MAX over the
-    # checkpointed vocab relation — the oracle stays statically unrolled)
     max_len = wl.agg(F.max("len")).collect()[0][0] or 0
     rounds = min(int(max_len), _UNIGRAM_MAXLEN)
     for p in range(1, rounds + 1):
@@ -1198,7 +1225,7 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = legs[0]
         for leg in legs[1:]:
             cands = cands.unionByName(leg)
-        dp = (
+        dps[p] = (
             cands.groupBy("w", "len", "freq")
             .agg(
                 F.min(
@@ -1209,17 +1236,42 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w", "len", "freq",
                 F.col("m.c").alias("cost"), F.col("m.p").alias("path"),
             )
-            # per-round lineage cut: checkpointing every 3rd round was
-            # MEASURED SLOWER (7.98s vs 5.26s median at sf0.1) — the
-            # 4^3-duplicated analysis/codegen between cuts costs more
-            # than the saved scheduler round-trips on vocab-sized data
             .localCheckpoint(eager=True)
         )
-        dps[p] = dp
     done = None
     for p in range(1, rounds + 1):
         leg = dps[p].filter(F.col("len") == p)
         done = leg if done is None else done.unionByName(leg)
+    return done
+
+
+@q("unigram_lm_tokenize", _unigram_oracle())
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi tokenization — the
+    E-step of unigram tokenizer training, the other half of the
+    tokenizer family next to bpe_tokenize (BPE merges greedily;
+    unigram picks each word's GLOBALLY optimal segmentation under
+    piece log-probs): vocabulary = every 1..4-char substring with its
+    corpus occurrence count, piece cost = 6-dp-scaled integer
+    -ln(count/total), per-word best split by Viterbi DP over word
+    positions.
+
+    Exactness across engines: ln of identical doubles rounds to the
+    same 6-dp integer (the bigram-LM rule), so the DP runs in exact
+    integer arithmetic; ties in cost break on the lexicographically
+    least path string via MIN(struct(cost, path)) — fully
+    deterministic, no backtracking (the path rides the DP state).
+
+    Scale: everything is DISTINCT-WORD-relation work (Zipf-bounded —
+    the corpus explodes once to count pieces, then never again); the
+    DP is MAXLEN unrolled rounds of (vocab-row join piece-cost table),
+    lineage-cut per round. Words longer than {maxlen} chars are
+    excluded by contract (production caps piece/word length the same
+    way). Output: one row per distinct word with its freq, optimal
+    cost, piece count, and '|'-joined segmentation.
+    """
+    wl, pcost = _unigram_word_relation(spark, sf_dir)
+    done = _viterbi_segment(wl, pcost)
     return done.select(
         F.col("w").alias("word"),
         "freq",
@@ -1233,4 +1285,60 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pieces"),
         F.col("path").alias("segmentation"),
+    )
+
+
+@q("unigram_lm_em_round", _unigram_em_oracle())
+def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full EM round of unigram-LM tokenizer TRAINING on top of
+    ``unigram_lm_tokenize``'s E-step: piece usage counts from the
+    round-0 best paths (weighted by word frequency) re-estimate the
+    piece probabilities (M-step — unused substrings fall out of the
+    vocabulary exactly as SentencePiece prunes zero-expectation
+    pieces), and a second Viterbi re-segments every word under the new
+    integer cost table. Feasibility is guaranteed: each word's own
+    round-0 pieces survive pruning, so its previous segmentation is
+    always available to round 1.
+
+    Output per word: the EM segmentation, whether it changed, and the
+    vocabulary sizes before/after pruning (the audit that the M-step
+    actually concentrated mass). Same exactness regime as the E-step:
+    integer costs from 6-dp-rounded logs, lexicographic tie-breaks —
+    the DuckDB oracle unrolls BOTH DP chains.
+    """
+    wl, pcost0 = _unigram_word_relation(spark, sf_dir)
+    done0 = _viterbi_segment(wl, pcost0).localCheckpoint(eager=True)
+    used = (
+        done0.select(
+            "freq", F.explode(F.split("path", "\\|")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    pcost1 = _cost_table(used)
+    done1 = _viterbi_segment(wl, pcost1)
+    vc = pcost0.agg(F.count("*").alias("n_vocab_init")).join(
+        pcost1.agg(F.count("*").alias("n_vocab_em"))
+    )
+    d0 = done0.select("w", F.col("path").alias("path0"))
+    return (
+        done1.join(d0, "w")
+        .join(F.broadcast(vc))
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            F.col("len").cast("long").alias("word_len"),
+            F.col("cost").alias("total_cost_em"),
+            (
+                F.length("path")
+                - F.length(F.regexp_replace("path", "\\|", ""))
+                + 1
+            )
+            .cast("long")
+            .alias("n_pieces_em"),
+            F.col("path").alias("segmentation_em"),
+            (F.col("path") != F.col("path0")).alias("seg_changed"),
+            "n_vocab_init",
+            "n_vocab_em",
+        )
     )
