@@ -1508,10 +1508,17 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = xs.alias("a")
     b = xs.alias("b")
+    # try_divide, not '/': downstream exact_order_statistics filters
+    # isNotNull(slope), Catalyst merges that conjunct into the join
+    # condition, and conjunct reordering can evaluate the division on
+    # pairs the b.x > a.x condition would reject — under the driver's
+    # ANSI-ON session a plain '/' then throws DIVIDE_BY_ZERO (caught by
+    # the bare-session sweep). Values are identical: no surviving pair
+    # has a zero dx.
     pairs = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).select(
-        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.x") - F.col("a.x"))).alias(
-            "slope"
-        )
+        F.try_divide(
+            F.col("b.rev") - F.col("a.rev"), F.col("b.x") - F.col("a.x")
+        ).alias("slope")
     )
     picked = exact_order_statistics(
         pairs, "slope", ranks_of_n=lambda n: [(n - 1) // 2, n // 2]
