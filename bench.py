@@ -274,6 +274,7 @@ HEADLINE = [
     "multimodal_phash_groups",
     "mv_join_delta_maintenance",
     "unigram_lm_tokenize",
+    "geo_dbscan_clusters",
 ]
 
 RUNS = 3

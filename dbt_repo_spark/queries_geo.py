@@ -282,3 +282,111 @@ def geo_multi_fence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_fence_assign(
         cust_points(spark, sf_dir), FENCES, cell_deg=0.25
     )
+
+
+@q(
+    "geo_dbscan_clusters",
+    f"""
+    WITH RECURSIVE c AS ({CUST_POINTS_SQL}),
+    cells AS (
+      SELECT CAST(floor(plon / 0.05) AS BIGINT) AS cx,
+             CAST(floor(plat / 0.05) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM c GROUP BY 1, 2),
+    dense AS (
+      SELECT cx, cy, n_points,
+             (cx + 4000) * 10000 + (cy + 4000) AS cell_id
+      FROM cells WHERE n_points >= 2),
+    edges AS (
+      SELECT a.cell_id AS s, b.cell_id AS d
+      FROM dense a
+      JOIN (SELECT unnest([-1, 0, 1]) AS dx) ux ON TRUE
+      JOIN (SELECT unnest([-1, 0, 1]) AS dy) uy ON TRUE
+      JOIN dense b ON b.cx = a.cx + ux.dx AND b.cy = a.cy + uy.dy
+      WHERE NOT (ux.dx = 0 AND uy.dy = 0)),
+    cc(node, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node),
+    lab AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+    member AS (
+      SELECT dense.cx, dense.cy, dense.n_points,
+             COALESCE(lab.label, dense.cell_id) AS cluster_id
+      FROM dense LEFT JOIN lab ON lab.node = dense.cell_id)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_points) AS BIGINT) AS n_points,
+           MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+           MIN(cy) AS min_cy, MAX(cy) AS max_cy
+    FROM member GROUP BY cluster_id
+    """,
+)
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN spatial clustering: dense 0.05°-cells (≥2 points)
+    merged across 8-neighborhoods by connected components — the
+    density-based clustering shape (DBSCAN at cell granularity: the
+    grid is the epsilon-neighborhood index, min-points is the core
+    test, CC is the reachability closure). Composes geo.with_cell's
+    blocking grid with graph.connected_components' min-label
+    propagation; non-dense cells are noise by definition.
+
+    Scale: the points relation collapses to the CELL relation (one
+    hash-agg) before anything quadratic could appear; the 8-neighbor
+    edge join runs on the DENSE-cell relation keyed by (cx, cy) — at
+    100 TB that relation is area-bounded, not point-bounded. All
+    integers end-to-end → full oracle (recursive min-label CTE).
+    """
+    from dbt_repo_spark.operators.graph import connected_components
+
+    pts = cust_points(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lon") / 0.05).cast("long").alias("cx"),
+            F.floor(F.col("lat") / 0.05).cast("long").alias("cy"),
+        )
+        .agg(F.count("*").alias("n_points"))
+    )
+    dense = (
+        cells.filter(F.col("n_points") >= 2)
+        .withColumn(
+            "cell_id", (F.col("cx") + 4000) * 10000 + (F.col("cy") + 4000)
+        )
+        .localCheckpoint(eager=True)
+    )
+    deltas = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nb = dense.select(
+        "cell_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in deltas])
+        ).alias("dd"),
+        "cx",
+        "cy",
+    ).select(
+        F.col("cell_id").alias("s"),
+        (F.col("cx") + F.col("dd.dx")).alias("nx"),
+        (F.col("cy") + F.col("dd.dy")).alias("ny"),
+    )
+    edges = nb.join(
+        dense.select(
+            F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+            F.col("cell_id").alias("d"),
+        ),
+        ["nx", "ny"],
+    ).select("s", "d")
+    lab = connected_components(edges, src="s", dst="d")
+    member = dense.join(
+        lab, dense["cell_id"] == lab["node"], "left"
+    ).select(
+        "cx",
+        "cy",
+        "n_points",
+        F.coalesce(F.col("cluster_id"), F.col("cell_id")).alias("cid"),
+    )
+    return member.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    )
