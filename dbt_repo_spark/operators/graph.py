@@ -499,16 +499,22 @@ def bfs_hops(
     ego-network primitive the CC / PageRank / k-core family doesn't
     cover: those converge to fixpoints, this measures DISTANCE).
 
-    Frontier relaxation, all integers: dist_{t+1}(v) = min(dist_t(v),
-    1 + min_{(u,v)∈E} dist_t(u)) — one O(|E|) equi-join plus a hash-agg
-    per round, lineage cut per round (localCheckpoint) so the plan
-    stays round-sized. Nodes not reached within ``iters`` hops are
-    absent from the output (no sentinel distances to overflow at
-    scale). MIN is order-independent, so the result is bit-identical
+    TRUE frontier relaxation, all integers: in unweighted hop-BFS a
+    node's FIRST discovery is its minimum distance, so each round joins
+    only the nodes discovered last round (the frontier) against the
+    edges and keeps the candidates not already settled (an anti-join
+    against dist) — work per round is O(|frontier_t|·deg), never
+    O(|ball_t|·deg); already-settled nodes are never re-relaxed.
+    Lineage is cut per round (localCheckpoint) so the plan stays
+    round-sized, and an emptied frontier short-circuits the remaining
+    rounds. Nodes not reached within ``iters`` hops are absent from the
+    output (no sentinel distances to overflow at scale). First-discovery
+    = MIN hop is order-independent, so the result is bit-identical
     across engines and partitionings — full-oracle-safe.
 
-    Scale (100 TB): per-round cost is one shuffle of |frontier∪dist| +
-    |E| keyed rows; hop-bounded BFS never materializes anything larger
+    Scale (100 TB): per-round cost is one shuffle of |frontier_t| +
+    incident-edge keyed rows plus one anti-join against the settled
+    set; hop-bounded BFS never materializes anything larger
     than the true ``iters``-radius ball. Seeds arrive as a DataFrame so
     the caller controls seed fan-in (a predicate, a sample, a fixed
     list). For diameter-scale sweeps prefer delta-stepping on weighted
@@ -524,14 +530,25 @@ def bfs_hops(
         F.col(seeds.columns[0]).cast("long").alias("node"),
         F.lit(0).cast("long").alias("hops"),
     ).localCheckpoint(eager=True)
+    frontier = dist
     for _ in range(iters):
-        relaxed = dist.join(e, dist["node"] == e["src"]).select(
+        relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
             F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
+        # candidates reduced to one row per node, then anti-joined
+        # against the settled set: in hop-BFS every already-settled node
+        # has hops <= t < t+1, so "improved" == "never seen before" and
+        # the frontier/dist node sets stay disjoint (plain union below,
+        # no re-aggregation of the settled ball).
+        frontier = (
+            relaxed.groupBy("node")
             .agg(F.min("hops").alias("hops"))
+            .join(dist.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
+        if frontier.isEmpty():
+            break
+        # union of per-round checkpointed frontiers: shallow lineage
+        # (one node appears exactly once across all rounds)
+        dist = dist.unionByName(frontier)
     return dist

@@ -24,9 +24,36 @@ extension op (vocab ids, label ids, embedding-row ids).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+# Synthetic-namespace tag for mixing two entity key spaces in one node/id
+# column (order↔part graph nodes, media twins...). 2^40 ≈ 1.1e12 sits far
+# above any realistic TPC-H key or doc id at any scale factor this engine
+# targets, and tagged_id() asserts the contract IN-plan — a fixed
+# "round-number" offset like 1e9 silently collides once keys outgrow it
+# (and an oracle applying the identical offset would stay green while the
+# semantics broke — the failure mode this constant + guard removes).
+SYNTH_ID_TAG = 1 << 40
+
+
+def tagged_id(key: Column, tag: int = SYNTH_ID_TAG, what: str = "key") -> Column:
+    """``key + tag`` with the namespace contract enforced in the plan:
+    every row must satisfy 0 <= key < tag or the job fails loudly
+    (assert_true folded into the value expression, so column pruning can
+    never elide the check). Use for every synthetic id-space offset."""
+    k = key.cast("long")
+    return F.when(
+        F.assert_true(
+            (k >= 0) & (k < F.lit(tag).cast("long")),
+            F.lit(
+                f"tagged_id: {what} outside [0, {tag}) — the synthetic "
+                "id namespaces would collide; raise the tag"
+            ),
+        ).isNull(),
+        k + F.lit(tag).cast("long"),
+    )
 
 
 def dense_ids(

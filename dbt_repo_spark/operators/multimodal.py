@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG as TWIN_TAG
 from dbt_repo_spark.session import fan_out
 from pyspark.sql.types import (
     ArrayType,
@@ -570,11 +571,16 @@ def resample_real_audio(media: DataFrame, factor: int) -> DataFrame:
 def real_media_with_format_twins(docs: DataFrame, every: int = 5) -> DataFrame:
     """Image media table with CROSS-FORMAT twins: every ``every``-th
     image doc also appears re-encoded in the OTHER container (bmp↔ppm,
-    twin id = media_id + 1_000_000) with IDENTICAL pixels. The twin set
+    twin id = media_id + TWIN_TAG = media_id + 2^40) with IDENTICAL
+    pixels. The twin set
     is the ground truth for perceptual (decoded-pixel) near-dup: a
     byte-level signature (multimodal_near_dedup's SimHash) CANNOT match
     a re-encoded blob — its bytes share nothing — while a pixel hash
-    matches it exactly. Audio docs are excluded (images only)."""
+    matches it exactly. Audio docs are excluded (images only).
+
+    The twin namespace uses ids.SYNTH_ID_TAG (2^40), guarded per row: a
+    doc_id at or above the tag raises instead of silently colliding
+    with a twin id (the failure a fixed 1e6 offset invites at scale)."""
     from dbt_repo_spark.operators import media_codecs
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -582,6 +588,11 @@ def real_media_with_format_twins(docs: DataFrame, every: int = 5) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                if not 0 <= did < TWIN_TAG:
+                    raise ValueError(
+                        f"real_media_with_format_twins: doc_id {did} outside"
+                        f" [0, 2^40) — twin ids would collide with real ids"
+                    )
                 if did % 3 == 1:
                     continue  # wav
                 p = media_params(did)
@@ -608,7 +619,7 @@ def real_media_with_format_twins(docs: DataFrame, every: int = 5) -> DataFrame:
                 if did % every == 0:
                     rows.append(
                         {
-                            "media_id": did + 1_000_000,
+                            "media_id": did + TWIN_TAG,
                             "media_type": "image",
                             "content": other(px),
                         }

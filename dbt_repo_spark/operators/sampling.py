@@ -285,7 +285,9 @@ def curriculum_token_shards(
 
     The global order (tok_col ASC, id_col ASC) is packed into one
     BIGINT key (tok << id_bits | id; callers with ids ≥ 2^id_bits raise
-    id_bits — tokens-per-doc caps at 2^(62-id_bits)) and the running
+    id_bits — tokens-per-doc caps at 2^(62-id_bits); BOTH bounds are
+    asserted in-plan, so a violating row fails the job loudly instead
+    of silently wrapping the curriculum order) and the running
     sum runs through evalmetrics.ordered_prefix_sums: range-shuffle +
     per-partition window + broadcast partition offsets — NO
     single-partition global window anywhere (plan-shape-tested), unlike
@@ -300,12 +302,37 @@ def curriculum_token_shards(
     """
     from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
 
+    tok_cap = 1 << (62 - id_bits)
+    id_cap = 1 << id_bits
+    in_contract = (
+        (F.col("n_tokens") >= 0)
+        & (F.col("n_tokens") < F.lit(tok_cap).cast("long"))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(id_cap).cast("long"))
+    )
+    # 62-bit packing contract enforced IN the key expression: shiftleft
+    # is not ANSI-checked, so n_tokens >= 2^(62-id_bits) (book-length
+    # docs!) or doc_id >= 2^id_bits would silently wrap and corrupt the
+    # global curriculum order. assert_true is folded into the key (not a
+    # droppable side column) so column pruning can never elide it; a
+    # violating row fails the job loudly instead of mis-sharding.
     keyed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tok_col).cast("long").alias("n_tokens"),
     ).withColumn(
         "_okey",
-        F.shiftleft(F.col("n_tokens"), id_bits) + F.col("doc_id"),
+        F.when(
+            F.assert_true(
+                in_contract,
+                F.lit(
+                    "curriculum_token_shards: packed-key contract violated"
+                    f" — need 0 <= n_tokens < 2^{62 - id_bits} and"
+                    f" 0 <= doc_id < 2^{id_bits} (id_bits={id_bits});"
+                    " raise/lower id_bits to fit the data"
+                ),
+            ).isNull(),
+            F.shiftleft(F.col("n_tokens"), id_bits) + F.col("doc_id"),
+        ),
     )
     cum = ordered_prefix_sums(keyed, "_okey", ["n_tokens"])
     return (

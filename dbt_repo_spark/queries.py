@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbt_repo_spark.operators import dedup, multimodal, similarity, text
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -2823,7 +2824,7 @@ def _pagerank_oracle(iters: int = 5, total: int = 10**15) -> str:
     num, den = 17, 20  # damping 0.85 as the exact rational 17/20
     ctes = [
         "edges AS MATERIALIZED (SELECT l_orderkey AS src,"
-        " l_partkey + 1000000000 AS dst FROM lineitem)",
+        f" l_partkey + {SYNTH_ID_TAG} AS dst FROM lineitem)",
         "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)",
         "nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM nodes)",
@@ -2862,12 +2863,12 @@ def _pagerank_oracle(iters: int = 5, total: int = 10**15) -> str:
     )
     return (
         "WITH " + ",\n".join(ctes) + f"""
-    SELECT r.node - 1000000000 AS part_id,
+    SELECT r.node - {SYNTH_ID_TAG} AS part_id,
            r.rank_units,
            r.rank_units / {float(total)!r} AS rank,
            (SELECT l1_residual_units FROM resid) AS l1_residual_units
     FROM r{iters} r
-    WHERE r.node >= 1000000000
+    WHERE r.node >= {SYNTH_ID_TAG}
     ORDER BY r.rank_units DESC, part_id
     LIMIT 20
     """
@@ -2892,18 +2893,22 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate (power iteration contracts at rate 0.85).
     """
     from dbt_repo_spark.operators.graph import pagerank_units
+    from dbt_repo_spark.operators.ids import tagged_id
 
     li = t(spark, sf_dir, "lineitem")
-    # part node ids offset out of the orderkey range
+    # part node ids lifted into the 2^40 synthetic namespace; tagged_id
+    # asserts in-plan that no key reaches the tag (a fixed 1e9 offset
+    # would silently collide at large SF — r8 ADVICE)
     edges = li.select(
-        F.col("l_orderkey").alias("src"),
-        (F.col("l_partkey") + F.lit(1_000_000_000)).alias("dst"),
-    )
+        tagged_id(F.col("l_orderkey"), what="l_orderkey").alias("src")
+        - F.lit(SYNTH_ID_TAG).cast("long"),
+        tagged_id(F.col("l_partkey"), what="l_partkey").alias("dst"),
+    ).toDF("src", "dst")
     ranks = pagerank_units(edges, iters=5, with_residual=True)
     return (
-        ranks.filter(F.col("node") >= 1_000_000_000)
+        ranks.filter(F.col("node") >= SYNTH_ID_TAG)
         .select(
-            (F.col("node") - 1_000_000_000).alias("part_id"),
+            (F.col("node") - SYNTH_ID_TAG).alias("part_id"),
             "rank_units",
             "rank",
             "l1_residual_units",
@@ -9208,7 +9213,7 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MM_NEAR_DEDUP_SQL = f"""
     WITH base AS (SELECT doc_id AS media_id, text FROM documents),
-    tw AS (SELECT doc_id + 1000000 AS media_id, text || '!!' AS text
+    tw AS (SELECT doc_id + {SYNTH_ID_TAG} AS media_id, text || '!!' AS text
            FROM documents WHERE doc_id % 7 = 0),
     aug AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
     hx AS (SELECT media_id, hex(encode(text)) AS h FROM aug),
@@ -9235,7 +9240,7 @@ _MM_NEAR_DEDUP_SQL = f"""
             FROM v GROUP BY media_id)
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(hamming(a.s, b.s) AS BIGINT) AS hamming,
-           (b.media_id = a.media_id + 1000000) AS is_seeded_twin
+           (b.media_id = a.media_id + {SYNTH_ID_TAG}) AS is_seeded_twin
     FROM sig a JOIN sig b ON a.media_id < b.media_id
     WHERE hamming(a.s, b.s) <= 14
     """
@@ -9273,8 +9278,10 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_media_from_documents(
         t(spark, sf_dir, "documents")
     )
+    from dbt_repo_spark.operators.ids import tagged_id
+
     twins = media.filter(F.col("media_id") % 7 == 0).select(
-        (F.col("media_id") + 1000000).alias("media_id"),
+        tagged_id(F.col("media_id"), what="media_id").alias("media_id"),
         "media_type",
         F.concat("content", F.lit(b"!!")).alias("content"),
     )
@@ -9312,7 +9319,7 @@ def multimodal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_signatures=True, hasher="md5",
     )
     return pairs.withColumn(
-        "is_seeded_twin", F.col("id_b") == F.col("id_a") + 1000000
+        "is_seeded_twin", F.col("id_b") == F.col("id_a") + F.lit(SYNTH_ID_TAG)
     )
 
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
 from dbt_repo_spark.queries import q, t
 
 _ZBITS = 8  # bucket bits per dimension (256 equal-width buckets)
@@ -327,9 +328,9 @@ def _bfs_oracle(iters: int = 4) -> str:
         )
     return f"""
     WITH e AS (
-      SELECT l_orderkey AS src, l_partkey + 1000000000 AS dst FROM lineitem
+      SELECT l_orderkey AS src, l_partkey + {SYNTH_ID_TAG} AS dst FROM lineitem
       UNION ALL
-      SELECT l_partkey + 1000000000 AS src, l_orderkey AS dst FROM lineitem),
+      SELECT l_partkey + {SYNTH_ID_TAG} AS src, l_orderkey AS dst FROM lineitem),
     seeds AS (SELECT DISTINCT l_orderkey AS node FROM lineitem
               WHERE l_orderkey % 64 = 0),
     d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),
@@ -347,15 +348,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     blast-radius primitive (graph.bfs_hops; min-relaxation per round,
     all integers → full oracle). Aggregated to one row per hop level
     (count + node-id extrema) so the check covers every node's distance
-    without shipping the node list.
+    without shipping the node list. Part nodes are lifted into the
+    2^40 synthetic namespace via ids.tagged_id, which ASSERTS in-plan
+    that no orderkey/partkey reaches the tag — a fixed 1e9 offset would
+    silently collide at large SF while the (identically offset) oracle
+    stayed green.
     """
     from dbt_repo_spark.operators.graph import bfs_hops
+    from dbt_repo_spark.operators.ids import tagged_id
 
     li = t(spark, sf_dir, "lineitem")
-    part = (F.col("l_partkey") + F.lit(1_000_000_000)).alias("p")
-    edges = li.select(F.col("l_orderkey").alias("src"), part.alias("dst")).unionByName(
-        li.select(part.alias("src"), F.col("l_orderkey").alias("dst"))
-    )
+    part = tagged_id(F.col("l_partkey"), what="l_partkey").alias("p")
+    order_guard = tagged_id(F.col("l_orderkey"), what="l_orderkey") - F.lit(
+        SYNTH_ID_TAG
+    ).cast("long")
+    edges = li.select(
+        order_guard.alias("src"), part.alias("dst")
+    ).unionByName(li.select(part.alias("src"), order_guard.alias("dst")))
     seeds = (
         li.filter(F.col("l_orderkey") % 64 == 0)
         .select(F.col("l_orderkey").alias("node"))
@@ -419,55 +428,64 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dbt_repo_spark.streaming.stateful import sessionize
+    from dbt_repo_spark.streaming.stateful import SESSION_OUT_SCHEMA, sessionize
 
     work = tempfile.mkdtemp(prefix="stream_sess_")
-    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
-    schema = "user_id long, ts timestamp, value double"
-    ev = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            F.col("user_id").cast("long").alias("user_id"),
-            F.date_trunc("second", "ts").alias("ts"),
-            F.round(F.col("value") * 100, 0).alias("value"),
+    try:
+        src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+        schema = "user_id long, ts timestamp, value double"
+        ev = (
+            t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.date_trunc("second", "ts").alias("ts"),
+                F.round(F.col("value") * 100, 0).alias("value"),
+            )
         )
-    )
-    ev.write.parquet(src)
-    mx = ev.agg(F.max("ts")).collect()[0][0]
+        ev.write.parquet(src)
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        if mx is None:
+            # no sessionizable events at all: the sentinel arithmetic
+            # below has no watermark to advance — the correct answer is
+            # the empty session relation, not a TypeError on mx+timedelta
+            return spark.createDataFrame([], SESSION_OUT_SCHEMA)
 
-    def run_once() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        qh = (
-            sessionize(stream, gap_minutes=30, delay="2 minutes")
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qh.awaitTermination()
+        def run_once() -> None:
+            stream = spark.readStream.schema(schema).parquet(src)
+            qh = (
+                sessionize(stream, gap_minutes=30, delay="2 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qh.awaitTermination()
 
-    run_once()
-    for i in (1, 2):
-        spark.createDataFrame(
-            [(-i, mx + dt.timedelta(days=i), 0.0)], schema
-        ).write.mode("append").parquet(src)
         run_once()
-    res = (
-        spark.read.parquet(out)
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "user_id", "session_start", "session_end", "n_events", "total_value"
+        for i in (1, 2):
+            spark.createDataFrame(
+                [(-i, mx + dt.timedelta(days=i), 0.0)], schema
+            ).write.mode("append").parquet(src)
+            run_once()
+        return (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_start", "session_end", "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    return res
+    finally:
+        # also on the failure path: a crashed stream run must not leak
+        # the source/checkpoint/output dirs (r8 ADVICE)
+        shutil.rmtree(work, ignore_errors=True)
 
 
-_PHASH_CTES = """img AS (
+_PHASH_CTES = f"""img AS (
       SELECT doc_id AS media_id, doc_id AS pid,
              CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
                   ELSE 3 + doc_id % 6 END AS w,
@@ -475,7 +493,7 @@ _PHASH_CTES = """img AS (
                   ELSE 2 + doc_id % 5 END AS h
       FROM documents WHERE doc_id % 3 <> 1
       UNION ALL
-      SELECT doc_id + 1000000, doc_id,
+      SELECT doc_id + {SYNTH_ID_TAG}, doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 5
                   ELSE 3 + doc_id % 6 END,
              CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 4
@@ -874,26 +892,28 @@ def streaming_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="stream_bloom_")
-    src, idx, ckpt = f"{work}/src", f"{work}/index", f"{work}/ckpt"
-    keys = (
-        t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 6000)
-        .select(F.col("s_suppkey").cast("long").alias("key"))
-    )
-    w1 = keys.filter(F.col("key") % 2 == 0)
-    w1 = w1.unionByName(w1)  # within-tick duplicates
-    # wave 2: the odd keys PLUS a full redelivery of wave 1 (at-least-
-    # once across ticks)
-    w2 = keys.filter(F.col("key") % 2 == 1).unionByName(keys)
-    # two appends into the source root: one file each, so
-    # maxFilesPerTrigger=1 delivers exactly two ticks
-    w1.coalesce(1).write.mode("append").parquet(src)
-    w2.coalesce(1).write.mode("append").parquet(src)
-    qh = start_bloom_index_stream(spark, src, idx, ckpt, key_col="key")
-    qh.awaitTermination()
-    out = read_bloom_index(spark, idx).localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    try:
+        src, idx, ckpt = f"{work}/src", f"{work}/index", f"{work}/ckpt"
+        keys = (
+            t(spark, sf_dir, "supplier")
+            .filter(F.col("s_acctbal") > 6000)
+            .select(F.col("s_suppkey").cast("long").alias("key"))
+        )
+        w1 = keys.filter(F.col("key") % 2 == 0)
+        w1 = w1.unionByName(w1)  # within-tick duplicates
+        # wave 2: the odd keys PLUS a full redelivery of wave 1 (at-least-
+        # once across ticks)
+        w2 = keys.filter(F.col("key") % 2 == 1).unionByName(keys)
+        # two appends into the source root: one file each, so
+        # maxFilesPerTrigger=1 delivers exactly two ticks
+        w1.coalesce(1).write.mode("append").parquet(src)
+        w2.coalesce(1).write.mode("append").parquet(src)
+        qh = start_bloom_index_stream(spark, src, idx, ckpt, key_col="key")
+        qh.awaitTermination()
+        return read_bloom_index(spark, idx).localCheckpoint(eager=True)
+    finally:
+        # failure path included: no leaked source/checkpoint/index dirs
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @q(

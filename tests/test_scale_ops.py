@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
 from dbt_repo_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -147,8 +148,8 @@ def test_bfs_hops_levels(spark):
     )
     assert rows[0].n_nodes == n_seeds
     # bipartite graph: odd hops are part nodes (offset by 1e9)
-    assert rows[1].min_node >= 1_000_000_000
-    assert rows[2].max_node < 1_000_000_000
+    assert rows[1].min_node >= SYNTH_ID_TAG
+    assert rows[2].max_node < SYNTH_ID_TAG
     assert set(rows) <= {0, 1, 2, 3, 4}
 
 
@@ -203,7 +204,7 @@ def test_phash_twin_recall_total(spark):
     assert len(rows) == len(img_ids) + len([i for i in img_ids if i % 5 == 0])
     for did in img_ids:
         if did % 5 == 0:
-            assert rows[did + 1_000_000].canonical_id == rows[did].canonical_id
+            assert rows[did + SYNTH_ID_TAG].canonical_id == rows[did].canonical_id
     # near links are symmetric-ish and within the radius
     for r in rows.values():
         if r.near_canon is not None:
@@ -257,7 +258,14 @@ def test_unigram_viterbi_is_optimal(spark):
     from dbt_repo_spark.queries import t
     from dbt_repo_spark.operators.dedup import tokens as tok
 
+    from dbt_repo_spark.queries_scale import _UNIGRAM_MAXLEN
+
     rows = QUERIES["unigram_lm_tokenize"](spark, SF01).collect()
+    # mirror the query's documented contract: words longer than
+    # _UNIGRAM_MAXLEN are excluded BEFORE the cost table is built, so
+    # both the expected word set and the brute-force cost table must be
+    # derived from the filtered relation (a 13+-char fixture token would
+    # otherwise fail this test spuriously / KeyError in best()).
     words = {
         (r.w, r.freq)
         for r in t(spark, SF01, "documents")
@@ -265,6 +273,7 @@ def test_unigram_viterbi_is_optimal(spark):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .collect()
+        if len(r.w) <= _UNIGRAM_MAXLEN
     }
     counts: dict[str, int] = {}
     for w, f in words:
