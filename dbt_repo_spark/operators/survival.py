@@ -26,6 +26,13 @@ Distributed shape (scale-safe at any subject count):
    thousands of rows), not subjects, so the single-task sort is bounded
    regardless of corpus size. Finer-than-needed duration resolution
    should be bucketed before calling (the caller controls the unit).
+   This boundedness is a pinned CONTRACT, not a convention:
+   tests/test_survival.py::test_km_window_input_is_duration_aggregate
+   asserts the windows' plan input is the per-duration HashAggregate
+   (and the registry consumer survival_repeat_purchase gets the same
+   pin), so a refactor that windows raw subject rows fails CI. If a
+   fine-grained duration unit ever appears, route the cumulations
+   through evalmetrics.ordered_prefix_sums instead.
 
 Edge case pinned by test: if every subject still at risk dies at some
 t (d = n), survival is EXACTLY 0 from t on — computed via an explicit

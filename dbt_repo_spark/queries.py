@@ -8557,35 +8557,42 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads one point off it). The 80% threshold is the INTEGER
     comparison cum·5 ≥ total·4 on exact cents — no float cumulative
     share — and the first qualifying rank is MIN(rk) because the
-    cumulative sum is monotone along the rank order. Customer-level
-    reduce before the global rank window (rfm_segments' caveat).
+    cumulative sum is monotone along the rank order.
+
+    Scale (r8 verdict): the running sum and rank run through
+    evalmetrics.ordered_prefix_sums on the struct key (-m, custkey) —
+    range exchange, per-partition window, broadcast partition offsets —
+    NOT a global ``SUM() OVER (ORDER BY ...)`` window, which funnels the
+    whole per-customer relation through ONE task (the thing that dies
+    first at 100 TB). rank = exclusive row count + 1 (a prefix sum of
+    ones), grand totals ride along as literals from the same offsets
+    job; the only single-partition exchange left is the final scalar
+    aggregate over ≤|partitions| partial rows (plan-shape-tested).
     """
+    from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
+
     orders = t(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum((dec("o_totalprice", 14, 2) * 100).cast("decimal(38,0)"))
         .cast("long")
         .alias("m")
     )
-    w = Window.orderBy(F.desc("m"), F.asc("o_custkey"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    r = cust.select(
+    keyed = cust.select(
         "m",
-        F.row_number().over(w).alias("rk"),
-        F.sum("m").over(wrun).alias("cum"),
+        F.struct(
+            (-F.col("m")).alias("a"), F.col("o_custkey").alias("b")
+        ).alias("_okey"),
+        F.lit(1).cast("long").alias("one"),
     )
-    tot = cust.agg(
-        F.sum("m").alias("t"), F.count("*").alias("n")
-    )
-    return (
-        r.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum") * 5 >= F.col("t") * 4)
-        .agg(
-            F.min("rk").cast("long").alias("customers_for_80pct"),
-            F.min("n").cast("long").alias("n_customers"),
-            (
-                F.min("rk").cast("double") / F.min("n").cast("double")
-            ).alias("share_of_customers"),
-        )
+    cum = ordered_prefix_sums(keyed, "_okey", ["m", "one"])
+    rk = F.col("cum_one_before") + 1
+    inc = F.col("cum_m_before") + F.col("m")  # inclusive running sum
+    return cum.filter(inc * 5 >= F.col("total_m") * 4).agg(
+        F.min(rk).cast("long").alias("customers_for_80pct"),
+        F.min("total_one").cast("long").alias("n_customers"),
+        (
+            F.min(rk).cast("double") / F.min("total_one").cast("double")
+        ).alias("share_of_customers"),
     )
 
 
@@ -8879,10 +8886,19 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv² thresholds cleared of division: 4n(nΣq²−S²) ≤ (n−1)S² ⟺
     cv² ≤ ¼). Every class boundary is an exact integer comparison, so
     classification is cross-engine deterministic even for parts sitting
-    exactly on a threshold. The cumulative-share window runs over the
-    |parts| aggregate (rfm's single-task caveat); both classification
-    inputs reduce the fact once each.
+    exactly on a threshold. Both classification inputs reduce the fact
+    once each.
+
+    Scale (r8 verdict): the cumulative revenue share runs through
+    evalmetrics.ordered_prefix_sums on the struct key (-r, partkey) —
+    the same two-phase range-rank rfm_segments got in r8 — instead of a
+    global single-task window over the |parts| relation; the grand
+    total rides along as a literal from the offsets job, so no scalar
+    cross-join is needed either. Plan-shape-tested: no Exchange
+    SinglePartition anywhere.
     """
+    from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
+
     li = t(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     rev = li.groupBy("l_partkey").agg(
@@ -8890,15 +8906,17 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r")
     )
-    wrun = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    keyed = rev.select(
+        "l_partkey",
+        "r",
+        F.struct(
+            (-F.col("r")).alias("a"), F.col("l_partkey").alias("b")
+        ).alias("_okey"),
     )
-    ranked = rev.select(
-        "l_partkey", "r", F.sum(F.col("r").cast(d38)).over(wrun).alias("cum")
-    )
-    tot = rev.agg(F.sum(F.col("r").cast(d38)).alias("t"))
-    cum, tt = F.col("cum"), F.col("t")
-    abc = ranked.crossJoin(F.broadcast(tot)).select(
+    cumd = ordered_prefix_sums(keyed, "_okey", ["r"])
+    cum = (F.col("cum_r_before") + F.col("r")).cast(d38)
+    tt = F.col("total_r").cast(d38)
+    abc = cumd.select(
         "l_partkey", "r",
         F.when(cum * 5 <= tt * 4, "A")
         .when(cum * 20 <= tt * 19, "B")

@@ -136,37 +136,37 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-shaped: supplier(s) hitting the quarter's max revenue.
-    The max is a rank window over the POST-AGGREGATE relation, so the
-    fact table is scanned exactly once (asserted in
-    tests/test_plan_shapes.py::test_top_revenue_supplier_single_fact_scan
-    — the naive aggregate-vs-its-own-max formulation rescans lineitem
-    per use because Catalyst does not reuse the exchange across the
-    broadcast boundary). The window's single-partition sort touches only
-    |suppliers| aggregated rows, never fact rows; rank (not row_number)
-    keeps max ties, matching the SQL equality semantics exactly.
 
-    Caveat at extreme key cardinality: the unpartitioned window funnels
-    the aggregated relation through ONE task — fine for |suppliers| up
-    to tens of millions, its own bottleneck beyond that. The scale-out
-    alternative is to localCheckpoint the post-aggregate relation and
-    derive the scalar max with a plain two-level (partial→global)
-    aggregate + broadcast join back — still one fact scan, no
-    single-task sort — at the cost of materializing |suppliers| rows."""
-    from pyspark.sql import Window
-
+    rank()==1 over an unordered-partition window is just a MAX, so the
+    r8 re-plan (r8 verdict ask #1) drops the window entirely: the
+    post-aggregate relation is pinned once (localCheckpoint — lineitem
+    is still scanned exactly once, asserted in tests/test_plan_shapes.py
+    ::test_top_revenue_supplier_single_fact_scan; the naive
+    aggregate-vs-its-own-max formulation rescans it per use because
+    Catalyst does not reuse the exchange across the broadcast boundary),
+    the scalar max comes from a plain two-level partial→global
+    aggregate, and a broadcast equality filter keeps every tied supplier
+    — identical semantics to the SQL scalar subquery, with NO
+    single-task sort of the |suppliers| relation anywhere (the old
+    window funneled it through one task: fine at millions of suppliers,
+    a structural ceiling beyond). Equality on total_revenue is safe
+    because both sides read the SAME materialized doubles."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=True)
     )
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     top = (
-        revenue.withColumn(
-            "__rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        revenue.join(
+            F.broadcast(mx),
+            revenue["total_revenue"] == F.col("__max_rev"),
         )
-        .filter(F.col("__rnk") == 1)
-        .drop("__rnk")
+        .drop("__max_rev")
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(F.broadcast(top), s.s_suppkey == top.supplier_no).select(

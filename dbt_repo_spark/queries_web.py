@@ -173,7 +173,7 @@ _URL_SYNTH_CTES = f"""
                     || (CASE WHEN m5 < 8 THEN '/' ELSE '' END)
                     || '?'
                     || (CASE WHEN m6 < 8 THEN 'utm_source=feed&b=2&a=1'
-                             ELSE 'a=1&b=2&utm_campaign=x' END)
+                             ELSE 'a=1&b=x?y&utm_campaign=x' END)
                     || (CASE WHEN m7 < 8 THEN '#top' ELSE '' END) AS url
              FROM nib),
     canon AS (SELECT doc_id, url,
@@ -235,8 +235,12 @@ def _synth_urls(df: DataFrame) -> DataFrame:
         (F.col("doc_id") % 25).cast("string"),
         F.when(nib(5) < 8, F.lit("/")).otherwise(F.lit("")),
         F.lit("?"),
+        # the second branch carries a literal '?' INSIDE a param value:
+        # the multi-'?' regression fixture (r8 verdict ask #6) — params
+        # are everything after the FIRST '?', so 'b=x?y' must survive
+        # canonicalization intact on both engines
         F.when(nib(6) < 8, F.lit("utm_source=feed&b=2&a=1")).otherwise(
-            F.lit("a=1&b=2&utm_campaign=x")
+            F.lit("a=1&b=x?y&utm_campaign=x")
         ),
         F.when(nib(7) < 8, F.lit("#top")).otherwise(F.lit("")),
     )

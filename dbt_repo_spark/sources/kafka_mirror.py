@@ -163,7 +163,9 @@ class _KafkaMirrorReader(DataSourceReader):
 class _KafkaMirrorStreamReader(SimpleDataSourceStreamReader):
     """Offset-tracked streaming read: the offset is a map
     'topic/partition' → next unread record offset (Kafka's committed
-    offsets). Each micro-batch drains [committed, tail); a checkpoint
+    offsets). Each micro-batch drains [committed, tail) — or up to
+    ``maxOffsetsPerTrigger`` records when set (the Kafka option of the
+    same name: chunked delivery); a checkpoint
     restart resumes from the committed map, and ``readBetweenOffsets``
     re-serves an exact range for deterministic replay — exactly-once
     end to end over immutable segments."""
@@ -173,6 +175,14 @@ class _KafkaMirrorStreamReader(SimpleDataSourceStreamReader):
         if not self.root:
             raise ValueError("kafka_mirror requires option 'path'")
         self.topic = options.get("subscribe")
+        # wire-faithful mirror of Kafka's maxOffsetsPerTrigger: cap how
+        # far one micro-batch advances (0 = unbounded, the default).
+        # Consumers whose semantics REQUIRE single-batch draining (the
+        # crawl tick's within-run keep-first) must guard against this
+        # knob explicitly — crawl_stream.py does, pinned by test.
+        # option keys arrive LOWERCASED from Spark (same as rest_source's
+        # pagesperpartition)
+        self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0) or 0)
 
     def _filtered(self, offsets: dict[str, int]) -> dict[str, int]:
         if self.topic is None:
@@ -196,6 +206,15 @@ class _KafkaMirrorStreamReader(SimpleDataSourceStreamReader):
         # carry forward committed positions for partitions with no new
         # data so the offset map never regresses
         merged = {**{k: int(v) for k, v in start.items()}, **end}
+        if self.max_per_trigger > 0:
+            budget = self.max_per_trigger
+            capped = {k: int(v) for k, v in merged.items()}
+            for tp in sorted(merged):
+                lo = int(start.get(tp, 0))
+                take = min(max(int(merged[tp]) - lo, 0), budget)
+                capped[tp] = lo + take
+                budget -= take
+            merged = capped
         if merged == start:
             # empty tick: MUST be an iterator, not a list — the simple-
             # stream wrapper validates no-advance batches with next(it)

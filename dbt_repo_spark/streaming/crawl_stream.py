@@ -117,6 +117,25 @@ def crawl_tick(
         )
 
 
+def _require_single_nonempty_tick(
+    nonempty_ticks: list[int], batch_id: int
+) -> None:
+    """Runtime half of the single-batch availableNow contract:
+    crash-replay of the SAME batch id is fine (crawl_tick is idempotent
+    per batch); a SECOND distinct non-empty batch inside one
+    availableNow run breaks the global keep-first contract — fail
+    loudly instead of publishing an admission order that can diverge
+    from the batch oracle."""
+    if any(b != batch_id for b in nonempty_ticks):
+        raise RuntimeError(
+            "crawl stream: availableNow delivered more than one "
+            f"non-empty micro-batch (saw {nonempty_ticks}, now "
+            f"{batch_id}); within-run URL keep-first would no "
+            "longer equal the batch oracle's global min"
+        )
+    nonempty_ticks.append(batch_id)
+
+
 def start_crawl_stream(
     spark: SparkSession,
     broker_root: str,
@@ -128,6 +147,7 @@ def start_crawl_stream(
     topic: str = "documents",
     block_tokens: int = 10,
     available_now: bool = True,
+    source_options: dict | None = None,
 ):
     """Broker → parse → foreachBatch crawl tick.
 
@@ -140,25 +160,50 @@ def start_crawl_stream(
     SINGLE-BATCH availableNow CONTRACT: the within-batch URL keep-first
     in ``crawl_tick`` (min doc_id per url_canon) matches the batch
     oracle's GLOBAL min only when the whole backlog arrives as one
-    micro-batch. That is structurally guaranteed by the broker —
-    ``_KafkaMirrorStreamReader.read`` (sources/kafka_mirror.py) always
-    drains [committed, tail) in one shot with no chunking knob — and is
-    additionally ENFORCED here: if a second non-empty tick ever fires
-    within one availableNow run (e.g. a future broker swap that chunks
-    delivery), the tick raises instead of silently publishing an
-    admission order that can diverge from the batch oracle. Successive
-    *runs* (incremental crawl) are unaffected: cross-run admission is
-    first-run-wins by design, matching the persisted-index semantics.
+    micro-batch. That is the broker's default —
+    ``_KafkaMirrorStreamReader.read`` (sources/kafka_mirror.py) drains
+    [committed, tail) in one shot unless ``maxOffsetsPerTrigger`` caps
+    it — and is additionally ENFORCED here: if a second non-empty tick
+    fires within one availableNow run (a chunk-configured broker, or a
+    future broker swap that chunks delivery), the tick raises instead of
+    silently publishing an admission order that can diverge from the
+    batch oracle. TWO layers, because Spark's Python micro-batch
+    sources FALL BACK to single-batch execution under availableNow
+    (chunked delivery then silently UNDER-DRAINS the backlog instead of
+    producing extra batches): (a) an up-front ValueError when
+    ``source_options`` carries a chunking knob (maxOffsetsPerTrigger)
+    in an availableNow run, and (b) the in-tick runtime guard
+    (``_require_single_nonempty_tick``) for a future broker swap whose
+    chunking is implicit. Both pinned by tests/test_web.py::
+    test_chunked_delivery_raises_documented_error and
+    test_runtime_single_tick_guard. Successive *runs* (incremental
+    crawl) are unaffected: cross-run admission is first-run-wins by
+    design, matching the persisted-index semantics.
     """
     from dbt_repo_spark.sources import kafka_mirror
 
+    if available_now:
+        lowered = {k.lower(): v for k, v in (source_options or {}).items()}
+        if int(lowered.get("maxoffsetspertrigger", 0) or 0) > 0:
+            raise ValueError(
+                "crawl stream: availableNow run configured with a "
+                "chunked-delivery broker (maxOffsetsPerTrigger set) — "
+                "Python sources fall back to single-batch execution, so "
+                "the run would silently drain only the first chunk and "
+                "the within-run URL keep-first would no longer equal the "
+                "batch oracle's global min; remove the cap or run "
+                "continuous ticks (available_now=False)"
+            )
+
     kafka_mirror.register(spark)
-    raw = (
+    reader = (
         spark.readStream.format("kafka_mirror")
         .option("path", broker_root)
         .option("subscribe", topic)
-        .load()
     )
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     docs = (
         raw.selectExpr("CAST(value AS STRING) AS payload")
         .select(F.from_json("payload", DOC_PAYLOAD_SCHEMA).alias("j"))
@@ -169,18 +214,7 @@ def start_crawl_stream(
 
     def tick(batch_df: DataFrame, batch_id: int) -> None:
         if available_now and not batch_df.isEmpty():
-            # crash-replay of the SAME batch id is fine (crawl_tick is
-            # idempotent per batch); a SECOND distinct non-empty batch
-            # inside one availableNow run breaks the global keep-first
-            # contract documented above — fail loudly.
-            if any(b != batch_id for b in nonempty_ticks):
-                raise RuntimeError(
-                    "crawl stream: availableNow delivered more than one "
-                    f"non-empty micro-batch (saw {nonempty_ticks}, now "
-                    f"{batch_id}); within-run URL keep-first would no "
-                    "longer equal the batch oracle's global min"
-                )
-            nonempty_ticks.append(batch_id)
+            _require_single_nonempty_tick(nonempty_ticks, batch_id)
         crawl_tick(
             batch_df.sparkSession,
             synthesize(batch_df),

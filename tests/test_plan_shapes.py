@@ -534,12 +534,19 @@ def test_dynamic_partition_pruning_on_catalog_table(spark, tmp_path):
 
 
 def test_top_revenue_supplier_single_fact_scan(spark):
-    """Q15 shape: the revenue aggregate feeds both the join and its own
-    max via a rank window — lineitem must appear exactly once in the
-    physical plan (the naive agg-vs-max formulation scans it 2-4x)."""
+    """Q15 shape (r8 re-plan): the revenue aggregate is pinned once
+    (localCheckpoint — so lineitem appears ZERO times in the final plan:
+    it was scanned exactly once at pin time, and the naive agg-vs-max
+    formulation that rescans it 2-4x would show parquet scans here), the
+    max is a plain two-level aggregate (no rank window, no single-task
+    sort of the supplier relation), and both the max filter and the
+    supplier join broadcast. The only single-partition exchange is the
+    scalar-max aggregate over <=|partitions| partial rows."""
     plan = _plan(spark, "top_revenue_supplier", "simple")
-    assert plan.count("lineitem.parquet") == 1
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 0  # pinned, not rescanned
+    assert "rank(" not in plan and "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_disjunctive_predicate_partial_pushdown(spark):
@@ -670,10 +677,20 @@ def test_no_single_partition_window_in_ntile_family(spark):
     construction)."""
     spark.catalog.clearCache()
     for name in ("rfm_segments", "segment_migration_matrix",
-                 "quantile_normalize"):
+                 "quantile_normalize", "abc_xyz_parts"):
         plan = _plan(spark, name)
         assert "ntile(" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
+    # r9 members: pareto_8020_customers runs its cumulative rank through
+    # ordered_prefix_sums — the only single-partition exchange allowed
+    # is the FINAL scalar aggregate over <=|partitions| partial rows (a
+    # global window over the per-customer relation would also show up as
+    # an unpartitioned Window, asserted absent).
+    plan = _plan(spark, "pareto_8020_customers")
+    assert "ntile(" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Exchange SinglePartition") <= 1
+    assert "row_number()" not in body
     plan = _plan(spark, "lift_gains_deciles")
     assert "ntile(" not in plan
     # the decile assignment itself (entity-sized) must not funnel: every

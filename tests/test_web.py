@@ -6,6 +6,7 @@ independent of the registry queries' synthesized fixtures."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_repo_spark.operators.text import c4_line_cleanup
 from dbt_repo_spark.operators.web import canonicalize_urls, domain_stats
@@ -451,3 +452,72 @@ def test_compact_index_batches_semantics(spark, tmp_path):
     ).write.mode("append").partitionBy("batch").parquet(index_dir)
     visible = _read_index(spark, index_dir, exclude_batch=3)
     assert visible.count() == len(before)  # own batch excluded
+
+
+def test_multi_question_mark_url_in_crawl_fixture(spark):
+    """The shared crawl-URL synthesizer seeds a literal '?' INSIDE a
+    param value (b=x?y) on one branch, so every consumer of the fixture
+    (web_url_canonical, web_domain_stats, streaming_crawl_tick,
+    training_data_pipeline_v6) exercises the first-'?' rule — the r7
+    canonicalization defect can no longer regress silently."""
+    from dbt_repo_spark.queries import t
+    from dbt_repo_spark.queries_web import _synth_urls
+
+    urls = _synth_urls(t(spark, "/root/testdata/sf0.001", "documents"))
+    multi = canonicalize_urls(
+        urls.filter(F.col("url").contains("b=x?y")), "doc_id", "url"
+    ).collect()
+    assert multi, "fixture must contain multi-'?' URLs"
+    for r in multi:
+        assert r.url.count("?") == 2, r.url
+        # the embedded '?' survives inside the sorted param list
+        assert "b=x?y" in r.url_canon, r.url_canon
+        assert r.url_canon.count("?") == 2, r.url_canon
+
+
+def test_chunked_delivery_raises_documented_error(spark, tmp_path):
+    """The availableNow single-batch contract is ENFORCED, not assumed.
+    Spark's Python micro-batch sources FALL BACK to single-batch
+    execution under availableNow, so a broker configured to chunk
+    delivery (maxOffsetsPerTrigger — the real Kafka knob, mirrored by
+    kafka_mirror) would silently drain only the FIRST chunk of the
+    backlog: the crawl stream must reject the configuration up front
+    with its documented error rather than publish a partial crawl that
+    diverges from the batch oracle."""
+    from dbt_repo_spark.queries_web import _synth_lines, _synth_urls
+    from dbt_repo_spark.sources import kafka_mirror
+    from dbt_repo_spark.streaming.crawl_stream import start_crawl_stream
+
+    broker = kafka_mirror.build_documents_fixture("/root/testdata/sf0.001")
+
+    def synthesize(df):
+        return _synth_urls(df).join(_synth_lines(df), "doc_id")
+
+    with pytest.raises(ValueError, match="chunked-delivery broker"):
+        start_crawl_stream(
+            spark,
+            broker,
+            str(tmp_path / "url_index"),
+            str(tmp_path / "block_index"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            synthesize,
+            block_tokens=10,
+            source_options={"maxOffsetsPerTrigger": 4},
+        )
+
+
+def test_runtime_single_tick_guard():
+    """The in-tick half of the contract (for a broker swap whose
+    chunking is implicit): replaying the SAME batch id is idempotent
+    and allowed; a SECOND distinct non-empty batch raises the
+    documented error."""
+    from dbt_repo_spark.streaming.crawl_stream import (
+        _require_single_nonempty_tick,
+    )
+
+    seen: list[int] = []
+    _require_single_nonempty_tick(seen, 0)
+    _require_single_nonempty_tick(seen, 0)  # crash-replay: fine
+    with pytest.raises(RuntimeError, match="more than one non-empty"):
+        _require_single_nonempty_tick(seen, 1)
