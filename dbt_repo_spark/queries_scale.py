@@ -1151,6 +1151,57 @@ def _unigram_em_oracle() -> str:
     """
 
 
+_UNIGRAM_TRAIN_ROUNDS = 3  # EM rounds in unigram_lm_train (fixed: oracle unrolls them)
+
+
+def _unigram_mstep_sql(done_rel: str, idx: int) -> str:
+    """M-step CTEs: piece usage counts of ``done_rel``'s best paths →
+    re-normalized 6-dp integer cost table ``pcost{idx}`` (unused pieces
+    fall out of the vocabulary — SentencePiece's zero-expectation
+    prune)."""
+    return f"""used{idx} AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, unnest(string_split(path, '|')) AS piece
+                   FROM {done_rel})
+             GROUP BY 1),
+    tot{idx} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM used{idx}),
+    pcost{idx} AS (SELECT piece,
+                      CAST(round(-ln(CAST(cnt AS DOUBLE)
+                                     / CAST(tot{idx}.tot AS DOUBLE))
+                                 * 1000000.0, 0) AS BIGINT) AS c
+               FROM used{idx}, tot{idx})"""
+
+
+def _unigram_train_oracle(rounds: int = _UNIGRAM_TRAIN_ROUNDS) -> str:
+    """Fixed-round train-to-convergence oracle: rounds+1 unrolled
+    Viterbi chains (t0_.. = the initial segmentation, t{r}_.. = after EM
+    round r), an M-step between consecutive chains, one summary row per
+    round."""
+    ctes = [_UNIGRAM_BASE_SQL]
+    cost_rel = "pcost"
+    for r in range(rounds + 1):
+        ctes.append(_unigram_dp_sql(f"t{r}_", cost_rel))
+        if r < rounds:
+            ctes.append(_unigram_mstep_sql(f"t{r}_done", r + 1))
+            cost_rel = f"pcost{r + 1}"
+    selects = []
+    for r in range(rounds + 1):
+        cost_rel_r = "pcost" if r == 0 else f"pcost{r}"
+        changed = (
+            "CAST(0 AS BIGINT)"
+            if r == 0
+            else f"""(SELECT CAST(COUNT(*) AS BIGINT)
+              FROM t{r}_done a JOIN t{r - 1}_done b USING (w)
+              WHERE a.path <> b.path)"""
+        )
+        selects.append(f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(SUM(freq * cost) AS BIGINT) FROM t{r}_done)
+             AS corpus_cost,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {cost_rel_r}) AS n_vocab,
+           {changed} AS n_words_changed""")
+    return "WITH " + ",".join(ctes) + " UNION ALL ".join(selects)
+
+
 def _unigram_word_relation(spark: SparkSession, sf_dir: str):
     """(wl, pcost): the distinct-word relation (freq, len, capped at
     MAXLEN) and the initial substring-count cost table."""
@@ -1362,3 +1413,76 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vocab_em",
         )
     )
+
+
+@q("unigram_lm_train", _unigram_train_oracle())
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING to a fixed round count — the
+    end-to-end composition the single ``unigram_lm_em_round`` tick is
+    one step of (r8 verdict ask #5; the BPE family got the same
+    unrolled-training treatment in r6): _UNIGRAM_TRAIN_ROUNDS hard-EM
+    rounds, each = Viterbi re-segmentation of every word under the
+    current integer cost table (E-step), then piece-usage re-estimation
+    with zero-expectation pruning (M-step, SentencePiece's prune rule).
+
+    Output: ONE ROW PER ROUND — (round, corpus_cost = Σ freq·cost of
+    that round's best segmentations, n_vocab = cost-table size used that
+    round, n_words_changed vs the previous round) — the training curve,
+    not the (word-level, already-oracle-checked-via-em_round) paths, so
+    the oracle stays |rounds| rows while certifying every chain. Hard-EM
+    guarantees corpus_cost is non-increasing round over round up to the
+    6-dp log rounding (property-tested with the exact rounding slack:
+    Viterbi is an exact argmin under the given integer table, and the
+    M-step's re-normalized table is optimal for the previous round's
+    usage counts by the Gibbs inequality); n_vocab only shrinks after
+    round 0 (pruning never adds pieces). Feasibility: each word's own
+    previous pieces survive pruning, so every round's DP has at least
+    the previous segmentation available.
+
+    Scale (100 TB): all DP work runs on the DISTINCT-vocab relation
+    (unigram_lm_tokenize's bound — measured exponent 0.06 at 8× corpus);
+    training multiplies that by a FIXED round count, and the per-round
+    summaries are single-row aggregates. The corpus is touched exactly
+    once (the word-count scan).
+    """
+    wl, cost = _unigram_word_relation(spark, sf_dir)
+    rounds = []
+    prev = None
+    for r in range(_UNIGRAM_TRAIN_ROUNDS + 1):
+        done = _viterbi_segment(wl, cost).localCheckpoint(eager=True)
+        base = done.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.sum(F.col("freq") * F.col("cost")).cast("long").alias(
+                "corpus_cost"
+            ),
+        )
+        nv = cost.agg(F.count("*").cast("long").alias("n_vocab"))
+        if prev is None:
+            changed = spark.range(1).select(
+                F.lit(0).cast("long").alias("n_words_changed")
+            )
+        else:
+            changed = (
+                done.alias("a")
+                .join(prev.alias("b"), "w")
+                .agg(
+                    F.sum(
+                        (F.col("a.path") != F.col("b.path")).cast("long")
+                    ).alias("n_words_changed")
+                )
+            )
+        rounds.append(base.join(F.broadcast(nv)).join(F.broadcast(changed)))
+        if r < _UNIGRAM_TRAIN_ROUNDS:
+            used = (
+                done.select(
+                    "freq", F.explode(F.split("path", "\\|")).alias("piece")
+                )
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            cost = _cost_table(used)
+        prev = done
+    out = rounds[0]
+    for x in rounds[1:]:
+        out = out.unionByName(x)
+    return out

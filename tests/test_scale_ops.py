@@ -309,3 +309,40 @@ def test_unigram_viterbi_is_optimal(spark):
         assert "".join(pieces) == r.word
         assert sum(cost[p] for p in pieces) == r.total_cost
         assert r.n_pieces == len(pieces)
+
+
+def test_unigram_train_curve_properties(spark):
+    """Hard-EM training-curve invariants on the fixture (r8 verdict ask
+    #5): corpus_cost is non-increasing round over round up to the 6-dp
+    log-rounding slack (Viterbi is an exact argmin under each integer
+    table; the M-step table is optimal for the previous round's usage
+    by the Gibbs inequality — each rounded piece cost deviates <=0.5
+    micro-units from the exact log, and a segmentation uses at most
+    sum(freq*len) piece instances, so 1 unit * that bound is a sound
+    slack), n_vocab only shrinks after the round-0 prune, and round 0
+    reports zero changed words by definition."""
+    from dbt_repo_spark.queries import t
+    from dbt_repo_spark.operators.dedup import tokens as tok
+    from dbt_repo_spark.queries_scale import (
+        _UNIGRAM_MAXLEN,
+        _UNIGRAM_TRAIN_ROUNDS,
+    )
+
+    rows = sorted(
+        QUERIES["unigram_lm_train"](spark, SF01).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(_UNIGRAM_TRAIN_ROUNDS + 1))
+    assert rows[0].n_words_changed == 0
+    slack = (
+        t(spark, SF01, "documents")
+        .select(F.explode(tok(F.col("text"))).alias("w"))
+        .filter(F.length("w") <= _UNIGRAM_MAXLEN)
+        .agg(F.sum(F.length("w"))).collect()[0][0]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.corpus_cost <= a.corpus_cost + slack, (a, b)
+        assert b.n_vocab <= a.n_vocab, (a, b)
+    # the M-step concentrates mass: the first prune must actually shrink
+    # the all-substrings vocabulary
+    assert rows[1].n_vocab < rows[0].n_vocab

@@ -99,8 +99,23 @@ OPS = [
     "funnel_paths_topk",
     "multimodal_phash_groups",
     "unigram_lm_tokenize",
+    # r9 wave (r8 verdict ask #4): the rest of the r8 scale family.
+    # orders/customer replicas (added below) offset keys past the
+    # originals — k disjoint copies of the order->customer join graph.
+    # geo_dbscan's points are content-addressed from c_custkey inside a
+    # FIXED lat/lon box, so replicas densify the grid: the dense-cell
+    # relation is area-bounded and the measured exponent certifies the
+    # CC work saturates rather than growing with points. theil_sen's
+    # O(days^2) pair relation is day-fold-bounded: replicas multiply
+    # rows per day, never days. unigram_lm_em_round's DP runs on the
+    # DISTINCT vocab, which token-suffix replicas multiply by k.
+    "geo_dbscan_clusters",
+    "theil_sen_trend",
+    "layout_zorder_manifest",
+    "mv_join_delta_maintenance",
+    "unigram_lm_em_round",
 ]
-TABLES = {"documents", "embeddings", "lineitem", "events"}
+TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
 
 def build_scaled(spark, k: int) -> str:
@@ -110,7 +125,7 @@ def build_scaled(spark, k: int) -> str:
 
     out = os.path.join(CACHE, f"x{k}")
     stamp = os.path.join(out, "_built.txt")
-    key = f"{SRC}:{k}:v3"
+    key = f"{SRC}:{k}:v4"  # v4: + orders/customer replicas
     try:
         with open(stamp) as fh:
             if fh.read() == key:
@@ -214,6 +229,36 @@ def build_scaled(spark, k: int) -> str:
         scaled_li = scaled_li.unionByName(rep)
     scaled_li.coalesce(max(k, 4)).write.mode("overwrite").parquet(
         f"{out}/lineitem.parquet"
+    )
+
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    mc = cust.agg(F.max("c_custkey").alias("m")).collect()[0].m
+    reps = [
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * (mc + 1)))
+        for r in range(k)
+    ]
+    scaled_c = reps[0]
+    for rep in reps[1:]:
+        scaled_c = scaled_c.unionByName(rep)
+    scaled_c.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    mo = od.agg(F.max("o_orderkey").alias("m")).collect()[0].m
+    # o_custkey offsets by the CUSTOMER key stride so replica r's orders
+    # reference replica r's customers — k disjoint copies of the join
+    # graph, fixed per-replica fan-out
+    reps = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * (mo + 1)))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * (mc + 1)))
+        for r in range(k)
+    ]
+    scaled_o = reps[0]
+    for rep in reps[1:]:
+        scaled_o = scaled_o.unionByName(rep)
+    scaled_o.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
     )
 
     with open(stamp, "w") as fh:
