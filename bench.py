@@ -301,6 +301,7 @@ SWEEP_EXCLUDED = {
     "streaming_paragraph_dedup": "stream-startup dominated (dedup ticks)",
     "streaming_sessionize": "stream-startup dominated (3 sessionize runs)",
     "kafka_roundtrip_dedup": "stream-startup dominated (broker-mirror roundtrip)",
+    "streaming_interval_join": "stream-startup dominated (stream-stream state)",
 }
 
 RUNS = 3

@@ -552,3 +552,55 @@ def bfs_hops(
         # (one node appears exactly once across all rounds)
         dist = dist.unionByName(frontier)
     return dist
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-round single-source-set shortest paths over INTEGER edge
+    weights — the weighted sibling of ``bfs_hops`` (hops measures edge
+    count; this measures accumulated weight, the delta-stepping /
+    Bellman-Ford ask its docstring deferred).
+
+    Per round: dist_{t+1}(v) = min(dist_t(v), min_{(u,v)∈E}(dist_t(u) +
+    w(u,v))) — unlike unweighted BFS, a node's first discovery is NOT
+    final (a longer-hop path can be lighter), so every round re-relaxes
+    the full settled relation: one O(|E|) equi-join + union-min, lineage
+    cut per round. After ``iters`` rounds the result is the exact
+    shortest distance among paths of ≤ ``iters`` edges (Bellman-Ford's
+    invariant) — a bounded-radius weighted ball, which is the honest
+    contract for a fixed-round relational implementation. All integer
+    arithmetic: MIN of integer sums is order-independent, so the result
+    is bit-identical across engines — full-oracle-safe.
+
+    Scale (100 TB): per-round cost is one shuffle of |ball_t| + |E|
+    keyed rows. For diameter-scale exact SSSP prefer true delta-stepping
+    with bucketed frontiers; for the hop-bounded feature ask (trust
+    radius, weighted blast radius) this is the right operator. Returns
+    (node BIGINT, dist BIGINT).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        relaxed = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

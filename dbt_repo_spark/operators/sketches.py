@@ -650,3 +650,33 @@ def bloom_probe(
     return hit.groupBy("key").agg(
         (F.sum("hit") == F.lit(k)).alias("bloom_pass")
     )
+
+
+def countmin_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches of the join
+    keys (Cormode-Muthukrishnan inner-product estimate): merge each
+    sketch cell-wise, join the two depth×width counter tables on
+    (d, bucket), and take min over d of Σ_bucket cnt_a·cnt_b.
+
+    |A ⋈ B| = Σ_k cnt_a(k)·cnt_b(k) exactly; each sketch row d
+    overestimates it (colliding keys add cross terms, all counts are
+    non-negative), so est ≥ true ALWAYS and est ≤ true + ε·N_a·N_b with
+    probability 1−δ for width e/ε, depth ln(1/δ). This is the planner's
+    pre-shuffle cardinality probe: both sketches build map-side in one
+    pass each (depth×width cells regardless of key cardinality), and
+    the estimate itself costs a broadcast join of two KB-sized tables —
+    no shuffle of either fact relation. Counters are integers → the
+    estimate is engine-exact (full-oracle-safe).
+
+    Returns one row: (cm_join_size_est BIGINT).
+    """
+    ma = sketch_a.groupBy("d", "bucket").agg(F.sum("cnt").alias("ca"))
+    mb = sketch_b.groupBy("d", "bucket").agg(F.sum("cnt").alias("cb"))
+    per_d = (
+        ma.join(mb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_d.agg(F.min("ip").cast("long").alias("cm_join_size_est"))

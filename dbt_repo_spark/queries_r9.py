@@ -1,0 +1,690 @@
+"""Round-9 operator wave: the pipeline-infrastructure asks a 100 TB
+training-data deployment hits right after the r8 scale family.
+
+- **DSIR importance weights** (`dsir_importance_weights`): hashed-n-gram
+  importance resampling (Xie et al. 2023, "Data Selection for Language
+  Models via Importance Resampling") — the standard recipe for tilting a
+  raw crawl toward a target domain without training a classifier. Both
+  feature distributions reduce to a 256-bucket table (broadcastable KBs
+  at any corpus size); per-document scores are one explode + broadcast
+  join + per-doc integer sum.
+- **FD audit** (`fd_violations`): the Deequ-style functional-dependency
+  check (does A determine B?) over candidate FDs — the data-quality
+  contract test that catches silently denormalized or corrupted feeds.
+  Two hash-aggs per FD, exact integers end to end.
+- **CM join-size estimate** (`join_size_cm_estimate`): the
+  Cormode-Muthukrishnan inner-product estimate of an equi-join's output
+  cardinality from two count-min sketches — the planner-shaped probe
+  that prices a shuffle BEFORE running it. est ≥ exact always
+  (property-tested); both sketches are map-side one-pass builds.
+- **Weighted SSSP** (`graph_weighted_sssp`): bounded-round Bellman-Ford
+  over integer weights (graph.weighted_sssp) — the weighted
+  blast-radius sibling bfs_hops' docstring deferred.
+
+Cross-engine exactness: everything is integers/booleans except the DSIR
+log-ratios, which follow the bigram-LM rule (ln of identical doubles
+rounds to the same 6-dp integer on both engines; all downstream sums are
+integer, hence order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
+from dbt_repo_spark.queries import q, t
+
+_DSIR_B = 256  # hashed-feature buckets (per DSIR: 10k at production scale)
+
+
+def _duck_bucket(expr: str, width: int) -> str:
+    """DuckDB twin of sketches._cm_bucket's md5 fold: first 8 md5 hex
+    chars of ``expr`` as an integer mod ``width``."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)"
+        f" % {width} AS BIGINT)"
+    )
+
+
+@q(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    tb AS (SELECT doc_id, lang, {_duck_bucket("w", _DSIR_B)} AS b FROM toks),
+    spine AS (SELECT unnest(range({_DSIR_B})) AS b),
+    srcc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+    tgtc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb
+             WHERE lang = 'en' GROUP BY 1),
+    tots AS (SELECT (SELECT COUNT(*) FROM tb) AS ts,
+                    (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS tt),
+    ratio AS (
+      SELECT spine.b,
+             CAST(round((ln(CAST(COALESCE(tg.c, 0) + 1 AS DOUBLE)
+                            / CAST(tots.tt + {_DSIR_B} AS DOUBLE))
+                         - ln(CAST(COALESCE(sc.c, 0) + 1 AS DOUBLE)
+                              / CAST(tots.ts + {_DSIR_B} AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS r
+      FROM spine
+      LEFT JOIN srcc sc ON sc.b = spine.b
+      LEFT JOIN tgtc tg ON tg.b = spine.b
+      CROSS JOIN tots)
+    SELECT tb.doc_id, MIN(tb.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(ratio.r) AS BIGINT) AS score_micros,
+           SUM(ratio.r) > 0 AS keep
+    FROM tb JOIN ratio ON ratio.b = tb.b
+    GROUP BY tb.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (hashed-n-gram importance resampling) scores against the
+    'en' slice as the target domain: feature = md5-hashed token bucket
+    (256 lanes), both bucket distributions Laplace-smoothed over the
+    full spine (no ln(0), buckets absent from either side included),
+    per-document score = Σ over token instances of the 6-dp integer
+    log-ratio ln(p_target(b)) − ln(p_source(b)). A positive score means
+    the document looks more like the target than the source average —
+    ``keep`` is the zero-threshold selection DSIR resamples from.
+
+    Scale (100 TB): the two distribution tables are ≤256 rows each
+    regardless of corpus size (one hash-agg apiece, partial-aggregable)
+    and BROADCAST to the scoring pass; scoring is explode → map-side
+    broadcast join → per-doc integer sum (one shuffle keyed on doc_id,
+    combiner-friendly). No UDFs, no driver-side loops, no vocabulary
+    materialized anywhere.
+    """
+    from dbt_repo_spark.operators.dedup import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    srcc = tb.groupBy("b").agg(F.count("*").alias("cs"))
+    tgtc = (
+        tb.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("ct"))
+    )
+    tots = tb.agg(
+        F.count("*").alias("ts"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tt"),
+    )
+    ln = F.log  # natural log, same as DuckDB ln()
+    ratio = (
+        spine.join(srcc, "b", "left")
+        .join(tgtc, "b", "left")
+        .join(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                (
+                    ln(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + _DSIR_B).cast("double")
+                    )
+                    - ln(
+                        (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+                        / (F.col("ts") + _DSIR_B).cast("double")
+                    )
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_toks"),
+            F.sum("r").cast("long").alias("score_micros"),
+            (F.sum("r") > 0).alias("keep"),
+        )
+    )
+
+
+_FD_SPECS = [
+    # (name, table, lhs, rhs) — a key-held FD (doc_id->lang, zero
+    # violations by uniqueness) plus four violated ones: the audit must
+    # report both verdicts, not just rubber-stamp.
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("lineitem.l_orderkey->l_linestatus", "lineitem", "l_orderkey", "l_linestatus"),
+    ("lineitem.l_suppkey->l_returnflag", "lineitem", "l_suppkey", "l_returnflag"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("documents.source->lang", "documents", "source", "lang"),
+]
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for name, table, lhs, rhs in _FD_SPECS:
+        blocks.append(f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(MAX(d) AS BIGINT) AS max_distinct_rhs,
+           CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS violation_rate_micros
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS d FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(blocks)
+
+
+@q("fd_violations", _fd_oracle())
+def fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the Deequ/data-contract check): for
+    each candidate FD A→B, how many A-keys map to more than one B value.
+    One row per audited FD: (fd, n_keys, n_violating_keys,
+    max_distinct_rhs, violation_rate_micros — exact integer millionths,
+    no float division). The spec list mixes a held FD with violated ones
+    so both verdicts are exercised.
+
+    Scale: each FD is two partial-aggregable hash-aggs (per-key distinct
+    count, then a 1-row fold) — |keys| intermediate rows, never a
+    materialized violation list; the rate is read off the counts.
+    """
+    out = None
+    for name, table, lhs, rhs in _FD_SPECS:
+        per_key = (
+            t(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+        )
+        viol = F.sum((F.col("d") > 1).cast("long"))
+        row = per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_keys"),
+            viol.alias("n_violating_keys"),
+            F.max("d").cast("long").alias("max_distinct_rhs"),
+            F.expr(
+                "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("violation_rate_micros"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@q(
+    "join_size_cm_estimate",
+    f"""
+    WITH d AS (SELECT unnest(range(4)) AS d),
+    ska AS (
+      SELECT d, {_duck_bucket(
+          "CAST(user_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)", 256
+      )} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN d GROUP BY 1, 2),
+    skb AS (
+      SELECT d, {_duck_bucket(
+          "CAST(o_custkey AS VARCHAR) || '|' || CAST(d AS VARCHAR)", 256
+      )} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN d GROUP BY 1, 2),
+    ip AS (SELECT ska.d, SUM(ska.cnt * skb.cnt) AS ip
+           FROM ska JOIN skb ON ska.d = skb.d AND ska.bucket = skb.bucket
+           GROUP BY 1),
+    ex AS (SELECT COALESCE(SUM(a.c * b.c), 0) AS exact
+           FROM (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1) a
+           JOIN (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) b
+             ON a.k = b.k)
+    SELECT CAST(ex.exact AS BIGINT) AS exact_join_size,
+           CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS cm_join_size_est,
+           CAST((SELECT MIN(ip) FROM ip) - ex.exact AS BIGINT) AS overcount
+    FROM ex
+    """,
+)
+def join_size_cm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle join-cardinality probe: |events ⋈ orders ON user_id =
+    o_custkey| estimated from two 4×256 count-min sketches via the
+    Cormode-Muthukrishnan inner-product bound
+    (sketches.countmin_inner_product), alongside the exact size and the
+    guaranteed-non-negative overcount. est ≥ exact ALWAYS (all counters
+    non-negative; collisions only add cross terms) — property-tested.
+
+    Scale (100 TB): the exact number needs the real key-join (here it is
+    the oracle's certificate); the ESTIMATE is the product a planner can
+    afford — each sketch builds map-side in one pass (depth×width cells
+    regardless of key cardinality) and the inner product joins two
+    KB-sized tables. This is Spark's runtime-stats gap made explicit:
+    price the shuffle before paying for it.
+    """
+    from dbt_repo_spark.operators.sketches import (
+        countmin_inner_product,
+        countmin_table,
+    )
+
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    ska = countmin_table(ev, "k")
+    skb = countmin_table(od, "k")
+    est = countmin_inner_product(ska, skb)
+    a = ev.groupBy("k").agg(F.count("*").alias("ca"))
+    b = od.groupBy("k").agg(F.count("*").alias("cb"))
+    exact = a.join(b, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
+    )
+    return exact.join(F.broadcast(est)).select(
+        "exact_join_size",
+        "cm_join_size_est",
+        (F.col("cm_join_size_est") - F.col("exact_join_size")).alias("overcount"),
+    )
+
+
+def _sssp_oracle(iters: int = 4) -> str:
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(
+            f"""s{r} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM s{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, s{r - 1}.dist + e.w AS dist
+        FROM s{r - 1} JOIN e ON e.src = s{r - 1}.node)
+      GROUP BY node)"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT l_orderkey AS src, l_partkey + {SYNTH_ID_TAG} AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey + {SYNTH_ID_TAG} AS src, l_orderkey AS dst,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    seeds AS (SELECT DISTINCT l_orderkey AS node FROM lineitem
+              WHERE l_orderkey % 64 = 0),
+    s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    {", ".join(rounds)}
+    SELECT dist // 10 AS dist_bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(dist) AS min_dist, MAX(dist) AS max_dist,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM s{iters} GROUP BY 1
+    """
+
+
+@q("graph_weighted_sssp", _sssp_oracle())
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted blast radius: exact ≤4-edge shortest DISTANCES (edge
+    weight = line quantity) from the seed set over the order↔part
+    bipartite graph — graph.weighted_sssp's bounded-round Bellman-Ford,
+    where bfs_hops counts edges this accumulates weight (a longer-hop
+    path can be lighter, so rounds re-relax the settled ball rather
+    than frontier-only — the structural difference between the two).
+    Part nodes ride in the guarded 2^40 namespace (ids.tagged_id).
+    Output: per 10-unit distance bucket, node count + distance extrema
+    and mass — covers every settled node without shipping the node list.
+    All integers → full oracle (unrolled relaxation CTEs).
+    """
+    from dbt_repo_spark.operators.graph import weighted_sssp
+    from dbt_repo_spark.operators.ids import tagged_id
+
+    li = t(spark, sf_dir, "lineitem")
+    part = tagged_id(F.col("l_partkey"), what="l_partkey")
+    w = F.col("l_quantity").cast("long")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), part.alias("dst"), w.alias("w")
+    ).unionByName(
+        li.select(part.alias("src"), F.col("l_orderkey").alias("dst"), w.alias("w"))
+    )
+    seeds = (
+        li.filter(F.col("l_orderkey") % 64 == 0)
+        .select(F.col("l_orderkey").alias("node"))
+        .distinct()
+    )
+    dist = weighted_sssp(edges, seeds, iters=4)
+    return dist.groupBy(
+        F.expr("dist div 10").alias("dist_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+
+
+@q(
+    "streaming_interval_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup')
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT)
+             AS lag_sec
+    FROM p JOIN s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND p.ts <= s.ts + INTERVAL 30 DAY
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the one streaming join
+    class the registry's stream-static broadcasts don't cover: purchases
+    and signups arrive as two independent streams, and each purchase
+    pairs with every signup by the same user in the preceding 30 days.
+    Spark buffers both sides in watermark-bounded state and emits a
+    match when both rows have arrived; the time-range condition
+    (s.ts <= p.ts <= s.ts + 30d) is what lets the state store EVICT —
+    without it stream-stream state grows forever (the 100 TB killer;
+    the watermark + range bound is the operator's contract, not an
+    optimization). Inner join: matches are complete with no flush tick
+    needed (unlike outer, which waits for the watermark to declare
+    no-match), so delivering the backlog as one availableNow batch
+    makes the live output EQUAL the batch interval join — which is
+    exactly what the oracle states. lag_sec is integer µs-div, exact on
+    both engines.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_ivj_")
+    try:
+        pdir, sdir = f"{work}/purchases", f"{work}/signups"
+        out, ckpt = f"{work}/out", f"{work}/ckpt"
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        ev.filter(F.col("event_type") == "purchase").drop(
+            "event_type"
+        ).write.parquet(pdir)
+        ev.filter(F.col("event_type") == "signup").drop(
+            "event_type"
+        ).write.parquet(sdir)
+        sch = "event_id long, user_id long, ts timestamp"
+        p = (
+            spark.readStream.schema(sch)
+            .parquet(pdir)
+            .withWatermark("ts", "1 hour")
+            .alias("p")
+        )
+        s = (
+            spark.readStream.schema(sch)
+            .parquet(sdir)
+            .withWatermark("ts", "1 hour")
+            .alias("s")
+        )
+        joined = p.join(
+            s,
+            (F.col("p.user_id") == F.col("s.user_id"))
+            & (F.col("s.ts") <= F.col("p.ts"))
+            & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 DAYS")),
+            "inner",
+        ).select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("s.event_id").alias("signup_id"),
+            F.expr(
+                "(unix_micros(p.ts) - unix_micros(s.ts)) div 1000000"
+            ).alias("lag_sec"),
+        )
+        qh = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
+        return (
+            spark.read.schema(
+                "user_id long, purchase_id long, signup_id long, lag_sec long"
+            )
+            .parquet(out)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_PCA_DIM = 64
+_PCA_SQUARINGS = 10  # M^(2^10): convergence rate (λ2/λ1)^1024
+_PCA_TARGET = 1 << 25  # post-shift magnitude cap (multiply-safe at dim 64)
+
+
+def _pca_oracle() -> str:
+    """Unrolled integer REPEATED-SQUARING power method (pagerank_units'
+    exactness recipe applied to the embedding scatter matrix): the
+    corpus eigen-gap is thin (λ2/λ1 ≈ 0.98 at sf0.1), so plain power
+    iteration needs hundreds of rounds — squaring the matrix k times
+    applies 2^k rounds in k join-aggs. Every division is sign-magnitude
+    over non-negative operands, so DuckDB `//` and Spark `div` agree
+    exactly despite their different negative semantics."""
+    rounds = []
+    for r in range(1, _PCA_SQUARINGS + 1):
+        p = r - 1
+        rounds.append(f"""
+    q{r} AS MATERIALIZED (
+      SELECT a.i, b.j, CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS HUGEINT) AS u
+      FROM m{p} a JOIN m{p} b ON a.j = b.i GROUP BY 1, 2),
+    e{r} AS MATERIALIZED (
+      SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(u)) // {_PCA_TARGET}) AS d
+      FROM q{r}),
+    m{r} AS MATERIALIZED (
+      SELECT i, j, CAST(CASE WHEN u < 0
+                             THEN -(ABS(u) // (SELECT d FROM e{r}))
+                             ELSE ABS(u) // (SELECT d FROM e{r}) END
+                        AS BIGINT) AS s
+      FROM q{r})""")
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(round(list_extract(CAST(embedding AS DOUBLE[]), u.i + 1)
+                        * 1000, 0) AS BIGINT) AS v
+      FROM embeddings, UNNEST(range({_PCA_DIM})) u(i)),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    sv AS MATERIALIZED (SELECT i, CAST(SUM(v) AS HUGEINT) AS s
+                        FROM x GROUP BY 1),
+    pp AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS p
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+    sc AS MATERIALIZED (
+      SELECT pp.i, pp.j, (SELECT n FROM nn) * pp.p - sa.s * sb.s AS sc
+      FROM pp JOIN sv sa ON sa.i = pp.i JOIN sv sb ON sb.i = pp.j),
+    sh AS (SELECT GREATEST(CAST(1 AS HUGEINT),
+                           MAX(ABS(sc)) // {_PCA_TARGET}) AS sh FROM sc),
+    m0 AS MATERIALIZED (
+      SELECT i, j, CAST(CASE WHEN sc < 0
+                             THEN -(ABS(sc) // (SELECT sh FROM sh))
+                             ELSE ABS(sc) // (SELECT sh FROM sh) END
+                        AS BIGINT) AS s
+      FROM sc),
+    {",".join(rounds)},
+    v0 AS (SELECT unnest(range({_PCA_DIM})) AS i,
+                  CAST(CASE WHEN CAST(('0x' || substr(md5(
+                         CAST(unnest(range({_PCA_DIM})) AS VARCHAR)), 1, 1))
+                         AS UBIGINT) < 8
+                       THEN 1000000 ELSE -1000000 END AS BIGINT) AS v),
+    uv AS MATERIALIZED (
+      SELECT m.i, CAST(SUM(CAST(m.s AS HUGEINT) * v0.v) AS HUGEINT) AS u
+      FROM m{_PCA_SQUARINGS} m JOIN v0 ON v0.i = m.j GROUP BY 1),
+    dv AS (SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(u)) // 1000000) AS d
+           FROM uv),
+    vf AS MATERIALIZED (
+      SELECT i, CAST(CASE WHEN u < 0
+                          THEN -(ABS(u) // (SELECT d FROM dv))
+                          ELSE ABS(u) // (SELECT d FROM dv) END
+                     AS BIGINT) AS v
+      FROM uv),
+    flip AS (SELECT CASE WHEN (SELECT v FROM vf WHERE v <> 0
+                               ORDER BY i LIMIT 1) < 0
+                         THEN -1 ELSE 1 END AS f)
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(v * (SELECT f FROM flip) AS BIGINT) AS component
+    FROM vf
+    """
+
+
+@q("embed_top_principal_direction", _pca_oracle())
+def embed_top_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by EXACT-INTEGER
+    repeated-squaring power method — the embedding-health analytic
+    (dominant variance axis: anisotropy diagnosis, whitening input, the
+    first step of every "your embeddings collapsed" investigation),
+    computed without a single cross-engine-fragile float reduction.
+
+    Recipe (pagerank_units' integer regime, applied to linear algebra):
+    embeddings quantize to 3-dp integers; the CENTERED scatter matrix is
+    the all-integer identity n·Σxᵢxⱼ − SᵢSⱼ (n² × covariance — same
+    eigenvectors, no mean division); a data-derived shift brings it into
+    multiply-safe range; the matrix is SQUARED k=10 times (the corpus
+    eigen-gap is thin — λ2/λ1 ≈ 0.98 — so plain power iteration needs
+    hundreds of rounds; squaring applies 2^k = 1024 of them in k tiny
+    join-aggs, renormalizing to the magnitude cap each time), then one
+    matvec against an md5-SIGN start vector (the all-ones start is
+    near-orthogonal to this corpus's top eigenvector — measured cos 0.01
+    — the deterministic pseudo-random signs break that degeneracy on
+    both engines identically). EVERY division is sign-magnitude over
+    non-negative operands, so Spark ``div`` (truncate-toward-zero) and
+    DuckDB ``//`` cannot disagree. Output: 64 rows (dim, component),
+    sign-canonicalized so the first nonzero component is positive. Unit
+    test pins |cos| > 0.999 against NumPy's eigh at three scales.
+
+    Scale (100 TB): the Gram reduce is ONE pass over the vectors —
+    explode to (vec, dim, x), self-join on vec_id (co-partitioned),
+    hash-agg to the 64×64 relation; everything after runs on ≤4096-row
+    relations (10 squaring joins + 1 matvec). The quadratic-in-dim
+    fan-out (4096 rows per vector pre-combine) is map-side partial-
+    aggregated; dims beyond ~1k would switch to the Arrow matmul seam.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("e").cast("double") * 1000, 0).cast("long").alias("v"),
+    ).localCheckpoint(eager=True)
+    d38 = "decimal(38,0)"
+    n = emb.count()
+    sv = x.groupBy("i").agg(F.sum("v").cast(d38).alias("s"))
+    a, b = x.alias("a"), x.alias("b")
+    pp = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.v").cast(d38) * F.col("b.v").cast(d38)).alias("p")
+        )
+    )
+    sb = sv.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    sc = (
+        pp.join(sv, "i")
+        .join(sb, "j")
+        .select(
+            "i", "j",
+            (F.lit(n).cast(d38) * F.col("p") - F.col("s") * F.col("sj")).alias(
+                "sc"
+            ),
+        )
+    )
+    sgn = lambda c: F.when(c < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    sh = sc.agg(
+        F.greatest(
+            F.lit(1).cast(d38),
+            F.expr(f"CAST(max(abs(sc)) div {_PCA_TARGET} AS {d38})"),
+        ).alias("sh")
+    )
+    m = (
+        sc.crossJoin(F.broadcast(sh))
+        .select(
+            "i", "j",
+            (sgn(F.col("sc")) * F.expr("CAST(abs(sc) div sh AS BIGINT)")).alias(
+                "s"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PCA_SQUARINGS):
+        m2 = (
+            m.alias("x")
+            .join(
+                m.select(
+                    F.col("i").alias("_yi"),
+                    F.col("j").alias("_yj"),
+                    F.col("s").alias("_ys"),
+                ),
+                F.col("x.j") == F.col("_yi"),
+            )
+            .groupBy(F.col("x.i").alias("i"), F.col("_yj").alias("j"))
+            .agg(F.sum(F.col("x.s") * F.col("_ys")).alias("u"))
+        )
+        d = m2.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST(max(abs(u)) div {_PCA_TARGET} AS BIGINT)"),
+            ).alias("d")
+        )
+        m = (
+            m2.crossJoin(F.broadcast(d))
+            .select(
+                "i", "j",
+                (sgn(F.col("u")) * F.expr("CAST(abs(u) div d AS BIGINT)")).alias(
+                    "s"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    v0 = spark.range(_PCA_DIM).select(
+        F.col("id").alias("j"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 1), 16, 10
+            ).cast("long")
+            < 8,
+            F.lit(1_000_000),
+        )
+        .otherwise(F.lit(-1_000_000))
+        .cast("long")
+        .alias("v"),
+    )
+    u = (
+        m.join(F.broadcast(v0), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("u"))
+    )
+    dv = u.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("CAST(max(abs(u)) div 1000000 AS BIGINT)"),
+        ).alias("d")
+    )
+    vf = (
+        u.crossJoin(F.broadcast(dv))
+        .select(
+            "i",
+            (sgn(F.col("u")) * F.expr("CAST(abs(u) div d AS BIGINT)")).alias(
+                "v"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        vf.filter(F.col("v") != 0)
+        .orderBy("i")
+        .limit(1)
+        .select(sgn(F.col("v")).alias("f"))
+    )
+    return vf.crossJoin(F.broadcast(first)).select(
+        F.col("i").cast("long").alias("dim"),
+        (F.col("v") * F.col("f")).cast("long").alias("component"),
+    )

@@ -114,6 +114,20 @@ OPS = [
     "layout_zorder_manifest",
     "mv_join_delta_maintenance",
     "unigram_lm_em_round",
+    # r9 second wave: the new operator family lands WITH its growth
+    # rows (r8 verdict ask #7). dsir's distribution tables are 256 rows
+    # at any scale; fd/cm are partial-aggregable hash-aggs; sssp replays
+    # bfs's disjoint-replica bound with weights; the PCA Gram reduce is
+    # one pass over vectors with a fixed 64x64 tail; unigram_lm_train is
+    # the EM round times a fixed round count; the stream-stream join's
+    # state is watermark-bounded.
+    "dsir_importance_weights",
+    "fd_violations",
+    "join_size_cm_estimate",
+    "graph_weighted_sssp",
+    "embed_top_principal_direction",
+    "unigram_lm_train",
+    "streaming_interval_join",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
