@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
-from dbt_repo_spark.queries import q, t
+from dbt_repo_spark.queries import dec, q, t
 
 _DSIR_B = 256  # hashed-feature buckets (per DSIR: 10k at production scale)
 
@@ -47,10 +47,7 @@ def _duck_bucket(expr: str, width: int) -> str:
     )
 
 
-@q(
-    "dsir_importance_weights",
-    f"""
-    WITH toks AS (
+_DSIR_CTES = f"""toks AS (
       SELECT doc_id, lang,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
       FROM documents),
@@ -71,32 +68,18 @@ def _duck_bucket(expr: str, width: int) -> str:
       FROM spine
       LEFT JOIN srcc sc ON sc.b = spine.b
       LEFT JOIN tgtc tg ON tg.b = spine.b
-      CROSS JOIN tots)
-    SELECT tb.doc_id, MIN(tb.lang) AS lang,
-           CAST(COUNT(*) AS BIGINT) AS n_toks,
-           CAST(SUM(ratio.r) AS BIGINT) AS score_micros,
-           SUM(ratio.r) > 0 AS keep
-    FROM tb JOIN ratio ON ratio.b = tb.b
-    GROUP BY tb.doc_id
-    """,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR (hashed-n-gram importance resampling) scores against the
-    'en' slice as the target domain: feature = md5-hashed token bucket
-    (256 lanes), both bucket distributions Laplace-smoothed over the
-    full spine (no ln(0), buckets absent from either side included),
-    per-document score = Σ over token instances of the 6-dp integer
-    log-ratio ln(p_target(b)) − ln(p_source(b)). A positive score means
-    the document looks more like the target than the source average —
-    ``keep`` is the zero-threshold selection DSIR resamples from.
+      CROSS JOIN tots),
+    scores AS (
+      SELECT tb.doc_id, MIN(tb.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(ratio.r) AS BIGINT) AS score_micros
+      FROM tb JOIN ratio ON ratio.b = tb.b
+      GROUP BY tb.doc_id)"""
 
-    Scale (100 TB): the two distribution tables are ≤256 rows each
-    regardless of corpus size (one hash-agg apiece, partial-aggregable)
-    and BROADCAST to the scoring pass; scoring is explode → map-side
-    broadcast join → per-doc integer sum (one shuffle keyed on doc_id,
-    combiner-friendly). No UDFs, no driver-side loops, no vocabulary
-    materialized anywhere.
-    """
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring relation: (doc_id, lang, n_toks, score_micros)
+    — the Spark twin of the ``scores`` CTE in ``_DSIR_CTES``."""
     from dbt_repo_spark.operators.dedup import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -153,8 +136,38 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lang").alias("lang"),
             F.count("*").alias("n_toks"),
             F.sum("r").cast("long").alias("score_micros"),
-            (F.sum("r") > 0).alias("keep"),
         )
+    )
+
+
+@q(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, lang, n_toks, score_micros, score_micros > 0 AS keep
+    FROM scores
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (hashed-n-gram importance resampling) scores against the
+    'en' slice as the target domain: feature = md5-hashed token bucket
+    (256 lanes), both bucket distributions Laplace-smoothed over the
+    full spine (no ln(0), buckets absent from either side included),
+    per-document score = Σ over token instances of the 6-dp integer
+    log-ratio ln(p_target(b)) − ln(p_source(b)). A positive score means
+    the document looks more like the target than the source average —
+    ``keep`` is the zero-threshold selection DSIR resamples from.
+
+    Scale (100 TB): the two distribution tables are ≤256 rows each
+    regardless of corpus size (one hash-agg apiece, partial-aggregable)
+    and BROADCAST to the scoring pass; scoring is explode → map-side
+    broadcast join → per-doc integer sum (one shuffle keyed on doc_id,
+    combiner-friendly). No UDFs, no driver-side loops, no vocabulary
+    materialized anywhere.
+    """
+    return _dsir_scores(spark, sf_dir).select(
+        "doc_id", "lang", "n_toks", "score_micros",
+        (F.col("score_micros") > 0).alias("keep"),
     )
 
 
@@ -687,4 +700,301 @@ def embed_top_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     return vf.crossJoin(F.broadcast(first)).select(
         F.col("i").cast("long").alias("dim"),
         (F.col("v") * F.col("f")).cast("long").alias("component"),
+    )
+
+
+@q(
+    "dsir_token_budget_resample",
+    f"""
+    WITH {_DSIR_CTES},
+    bud AS (SELECT CAST(SUM(n_toks) // 4 AS BIGINT) AS b FROM scores),
+    r AS (SELECT doc_id, lang, n_toks, score_micros,
+                 SUM(n_toks) OVER (ORDER BY score_micros DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scores),
+    sel AS (SELECT r.* FROM r CROSS JOIN bud WHERE r.cum <= bud.b)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           MIN(score_micros) AS min_score_micros,
+           MAX(score_micros) AS max_score_micros
+    FROM sel GROUP BY lang
+    """,
+)
+def dsir_token_budget_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: take documents in descending
+    importance-score order until a 25%-of-corpus TOKEN budget fills
+    (exclusive running count — the doc that would cross the boundary is
+    excluded, so every run under- rather than over-fills; (score DESC,
+    doc_id) is a total order, so membership is reproducible). Output:
+    the selected corpus's language mix — the audit a mixture owner reads
+    (did tilting toward 'en' actually shift the mix, and what score
+    range survived per language).
+
+    Scale (r8 verdict discipline, applied from birth): the running token
+    sum goes through evalmetrics.ordered_prefix_sums on the struct key
+    (-score, doc_id) — range exchange + per-partition window + broadcast
+    offsets, NO Exchange-SinglePartition over the document relation —
+    while the oracle states the same thing as the global window DuckDB
+    can afford at oracle scale. Budget derives from total_n_toks (a
+    literal from the same offsets job: zero extra scans).
+    """
+    from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
+
+    keyed = _dsir_scores(spark, sf_dir).withColumn(
+        "_okey",
+        F.struct(
+            (-F.col("score_micros")).alias("a"), F.col("doc_id").alias("b")
+        ),
+    )
+    cum = ordered_prefix_sums(keyed, "_okey", ["n_toks"])
+    sel = cum.filter(
+        F.col("cum_n_toks_before") + F.col("n_toks")
+        <= F.expr("total_n_toks div 4")
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("score_micros").alias("min_score_micros"),
+        F.max("score_micros").alias("max_score_micros"),
+    )
+
+
+@q(
+    "training_data_pipeline_v7",
+    f"""
+    WITH {_DSIR_CTES},
+    kept AS (SELECT s.doc_id, s.n_toks, d.text
+             FROM scores s JOIN documents d USING (doc_id)
+             WHERE s.score_micros > 0),
+    own AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+            FROM kept GROUP BY 1),
+    surv AS (SELECT k.doc_id, k.n_toks FROM kept k
+             JOIN own ON own.doc_id = k.doc_id),
+    cum AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+                    ORDER BY n_toks, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumb
+      FROM surv)
+    SELECT CAST(cumb // 256 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS shard_tokens,
+           MIN(n_toks) AS min_tokens, MAX(n_toks) AS max_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM cum GROUP BY 1
+    """,
+)
+def training_data_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 composed production tick: SELECT (DSIR keep-gate,
+    score > 0) → EXACT-DEDUP (md5 content hash, keep-first owner — the
+    dedup_exact shape) → SHARD (length-curriculum manifest via
+    curriculum_token_shards) — the "choose what to train on, drop exact
+    copies, lay out the shards" chain that sits upstream of every other
+    pipeline_v* tick. One composed oracle certifies all three stages
+    end-to-end, same as v2–v6.
+
+    Scale: DSIR stage as dsir_importance_weights (256-row broadcasts);
+    dedup is one content-hash agg + semi-join; sharding reuses the
+    two-phase prefix-sum (no single-partition window). Token counts
+    flow from the DSIR stage — the corpus text is hashed once and never
+    re-tokenized.
+    """
+    from dbt_repo_spark.operators.sampling import curriculum_token_shards
+
+    scores = _dsir_scores(spark, sf_dir).filter(F.col("score_micros") > 0)
+    hashed = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    kept = scores.join(hashed, "doc_id")
+    owners = kept.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(owners.select("doc_id"), "doc_id", "left_semi")
+    # 256-token shards: the DSIR gate keeps a small high-score slice of
+    # the fixture corpus, and the manifest check is only non-trivial
+    # with multiple shard rows
+    return curriculum_token_shards(
+        surv.select("doc_id", "n_toks"), "doc_id", "n_toks", budget=256
+    )
+
+
+@q(
+    "woe_information_value",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    scored AS (
+      SELECT pos, ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile
+      FROM base),
+    bins AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+      FROM scored GROUP BY 1),
+    tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM bins)
+    SELECT decile, n, n_pos, n_neg,
+           CAST(round((ln(CAST(n_pos + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE))
+                       - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(tn + 10 AS DOUBLE)))
+                      * 1000000.0, 0) AS BIGINT) AS woe_micros,
+           CAST(round((CAST(n_pos + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE)
+                       - CAST(n_neg + 1 AS DOUBLE) / CAST(tn + 10 AS DOUBLE))
+                      * (ln(CAST(n_pos + 1 AS DOUBLE) / CAST(tp + 10 AS DOUBLE))
+                         - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(tn + 10 AS DOUBLE)))
+                      * 1000000.0, 0) AS BIGINT) AS iv_micros
+    FROM bins CROSS JOIN tot
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screening (the
+    credit-scoring staple): order value binned into exact deciles
+    (scalable_ntile — the r8 two-phase machinery, no single-partition
+    window over the fact), target = order fulfilled ('F'); per bin
+    WOE = ln(pos_share) − ln(neg_share) and the IV contribution
+    (pos_share − neg_share)·WOE, both Laplace-smoothed (+1 per bin,
+    +n_bins per total) so empty cells never hit ln(0). Σ iv_micros is
+    the feature's screening score (IV < 0.02 → useless, > 0.3 →
+    strong). 6-dp rounding on identical doubles — cross-engine exact.
+
+    Scale: one fact reduce to ≤10 bin rows after the decile assignment
+    (whose sort is a 2-column projection range-shuffle); everything
+    after is arithmetic on a broadcast-sized relation.
+    """
+    from dbt_repo_spark.operators.ids import scalable_ntile
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    scored = scalable_ntile(base, 10, ["cents", "o_orderkey"], "decile")
+    bins = scored.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    tot = bins.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    ps = (F.col("n_pos") + 1).cast("double") / (F.col("tp") + 10).cast("double")
+    ns = (F.col("n_neg") + 1).cast("double") / (F.col("tn") + 10).cast("double")
+    woe = F.log(ps) - F.log(ns)
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "n_pos", "n_neg",
+        F.round(woe * 1000000.0, 0).cast("long").alias("woe_micros"),
+        F.round((ps - ns) * woe * 1000000.0, 0).cast("long").alias("iv_micros"),
+    )
+
+
+_RARE_DF = 8  # rare-gram blocking: shingles with document frequency <= this
+
+
+@q(
+    "text_containment_pairs",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             md5(g.s1 || ' ' || g.s2 || ' ' || g.s3) AS h
+      FROM (
+        SELECT doc_id, toks[i] AS s1, toks[i + 1] AS s2, toks[i + 2] AS s3
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+             UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)) g),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh GROUP BY 1),
+    rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {_RARE_DF}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN rare USING (h) JOIN sh b USING (h)
+      WHERE a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, i.n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(i.n_common * 1000000 // sa.sz AS BIGINT)
+             AS containment_a_micros,
+           CAST(i.n_common * 1000000 // sb.sz AS BIGINT)
+             AS containment_b_micros
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 2 >= sa.sz OR i.n_common * 2 >= sb.sz
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection — the quote/subset relation
+    symmetric Jaccard under-reports (a short doc fully quoted inside a
+    long one has tiny Jaccard but containment ≈ 1 on the short side):
+    per candidate pair, |A∩B| over exact distinct 3-gram shingle sets
+    and both directional containments in integer millionths; pairs kept
+    when either side is ≥50% contained.
+
+    Candidate generation is RARE-GRAM BLOCKING (shingles with document
+    frequency ≤ 8 nominate pairs): the df-cap bounds the inverted-index
+    fan-out at Σ_{{rare g}} df(g)² ≤ 64·|rare grams| — the quadratic
+    blowup of a plain gram self-join never materializes, and common
+    boilerplate grams (high df) nominate nothing. A true quote of ≥3
+    consecutive rare tokens always shares a rare gram, so recall loss is
+    confined to pairs overlapping ONLY in boilerplate — which the ≥50%
+    gate would reject anyway. Same contract as the oracle, stated as the
+    identical SQL — full value parity, not an approximation waiver.
+
+    Scale: distinct-shingle relation shuffles once; the blocked
+    candidate join is df-bounded; the intersection count joins candidate
+    pairs back to the two shingle sets (keyed, co-partitioned).
+    """
+    from dbt_repo_spark.operators.dedup import shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3).select(
+        F.col("id").alias("doc_id"), F.md5("shingle").alias("h")
+    ).distinct().localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _RARE_DF
+    ).select("h")
+    a = sh.join(rare, "h").select(F.col("doc_id").alias("id_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h1"))
+    y = sh.select(F.col("doc_id").alias("_yb"), F.col("h").alias("h2"))
+    inter = (
+        cand.join(x, "id_a")
+        .join(
+            y,
+            (F.col("id_b") == F.col("_yb")) & (F.col("h1") == F.col("h2")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("n_common") * 2 >= F.col("size_a"))
+            | (F.col("n_common") * 2 >= F.col("size_b"))
+        )
+        .select(
+            "id_a", "id_b", "n_common", "size_a", "size_b",
+            F.expr("CAST(n_common * 1000000 div size_a AS BIGINT)").alias(
+                "containment_a_micros"
+            ),
+            F.expr("CAST(n_common * 1000000 div size_b AS BIGINT)").alias(
+                "containment_b_micros"
+            ),
+        )
     )

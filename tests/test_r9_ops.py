@@ -185,3 +185,133 @@ def test_interval_join_pairs_within_window(spark):
     assert got == expected
     for r in rows:
         assert 0 <= r.lag_sec <= 30 * 86400
+
+
+def test_dsir_resample_budget_and_prefix(spark):
+    """The resampled corpus is exactly the top-score prefix under the
+    25% token budget: total selected tokens <= budget, and a brute-force
+    greedy over the score relation reproduces the per-lang counts."""
+    scores = sorted(
+        QUERIES["dsir_importance_weights"](spark, SF01).collect(),
+        key=lambda r: (-r.score_micros, r.doc_id),
+    )
+    total = sum(r.n_toks for r in scores)
+    budget = total // 4
+    # the contract is a strict PREFIX of the score order: the running
+    # sum advances over every doc (selected or not), so the first doc
+    # whose inclusive prefix crosses the budget ends the selection —
+    # reproducible and order-stable (same as token_budget_mixture)
+    run, sel = 0, []
+    for r in scores:
+        run += r.n_toks
+        if run <= budget:
+            sel.append(r)
+    rows = {r.lang: r for r in QUERIES["dsir_token_budget_resample"](spark, SF01).collect()}
+    exp: dict[str, list] = {}
+    for r in sel:
+        exp.setdefault(r.lang, []).append(r)
+    assert set(rows) == set(exp)
+    got_total = 0
+    for lang, rs in exp.items():
+        assert rows[lang].n_docs == len(rs)
+        assert rows[lang].n_tokens == sum(x.n_toks for x in rs)
+        got_total += rows[lang].n_tokens
+    assert got_total <= budget
+
+
+def test_v7_pipeline_conservation(spark):
+    """v7 stage conservation on the fixture: the shard manifest accounts
+    for every kept, exact-deduped document exactly once; shard ids are
+    dense from 0; every shard except possibly stragglers starts under
+    the budget boundary."""
+    shards = sorted(
+        QUERIES["training_data_pipeline_v7"](spark, SF01).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [s.shard_id for s in shards] == list(range(len(shards)))
+    scores = {
+        r.doc_id: r
+        for r in QUERIES["dsir_importance_weights"](spark, SF01).collect()
+        if r.score_micros > 0
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in t(spark, SF01, "documents").collect()
+        if r.doc_id in scores
+    }
+    owners = {}
+    for did in sorted(texts):
+        owners.setdefault(texts[did], did)
+    surv = set(owners.values())
+    assert sum(s.n_docs for s in shards) == len(surv)
+    assert sum(s.shard_tokens for s in shards) == sum(
+        scores[d].n_toks for d in surv
+    )
+
+
+def test_woe_bins_consistent(spark):
+    """WOE/IV audit arithmetic: deciles are 1..10 and partition the
+    orders (sum of n == row count), every IV contribution is
+    non-negative ((share_diff) and ln(share ratio) always share sign),
+    and the micro values reproduce from the emitted counts."""
+    import math
+
+    rows = sorted(
+        QUERIES["woe_information_value"](spark, SF01).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_orders = t(spark, SF01, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    tp = sum(r.n_pos for r in rows)
+    tn = sum(r.n_neg for r in rows)
+    for r in rows:
+        ps = (r.n_pos + 1) / (tp + 10)
+        ns = (r.n_neg + 1) / (tn + 10)
+        woe = math.log(ps) - math.log(ns)
+        assert abs(r.woe_micros - woe * 1e6) <= 1, r
+        assert abs(r.iv_micros - (ps - ns) * woe * 1e6) <= 1, r
+        assert r.iv_micros >= 0, r
+
+
+def test_containment_matches_brute_force(spark):
+    """text_containment_pairs == a pure-Python reimplementation of the
+    rare-gram-blocked containment recipe on the small fixture, and the
+    asymmetry claim holds: containment_a >= jaccard for every pair."""
+    from dbt_repo_spark.queries_r9 import _RARE_DF
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w != ""]
+        for r in t(spark, SF, "documents").collect()
+    }
+    sh = {
+        d: {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        for d, ws in docs.items()
+        if len(ws) >= 3
+    }
+    df: dict[str, int] = {}
+    for g in (g for gs in sh.values() for g in gs):
+        df[g] = df.get(g, 0) + 1
+    rare = {g for g, c in df.items() if c <= _RARE_DF}
+    exp = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if not (sh[a] & sh[b] & rare):
+                continue
+            inter = len(sh[a] & sh[b])
+            if 2 * inter >= len(sh[a]) or 2 * inter >= len(sh[b]):
+                exp[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in QUERIES["text_containment_pairs"](spark, SF).collect()
+    }
+    assert set(rows) == set(exp)
+    for k, (inter, sa, sb) in exp.items():
+        r = rows[k]
+        assert (r.n_common, r.size_a, r.size_b) == (inter, sa, sb)
+        assert r.containment_a_micros == inter * 1_000_000 // sa
+        assert r.containment_b_micros == inter * 1_000_000 // sb
+        jac = inter * 1_000_000 // (sa + sb - inter)
+        assert max(r.containment_a_micros, r.containment_b_micros) >= jac

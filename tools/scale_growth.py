@@ -128,6 +128,16 @@ OPS = [
     "embed_top_principal_direction",
     "unigram_lm_train",
     "streaming_interval_join",
+    # r9 third wave: the resample/compose/screening/containment family.
+    # dsir_token_budget_resample exercises ordered_prefix_sums on the
+    # score order; v7 composes select->dedup->shard; WOE is a 10-bin
+    # fold after the scalable_ntile 2-column sort; containment's
+    # rare-gram blocking is the df-bounded candidate generator whose
+    # growth the exponent certifies.
+    "dsir_token_budget_resample",
+    "training_data_pipeline_v7",
+    "woe_information_value",
+    "text_containment_pairs",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
