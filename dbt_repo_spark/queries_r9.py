@@ -998,3 +998,220 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RAKE_STOP_K = 20  # corpus-derived delimiter set (top-K frequency tokens)
+_RAKE_MAXLEN = 4
+_RAKE_TOPK = 20
+
+
+@q(
+    "text_keyphrase_rake",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents),
+    pos AS (SELECT doc_id, u.i AS pos, ts[u.i + 1] AS w
+            FROM toks, UNNEST(range(len(ts))) u(i)),
+    stop AS (SELECT w FROM (
+      SELECT w, COUNT(*) AS c FROM pos GROUP BY 1
+      ORDER BY c DESC, w LIMIT {_RAKE_STOP_K})),
+    fl AS (SELECT p.doc_id, p.pos, p.w,
+                  CASE WHEN s.w IS NULL THEN 0 ELSE 1 END AS st
+           FROM pos p LEFT JOIN stop s ON s.w = p.w),
+    rn AS (SELECT doc_id, pos, w, st,
+                  SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS run
+           FROM fl),
+    ph AS (SELECT doc_id, run,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  CAST(COUNT(*) AS BIGINT) AS len
+           FROM rn WHERE st = 0 GROUP BY 1, 2
+           HAVING COUNT(*) BETWEEN 1 AND {_RAKE_MAXLEN}),
+    wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(len) AS BIGINT) AS deg
+              FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+                    FROM ph)
+              GROUP BY 1),
+    wsc AS (SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS ws FROM wstat),
+    dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                  MIN(len) AS n_words
+           FROM ph GROUP BY 1),
+    pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp),
+    ps AS (SELECT pw.phrase, CAST(SUM(wsc.ws) AS BIGINT) AS score
+           FROM pw JOIN wsc USING (w) GROUP BY 1)
+    SELECT dp.phrase, dp.n_words, dp.n_occurrences, ps.score AS score_micros
+    FROM dp JOIN ps USING (phrase)
+    ORDER BY score_micros DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) with a
+    corpus-derived delimiter set: the top-20 (by frequency)
+    tokens play the stopword role (the standard RAKE variant for
+    corpora without a curated list), candidate phrases are maximal
+    non-delimiter runs of ≤4 tokens, word score = degree/frequency over
+    phrase co-occurrence (exact integer millionths: deg·1e6 div freq),
+    phrase score = Σ member word scores — top-20 phrases out with
+    (score DESC, phrase) determinism.
+
+    Scale: positions explode once (linear); the run-id window partitions
+    BY DOCUMENT (bounded by doc length, never corpus size); word stats
+    and scores are hash-aggs over phrase-token instances; the word-score
+    relation is vocabulary-sized and broadcastable; top-k is
+    TakeOrderedAndProject. No global windows, no quadratic joins.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
+    stop = (
+        pos.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_RAKE_STOP_K)
+        .select("w", F.lit(1).alias("st"))
+    )
+    fl = pos.join(F.broadcast(stop), "w", "left").select(
+        "doc_id", "pos", "w", F.coalesce("st", F.lit(0)).alias("st")
+    )
+    run = F.sum("st").over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph = (
+        fl.withColumn("run", run)
+        .filter(F.col("st") == 0)
+        .groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("len"),
+        )
+        .filter(F.col("len").between(1, _RAKE_MAXLEN))
+    )
+    wstat = (
+        ph.select("len", F.explode(F.split("phrase", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("len").alias("deg"))
+    )
+    wsc = wstat.select(
+        "w", F.expr("CAST(deg * 1000000 div freq AS BIGINT)").alias("ws")
+    )
+    dp = ph.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"), F.min("len").alias("n_words")
+    )
+    ps = (
+        dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(wsc), "w")
+        .groupBy("phrase")
+        .agg(F.sum("ws").cast("long").alias("score_micros"))
+    )
+    return (
+        dp.join(ps, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_micros")
+        .orderBy(F.col("score_micros").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+_LPA_ROUNDS = 4
+_LPA_MIN_CO = 2  # co-purchase edge threshold
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = [
+        f"""op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+    e0 AS (SELECT a.p AS src, b.p AS dst, COUNT(*) AS co
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_CO}),
+    e AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+    c{r} AS (SELECT e.src AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+             FROM e JOIN l{p} l ON l.node = e.dst GROUP BY 1, 2),
+    l{r} AS (SELECT node,
+                    (MIN(struct_pack(a := -c, b := label))).b AS label
+             FROM c{r} GROUP BY 1)""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l{rounds} GROUP BY 1
+    """
+
+
+@q("graph_label_prop_communities", _lpa_oracle())
+def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    part co-purchase graph (parts sharing ≥2 orders) — the
+    modularity-style grouping the components family can't express (the
+    co-purchase graph is one giant connected component; LPA finds its
+    dense regions). Deterministic variant: every node simultaneously
+    adopts its neighbors' most frequent label, ties broken by the
+    SMALLEST label (MIN over (-count, label) structs — the unigram DP's
+    argmax idiom), fixed 4 rounds (sync LPA can oscillate,
+    so a fixed round count IS the algorithm here, stated identically in
+    the unrolled oracle). All integers → full value parity.
+
+    Scale: the co-purchase edge build is the co_purchase_lift shape
+    (per-order line fan-out, bounded by max lines per order); each LPA
+    round is one O(|E|) equi-join + two hash-aggs with a lineage cut —
+    the same per-round bill as connected_components without the
+    convergence loop.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= _LPA_MIN_CO)
+        .select("src", "dst")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            e.join(labels, e["dst"] == labels["node"])
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("a"), F.col("label").alias("b"))
+                )["b"].alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -315,3 +315,105 @@ def test_containment_matches_brute_force(spark):
         assert r.containment_b_micros == inter * 1_000_000 // sb
         jac = inter * 1_000_000 // (sa + sb - inter)
         assert max(r.containment_a_micros, r.containment_b_micros) >= jac
+
+
+def test_rake_matches_pure_python(spark):
+    """text_keyphrase_rake == a pure-Python RAKE with the same
+    corpus-derived delimiter set, integer word scores, and (score DESC,
+    phrase) top-20 — certified against a third implementation."""
+    from dbt_repo_spark.queries_r9 import (
+        _RAKE_MAXLEN,
+        _RAKE_STOP_K,
+        _RAKE_TOPK,
+    )
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w != ""]
+        for r in t(spark, SF, "documents").collect()
+    }
+    cnt: dict[str, int] = {}
+    for ws in docs.values():
+        for w in ws:
+            cnt[w] = cnt.get(w, 0) + 1
+    stop = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_STOP_K]
+    }
+    phrases: list[list[str]] = []
+    for ws in docs.values():
+        cur: list[str] = []
+        for w in ws:
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+    phrases = [p for p in phrases if 1 <= len(p) <= _RAKE_MAXLEN]
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    ws_ = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    agg: dict[str, list] = {}
+    for p in phrases:
+        k = " ".join(p)
+        if k not in agg:
+            agg[k] = [0, len(p), sum(ws_[w] for w in p)]
+        agg[k][0] += 1
+    exp = sorted(
+        ((k, v[1], v[0], v[2]) for k, v in agg.items()),
+        key=lambda x: (-x[3], x[0]),
+    )[:_RAKE_TOPK]
+    rows = [
+        (r.phrase, r.n_words, r.n_occurrences, r.score_micros)
+        for r in QUERIES["text_keyphrase_rake"](spark, SF).collect()
+    ]
+    assert rows == exp
+
+
+def test_label_prop_matches_pure_python(spark):
+    """graph.label propagation (the fixed-round sync variant inside
+    graph_label_prop_communities) == a pure-Python simulation on the
+    sf0.001 co-purchase graph, reconstructed independently."""
+    from dbt_repo_spark.queries_r9 import _LPA_MIN_CO, _LPA_ROUNDS
+
+    li = t(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    orders: dict[int, set] = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    co: dict[tuple, int] = {}
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] = co.get((ps[i], ps[j]), 0) + 1
+    adj: dict[int, list] = {}
+    for (a, b), c in co.items():
+        if c >= _LPA_MIN_CO:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for n, ns in adj.items():
+            votes: dict[int, int] = {}
+            for m in ns:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    exp: dict[int, list] = {}
+    for n, l in labels.items():
+        exp.setdefault(l, []).append(n)
+    rows = {
+        r.community: r
+        for r in QUERIES["graph_label_prop_communities"](spark, SF).collect()
+    }
+    assert set(rows) == set(exp)
+    for l, ns in exp.items():
+        assert rows[l].n_nodes == len(ns)
+        assert rows[l].min_node == min(ns)
+        assert rows[l].max_node == max(ns)

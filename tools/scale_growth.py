@@ -138,6 +138,11 @@ OPS = [
     "training_data_pipeline_v7",
     "woe_information_value",
     "text_containment_pairs",
+    # r9 fourth wave: RAKE keyphrases (phrase runs are per-doc windows;
+    # word stats vocab-bounded) and sync label propagation (per-round
+    # O(|E|) join; disjoint replica graphs multiply communities by k).
+    "text_keyphrase_rake",
+    "graph_label_prop_communities",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
