@@ -700,3 +700,32 @@ def test_no_single_partition_window_in_ntile_family(spark):
     # the two tiny cum/total windows over the decile aggregate
     assert body.count("Exchange SinglePartition") <= 2
     assert "HashAggregate" in body  # the decile reduce exists below them
+
+
+def test_r9_family_plan_shapes(spark):
+    """r9 wave plan pins: no sort-merge joins (every dim/scalar side
+    broadcasts), no cartesian products, no ntile windows, and the only
+    single-partition exchanges are scalar aggregates over
+    <=|partitions|-row partials (bounded constants per query below).
+    dsir_token_budget_resample is pinned at ZERO — its global running
+    sum rides ordered_prefix_sums, the r8 two-phase discipline applied
+    from birth."""
+    budgets = {
+        "dsir_importance_weights": 1,      # the tots scalar aggregate
+        "dsir_token_budget_resample": 0,
+        "woe_information_value": 1,        # the tp/tn scalar aggregate
+        "text_containment_pairs": 0,
+        "text_keyphrase_rake": 0,
+        "graph_label_prop_communities": 0,
+        "join_size_cm_estimate": 2,        # exact + estimate scalar aggs
+    }
+    for name, max_single in budgets.items():
+        plan = _plan(spark, name, "simple")
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "ntile(" not in plan, name
+        assert plan.count("Exchange SinglePartition") <= max_single, name
+    # RAKE's one window is the per-document run-id prefix sum — never an
+    # unpartitioned global window
+    plan = _plan(spark, "text_keyphrase_rake")
+    assert "windowspecdefinition(doc_id" in plan
