@@ -302,6 +302,7 @@ SWEEP_EXCLUDED = {
     "streaming_sessionize": "stream-startup dominated (3 sessionize runs)",
     "kafka_roundtrip_dedup": "stream-startup dominated (broker-mirror roundtrip)",
     "streaming_interval_join": "stream-startup dominated (stream-stream state)",
+    "streaming_interval_join_outer": "stream-startup dominated (3 runs + sentinel flush)",
 }
 
 RUNS = 3

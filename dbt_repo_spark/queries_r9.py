@@ -1215,3 +1215,123 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+@q(
+    "streaming_interval_join_outer",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup')
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           s.event_id AS signup_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS BIGINT)
+             AS lag_sec
+    FROM p LEFT JOIN s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND p.ts <= s.ts + INTERVAL 30 DAY
+    """,
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the HARD half of
+    stream-stream semantics: matched pairs emit when both rows arrive,
+    but a purchase with NO signup in its window may only emit (with
+    NULL signup columns) once the watermark PROVES no matching signup
+    can still arrive. One availableNow batch therefore cannot flush the
+    no-match rows — the same problem streaming_sessionize solved with
+    sentinel ticks, reused here: after the real backlog, two sentinel
+    events per stream (users -1/-2 at max(ts)+1d/+2d) advance the
+    watermark past every real purchase's join window across two more
+    availableNow runs, so every unmatched purchase's NULL row flushes.
+    Sentinels self-filter (user_id >= 0). The batch oracle is the plain
+    LEFT JOIN — full value parity including the NULL rows, certifying
+    Spark's outer-join state eviction end to end.
+
+    100 TB note: two-sided state is bounded by the watermark delay and
+    the 30-day condition exactly as in the inner twin; the outer rows
+    cost nothing extra (they emit FROM evicted state). Off the bench
+    sweep per the streaming-twin policy.
+    """
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_ivjo_")
+    try:
+        pdir, sdir = f"{work}/purchases", f"{work}/signups"
+        out, ckpt = f"{work}/out", f"{work}/ckpt"
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        pur = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+        sig = ev.filter(F.col("event_type") == "signup").drop("event_type")
+        pur.write.parquet(pdir)
+        sig.write.parquet(sdir)
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        if mx is None:
+            return spark.createDataFrame(
+                [],
+                "user_id long, purchase_id long, signup_id long, lag_sec long",
+            )
+        sch = "event_id long, user_id long, ts timestamp"
+
+        def run_once() -> None:
+            p = (
+                spark.readStream.schema(sch)
+                .parquet(pdir)
+                .withWatermark("ts", "1 hour")
+                .alias("p")
+            )
+            s = (
+                spark.readStream.schema(sch)
+                .parquet(sdir)
+                .withWatermark("ts", "1 hour")
+                .alias("s")
+            )
+            joined = p.join(
+                s,
+                (F.col("p.user_id") == F.col("s.user_id"))
+                & (F.col("s.ts") <= F.col("p.ts"))
+                & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 30 DAYS")),
+                "leftOuter",
+            ).select(
+                F.col("p.user_id").alias("user_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                F.col("s.event_id").alias("signup_id"),
+                F.expr(
+                    "(unix_micros(p.ts) - unix_micros(s.ts)) div 1000000"
+                ).alias("lag_sec"),
+            )
+            qh = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qh.awaitTermination()
+
+        run_once()
+        for i in (1, 2):
+            sentinel = [(-(i * 2), -i, mx + dt.timedelta(days=i))]
+            spark.createDataFrame(sentinel, sch).write.mode("append").parquet(
+                pdir
+            )
+            spark.createDataFrame(sentinel, sch).write.mode("append").parquet(
+                sdir
+            )
+            run_once()
+        return (
+            spark.read.schema(
+                "user_id long, purchase_id long, signup_id long, lag_sec long"
+            )
+            .parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -417,3 +417,126 @@ def test_label_prop_matches_pure_python(spark):
         assert rows[l].n_nodes == len(ns)
         assert rows[l].min_node == min(ns)
         assert rows[l].max_node == max(ns)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import Row  # noqa: E402
+
+_H = dict(max_examples=12, deadline=None, derandomize=True)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20), st.integers(1, 9)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.lists(st.integers(0, 20), min_size=1, max_size=4, unique=True),
+)
+@settings(**_H)
+def test_weighted_sssp_matches_reference_random(spark, edge_list, seed_list):
+    """weighted_sssp == bounded-round Bellman-Ford on arbitrary small
+    weighted digraphs (self loops, parallel edges with different
+    weights, unreachable nodes, seeds off-graph)."""
+    from dbt_repo_spark.operators.graph import weighted_sssp
+
+    iters = 4
+    e = spark.createDataFrame([Row(src=a, dst=b, w=w) for a, b, w in edge_list])
+    seeds = spark.createDataFrame([Row(node=s) for s in seed_list])
+    got = {
+        r.node: r.dist for r in weighted_sssp(e, seeds, iters=iters).collect()
+    }
+    dist = {s: 0 for s in seed_list}
+    for _ in range(iters):
+        nxt = dict(dist)
+        for a, b, w in edge_list:
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_H)
+def test_label_prop_sync_rounds_reference_random(spark, edge_list):
+    """The fixed-round synchronous LPA core (as implemented inside
+    graph_label_prop_communities) == a pure-Python simulation on
+    arbitrary small undirected graphs — argmax vote with (count DESC,
+    label ASC) tie-break, 4 sync rounds."""
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        return
+    e0 = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    e = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(4):
+        cnt = (
+            e.join(labels, e["dst"] == labels["node"])
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("a"), F.col("label").alias("b"))
+                )["b"].alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    got = {r.node: r.label for r in labels.collect()}
+
+    adj: dict[int, list] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ref = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, ns in adj.items():
+            votes: dict[int, int] = {}
+            for m in ns:
+                votes[ref[m]] = votes.get(ref[m], 0) + 1
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        ref = new
+    assert got == ref
+
+
+def test_outer_interval_join_flushes_no_match_rows(spark):
+    """The outer stream-stream join emits EVERY purchase exactly as the
+    batch LEFT JOIN does: matched rows satisfy the window, unmatched
+    purchases appear once with NULL signup columns (the rows only a
+    watermark-advancing flush can produce in a stream)."""
+    rows = QUERIES["streaming_interval_join_outer"](spark, SF).collect()
+    ev = t(spark, SF, "events").select("event_id", "user_id", "ts", "event_type")
+    pur = {(r.user_id, r.event_id): r.ts
+           for r in ev.filter(F.col("event_type") == "purchase").collect()}
+    sig = {(r.user_id, r.event_id): r.ts
+           for r in ev.filter(F.col("event_type") == "signup").collect()}
+    assert {(r.user_id, r.purchase_id) for r in rows} == set(pur)
+    for r in rows:
+        if r.signup_id is None:
+            assert r.lag_sec is None
+            # genuinely unmatched: no signup in the window
+            pts = pur[(r.user_id, r.purchase_id)]
+            assert not any(
+                su == r.user_id and sts <= pts
+                and (pts - sts).total_seconds() <= 30 * 86400
+                for (su, _), sts in sig.items()
+            )
+        else:
+            assert 0 <= r.lag_sec <= 30 * 86400
