@@ -143,6 +143,9 @@ OPS = [
     # O(|E|) join; disjoint replica graphs multiply communities by k).
     "text_keyphrase_rake",
     "graph_label_prop_communities",
+    # outer stream-stream join: 3 availableNow runs (sentinel flush) —
+    # wall is stream startup; the row certifies state stays bounded
+    "streaming_interval_join_outer",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
