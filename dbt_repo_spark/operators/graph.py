@@ -526,10 +526,18 @@ def bfs_hops(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).localCheckpoint(eager=True)
-    dist = seeds.select(
-        F.col(seeds.columns[0]).cast("long").alias("node"),
-        F.lit(0).cast("long").alias("hops"),
-    ).localCheckpoint(eager=True)
+    # distinct: dist is never re-aggregated after the frontier rewrite
+    # (disjoint unions only), so duplicate seed rows would survive to the
+    # output and double round-1 join work — the old union-min shape
+    # collapsed them implicitly
+    dist = (
+        seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     frontier = dist
     for _ in range(iters):
         relaxed = frontier.join(e, frontier["node"] == e["src"]).select(

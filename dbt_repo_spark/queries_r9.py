@@ -347,13 +347,21 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_repo_spark.operators.graph import weighted_sssp
     from dbt_repo_spark.operators.ids import tagged_id
 
+    from dbt_repo_spark.operators.ids import SYNTH_ID_TAG as _TAG
+
     li = t(spark, sf_dir, "lineitem")
     part = tagged_id(F.col("l_partkey"), what="l_partkey")
+    # order ids stay raw but are guarded the same way as graph_bfs_hops:
+    # the tag-then-subtract keeps the in-plan assertion that no orderkey
+    # reaches the part namespace
+    order_guard = tagged_id(F.col("l_orderkey"), what="l_orderkey") - F.lit(
+        _TAG
+    ).cast("long")
     w = F.col("l_quantity").cast("long")
     edges = li.select(
-        F.col("l_orderkey").alias("src"), part.alias("dst"), w.alias("w")
+        order_guard.alias("src"), part.alias("dst"), w.alias("w")
     ).unionByName(
-        li.select(part.alias("src"), F.col("l_orderkey").alias("dst"), w.alias("w"))
+        li.select(part.alias("src"), order_guard.alias("dst"), w.alias("w"))
     )
     seeds = (
         li.filter(F.col("l_orderkey") % 64 == 0)

@@ -207,14 +207,36 @@ class _KafkaMirrorStreamReader(SimpleDataSourceStreamReader):
         # data so the offset map never regresses
         merged = {**{k: int(v) for k, v in start.items()}, **end}
         if self.max_per_trigger > 0:
-            budget = self.max_per_trigger
-            capped = {k: int(v) for k, v in merged.items()}
-            for tp in sorted(merged):
-                lo = int(start.get(tp, 0))
-                take = min(max(int(merged[tp]) - lo, 0), budget)
-                capped[tp] = lo + take
-                budget -= take
-            merged = capped
+            # Kafka's maxOffsetsPerTrigger splits the cap PROPORTIONALLY
+            # over per-partition lags (not greedily in key order, which
+            # would starve late-sorting partitions and stall any
+            # watermark fed from them): floor-proportional allocation,
+            # remainder distributed one record at a time in numeric
+            # (topic, partition) order for determinism.
+            lags = {
+                tp: max(int(merged[tp]) - int(start.get(tp, 0)), 0)
+                for tp in merged
+            }
+            total = sum(lags.values())
+            budget = min(self.max_per_trigger, total)
+            order = sorted(
+                (tp for tp in merged if lags[tp] > 0),
+                key=lambda tp: (tp.rsplit("/", 1)[0], int(tp.rsplit("/", 1)[1])),
+            )
+            take = {tp: budget * lags[tp] // total for tp in order} if total else {}
+            rem = budget - sum(take.values())
+            for tp in order:
+                if rem <= 0:
+                    break
+                extra = min(lags[tp] - take[tp], rem)
+                take[tp] += extra
+                rem -= extra
+            merged = {
+                tp: int(start.get(tp, 0)) + take.get(tp, 0)
+                if tp in lags
+                else int(merged[tp])
+                for tp in merged
+            }
         if merged == start:
             # empty tick: MUST be an iterator, not a list — the simple-
             # stream wrapper validates no-advance batches with next(it)

@@ -540,3 +540,51 @@ def test_outer_interval_join_flushes_no_match_rows(spark):
             )
         else:
             assert 0 <= r.lag_sec <= 30 * 86400
+
+
+def test_bfs_hops_deduplicates_seed_rows(spark):
+    """Contract pin (r9 self-review): duplicate rows in the seed
+    DataFrame must not produce duplicate output rows — the frontier
+    rewrite no longer re-aggregates dist, so the dedup is explicit."""
+    from dbt_repo_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (0,), (0,)], "node long")
+    rows = bfs_hops(e, seeds, iters=2).collect()
+    assert sorted((r.node, r.hops) for r in rows) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_kafka_mirror_chunk_budget_is_proportional(spark, tmp_path):
+    """maxOffsetsPerTrigger distributes the per-tick budget
+    PROPORTIONALLY over partition lags (the real Kafka semantics), not
+    greedily in key order — every lagging partition makes progress in
+    the first tick."""
+    import json as _json
+    import os
+
+    from dbt_repo_spark.sources.kafka_mirror import _KafkaMirrorStreamReader
+
+    root = str(tmp_path / "broker")
+    for part, n in [(0, 8), (1, 8), (2, 8)]:
+        d = os.path.join(root, "t", f"p{part}")
+        os.makedirs(d)
+        with open(os.path.join(d, "segment-000.jsonl"), "w") as fh:
+            for i in range(n):
+                fh.write(
+                    _json.dumps(
+                        {"key": None, "value": f"v{part}-{i}",
+                         "timestamp_ms": 1000 + i}
+                    )
+                    + "\n"
+                )
+    rdr = _KafkaMirrorStreamReader(
+        {"path": root, "subscribe": "t", "maxoffsetspertrigger": "6"}
+    )
+    rows, end = rdr.read({})
+    # 6-record budget over 3 equally-lagged partitions -> 2 each
+    assert end == {"t/0": 2, "t/1": 2, "t/2": 2}
+    assert len(list(rows)) == 6
+    # second tick resumes and stays proportional
+    rows2, end2 = rdr.read(end)
+    assert end2 == {"t/0": 4, "t/1": 4, "t/2": 4}
+    assert len(list(rows2)) == 6

@@ -28,7 +28,12 @@ per-replica duplicate/similarity structure:
   offsets user_id and event_id past the originals, keeping ts and
   event_type — per-(type, day) distinct cardinality scales by k while
   the HLL register STATE stays bounded at m rows per group, which is
-  exactly the claim being certified.
+  exactly the claim being certified. Since r9 the user_id stride is the
+  SHARED max(user, customer)-key stride so events↔orders join graphs
+  stay replica-disjoint too (join_size_cm_estimate).
+- orders/customer (r9): o_orderkey/c_custkey offset past the originals;
+  o_custkey and user_id share one stride — k disjoint copies of the
+  order→customer and event→order join graphs.
 
 Scaled tables are cached under .scale_cache/ (gitignored), fingerprinted
 by source mtime. Run:  python tools/scale_growth.py [max_scale]
@@ -157,7 +162,7 @@ def build_scaled(spark, k: int) -> str:
 
     out = os.path.join(CACHE, f"x{k}")
     stamp = os.path.join(out, "_built.txt")
-    key = f"{SRC}:{k}:v4"  # v4: + orders/customer replicas
+    key = f"{SRC}:{k}:v5"  # v5: events user_id stride aligned to customer keys
     try:
         with open(stamp) as fh:
             if fh.read() == key:
@@ -229,14 +234,24 @@ def build_scaled(spark, k: int) -> str:
         f"{out}/embeddings.parquet"
     )
 
+    # customer key ceiling first: events.user_id doubles as the join key
+    # against orders.o_custkey (join_size_cm_estimate), so the events
+    # replica stride must MATCH the customer/orders key stride or
+    # replica-r events would slide across replica-0 custkeys and the
+    # "k disjoint join graphs" invariant breaks (caught in the r9
+    # self-review; user_id max is 10x smaller than custkey max here)
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    mc = cust.agg(F.max("c_custkey").alias("m")).collect()[0].m
+
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     mxe = ev.agg(
         F.max("user_id").alias("mu"), F.max("event_id").alias("me")
     ).collect()[0]
+    user_stride = max(mxe.mu, mc) + 1
     reps = []
     for r in range(k):
         reps.append(
-            ev.withColumn("user_id", F.col("user_id") + F.lit(r * (mxe.mu + 1)))
+            ev.withColumn("user_id", F.col("user_id") + F.lit(r * user_stride))
             .withColumn("event_id", F.col("event_id") + F.lit(r * (mxe.me + 1)))
         )
     scaled_ev = reps[0]
@@ -263,10 +278,8 @@ def build_scaled(spark, k: int) -> str:
         f"{out}/lineitem.parquet"
     )
 
-    cust = spark.read.parquet(f"{SRC}/customer.parquet")
-    mc = cust.agg(F.max("c_custkey").alias("m")).collect()[0].m
     reps = [
-        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * (mc + 1)))
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * user_stride))
         for r in range(k)
     ]
     scaled_c = reps[0]
@@ -278,12 +291,12 @@ def build_scaled(spark, k: int) -> str:
 
     od = spark.read.parquet(f"{SRC}/orders.parquet")
     mo = od.agg(F.max("o_orderkey").alias("m")).collect()[0].m
-    # o_custkey offsets by the CUSTOMER key stride so replica r's orders
-    # reference replica r's customers — k disjoint copies of the join
-    # graph, fixed per-replica fan-out
+    # o_custkey offsets by the SHARED user/customer key stride so replica
+    # r's orders reference replica r's customers AND replica r's event
+    # users — k disjoint copies of both join graphs
     reps = [
         od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * (mo + 1)))
-        .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * (mc + 1)))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * user_stride))
         for r in range(k)
     ]
     scaled_o = reps[0]
