@@ -1343,3 +1343,105 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "eval_confusion_mcc",
+    """
+    WITH base AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    thr AS (SELECT s AS t FROM base ORDER BY s
+            LIMIT 1 OFFSET (SELECT (n - 1) // 2 FROM nn)),
+    cm AS (
+      SELECT CAST(SUM(CASE WHEN s > t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s > t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s <= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN s <= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             MIN(t) AS threshold
+      FROM base CROSS JOIN thr)
+    SELECT threshold, tp, fp, tn, fn,
+           CAST((tp + tn) * 1000000 // (tp + fp + tn + fn) AS BIGINT)
+             AS accuracy_micros,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+             AS precision_micros,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+             AS recall_micros,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) END
+             AS f1_micros,
+           CASE WHEN (tp+fp) * (tp+fn) * 1 = 0 OR (tn+fp) * (tn+fn) = 0
+                THEN NULL
+                ELSE CAST(round(CAST(tp*tn - fp*fn AS DOUBLE)
+                     / (sqrt(CAST((tp+fp) * (tp+fn) AS DOUBLE))
+                        * sqrt(CAST((tn+fp) * (tn+fn) AS DOUBLE)))
+                     * 1000000.0, 0) AS BIGINT) END AS mcc_micros
+    FROM cm
+    """,
+)
+def eval_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-classifier audit: the full confusion matrix at the
+    EXACT MEDIAN score threshold (value at 0-based global rank
+    (n−1)//2 of o_totalprice — located by ids.exact_order_statistics'
+    two-phase range scan, NOT a global sort) plus
+    accuracy/precision/recall/F1 as exact integer millionths and the
+    Matthews correlation coefficient — the one single-number summary
+    that stays honest under class imbalance (the companion to
+    eval_auc_roc's threshold-free ranking view; same score/label
+    fixture). MCC's two pair products are exact BIGINTs (each <2^63
+    even at extreme SF — the FOUR-way product would overflow, hence
+    sqrt·sqrt); the one double expression runs on identical operands in
+    identical order on both engines, then 6-dp rounds. Zero-denominator
+    legs are NULL-guarded on BOTH sides (ANSI div would raise).
+
+    Scale: one fact scan for the counts (broadcast scalar threshold),
+    one 2-column range-shuffle for the order statistic. No global
+    windows anywhere.
+    """
+    from dbt_repo_spark.operators.ids import exact_order_statistics
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    thr = exact_order_statistics(
+        base, "s", ranks_of_n=lambda n: [(n - 1) // 2]
+    )
+    tval = float(next(iter(thr.values())))
+    cm = base.agg(
+        F.sum(((F.col("s") > tval) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("s") > tval) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("s") <= tval) & (F.col("y") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("s") <= tval) & (F.col("y") == 1)).cast("long")).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    num = (tp * tn - fp * fn).cast("double")
+    den = F.sqrt(((tp + fp) * (tp + fn)).cast("double")) * F.sqrt(
+        ((tn + fp) * (tn + fn)).cast("double")
+    )
+    guard = lambda d, expr: F.when(d == 0, F.lit(None)).otherwise(expr)
+    return cm.select(
+        F.lit(tval).alias("threshold"),
+        "tp", "fp", "tn", "fn",
+        F.expr(
+            "CAST((tp + tn) * 1000000 div (tp + fp + tn + fn) AS BIGINT)"
+        ).alias("accuracy_micros"),
+        guard(tp + fp, F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)"))
+        .alias("precision_micros"),
+        guard(tp + fn, F.expr("CAST(tp * 1000000 div (tp + fn) AS BIGINT)"))
+        .alias("recall_micros"),
+        guard(
+            2 * tp + fp + fn,
+            F.expr("CAST(2 * tp * 1000000 div (2 * tp + fp + fn) AS BIGINT)"),
+        ).alias("f1_micros"),
+        F.when(
+            ((tp + fp) * (tp + fn) == 0) | ((tn + fp) * (tn + fn) == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.round(num / den * 1000000.0, 0).cast("long"))
+        .alias("mcc_micros"),
+    )

@@ -588,3 +588,31 @@ def test_kafka_mirror_chunk_budget_is_proportional(spark, tmp_path):
     rows2, end2 = rdr.read(end)
     assert end2 == {"t/0": 4, "t/1": 4, "t/2": 4}
     assert len(list(rows2)) == 6
+
+
+def test_confusion_mcc_matches_brute_force(spark):
+    """eval_confusion_mcc == a pure-Python confusion/MCC at the same
+    exact-median threshold."""
+    import math
+
+    rows = [
+        (r.o_totalprice, 1 if r.o_orderstatus == "F" else 0)
+        for r in t(spark, SF, "orders").select(
+            "o_totalprice", "o_orderstatus"
+        ).collect()
+    ]
+    svals = sorted(s for s, _ in rows)
+    thr = svals[(len(svals) - 1) // 2]
+    tp = sum(1 for s, y in rows if s > thr and y == 1)
+    fp = sum(1 for s, y in rows if s > thr and y == 0)
+    tn = sum(1 for s, y in rows if s <= thr and y == 0)
+    fn = sum(1 for s, y in rows if s <= thr and y == 1)
+    r = QUERIES["eval_confusion_mcc"](spark, SF).collect()[0]
+    assert (r.tp, r.fp, r.tn, r.fn) == (tp, fp, tn, fn)
+    assert r.threshold == thr
+    assert r.accuracy_micros == (tp + tn) * 1_000_000 // (tp + fp + tn + fn)
+    mcc = (tp * tn - fp * fn) / (
+        math.sqrt((tp + fp) * (tp + fn)) * math.sqrt((tn + fp) * (tn + fn))
+    )
+    assert abs(r.mcc_micros - mcc * 1e6) <= 1
+    assert -1_000_000 <= r.mcc_micros <= 1_000_000

@@ -151,6 +151,9 @@ OPS = [
     # outer stream-stream join: 3 availableNow runs (sentinel flush) —
     # wall is stream startup; the row certifies state stays bounded
     "streaming_interval_join_outer",
+    # r9 close: median-threshold confusion/MCC (one order-stat range
+    # scan + one counting scan)
+    "eval_confusion_mcc",
 ]
 TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
 
