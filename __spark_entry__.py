@@ -89,51 +89,30 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    # r07 rewires: multimodal_features / multimodal_resize moved from
-    # the stub decoder (rows-only) to REAL stdlib BMP/PPM decode with
-    # full DuckDB oracles — their stale rows-only ledger records must be
-    # replaced by hash-green rows. text_repetition_scores and
-    # training_data_pipeline_v4 gained the zero-token-doc gate fix
-    # (operator + oracle changed together; fixture values unchanged).
-    "multimodal_features", "multimodal_resize",
-    "text_repetition_scores", "training_data_pipeline_v4",
-    # r07 oracle upgrades: embed_generate_docs swapped its md5-of-
-    # formatted-floats signature for an integer micro-unit sum and
-    # gained a full DuckDB oracle (the md5-reproducible embedding
-    # CTEs); rag_retrieval_pipeline widens the stored float32 vectors
-    # to double before the score fold and gained the composed oracle —
-    # both must replace their stale rows-only ledger records with
-    # hash-green rows.
-    "embed_generate_docs", "rag_retrieval_pipeline",
-    # r07: dedup_simhash's token votes switched to the md5 hasher
-    # (cross-engine reproducible) and gained a full oracle — its
-    # signatures CHANGED, so the stale rows-only record must be
-    # replaced by a hash-green row.
-    "dedup_simhash",
-    # r07: dedup_minhash_lsh's KM bases switched to md5 halves and its
-    # band keys to raw slot concatenations (same move as dedup_simhash)
-    # and it gained the unrolled full oracle — its candidate set and
-    # audit sample CHANGED, so the stale rows-only record must be
-    # replaced by a hash-green row.
-    "dedup_minhash_lsh",
-    # r07 (second pass): graph_pagerank_parts moved to the exact integer
-    # micro-unit power iteration (graph.py::pagerank_units — output
-    # schema changed to rank_units/l1_residual_units) and gained an
-    # unrolled full oracle; graph_kcore_parts kept its plan but gained
-    # the unrolled-peeling oracle. Both must replace stale rows-only
-    # ledger records with hash-green rows.
-    "graph_pagerank_parts", "graph_kcore_parts",
-    # r07 (second pass): embed_cosine_topk_np reuses the proven
-    # brute-force SQL as a full oracle (plan unchanged — BLAS noise is
-    # absorbed by the 6dp rounding both sides already did); its stale
-    # rows-only record must be replaced by a hash-green row.
-    "embed_cosine_topk_np",
+    # r10 (r9 verdict ask #5): the 294/294 sf0.01 sweep predates the
+    # late-r9 commits — code-touched queries head the rotation.
+    "graph_bfs_hops",          # r9 seed dedup + r10 persisted edge relation
+    "curriculum_shards",       # r9 packing assert
+    "join_size_cm_estimate",   # r9 fixture change + r10 depth validation
+    "eval_confusion_mcc",      # added after the sweep
+    # r10 plan rewires (oracles unchanged — re-certify the hashes):
+    "graph_weighted_sssp",       # true-frontier merge join
+    "graph_pagerank_parts",      # lazy dangling-mass broadcast
+    "embed_top_principal_direction",  # Gram reduce via the Arrow seam
+    "pareto_8020_customers",     # decimal(38,0) prefix-sum accumulator
+    "abc_xyz_parts",             # decimal(38,0) prefix-sum accumulator
+    "dsir_token_budget_resample",  # ordered_prefix_sums signature change
+    "eval_auc_roc",              # ordered_prefix_sums consumer
+    "lift_gains_deciles",        # ordered_prefix_sums consumer
+    "sample_token_budget_mixture",  # ordered_prefix_sums consumer
+    # (the r07 list retired: every name driver-checked green in the
+    # r07-r09 ledgers.)
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 7
+_RECHECK_LISTED_FOR_ROUND = 10
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -282,6 +282,18 @@ HEADLINE = [
     "abc_xyz_parts",
     "top_revenue_supplier",
     "segment_migration_matrix",
+    # round-10 (r9 verdict ask #3): the five costliest sweep-tier
+    # entries graduate to headline median-of-3 floors — they are the
+    # likeliest-to-regress plans in the registry and min-of-2 was too
+    # noisy a gate for them. unigram_lm_train is the EM/Viterbi
+    # vocab-DP; the PCA, SSSP and label-prop entries also carry r10
+    # plan rewires (Arrow Gram seam, true-frontier merge, persisted
+    # edge relation) whose floors must be first-class.
+    "unigram_lm_train",
+    "embed_top_principal_direction",
+    "graph_weighted_sssp",
+    "graph_label_prop_communities",
+    "text_containment_pairs",
 ]
 
 # r9 (r8 verdict ask #2): every OTHER registry query gets a second-tier
@@ -418,8 +430,36 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     sweep_total = round(sum(sweep.values()), 4)
     # Full per-query record -> committed file (the driver's stdout tail
-    # cannot hold it; BASELINE.md floors are sourced from here).
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+    # cannot hold it; BASELINE.md floors are sourced from here). The
+    # top-level keys always mirror THIS (latest) run; the "record"
+    # section keeps the best headline sum ever measured under the SAME
+    # headline set (r9 verdict ask #6: the floor-of-record used to live
+    # only in BASELINE.md prose). A protocol change (headline entries
+    # added/removed) resets the record to the current run — sums over
+    # different query sets are not comparable.
+    import hashlib
+
+    bench_path = os.path.join(REPO, "BENCH_FULL.json")
+    sig = hashlib.md5(",".join(sorted(HEADLINE)).encode()).hexdigest()[:12]
+    record = {
+        "value": total,
+        "queries": timings,
+        "headline_sig": sig,
+        "n_queries": len(timings),
+    }
+    try:
+        with open(bench_path) as fh:
+            prev = json.load(fh)
+        prev_rec = prev.get("record")
+        if (
+            prev_rec
+            and prev_rec.get("headline_sig") == sig
+            and prev_rec.get("value", float("inf")) <= total
+        ):
+            record = prev_rec
+    except (OSError, ValueError):
+        pass
+    with open(bench_path, "w") as fh:
         json.dump(
             {
                 "metric": "sum_median_sec_headline_queries",
@@ -432,6 +472,7 @@ def main() -> None:
                 "sweep_excluded": SWEEP_EXCLUDED,
                 "sf": sf,
                 "cpus": int(CPUS),
+                "record": record,
             },
             fh,
             indent=1,

@@ -37,6 +37,7 @@ def ordered_prefix_sums(
     order_col: str,
     sum_cols: list[str],
     num_partitions: int | None = None,
+    sum_type: str | None = None,
 ) -> DataFrame:
     """Exact exclusive prefix sums in ``order_col`` order, two-phase.
 
@@ -48,9 +49,27 @@ def ordered_prefix_sums(
     job → broadcast map). ``localCheckpoint`` pins the sampled range
     boundaries so the offsets job and downstream consumers see one
     layout. Driver traffic is |partitions| rows.
+
+    ``sum_type=None`` accumulates in BIGINT — callers whose grand total
+    can approach 2⁶³ (e.g. global revenue-cents prefix sums at 100 TB,
+    ~2.3·10¹⁸ ≈ 4× headroom) must pass ``sum_type="decimal(38,0)"``:
+    every per-partition sum, window prefix, offset literal, and the
+    ``cum_``/``total_`` output columns then carry that type end-to-end,
+    so no intermediate can silently wrap where ANSI mode is off.
     """
+    from decimal import Decimal
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out_type = sum_type or "long"
+
+    def _acc(c: str) -> Column:
+        col = F.col(c)
+        return col.cast(sum_type) if sum_type else col
+
+    def _lit(v: int) -> Column:
+        return F.lit(Decimal(v)).cast(sum_type) if sum_type else F.lit(v)
+
     gp = (
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -59,7 +78,7 @@ def ordered_prefix_sums(
     )
     parts = (
         gp.groupBy("_pid")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .agg(*[F.sum(_acc(c)).alias(c) for c in sum_cols])
         .orderBy("_pid")
         .collect()
     )
@@ -69,23 +88,25 @@ def ordered_prefix_sums(
         base: list[Column] = []
         acc = 0
         for r in parts:
-            base.extend([F.lit(r._pid), F.lit(acc)])
-            acc += r[c] or 0
+            base.extend([F.lit(r._pid), _lit(acc)])
+            acc += int(r[c] or 0)
         totals[c] = acc
         if not base:
-            base = [F.lit(0), F.lit(0)]
+            base = [F.lit(0), _lit(0)]
         offset = F.create_map(*base)[F.col("_pid")]
         w = (
             Window.partitionBy("_pid")
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        local_prefix = F.coalesce(F.sum(c).over(w), F.lit(0))
-        out = out.withColumn(f"cum_{c}_before", (local_prefix + offset).cast("long"))
+        local_prefix = F.coalesce(F.sum(_acc(c)).over(w), _lit(0))
+        out = out.withColumn(
+            f"cum_{c}_before", (local_prefix + offset).cast(out_type)
+        )
     # the per-partition sums already saw every row: expose the exact
     # grand totals so callers don't pay another scan to recompute them
     out = out.withColumns(
-        {f"total_{c}": F.lit(totals[c]).cast("long") for c in sum_cols}
+        {f"total_{c}": _lit(totals[c]).cast(out_type) for c in sum_cols}
     )
     return out
 

@@ -141,6 +141,10 @@ def pagerank(
     O(|E|) join of ranks onto out-edges, one hash-agg of contributions,
     plus redistribution of dangling-node mass (nodes with no out-edges)
     so total rank stays 1 and the result matches the textbook definition.
+    The dangling mass is a 1-row aggregate CROSS-JOINED (broadcast) into
+    the rank update — the whole round stays one lazy plan with NO
+    driver-side action except the lineage-cut localCheckpoint, so at
+    scale each round costs one scheduler round-trip, not three.
     Out-degrees are computed once; lineage is cut every round with a
     localCheckpoint so round N's plan stays one join deep. Rounds are a
     fixed ``iters`` (power iteration converges geometrically at rate
@@ -176,19 +180,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        # dangling mass: rank held by nodes with no out-edges
+        # dangling mass: rank held by nodes with no out-edges — a 1-row
+        # aggregate broadcast into the update (NOT collected: the loop
+        # body stays one lazy plan). Float-op order matches the old
+        # driver-side formula exactly: ((1-d)/n) + ((d*dangling)/n) + d*c
+        # left-associated, so the results are bit-identical.
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -263,25 +271,38 @@ def pagerank_units(
                 F.sum(F.expr("rank_units div deg")).alias("contrib_units")
             )
         )
-        dangling_units = int(
+        # dangling mass as a broadcast 1-row aggregate (same laziness
+        # fix as pagerank's): num*dangling ≤ damping_num·total_units
+        # ≈ 1.7e16 « 2^63, and div over non-negative operands equals
+        # Python's //, so the integer result is bit-identical to the
+        # old driver-side formula.
+        dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_units"), F.lit(0)))
-            .collect()[0][0]
+            .agg(
+                F.coalesce(F.sum("rank_units"), F.lit(0))
+                .cast("long")
+                .alias("_dangling_units")
+            )
         )
-        base_units = (damping_den - damping_num) * total_units // (
+        teleport_units = (damping_den - damping_num) * total_units // (
             damping_den * n
-        ) + damping_num * dangling_units // (damping_den * n)
+        )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base_units)
+                    F.lit(teleport_units)
+                    + F.expr(
+                        f"({damping_num} * _dangling_units)"
+                        f" div {damping_den * n}"
+                    )
                     + F.expr(
                         f"({damping_num} * coalesce(contrib_units, 0L))"
                         f" div {damping_den}"
                     )
-                ).alias("rank_units"),
+                ).cast("long").alias("rank_units"),
             )
             .localCheckpoint(eager=True)
         )
@@ -523,9 +544,20 @@ def bfs_hops(
 
     Returns (node BIGINT, hops BIGINT).
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # static across rounds: repartition by the probe key once and persist
+    # (localCheckpoint erases partitioning metadata, so a checkpointed e
+    # would re-shuffle |E| rows in every round's join — the persisted
+    # exchange is planned once and each round shuffles only the frontier)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .repartition(n_part, "src")
+        .persist()
+    )
     # distinct: dist is never re-aggregated after the frontier rewrite
     # (disjoint unions only), so duplicate seed rows would survive to the
     # output and double round-1 join work — the old union-min shape
@@ -575,40 +607,90 @@ def weighted_sssp(
     count; this measures accumulated weight, the delta-stepping /
     Bellman-Ford ask its docstring deferred).
 
-    Per round: dist_{t+1}(v) = min(dist_t(v), min_{(u,v)∈E}(dist_t(u) +
-    w(u,v))) — unlike unweighted BFS, a node's first discovery is NOT
-    final (a longer-hop path can be lighter), so every round re-relaxes
-    the full settled relation: one O(|E|) equi-join + union-min, lineage
-    cut per round. After ``iters`` rounds the result is the exact
-    shortest distance among paths of ≤ ``iters`` edges (Bellman-Ford's
-    invariant) — a bounded-radius weighted ball, which is the honest
-    contract for a fixed-round relational implementation. All integer
+    TRUE-FRONTIER Bellman-Ford (the r9 BFS discipline applied to the
+    weighted case): unlike unweighted BFS a node's first discovery is
+    NOT final (a longer-hop path can be lighter), but only a node whose
+    distance IMPROVED in round k−1 can improve a neighbor in round k —
+    its outgoing relaxations with any older distance already happened.
+    So each round joins only the improved-frontier against the edges,
+    then merges the candidate minima into the settled relation with ONE
+    full-outer join whose checkpointed output carries both next-round
+    relations (dist = every row, frontier = the rows flagged improved)
+    — work per round is O(|frontier_t|·deg + |ball_t|), never
+    O(|ball_t|·deg), and one materialization per round, same as before.
+    After ``iters`` rounds the result is the exact shortest distance
+    among paths of ≤ ``iters`` edges, bit-identical to the synchronous
+    re-relax-everything recurrence: values propagate one edge per
+    round in both (≥ the ≤t-edge minimum), and the last improvement of
+    any predecessor re-enters the frontier (≤ it). All integer
     arithmetic: MIN of integer sums is order-independent, so the result
-    is bit-identical across engines — full-oracle-safe.
+    is bit-identical across engines — full-oracle-safe. An emptied
+    frontier short-circuits the remaining rounds (the ≤iters-edge bound
+    is already exact at the fixpoint).
 
-    Scale (100 TB): per-round cost is one shuffle of |ball_t| + |E|
-    keyed rows. For diameter-scale exact SSSP prefer true delta-stepping
-    with bucketed frontiers; for the hop-bounded feature ask (trust
-    radius, weighted blast radius) this is the right operator. Returns
-    (node BIGINT, dist BIGINT).
+    Scale (100 TB): per-round cost is one shuffle of |frontier_t| +
+    incident-edge keyed rows plus one anti-join against the settled
+    ball — frontier-linear, matching bfs_hops' measured growth rather
+    than ball×edges. For diameter-scale exact SSSP prefer true
+    delta-stepping with bucketed frontiers; for the hop-bounded feature
+    ask (trust radius, weighted blast radius) this is the right
+    operator. Returns (node BIGINT, dist BIGINT).
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-        F.col(weight).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
-    dist = seeds.select(
-        F.col(seeds.columns[0]).cast("long").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        relaxed = dist.join(e, dist["node"] == e["src"]).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # The edge relation is static across rounds: repartition it by the
+    # probe key ONCE and persist (NOT localCheckpoint, which erases
+    # partitioning metadata — a checkpointed e re-shuffles |E| rows in
+    # EVERY round's join; the persisted exchange is planned once and
+    # every round's join shuffles only the frontier side against it).
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            F.col(weight).cast("long").alias("w"),
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    # distinct: dist is maintained by the full-outer merge below (never
+    # re-aggregated), so duplicate seed rows would survive to the
+    # output — the old union-min shape collapsed them implicitly
+    dist = (
+        seeds.select(
+            F.col(seeds.columns[0]).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(iters):
+        relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("_cand"),
+        )
+        # ONE full-outer join merges candidates into the settled ball and
+        # flags improvements; the round's single checkpoint then serves
+        # BOTH next-round relations (dist and frontier are projections of
+        # the same materialized blocks — no second job over the ball).
+        # least() skips NULLs, so only-settled rows keep _old and
+        # newly-reached rows take _cand.
+        merged = (
+            relaxed.groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+            .join(dist.withColumnRenamed("dist", "_old"), "node", "full")
+            .select(
+                "node",
+                F.least("_cand", "_old").alias("dist"),
+                (
+                    F.col("_cand").isNotNull()
+                    & (F.col("_old").isNull() | (F.col("_cand") < F.col("_old")))
+                ).alias("_improved"),
+            )
             .localCheckpoint(eager=True)
         )
+        dist = merged.select("node", "dist")
+        frontier = merged.filter("_improved").select("node", "dist")
+        if frontier.isEmpty():
+            break
     return dist

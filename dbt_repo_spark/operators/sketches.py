@@ -670,10 +670,25 @@ def countmin_inner_product(
     no shuffle of either fact relation. Counters are integers → the
     estimate is engine-exact (full-oracle-safe).
 
+    ``depth`` bounds the hash rows the estimate may use: a sketch built
+    with MORE rows is valid to merge at any common prefix, so both
+    sides are filtered to ``d < depth``, and the min is taken over
+    exactly those rows on both sides — a caller merging sketches of
+    mismatched depths gets the well-defined common-prefix estimate
+    instead of whatever rows happened to equi-join.
+
     Returns one row: (cm_join_size_est BIGINT).
     """
-    ma = sketch_a.groupBy("d", "bucket").agg(F.sum("cnt").alias("ca"))
-    mb = sketch_b.groupBy("d", "bucket").agg(F.sum("cnt").alias("cb"))
+    ma = (
+        sketch_a.filter(F.col("d") < depth)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("ca"))
+    )
+    mb = (
+        sketch_b.filter(F.col("d") < depth)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cb"))
+    )
     per_d = (
         ma.join(mb, ["d", "bucket"])
         .groupBy("d")

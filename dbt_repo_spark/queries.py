@@ -8568,6 +8568,9 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones), grand totals ride along as literals from the same offsets
     job; the only single-partition exchange left is the final scalar
     aggregate over ≤|partitions| partial rows (plan-shape-tested).
+    The cumulative runs in decimal(38,0) (``sum_type``): global revenue
+    cents approach 2⁶³ at 100 TB, so a BIGINT accumulator would sit ~4×
+    from silent wraparound where ANSI mode is off.
     """
     from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
 
@@ -8584,7 +8587,7 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_okey"),
         F.lit(1).cast("long").alias("one"),
     )
-    cum = ordered_prefix_sums(keyed, "_okey", ["m", "one"])
+    cum = ordered_prefix_sums(keyed, "_okey", ["m", "one"], sum_type="decimal(38,0)")
     rk = F.col("cum_one_before") + 1
     inc = F.col("cum_m_before") + F.col("m")  # inclusive running sum
     return cum.filter(inc * 5 >= F.col("total_m") * 4).agg(
@@ -8895,7 +8898,10 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-task window over the |parts| relation; the grand
     total rides along as a literal from the offsets job, so no scalar
     cross-join is needed either. Plan-shape-tested: no Exchange
-    SinglePartition anywhere.
+    SinglePartition anywhere. The cumulative accumulates in
+    decimal(38,0) (``sum_type``): total lineitem revenue cents is
+    ~2.3·10¹⁸ at 100 TB — only ~4× headroom under 2⁶³, so the BIGINT
+    window this replaced could wrap silently with ANSI off.
     """
     from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
 
@@ -8913,7 +8919,7 @@ def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("r")).alias("a"), F.col("l_partkey").alias("b")
         ).alias("_okey"),
     )
-    cumd = ordered_prefix_sums(keyed, "_okey", ["r"])
+    cumd = ordered_prefix_sums(keyed, "_okey", ["r"], sum_type=d38)
     cum = (F.col("cum_r_before") + F.col("r")).cast(d38)
     tt = F.col("total_r").cast(d38)
     abc = cumd.select(

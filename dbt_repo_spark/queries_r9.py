@@ -337,8 +337,9 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = line quantity) from the seed set over the order↔part
     bipartite graph — graph.weighted_sssp's bounded-round Bellman-Ford,
     where bfs_hops counts edges this accumulates weight (a longer-hop
-    path can be lighter, so rounds re-relax the settled ball rather
-    than frontier-only — the structural difference between the two).
+    path can be lighter, so a settled node can re-improve — but only
+    nodes whose distance improved last round can improve a neighbor,
+    so rounds join the improved-frontier only, r10 true-frontier fix).
     Part nodes ride in the guarded 2^40 namespace (ids.tagged_id).
     Output: per 10-unit distance bucket, node count + distance extrema
     and mass — covers every settled node without shipping the node list.
@@ -581,31 +582,39 @@ def embed_top_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     sign-canonicalized so the first nonzero component is positive. Unit
     test pins |cos| > 0.999 against NumPy's eigh at three scales.
 
-    Scale (100 TB): the Gram reduce is ONE pass over the vectors —
-    explode to (vec, dim, x), self-join on vec_id (co-partitioned),
-    hash-agg to the 64×64 relation; everything after runs on ≤4096-row
-    relations (10 squaring joins + 1 matvec). The quadratic-in-dim
-    fan-out (4096 rows per vector pre-combine) is map-side partial-
-    aggregated; dims beyond ~1k would switch to the Arrow matmul seam.
+    Scale (100 TB): the Gram reduce is ONE pass over the vectors
+    through fit.gram_partials — a per-partition NumPy integer matmul
+    (the sanctioned Arrow seam) that folds each partition into ONE
+    64×64 int64 partial plus column sums, so the only shuffled relation
+    is |partitions|·(64²+64) partial rows (r10: this replaced a
+    posexplode self-join that shipped 4096 rows PER VECTOR through the
+    shuffle — same exact-integer result, certified by the unchanged
+    oracle, growth row stays corpus-flat). Everything after runs on
+    ≤4096-row relations (10 squaring joins + 1 matvec).
     """
+    from dbt_repo_spark.operators.fit import gram_partials
+
     emb = t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "e")
-    ).select(
-        "vec_id",
-        "i",
-        F.round(F.col("e").cast("double") * 1000, 0).cast("long").alias("v"),
-    ).localCheckpoint(eager=True)
     d38 = "decimal(38,0)"
     n = emb.count()
-    sv = x.groupBy("i").agg(F.sum("v").cast(d38).alias("s"))
-    a, b = x.alias("a"), x.alias("b")
+    # quantization stays Spark-side (HALF_UP round, identical to the
+    # oracle's); the Arrow seam only ever sees exact integers
+    xq = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " e -> CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("q")
+    )
+    parts = gram_partials(xq, "q", _PCA_DIM).localCheckpoint(eager=True)
+    sv = (
+        parts.filter(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum(F.col("p").cast(d38)).alias("s"))
+    )
     pp = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(F.col("a.v").cast(d38) * F.col("b.v").cast(d38)).alias("p")
-        )
+        parts.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(d38)).alias("p"))
     )
     sb = sv.select(F.col("i").alias("j"), F.col("s").alias("sj"))
     sc = (

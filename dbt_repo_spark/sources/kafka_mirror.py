@@ -225,12 +225,20 @@ class _KafkaMirrorStreamReader(SimpleDataSourceStreamReader):
             )
             take = {tp: budget * lags[tp] // total for tp in order} if total else {}
             rem = budget - sum(take.values())
-            for tp in order:
-                if rem <= 0:
+            # true round-robin: at most ONE extra record per partition
+            # per pass, so the floor-division remainder (< #partitions)
+            # never concentrates on the first lagging partition
+            while rem > 0:
+                placed = False
+                for tp in order:
+                    if rem <= 0:
+                        break
+                    if take[tp] < lags[tp]:
+                        take[tp] += 1
+                        rem -= 1
+                        placed = True
+                if not placed:
                     break
-                extra = min(lags[tp] - take[tp], rem)
-                take[tp] += extra
-                rem -= extra
             merged = {
                 tp: int(start.get(tp, 0)) + take.get(tp, 0)
                 if tp in lags

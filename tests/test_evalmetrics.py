@@ -99,6 +99,23 @@ def test_ordered_prefix_sums_equals_sorted_cumsum(spark):
         acc += agg[v]
 
 
+def test_ordered_prefix_sums_decimal_survives_past_bigint(spark):
+    """sum_type='decimal(38,0)' carries cumulative sums exactly where a
+    BIGINT accumulator would overflow: four rows of 2^62 put the last
+    exclusive prefix (3·2^62) and the grand total (2^64) past the long
+    range; every intermediate (per-partition sums, window prefix,
+    offset literals, output columns) must ride the decimal type."""
+    big = 1 << 62
+    df = spark.createDataFrame([(i, big) for i in range(4)], "v long, w long")
+    out = ordered_prefix_sums(
+        df, "v", ["w"], num_partitions=2, sum_type="decimal(38,0)"
+    )
+    rows = {r.v: int(r.cum_w_before) for r in out.collect()}
+    assert rows == {0: 0, 1: big, 2: 2 * big, 3: 3 * big}
+    assert int(out.select("total_w").first()[0]) == 4 * big
+    assert dict(out.dtypes)["cum_w_before"] == "decimal(38,0)"
+
+
 def test_lift_by_decile_buckets_and_totals(spark):
     rows = [(i, float(100 - i), i < 30) for i in range(100)]
     df = spark.createDataFrame(rows, ["id", "s", "y"])

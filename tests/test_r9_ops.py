@@ -590,6 +590,44 @@ def test_kafka_mirror_chunk_budget_is_proportional(spark, tmp_path):
     assert len(list(rows2)) == 6
 
 
+def test_kafka_mirror_remainder_round_robins_unequal_lags(spark, tmp_path):
+    """The floor-division remainder is placed ONE record per partition
+    per pass (true round-robin), never all on the first lagging
+    partition: lags 5/2/2 with budget 7 -> floor shares 3/1/1 leave a
+    2-record remainder that must land on two DIFFERENT partitions."""
+    import json as _json
+    import os
+
+    from dbt_repo_spark.sources.kafka_mirror import _KafkaMirrorStreamReader
+
+    root = str(tmp_path / "broker")
+    for part, n in [(0, 5), (1, 2), (2, 2)]:
+        d = os.path.join(root, "t", f"p{part}")
+        os.makedirs(d)
+        with open(os.path.join(d, "segment-000.jsonl"), "w") as fh:
+            for i in range(n):
+                fh.write(
+                    _json.dumps(
+                        {"key": None, "value": f"v{part}-{i}",
+                         "timestamp_ms": 1000 + i}
+                    )
+                    + "\n"
+                )
+    rdr = _KafkaMirrorStreamReader(
+        {"path": root, "subscribe": "t", "maxoffsetspertrigger": "7"}
+    )
+    rows, end = rdr.read({})
+    # floor shares: 7*5//9=3, 7*2//9=1, 7*2//9=1 (sum 5, remainder 2);
+    # round-robin gives one extra each to t/0 and t/1 — a greedy
+    # allocator would emit {t/0: 5, t/1: 1, t/2: 1} instead
+    assert end == {"t/0": 4, "t/1": 2, "t/2": 1}
+    assert len(list(rows)) == 7
+    # the follow-up tick drains the rest and never over-reads a lag
+    rows2, end2 = rdr.read(end)
+    assert end2 == {"t/0": 5, "t/1": 2, "t/2": 2}
+    assert len(list(rows2)) == 2
+
+
 def test_confusion_mcc_matches_brute_force(spark):
     """eval_confusion_mcc == a pure-Python confusion/MCC at the same
     exact-median threshold."""

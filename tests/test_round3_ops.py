@@ -154,6 +154,25 @@ def test_countmin_never_underestimates_and_is_exact_when_sparse(spark):
     assert all(cm == exact for exact, cm in est.values())
 
 
+def test_countmin_inner_product_depth_prefix(spark):
+    """countmin_inner_product(depth=k) uses exactly the first k hash
+    rows of BOTH sketches: merging a depth-8 sketch with a depth-4 one
+    at depth=4 equals the depth-4×depth-4 estimate (the common-prefix
+    contract — depth is validated, not ignored)."""
+    from dbt_repo_spark.operators.sketches import countmin_inner_product
+
+    a = spark.createDataFrame([(k,) for k in ["a"] * 9 + ["b"] * 3], "k string")
+    b = spark.createDataFrame([(k,) for k in ["a"] * 5 + ["c"] * 2], "k string")
+    ska8 = countmin_table(a, "k", depth=8, width=64)
+    ska4 = countmin_table(a, "k", depth=4, width=64)
+    skb4 = countmin_table(b, "k", depth=4, width=64)
+    [mixed] = countmin_inner_product(ska8, skb4, depth=4).collect()
+    [clean] = countmin_inner_product(ska4, skb4, depth=4).collect()
+    assert mixed["cm_join_size_est"] == clean["cm_join_size_est"]
+    # and the estimate keeps the one-sided guarantee: >= exact 9*5
+    assert mixed["cm_join_size_est"] >= 45
+
+
 def test_countmin_absent_key_estimates_zero_when_empty_buckets(spark):
     df = spark.createDataFrame([("x",)], "k string")
     sketch = countmin_table(df, "k", depth=4, width=256)
