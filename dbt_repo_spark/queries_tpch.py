@@ -1,7 +1,7 @@
 """TPC-H-shaped relational coverage, part 2: the remaining classic query
-shapes (Q2/Q4/Q6/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q19/Q22 analogues) adapted to the
-driver's synthetic star schema (no partsupp / shipmode columns — see
-TESTDATA.md), each with a DuckDB oracle.
+shapes (Q2/Q4/Q5/Q6/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q19/Q20/Q22 analogues)
+adapted to the driver's synthetic star schema (no partsupp / shipmode
+columns — see TESTDATA.md), each with a DuckDB oracle.
 
 Why these shapes matter at 100 TB (each pins a distinct optimizer
 pattern, asserted where load-bearing in tests/test_plan_shapes.py):
@@ -22,6 +22,14 @@ pattern, asserted where load-bearing in tests/test_plan_shapes.py):
   grand total over the per-key aggregate, one fact scan, no join.
 - Q2: correlated MIN subquery decorrelated into a per-key window min
   (one fact scan; dim-filtered before the window shuffle).
+- Q5 (r10): the cross-dimension equality constraint (customer nation ==
+  supplier nation) — TWO independent dim paths meet at the fact row,
+  so the filter can only apply post-join; one fact shuffle on the
+  order key, both dim paths region-pruned before they touch the fact.
+- Q20 (r10): nested semi-join gated by an aggregate threshold — the
+  inner block aggregates the FACT per (supplier, part) and its integer
+  predicate decides outer-relation membership; the outer side never
+  rescans the fact.
 
 Exactness follows the queries.py rules: decimal sums cast to double,
 single final double division, int32→long where DuckDB yields BIGINT.
@@ -603,6 +611,154 @@ def order_priority_late_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@q(
+    "local_supplier_revenue",
+    f"""
+    SELECT n_name,
+           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue per nation from LOCAL trade — lineitems
+    whose supplier sits in the same nation as the ordering customer,
+    within one region and a two-year order window. The distinguishing
+    stressor is the cross-dimension equality (c_nationkey ==
+    s_nationkey): customer and supplier reach the fact row through two
+    INDEPENDENT join paths, so the constraint can only be applied after
+    both have landed — no single dim filter can prune it.
+
+    100 TB shape: region+date predicates prune both dim paths before
+    they touch the fact — nation⋈region (broadcast, 5 rows) restricts
+    customer and supplier to one region's nations; orders carries the
+    pushed date range. The fact is scanned once and shuffles ONCE (on
+    the order key, against the date-bounded orders⋈customer composite);
+    the supplier side broadcasts (dim-sized). Revenue stays decimal
+    through the sum with one final double cast (queries.py rules).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    rg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cu = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(na.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    oc = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    su = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "concentrated_supply_parts",
+    """
+    WITH agg AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qw,
+             SUM(CAST(l_quantity AS BIGINT)) AS qall
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red %'
+      GROUP BY 1, 2),
+    qual AS (
+      SELECT DISTINCT l_suppkey FROM agg
+      WHERE 2 * qw > qall AND qall >= 100)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def concentrated_supply_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers whose red-part supply CONCENTRATED
+    into the 1997-1999 window — for some substantial (supplier, part)
+    pair (lifetime volume ≥ 100 units), more than half that volume
+    shipped inside the window. The stressor is the nested semi-join
+    gated by an AGGREGATE threshold: membership of the outer supplier
+    relation is decided by a per-(supplier, part) aggregate over the
+    fact, not by any stored attribute (the fixture has no partsupp, so
+    the windowed-share predicate stands in for availqty vs shipped;
+    both predicates are exact integer comparisons — cross-engine
+    deterministic even for pairs sitting on the boundary).
+
+    100 TB shape: the name filter prunes the broadcast part dim before
+    the fact join, so the fact is scanned once and shuffles once on
+    (suppkey, partkey) into the aggregate; the qualifying-supplier set
+    (bounded by the aggregate, far smaller than the fact) then
+    LEFT-SEMI joins the supplier dim — the outer side never rescans or
+    reshuffles the fact, and duplicate qualifying pairs collapse before
+    the semi-join probes.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("long")
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_window, qty).otherwise(F.lit(0))).alias("qw"),
+            F.sum(qty).alias("qall"),
+        )
+    )
+    qual = (
+        agg.filter((2 * F.col("qw") > F.col("qall")) & (F.col("qall") >= 100))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return sup.join(
+        qual, sup.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
 
 
 @q(

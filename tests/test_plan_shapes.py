@@ -729,3 +729,25 @@ def test_r9_family_plan_shapes(spark):
     # unpartitioned global window
     plan = _plan(spark, "text_keyphrase_rake")
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_r10_tpch_breadth_plan_shapes(spark):
+    """r10 TPC-H additions (Q5/Q20 analogues): predicate pushdown
+    reaches the scans, dims broadcast, no cartesian products, and the
+    Q20 membership test plans as a (broadcast) LEFT-SEMI join — the
+    outer supplier side never rescans the fact."""
+    plan = _plan(spark, "local_supplier_revenue")
+    # the order-date window reaches the orders scan; region/nation/
+    # supplier ride broadcasts; the only shuffle joins are the orders-
+    # customer composite and the fact's single order-key shuffle
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan.split("== Physical Plan ==")[-1]
+
+    plan = _plan(spark, "concentrated_supply_parts")
+    # the name prefix prunes the part scan BEFORE the fact join
+    assert "StringStartsWith(p_name,red )" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

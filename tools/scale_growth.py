@@ -154,8 +154,19 @@ OPS = [
     # r9 close: median-threshold confusion/MCC (one order-stat range
     # scan + one counting scan)
     "eval_confusion_mcc",
+    # r10: the TPC-H breadth pair lands WITH its growth rows. Q5's
+    # replicas are k disjoint order->customer join graphs against a
+    # FIXED supplier dim (real catalogs keep dims while facts grow);
+    # Q20's part dim replicates stride-aligned with l_partkey, so the
+    # inner (supplier, part) aggregate grows linearly while the
+    # qualifying-supplier relation stays bounded by the fixed dim.
+    "local_supplier_revenue",
+    "concentrated_supply_parts",
 ]
-TABLES = {"documents", "embeddings", "lineitem", "events", "orders", "customer"}
+TABLES = {
+    "documents", "embeddings", "lineitem", "events", "orders", "customer",
+    "part", "supplier", "nation", "region",
+}
 
 
 def build_scaled(spark, k: int) -> str:
@@ -165,7 +176,10 @@ def build_scaled(spark, k: int) -> str:
 
     out = os.path.join(CACHE, f"x{k}")
     stamp = os.path.join(out, "_built.txt")
-    key = f"{SRC}:{k}:v5"  # v5: events user_id stride aligned to customer keys
+    # v5: events user_id stride aligned to customer keys
+    # v6 (r10): part replicates stride-aligned with l_partkey;
+    #           supplier/nation/region pass through unchanged
+    key = f"{SRC}:{k}:v6"
     try:
         with open(stamp) as fh:
             if fh.read() == key:
@@ -308,6 +322,34 @@ def build_scaled(spark, k: int) -> str:
     scaled_o.coalesce(max(k, 4)).write.mode("overwrite").parquet(
         f"{out}/orders.parquet"
     )
+
+    # part replicates with the SAME stride lineitem's l_partkey uses
+    # (the key ceilings coincide by construction of the fixture:
+    # max p_partkey == max l_partkey — asserted so a fixture change
+    # cannot silently misalign the replica join graphs)
+    pt = spark.read.parquet(f"{SRC}/part.parquet")
+    mp_part = pt.agg(F.max("p_partkey").alias("m")).collect()[0].m
+    assert mp_part == mx.mp, (
+        f"part/lineitem key ceilings diverged ({mp_part} vs {mx.mp}); "
+        "replica strides would misalign"
+    )
+    reps = [
+        pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(r * (mp_part + 1)))
+        for r in range(k)
+    ]
+    scaled_p = reps[0]
+    for rep in reps[1:]:
+        scaled_p = scaled_p.unionByName(rep)
+    scaled_p.coalesce(max(k, 4)).write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+
+    # fixed dims: suppliers/nations/regions do not grow with the fact
+    # (the realistic 100 TB posture — facts scale, reference data stays)
+    for dim in ("supplier", "nation", "region"):
+        spark.read.parquet(f"{SRC}/{dim}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
 
     with open(stamp, "w") as fh:
         fh.write(key)
