@@ -1,0 +1,507 @@
+"""Round-10 additions: fixed-round iterative model fitting in exact
+integers — absorbing-Markov-chain attribution and Fellegi-Sunter EM
+record linkage.
+
+Both follow one recipe (pagerank_units' integer regime applied to
+model fitting): probabilities live in 1e12 micro-units, every division
+is a truncating ``div``/``//`` over non-negative operands, every
+intermediate product rides decimal(38,0)/HUGEINT, and the iteration
+count is FIXED and stated — so two engines hold bit-identical
+parameters after the last round and the full DuckDB value oracle
+certifies an ITERATIVE NUMERIC ALGORITHM, not just a relational plan.
+
+`attribution_markov` brings the principled member of the attribution
+family (removal effects over an absorbing Markov chain, Anderl et al.
+2014) next to the three positional heuristics already in the registry
+(`attribution_last_touch` / `attribution_linear` / `attribution_u_shaped`)
+— the heuristics weight observed paths, the chain model answers the
+counterfactual "what fraction of conversions does channel c CAUSE"
+by deleting c and re-solving for absorption probability.
+
+Exactness recipe (pagerank_units applied to absorption solving): the
+chain is solved by FIXED-round value iteration in integer micro-units
+(1.0 == 1e12) with every division a truncating ``div`` over
+non-negative operands — Spark ``div`` and DuckDB ``//`` agree bit for
+bit, and integer sums are order-independent, so the whole query is
+full-oracle-safe despite being an iterative numeric algorithm. The
+iteration converges monotonically from below; after ``_MARKOV_ROUNDS``
+both engines hold the IDENTICAL partial sum, so the bounded-round
+contract (like graph_weighted_sssp's) is stated, not hidden.
+
+No reference equivalent (the reference's marts stop at positional
+attribution-style rollups); cites for the family shape:
+``models/marts/`` rollups, SURVEY.md §2.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.queries import q, t
+
+_MARKOV_UNITS = 10**12
+_MARKOV_ROUNDS = 16
+_FS_UNITS = 10**12
+_FS_ROUNDS = 10
+_FS_FIELDS = ("lang", "source", "prefix")  # the three binary comparisons
+# touchpoint channels (fixture-stable event vocabulary, like the 'red %'
+# part predicate elsewhere); 'purchase' is the conversion absorber
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    U = _MARKOV_UNITS
+    vals = ", ".join(f"('{c}')" for c in ("__base__",) + _MARKOV_CHANNELS)
+    rounds = []
+    for k in range(1, _MARKOV_ROUNDS + 1):
+        p = f"r{k - 1}" if k > 1 else "p0"
+        rounds.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT sv.vn, sv.s, COALESCE(x.p, 0) AS p
+      FROM sv LEFT JOIN (
+        SELECT t.vn, t.src AS s,
+               CAST(SUM(CAST(t.tpu AS HUGEINT) * pa.p) // {U} AS BIGINT) AS p
+        FROM tpv t JOIN (SELECT vn, s, p FROM {p}
+                         UNION ALL
+                         SELECT vn, '__conv__', CAST({U} AS BIGINT) FROM vr) pa
+          ON pa.vn = t.vn AND pa.s = t.dst
+        GROUP BY 1, 2) x
+      ON x.vn = sv.vn AND x.s = sv.s)""")
+    return f"""
+    WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+    fp AS (
+      SELECT user_id, ts AS fts, event_id AS fid FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+    kept AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type, fp.fts
+      FROM ev e LEFT JOIN fp USING (user_id)
+      WHERE fts IS NULL
+         OR (e.ts < fts OR (e.ts = fts AND e.event_id <= fid))),
+    lagd AS (
+      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                      '__start__') AS src,
+             CASE WHEN event_type = 'purchase' THEN '__conv__'
+                  ELSE event_type END AS dst
+      FROM kept),
+    term AS (
+      SELECT src, '__null__' AS dst FROM (
+        SELECT event_type AS src,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM kept WHERE fts IS NULL) WHERE rn = 1),
+    trans AS (SELECT src, dst FROM lagd
+              UNION ALL SELECT src, dst FROM term),
+    cnt AS (SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS c
+            FROM trans GROUP BY 1, 2),
+    nn AS (SELECT src, SUM(c) AS n FROM cnt GROUP BY 1),
+    tp AS (SELECT src, dst, CAST((c * {U}) // n AS BIGINT) AS tpu
+           FROM cnt JOIN nn USING (src) WHERE dst <> '__null__'),
+    vr AS (SELECT vn FROM (VALUES {vals}) v(vn)),
+    tpv AS (SELECT vn, src, dst, tpu FROM vr, tp
+            WHERE vn = '__base__' OR (src <> vn AND dst <> vn)),
+    st AS (SELECT DISTINCT src AS s FROM cnt),
+    sv AS (SELECT vn, s FROM vr, st WHERE vn = '__base__' OR s <> vn),
+    p0 AS (SELECT vn, s, CAST(0 AS BIGINT) AS p FROM sv),
+    {",".join(rounds)},
+    base AS (SELECT p AS bp FROM r{_MARKOV_ROUNDS}
+             WHERE vn = '__base__' AND s = '__start__'),
+    eff AS (
+      SELECT vn AS channel,
+             (SELECT bp FROM base) AS conv_prob_units,
+             p AS removed_prob_units,
+             (SELECT bp FROM base) - p AS removal_effect_units
+      FROM r{_MARKOV_ROUNDS}
+      WHERE s = '__start__' AND vn <> '__base__'),
+    tot AS (SELECT SUM(removal_effect_units) AS te FROM eff)
+    SELECT channel, conv_prob_units, removed_prob_units,
+           removal_effect_units,
+           CASE WHEN te > 0
+                THEN CAST(removal_effect_units AS DOUBLE)
+                     / CAST(te AS DOUBLE) END AS attribution_share
+    FROM eff CROSS JOIN tot
+    """
+
+
+@q("attribution_markov", _markov_oracle())
+def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014): model
+    each user's journey START → touches → {CONV | NULL} as an absorbing
+    Markov chain (conversion = first purchase; journeys truncate there;
+    non-converters absorb to NULL after their last touch), then for
+    every channel c re-solve the chain with c DELETED (its inbound mass
+    redirected to NULL, denominators unrenormalized — the standard
+    removal semantics) and report the drop in absorption probability.
+    The share of total drop is the channel's attribution — the
+    counterfactual answer the positional heuristics approximate.
+
+    Exactness: transition probabilities and absorption values live in
+    integer micro-units (1e12); the solve is _MARKOV_ROUNDS rounds of
+    truncating value iteration p(s) ← Σ_t tp(s,t)·p(t) div U —
+    monotonically increasing, identical partial sums on both engines
+    (every div is non-negative, decimal(38,0)/HUGEINT carry the 1e24
+    products). The single float op is the final share division on
+    identical operands. Bounded-round contract stated like
+    graph_weighted_sssp's.
+
+    Scale (100 TB): the fact-sized work is ONE user-key shuffle reused
+    by the first-purchase aggregate, the truncation join, and the lag
+    window; everything after runs on the |channels|²-bounded transition
+    relation (≤36 rows) — 16 round join-aggs over ≤(5·6)-row relations,
+    fully lazy (no in-loop action; the relations are literally smaller
+    than their task-launch overhead, the same regime as the PCA
+    squaring chain).
+    """
+    U = _MARKOV_UNITS
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    key = F.struct(F.col("ts").alias("a"), F.col("event_id").alias("b"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("fp"))
+    )
+    kept = ev.join(fp, "user_id", "left").filter(
+        F.col("fp").isNull() | (key <= F.col("fp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagd = kept.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("__start__")).alias(
+            "src"
+        ),
+        F.when(F.col("event_type") == "purchase", "__conv__")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    term = (
+        kept.filter(F.col("fp").isNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("a"),
+                    F.col("event_id").alias("b"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("m")
+        )
+        .select(F.col("m.t").alias("src"), F.lit("__null__").alias("dst"))
+    )
+    cnt = (
+        lagd.unionByName(term)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    nn = cnt.groupBy("src").agg(F.sum("c").alias("n"))
+    tp = (
+        cnt.join(nn, "src")
+        .filter(F.col("dst") != "__null__")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                f"CAST((CAST(c AS DECIMAL(38,0)) * {U}) div n AS BIGINT)"
+            ).alias("tpu"),
+        )
+    )
+    vr = spark.createDataFrame(
+        [(v,) for v in ("__base__",) + _MARKOV_CHANNELS], "vn string"
+    )
+    tpv = (
+        vr.crossJoin(tp)
+        .filter(
+            (F.col("vn") == "__base__")
+            | ((F.col("src") != F.col("vn")) & (F.col("dst") != F.col("vn")))
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = cnt.select(F.col("src").alias("s")).distinct()
+    sv = (
+        vr.crossJoin(st)
+        .filter((F.col("vn") == "__base__") | (F.col("s") != F.col("vn")))
+        .localCheckpoint(eager=True)
+    )
+    conv = vr.select(
+        "vn",
+        F.lit("__conv__").alias("s"),
+        F.lit(U).cast("long").alias("p"),
+    )
+    p = sv.select("vn", "s", F.lit(0).cast("long").alias("p"))
+    for _ in range(_MARKOV_ROUNDS):
+        pa = p.unionByName(conv).select(
+            F.col("vn").alias("_pv"), F.col("s").alias("_ps"), "p"
+        )
+        nxt = (
+            tpv.join(
+                pa,
+                (F.col("vn") == F.col("_pv")) & (F.col("dst") == F.col("_ps")),
+            )
+            .groupBy("vn", "src")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CAST(tpu AS DECIMAL(38,0)) * p)"
+                    f" div {U} AS BIGINT)"
+                ).alias("_np")
+            )
+            .select(
+                F.col("vn").alias("_nv"),
+                F.col("src").alias("_ns"),
+                "_np",
+            )
+        )
+        p = sv.join(
+            nxt,
+            (F.col("vn") == F.col("_nv")) & (F.col("s") == F.col("_ns")),
+            "left",
+        ).select(
+            "vn", "s", F.coalesce(F.col("_np"), F.lit(0).cast("long")).alias("p")
+        )
+    fin = p.filter(F.col("s") == "__start__")
+    base = fin.filter(F.col("vn") == "__base__").select(
+        F.col("p").alias("conv_prob_units")
+    )
+    eff = (
+        fin.filter(F.col("vn") != "__base__")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("vn").alias("channel"),
+            "conv_prob_units",
+            F.col("p").alias("removed_prob_units"),
+            (F.col("conv_prob_units") - F.col("p")).alias(
+                "removal_effect_units"
+            ),
+        )
+    )
+    tot = eff.agg(F.sum("removal_effect_units").alias("te"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "conv_prob_units",
+        "removed_prob_units",
+        "removal_effect_units",
+        F.when(
+            F.col("te") > 0,
+            F.col("removal_effect_units").cast("double")
+            / F.col("te").cast("double"),
+        ).alias("attribution_share"),
+    )
+
+
+def _fs_prod(engine: str, kind: str) -> str:
+    """Truncating micro-unit product Π_i (γ_i ? k_i : U−k_i) over the
+    three comparison fields — IDENTICAL chain shape on both engines
+    (left-assoc, one truncating division per step) so the integers
+    cannot diverge. kind is 'm' or 'u'."""
+    U = _FS_UNITS
+    big = "HUGEINT" if engine == "duck" else "DECIMAL(38,0)"
+    dv = "//" if engine == "duck" else "div"
+    t1 = f"(CASE WHEN g1 = 1 THEN {kind}1 ELSE {U} - {kind}1 END)"
+    t2 = f"(CASE WHEN g2 = 1 THEN {kind}2 ELSE {U} - {kind}2 END)"
+    t3 = f"(CASE WHEN g3 = 1 THEN {kind}3 ELSE {U} - {kind}3 END)"
+    return (
+        f"((CAST((CAST({t1} AS {big}) * {t2}) {dv} {U} AS {big})"
+        f" * {t3}) {dv} {U})"
+    )
+
+
+def _fs_estep_cols(engine: str) -> list[str]:
+    """num_m / num_u: prior-weighted pattern likelihoods in units."""
+    U = _FS_UNITS
+    big = "HUGEINT" if engine == "duck" else "DECIMAL(38,0)"
+    dv = "//" if engine == "duck" else "div"
+    return [
+        f"CAST((CAST(p AS {big}) * {_fs_prod(engine, 'm')}) {dv} {U}"
+        f" AS BIGINT) AS num_m",
+        f"CAST((CAST({U} - p AS {big}) * {_fs_prod(engine, 'u')}) {dv} {U}"
+        f" AS BIGINT) AS num_u",
+    ]
+
+
+def _fs_estep(engine: str) -> str:
+    return ", ".join(_fs_estep_cols(engine))
+
+
+def _fs_mstep_cols(engine: str) -> list[str]:
+    """One EM re-estimation: m_i, u_i, p from pattern weights."""
+    U = _FS_UNITS
+    big = "HUGEINT" if engine == "duck" else "DECIMAL(38,0)"
+    dv = "//" if engine == "duck" else "div"
+    # the ratio of two U-scaled sums needs the numerator re-scaled by U
+    # (both sums carry the same 1e12 factor, so the bare integer ratio
+    # would truncate to 0/1); numerator*U peaks at N·U² ≈ 1e36 — inside
+    # both HUGEINT (1.7e38) and decimal(38,0)
+    cols = []
+    for i in (1, 2, 3):
+        cols.append(
+            f"CAST((SUM(CAST(n AS {big}) * w * g{i}) * {U})"
+            f" {dv} GREATEST(SUM(CAST(n AS {big}) * w), 1) AS BIGINT) AS m{i}"
+        )
+    for i in (1, 2, 3):
+        cols.append(
+            f"CAST((SUM(CAST(n AS {big}) * ({U} - w) * g{i}) * {U})"
+            f" {dv} GREATEST(SUM(CAST(n AS {big}) * ({U} - w)), 1)"
+            f" AS BIGINT) AS u{i}"
+        )
+    cols.append(
+        f"CAST(SUM(CAST(n AS {big}) * w)"
+        f" {dv} SUM(CAST(n AS {big})) AS BIGINT) AS p"
+    )
+    return cols
+
+
+def _fs_mstep(engine: str) -> str:
+    return ", ".join(_fs_mstep_cols(engine))
+
+
+def _fs_w(engine: str) -> str:
+    U = _FS_UNITS
+    big = "HUGEINT" if engine == "duck" else "DECIMAL(38,0)"
+    dv = "//" if engine == "duck" else "div"
+    return (
+        f"CASE WHEN num_m + num_u = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST((CAST(num_m AS {big}) * {U}) {dv} (num_m + num_u)"
+        f" AS BIGINT) END AS w"
+    )
+
+
+def _fs_oracle() -> str:
+    U = _FS_UNITS
+    rounds = []
+    for k in range(1, _FS_ROUNDS + 1):
+        s = f"s{k - 1}" if k > 1 else "s0"
+        rounds.append(f"""
+    e{k} AS (SELECT c.g1, c.g2, c.g3, c.n, {_fs_estep('duck')}
+             FROM cnt c CROSS JOIN {s}),
+    w{k} AS (SELECT g1, g2, g3, n, {_fs_w('duck')} FROM e{k}),
+    s{k} AS (SELECT {_fs_mstep('duck')} FROM w{k})""")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split(text, ' ') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang, source,
+             toks[1] AS b1, n_chars // 100 AS b2,
+             array_to_string(list_slice(toks, 1, 3), ' ') AS pfx
+      FROM d),
+    pr AS (
+      SELECT CASE WHEN a.lang = x.lang THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.source = x.source THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.pfx = x.pfx THEN 1 ELSE 0 END AS g3
+      FROM b a JOIN b x
+        ON a.b1 = x.b1 AND a.b2 = x.b2 AND a.doc_id < x.doc_id),
+    cnt AS (SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2, 3),
+    s0 AS (SELECT CAST({9 * U // 10} AS BIGINT) AS m1,
+                  CAST({9 * U // 10} AS BIGINT) AS m2,
+                  CAST({9 * U // 10} AS BIGINT) AS m3,
+                  CAST({U // 10} AS BIGINT) AS u1,
+                  CAST({U // 10} AS BIGINT) AS u2,
+                  CAST({U // 10} AS BIGINT) AS u3,
+                  CAST({U // 10} AS BIGINT) AS p),
+    {",".join(rounds)},
+    fin AS (SELECT c.g1, c.g2, c.g3, c.n, {_fs_estep('duck')}
+            FROM cnt c CROSS JOIN s{_FS_ROUNDS})
+    SELECT CAST(g1 AS INTEGER) AS g_lang,
+           CAST(g2 AS INTEGER) AS g_source,
+           CAST(g3 AS INTEGER) AS g_prefix,
+           n AS n_pairs,
+           CASE WHEN num_m + num_u = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((CAST(num_m AS HUGEINT) * {U})
+                          // (num_m + num_u) AS BIGINT) END
+             AS posterior_units,
+           num_m > num_u AS is_match
+    FROM fin
+    """
+
+
+@q("record_linkage_fs", _fs_oracle())
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage with UNSUPERVISED EM — the
+    probabilistic upgrade of entity_resolution_docs' deterministic
+    blocking+comparison: from blocked candidate pairs and three binary
+    comparisons (same lang / same source / same 3-token prefix), EM
+    learns per-field match (m) and non-match (u) agreement rates plus
+    the match prior, then classifies each comparison PATTERN by its
+    posterior — no labels, no hand-tuned thresholds (Fellegi & Sunter
+    1969; the Splink-style workhorse of production record linkage).
+
+    Exactness: the whole EM runs in truncating integer micro-units
+    (1e12) — likelihood products are left-associated truncating ``div``
+    chains (decimal(38,0)/HUGEINT carry the 1e24 intermediates), the
+    E-step posterior is one guarded division, and the M-step
+    re-estimates are ratio divs of pattern-weighted counts; both
+    engines execute the IDENTICAL chain (the expression text is
+    generated from one builder per step), so after the fixed
+    ``_FS_ROUNDS`` both hold bit-identical parameters. is_match is the
+    division-free comparison num_m > num_u (posterior > 1/2).
+
+    Scale (100 TB): the fact-sized work is the blocked self-join
+    ((first token, length-bucket) keys — Σ block² bounded like
+    entity_resolution_docs) and ONE hash-agg down to ≤2³ pattern rows;
+    the EM itself is 10 unrolled rounds over an 8-row relation crossed
+    with a 1-row state — lazy end to end, no in-loop action.
+    """
+    U = _FS_UNITS
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split("text", " ").alias("toks"),
+        F.expr("n_chars div 100").alias("b2"),
+    )
+    b = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.element_at("toks", 1).alias("b1"),
+        "b2",
+        F.array_join(F.slice("toks", 1, 3), " ").alias("pfx"),
+    )
+    a, x = b.alias("a"), b.alias("x")
+    pr = a.join(
+        x,
+        (F.col("a.b1") == F.col("x.b1"))
+        & (F.col("a.b2") == F.col("x.b2"))
+        & (F.col("a.doc_id") < F.col("x.doc_id")),
+    ).select(
+        F.when(F.col("a.lang") == F.col("x.lang"), 1).otherwise(0).alias("g1"),
+        F.when(F.col("a.source") == F.col("x.source"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(F.col("a.pfx") == F.col("x.pfx"), 1).otherwise(0).alias("g3"),
+    )
+    cnt = (
+        pr.groupBy("g1", "g2", "g3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    state = spark.range(1).select(
+        *[F.lit(9 * U // 10).cast("long").alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.lit(U // 10).cast("long").alias(f"u{i}") for i in (1, 2, 3)],
+        F.lit(U // 10).cast("long").alias("p"),
+    )
+    for _ in range(_FS_ROUNDS):
+        e = cnt.crossJoin(F.broadcast(state)).selectExpr(
+            "g1", "g2", "g3", "n", *_fs_estep_cols("spark")
+        )
+        w = e.selectExpr("g1", "g2", "g3", "n", _fs_w("spark"))
+        state = w.selectExpr(*_fs_mstep_cols("spark"))
+    fin = cnt.crossJoin(F.broadcast(state)).selectExpr(
+        "g1", "g2", "g3", "n", *_fs_estep_cols("spark")
+    )
+    return fin.selectExpr(
+        "CAST(g1 AS INT) AS g_lang",
+        "CAST(g2 AS INT) AS g_source",
+        "CAST(g3 AS INT) AS g_prefix",
+        "n AS n_pairs",
+        f"CASE WHEN num_m + num_u = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST((CAST(num_m AS DECIMAL(38,0)) * {U})"
+        f" div (num_m + num_u) AS BIGINT) END AS posterior_units",
+        "num_m > num_u AS is_match",
+    )

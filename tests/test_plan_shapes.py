@@ -751,3 +751,22 @@ def test_r10_tpch_breadth_plan_shapes(spark):
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r10_iterative_model_plan_shapes(spark):
+    """r10 iterative-model pins: attribution_markov's fact work is the
+    user-key path extraction (the chain solve runs on <=36-row
+    relations); record_linkage_fs' fact work is the blocked self-join
+    + one hash-agg to <=8 pattern rows (the EM crosses a 1-row state).
+    Neither may plan a cartesian product over data-sized relations or a
+    single-partition exchange outside scalar aggregates."""
+    for name, max_single in (
+        ("attribution_markov", 2),   # base + total-effect scalar aggs
+        # one M-step global aggregate per EM round — each folds the
+        # <=8-row pattern relation to the 1-row state (scalar-class)
+        ("record_linkage_fs", 10),
+    ):
+        plan = _plan(spark, name, "simple")
+        assert "CartesianProduct" not in plan, name
+        body = plan.split("== Physical Plan ==")[-1]
+        assert body.count("Exchange SinglePartition") <= max_single, name

@@ -1,0 +1,202 @@
+"""Round-10 operator tests: Markov removal-effect attribution."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_repo_spark.queries import QUERIES, t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_markov(rows, channels, units, rounds):
+    """Pure-Python twin of attribution_markov's chain build + truncating
+    value iteration (identical integer arithmetic)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in rows:
+        by_user[uid].append((ts, eid, et))
+    trans = defaultdict(int)
+    for uid, evs in by_user.items():
+        evs.sort()
+        fp = next(
+            ((ts, eid) for ts, eid, et in evs if et == "purchase"), None
+        )
+        kept = [e for e in evs if fp is None or (e[0], e[1]) <= fp]
+        prev = "__start__"
+        for _, _, et in kept:
+            dst = "__conv__" if et == "purchase" else et
+            trans[(prev, dst)] += 1
+            prev = et
+        if fp is None:
+            trans[(kept[-1][2], "__null__")] += 1
+    n = defaultdict(int)
+    for (s, _), c in trans.items():
+        n[s] += c
+    tp = {
+        (s, d): c * units // n[s]
+        for (s, d), c in trans.items()
+        if d != "__null__"
+    }
+    states = sorted(n)
+
+    def solve(removed):
+        p = {
+            s: 0 for s in states if removed is None or s != removed
+        }
+        for _ in range(rounds):
+            pa = dict(p)
+            pa["__conv__"] = units
+            nxt = {}
+            for s in p:
+                acc = 0
+                for (a, b), u in tp.items():
+                    if a != s:
+                        continue
+                    if removed is not None and (a == removed or b == removed):
+                        continue
+                    acc += u * pa.get(b, 0)
+                nxt[s] = acc // units
+            p = nxt
+        return p["__start__"]
+
+    base = solve(None)
+    eff = {c: base - solve(c) for c in channels}
+    return base, eff
+
+
+def test_attribution_markov_matches_python_twin(spark):
+    from dbt_repo_spark.queries_r10 import (
+        _MARKOV_CHANNELS,
+        _MARKOV_ROUNDS,
+        _MARKOV_UNITS,
+    )
+
+    rows = [
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in t(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ]
+    base, eff = _python_markov(
+        rows, _MARKOV_CHANNELS, _MARKOV_UNITS, _MARKOV_ROUNDS
+    )
+    got = {
+        r.channel: r for r in QUERIES["attribution_markov"](spark, SF).collect()
+    }
+    assert set(got) == set(_MARKOV_CHANNELS)
+    for c in _MARKOV_CHANNELS:
+        assert got[c].conv_prob_units == base, c
+        assert got[c].removal_effect_units == eff[c], c
+    # model properties: removing a channel never helps conversion, and
+    # the shares partition the total effect
+    assert all(r.removal_effect_units >= 0 for r in got.values())
+    total = sum(r.removal_effect_units for r in got.values())
+    if total > 0:
+        assert (
+            abs(sum(r.attribution_share for r in got.values()) - 1.0) < 1e-12
+        )
+
+
+def test_attribution_markov_hand_graph(spark):
+    """Hand-checkable chain: u1 click->purchase, u2 click->view (no
+    purchase), u3 view->purchase. Removing 'click' kills u1's path,
+    removing 'view' kills u3's; START->click carries 2 users."""
+    import datetime as dt
+
+    from dbt_repo_spark.queries_r10 import _MARKOV_UNITS
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(uid, seq):
+        return [
+            (uid, t0 + dt.timedelta(minutes=i), uid * 100 + i, et)
+            for i, et in enumerate(seq)
+        ]
+
+    rows = (
+        mk(1, ["click", "purchase"])
+        + mk(2, ["click", "view"])
+        + mk(3, ["view", "purchase"])
+    )
+    base, eff = _python_markov(rows, ("click", "view"), _MARKOV_UNITS, 16)
+    # START: 2/3 -> click, 1/3 -> view; click: 1/2 conv, 1/2 view;
+    # view(as state): of 2 view occurrences one absorbs NULL (u2 end),
+    # one converts (u3) -> 1/2 conv. Exact: P(conv) = 2/3*(1/2 + 1/2*1/2)
+    # + 1/3*1/2 = 2/3*3/4 + 1/6 = 2/3. Truncation keeps it within 2 units.
+    assert abs(base - 2 * _MARKOV_UNITS // 3) <= 2
+    assert eff["click"] > 0 and eff["view"] > 0
+
+
+def test_record_linkage_fs_matches_python_twin(spark):
+    """record_linkage_fs == a pure-Python integer EM over the same
+    blocked comparison patterns (identical truncating arithmetic),
+    and the learned model separates: the all-agree pattern is the
+    match class with m_i > u_i structure implied by its posterior."""
+    from dbt_repo_spark.queries_r10 import _FS_ROUNDS, _FS_UNITS
+
+    docs = [
+        (r.doc_id, r.lang, r.source, r.n_chars, r.text)
+        for r in t(spark, SF, "documents").collect()
+    ]
+    U = _FS_UNITS
+    recs = []
+    for did, lang, source, n_chars, text in docs:
+        toks = text.split(" ")
+        recs.append(
+            (did, lang, source, toks[0], n_chars // 100, " ".join(toks[:3]))
+        )
+    cnt = {}
+    for i in range(len(recs)):
+        for j in range(len(recs)):
+            a, x = recs[i], recs[j]
+            if a[0] >= x[0] or a[3] != x[3] or a[4] != x[4]:
+                continue
+            g = (
+                1 if a[1] == x[1] else 0,
+                1 if a[2] == x[2] else 0,
+                1 if a[5] == x[5] else 0,
+            )
+            cnt[g] = cnt.get(g, 0) + 1
+    m, u, p = [9 * U // 10] * 3, [U // 10] * 3, U // 10
+
+    def estep():
+        ws = {}
+        for g in cnt:
+            pm = pu = U
+            for i in range(3):
+                pm = pm * (m[i] if g[i] else U - m[i]) // U
+                pu = pu * (u[i] if g[i] else U - u[i]) // U
+            nm, nu = p * pm // U, (U - p) * pu // U
+            ws[g] = (nm * U // (nm + nu)) if nm + nu else 0
+        return ws
+
+    for _ in range(_FS_ROUNDS):
+        ws = estep()
+        sw = sum(cnt[g] * ws[g] for g in cnt)
+        su = sum(cnt[g] * (U - ws[g]) for g in cnt)
+        m = [
+            sum(cnt[g] * ws[g] * g[i] for g in cnt) * U // max(sw, 1)
+            for i in range(3)
+        ]
+        u = [
+            sum(cnt[g] * (U - ws[g]) * g[i] for g in cnt) * U // max(su, 1)
+            for i in range(3)
+        ]
+        p = sw // sum(cnt.values())
+    ws = estep()
+    got = {
+        (r.g_lang, r.g_source, r.g_prefix): r
+        for r in QUERIES["record_linkage_fs"](spark, SF).collect()
+    }
+    assert set(got) == set(cnt)
+    for g, r in got.items():
+        assert r.n_pairs == cnt[g], g
+        assert r.posterior_units == ws[g], g
+        assert r.is_match == (ws[g] > U - ws[g]), g
+    # separation: posterior is monotone in total agreement on this corpus
+    if (1, 1, 1) in got and (0, 0, 0) in got:
+        assert (
+            got[(1, 1, 1)].posterior_units > got[(0, 0, 0)].posterior_units
+        )

@@ -162,6 +162,17 @@ OPS = [
     # qualifying-supplier relation stays bounded by the fixed dim.
     "local_supplier_revenue",
     "concentrated_supply_parts",
+    # r10: Markov removal-effect attribution — events replicas are k
+    # disjoint user populations with IDENTICAL per-replica channel
+    # structure, so transition RATIOS (and absorption probabilities)
+    # are scale-invariant while the path-extraction shuffle grows
+    # linearly; the chain solve runs on <=36-row relations at any scale.
+    "attribution_markov",
+    # r10: FS record linkage — token-suffix document replicas keep the
+    # blocking key (first token + length bucket) replica-disjoint, so
+    # the candidate-pair relation grows linearly while the EM runs on
+    # the fixed <=8-row pattern relation at any scale.
+    "record_linkage_fs",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
