@@ -505,3 +505,196 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div (num_m + num_u) AS BIGINT) END AS posterior_units",
         "num_m > num_u AS is_match",
     )
+
+
+_SHAPLEY_WINDOW = 8  # conversion = purchase within the first 8 events
+
+
+def _shapley_oracle() -> str:
+    U = _MARKOV_UNITS
+    bits = ", ".join(
+        f"('{c}', {1 << i})" for i, c in enumerate(_MARKOV_CHANNELS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    w8 AS (SELECT * FROM w WHERE rn <= {_SHAPLEY_WINDOW}),
+    fp AS (SELECT user_id, MIN(rn) AS prn FROM w8
+           WHERE event_type = 'purchase' GROUP BY 1),
+    ch(name, bit) AS (SELECT * FROM (VALUES {bits})),
+    um AS (
+      SELECT w8.user_id,
+             COALESCE(bit_or(ch.bit), 0) AS mask,
+             CAST(MAX(CASE WHEN prn IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM w8 LEFT JOIN fp USING (user_id)
+      LEFT JOIN ch ON ch.name = w8.event_type
+      WHERE prn IS NULL OR w8.rn <= prn
+      GROUP BY w8.user_id),
+    ma AS (SELECT mask, CAST(COUNT(*) AS HUGEINT) AS n_users,
+                  CAST(SUM(conv) AS HUGEINT) AS n_conv
+           FROM um GROUP BY 1),
+    co AS (SELECT CAST(range AS BIGINT) AS s FROM range(16)),
+    cv AS (
+      SELECT co.s,
+             CASE WHEN co.s = 0 OR SUM(ma.n_users) IS NULL
+                       OR SUM(ma.n_users) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST((SUM(ma.n_conv) * {U}) // SUM(ma.n_users)
+                            AS BIGINT) END AS v
+      FROM co LEFT JOIN ma ON (ma.mask & co.s) = ma.mask
+      GROUP BY co.s),
+    phi AS (
+      SELECT ch.name AS channel,
+             CAST(SUM(CASE bit_count(cv.s)
+                        WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 ELSE 6 END
+                      * (cw.v - cv.v)) AS BIGINT) AS shapley_x24_units
+      FROM ch
+      JOIN cv ON (cv.s & ch.bit) = 0
+      JOIN cv cw ON cw.s = (cv.s | ch.bit)
+      GROUP BY ch.name),
+    ends AS (SELECT (SELECT v FROM cv WHERE s = 15) AS v_full),
+    tot AS (SELECT SUM(shapley_x24_units) AS te FROM phi)
+    SELECT channel, v_full AS v_full_units,
+           shapley_x24_units,
+           CASE WHEN te > 0
+                THEN CAST(shapley_x24_units AS DOUBLE)
+                     / CAST(te AS DOUBLE) END AS attribution_share
+    FROM phi CROSS JOIN ends CROSS JOIN tot
+    """
+
+
+@q("attribution_shapley", _shapley_oracle())
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the 4-channel touch lattice
+    — the coalition-game complement of attribution_markov (the chain
+    model asks "what breaks if I delete c"; Shapley asks "what is c's
+    fair share of the lift over never-touched users", with the axioms —
+    efficiency, symmetry, dummy — holding EXACTLY because 4 channels
+    make the 2⁴ coalition sum closed-form, no sampling).
+
+    Characteristic function: v(S) = rate of conversion WITHIN THE FIRST
+    ``_SHAPLEY_WINDOW`` events among users whose pre-conversion touch
+    set ⊆ S, in truncating micro-units, with v(∅) ANCHORED AT 0 (the
+    marketing-Shapley convention: purchase-with-no-prior-touch is a
+    direct conversion, not attributable lift — and on this fixture
+    lifetime conversion is ~universal, so the bounded window is what
+    gives the characteristic function its variance). Shapley values are
+    emitted ×24 (= 4! — the weights 6/2/2/6 are |S|!·(3−|S|)!), so the
+    output is DIVISION-FREE exact integers: signs survive, and
+    Σ_c φ·24 ≡ 24·v(full) — the efficiency axiom over the anchored v —
+    holds bit-exactly for ANY v, which the unit test pins. The one
+    float op is the share division on identical operands.
+
+    Scale (100 TB): fact work is one user-key shuffle reused by the
+    rank window and the (mask, conv) reduce — bit_or of channel bits,
+    map-side combinable; everything after runs on 16-row coalition
+    relations (subset sums via the mask & S = mask join, 16×16 worst
+    case). No iteration.
+    """
+    U = _MARKOV_UNITS
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w8 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SHAPLEY_WINDOW)
+        .select("user_id", "event_type", "rn")
+    )
+    fp = (
+        w8.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    bit = F.lit(None).cast("long")
+    for i, c in enumerate(_MARKOV_CHANNELS):
+        bit = F.when(F.col("event_type") == c, F.lit(1 << i)).otherwise(bit)
+    um = (
+        w8.join(fp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.bit_or(bit), F.lit(0)).alias("mask"),
+            F.max(
+                F.when(F.col("prn").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    ma = (
+        um.groupBy("mask")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    co = spark.range(16).select(F.col("id").alias("s"))
+    cv = (
+        co.join(
+            F.broadcast(ma),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.expr(
+                f"CASE WHEN s = 0 OR SUM(n_users) IS NULL"
+                f" OR SUM(n_users) = 0"
+                f" THEN CAST(0 AS BIGINT)"
+                f" ELSE CAST((SUM(CAST(n_conv AS DECIMAL(38,0))) * {U})"
+                f" div SUM(CAST(n_users AS DECIMAL(38,0))) AS BIGINT)"
+                f" END"
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ch = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(_MARKOV_CHANNELS)],
+        "channel string, bit long",
+    )
+    cw = cv.select(F.col("s").alias("_ws"), F.col("v").alias("_wv"))
+    phi = (
+        ch.crossJoin(F.broadcast(cv))
+        .filter(F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            F.broadcast(cw),
+            F.col("_ws") == F.col("s").bitwiseOR(F.col("bit")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END"
+                )
+                * (F.col("_wv") - F.col("v"))
+            )
+            .cast("long")
+            .alias("shapley_x24_units")
+        )
+    )
+    ends = cv.filter(F.col("s") == 15).select(
+        F.col("v").alias("v_full_units")
+    )
+    tot = phi.agg(F.sum("shapley_x24_units").alias("te"))
+    return (
+        phi.crossJoin(F.broadcast(ends))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "v_full_units",
+            "shapley_x24_units",
+            F.when(
+                F.col("te") > 0,
+                F.col("shapley_x24_units").cast("double")
+                / F.col("te").cast("double"),
+            ).alias("attribution_share"),
+        )
+    )

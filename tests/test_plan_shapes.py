@@ -765,6 +765,7 @@ def test_r10_iterative_model_plan_shapes(spark):
         # one M-step global aggregate per EM round — each folds the
         # <=8-row pattern relation to the 1-row state (scalar-class)
         ("record_linkage_fs", 10),
+        ("attribution_shapley", 2),  # v_full + total-effect scalar aggs
     ):
         plan = _plan(spark, name, "simple")
         assert "CartesianProduct" not in plan, name

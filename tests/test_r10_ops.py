@@ -200,3 +200,69 @@ def test_record_linkage_fs_matches_python_twin(spark):
         assert (
             got[(1, 1, 1)].posterior_units > got[(0, 0, 0)].posterior_units
         )
+
+
+def test_attribution_shapley_matches_python_twin(spark):
+    """attribution_shapley == a pure-Python exact Shapley over the same
+    windowed coalition function, and the efficiency axiom holds
+    bit-exactly over the anchored v: sum(phi*24) == 24*v(full)."""
+    from itertools import combinations
+
+    from dbt_repo_spark.queries_r10 import (
+        _MARKOV_CHANNELS,
+        _MARKOV_UNITS,
+        _SHAPLEY_WINDOW,
+    )
+
+    U = _MARKOV_UNITS
+    rows = [
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in t(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ]
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in rows:
+        by_user[uid].append((ts, eid, et))
+    ma = defaultdict(lambda: [0, 0])
+    bit = {c: 1 << i for i, c in enumerate(_MARKOV_CHANNELS)}
+    for uid, evs in by_user.items():
+        evs.sort()
+        w8 = evs[:_SHAPLEY_WINDOW]
+        prn = next(
+            (i for i, e in enumerate(w8, 1) if e[2] == "purchase"), None
+        )
+        kept = w8 if prn is None else w8[:prn]
+        mask = 0
+        for _, _, et in kept:
+            mask |= bit.get(et, 0)
+        ma[mask][0] += 1
+        ma[mask][1] += 1 if prn is not None else 0
+    def v(S):
+        if S == 0:
+            return 0
+        nu = sum(n for m, (n, _) in ma.items() if m & S == m)
+        nc = sum(c for m, (_, c) in ma.items() if m & S == m)
+        return (nc * U) // nu if nu else 0
+
+    w24 = {0: 6, 1: 2, 2: 2, 3: 6}
+    phi = {}
+    for c, b in bit.items():
+        acc = 0
+        for S in range(16):
+            if S & b:
+                continue
+            acc += w24[bin(S).count("1")] * (v(S | b) - v(S))
+        phi[c] = acc
+    got = {
+        r.channel: r
+        for r in QUERIES["attribution_shapley"](spark, SF).collect()
+    }
+    assert set(got) == set(_MARKOV_CHANNELS)
+    for c in _MARKOV_CHANNELS:
+        assert got[c].shapley_x24_units == phi[c], c
+        assert got[c].v_full_units == v(15), c
+    # efficiency over the anchored characteristic function
+    assert sum(phi.values()) == 24 * v(15)

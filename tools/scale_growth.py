@@ -173,6 +173,11 @@ OPS = [
     # the candidate-pair relation grows linearly while the EM runs on
     # the fixed <=8-row pattern relation at any scale.
     "record_linkage_fs",
+    # r10: Shapley attribution — same replica invariance as
+    # attribution_markov (per-replica touch-set structure preserved, so
+    # the 16 coalition values are scale-invariant; fact work is the
+    # user-key rank window + mask reduce).
+    "attribution_shapley",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
