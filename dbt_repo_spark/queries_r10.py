@@ -698,3 +698,195 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attribution_share"),
         )
     )
+
+
+@q(
+    "eval_conformal_mondrian",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             instr('0123456789abcdef',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS nib
+      FROM orders),
+    tr AS (
+      SELECT priority,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred,
+             CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM base WHERE nib < 8 GROUP BY 1),
+    cal AS (
+      SELECT b.priority, ABS(b.cents - tr.pred) AS err
+      FROM base b JOIN tr USING (priority)
+      WHERE nib >= 8 AND nib < 12),
+    sc AS (SELECT priority, err, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM cal GROUP BY 1, 2),
+    ng AS (
+      SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n_cal,
+             CAST(((SUM(cnt) + 1) * 9 + 9) // 10 AS BIGINT) AS k_cal
+      FROM sc GROUP BY 1),
+    cum AS (
+      SELECT priority, err,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY err
+                            ROWS UNBOUNDED PRECEDING) AS c
+      FROM sc),
+    qh AS (
+      SELECT cum.priority,
+             CAST(MIN(CASE WHEN c >= ng.k_cal THEN err END) AS BIGINT)
+               AS q_hat_cents
+      FROM cum JOIN ng USING (priority) GROUP BY 1),
+    te AS (
+      SELECT b.priority, ABS(b.cents - tr.pred) AS err
+      FROM base b JOIN tr USING (priority) WHERE nib >= 12),
+    cov AS (
+      SELECT te.priority, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN qh.q_hat_cents IS NULL
+                            OR te.err <= qh.q_hat_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM te JOIN qh USING (priority) GROUP BY 1)
+    SELECT tr.priority, tr.n_train, ng.n_cal, ng.k_cal, qh.q_hat_cents,
+           cov.n_test, cov.n_covered,
+           CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+             AS coverage
+    FROM tr JOIN ng USING (priority) JOIN qh USING (priority)
+    JOIN cov USING (priority)
+    """,
+)
+def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) SPLIT-CONFORMAL calibration — the
+    modern distribution-free uncertainty layer the eval family lacked:
+    per priority group, learn a point predictor on the train split
+    (integer mean of order cents), take the ⌈(n_cal+1)·0.9⌉-th smallest
+    absolute calibration residual as the conformal radius q̂ (exact
+    finite-sample ≥90% coverage guarantee per group — Vovk et al.;
+    Mondrian = per-group calibration, so heteroscedastic groups get
+    their own radii), then AUDIT the guarantee on the held-out test
+    split. Splits are content-addressed md5 nibbles (8/4/4 of 16 —
+    hash_split's idiom), so membership is reproducible and incremental
+    corpus growth never leaks test rows.
+
+    Exactness: everything through q̂ is exact integers (cents,
+    truncating integer mean, ceil via (a+9) div 10, order statistic by
+    per-group cumulative counts over the DISTINCT-residual relation);
+    the only float op is the final coverage division on identical
+    operands. k > n_cal (infinite interval) yields q̂ NULL and counts
+    every test row covered — stated identically in both engines.
+
+    Scale (100 TB): the per-group order statistic does NOT use a
+    per-group window over raw rows — residuals collapse to the
+    (group, err)-distinct relation (map-side combinable hash-agg), the
+    per-group cumulative rides ordered_prefix_sums on the struct key
+    (priority, err) (global two-phase range shuffle, no single-task
+    window) with the group-start offset subtracted back, and q̂ is a
+    MIN-filter over that relation. Train/test passes are hash-agg +
+    broadcast-join shapes.
+    """
+    from dbt_repo_spark.operators.evalmetrics import ordered_prefix_sums
+    from dbt_repo_spark.queries import dec
+
+    od = t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderpriority").alias("priority"),
+        (dec("o_totalprice", 14, 2) * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+        ).alias("nib"),
+    )
+    tr = (
+        base.filter(F.col("nib") < 8)
+        .groupBy("priority")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) div COUNT(*)"
+                " AS BIGINT)"
+            ).alias("pred"),
+            F.count("*").cast("long").alias("n_train"),
+        )
+    )
+    cal = (
+        base.filter((F.col("nib") >= 8) & (F.col("nib") < 12))
+        .join(F.broadcast(tr), "priority")
+        .select(
+            "priority", F.abs(F.col("cents") - F.col("pred")).alias("err")
+        )
+    )
+    sc = cal.groupBy("priority", "err").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ng = sc.groupBy("priority").agg(
+        F.sum("cnt").cast("long").alias("n_cal"),
+        F.expr("CAST(((SUM(cnt) + 1) * 9 + 9) div 10 AS BIGINT)").alias(
+            "k_cal"
+        ),
+    )
+    keyed = sc.select(
+        "priority",
+        "err",
+        "cnt",
+        F.struct(
+            F.col("priority").alias("a"), F.col("err").alias("b")
+        ).alias("_okey"),
+    )
+    cum = ordered_prefix_sums(keyed, "_okey", ["cnt"])
+    gs = cum.groupBy("priority").agg(
+        F.min("cum_cnt_before").alias("_gs")
+    )
+    cum2 = cum.join(gs, "priority").select(
+        "priority",
+        "err",
+        (F.col("cum_cnt_before") + F.col("cnt") - F.col("_gs")).alias("c"),
+    )
+    qh = (
+        cum2.join(F.broadcast(ng), "priority")
+        .groupBy("priority")
+        .agg(
+            F.min(F.when(F.col("c") >= F.col("k_cal"), F.col("err")))
+            .cast("long")
+            .alias("q_hat_cents")
+        )
+    )
+    te = (
+        base.filter(F.col("nib") >= 12)
+        .join(F.broadcast(tr), "priority")
+        .select(
+            "priority", F.abs(F.col("cents") - F.col("pred")).alias("err")
+        )
+    )
+    cov = (
+        te.join(F.broadcast(qh), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("q_hat_cents").isNull()
+                    | (F.col("err") <= F.col("q_hat_cents")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        tr.join(ng, "priority")
+        .join(qh, "priority")
+        .join(cov, "priority")
+        .select(
+            "priority",
+            "n_train",
+            "n_cal",
+            "k_cal",
+            "q_hat_cents",
+            "n_test",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -766,6 +766,8 @@ def test_r10_iterative_model_plan_shapes(spark):
         # <=8-row pattern relation to the 1-row state (scalar-class)
         ("record_linkage_fs", 10),
         ("attribution_shapley", 2),  # v_full + total-effect scalar aggs
+        # ordered_prefix_sums' offsets job + no global window anywhere
+        ("eval_conformal_mondrian", 1),
     ):
         plan = _plan(spark, name, "simple")
         assert "CartesianProduct" not in plan, name

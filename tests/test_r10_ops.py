@@ -266,3 +266,55 @@ def test_attribution_shapley_matches_python_twin(spark):
         assert got[c].v_full_units == v(15), c
     # efficiency over the anchored characteristic function
     assert sum(phi.values()) == 24 * v(15)
+
+
+def test_eval_conformal_mondrian_matches_python_twin(spark):
+    """eval_conformal_mondrian == a pure-Python split-conformal twin
+    (same md5-nibble splits, integer mean, ceil rank, order statistic),
+    and the finite-sample guarantee shows: per-group CALIBRATION mass
+    at or below q_hat is >= k/n_cal >= 0.9 by construction."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = [
+        (r.o_orderkey, r.o_orderpriority, r.o_totalprice)
+        for r in t(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    ]
+    split = defaultdict(lambda: defaultdict(list))
+    for ok, prio, price in rows:
+        nib = int(hashlib.md5(str(ok).encode()).hexdigest()[0], 16)
+        cents = int(
+            (Decimal(str(price)).quantize(Decimal("0.01"))) * 100
+        )
+        which = "train" if nib < 8 else ("cal" if nib < 12 else "test")
+        split[prio][which].append(cents)
+    exp = {}
+    for prio, d in split.items():
+        if not d["train"] or not d["cal"] or not d["test"]:
+            continue
+        pred = sum(d["train"]) // len(d["train"])
+        errs = sorted(abs(c - pred) for c in d["cal"])
+        n_cal = len(errs)
+        k = ((n_cal + 1) * 9 + 9) // 10
+        qh = errs[k - 1] if k <= n_cal else None
+        covered = sum(
+            1
+            for c in d["test"]
+            if qh is None or abs(c - pred) <= qh
+        )
+        exp[prio] = (len(d["train"]), n_cal, k, qh, len(d["test"]), covered)
+    got = {
+        r.priority: r
+        for r in QUERIES["eval_conformal_mondrian"](spark, SF).collect()
+    }
+    assert set(got) == set(exp)
+    for prio, (ntr, ncal, k, qh, nte, cov) in exp.items():
+        r = got[prio]
+        assert (r.n_train, r.n_cal, r.k_cal) == (ntr, ncal, k), prio
+        assert r.q_hat_cents == qh, prio
+        assert (r.n_test, r.n_covered) == (nte, cov), prio
+        # the calibration-side guarantee is structural: k/(n_cal+1) >= 0.9
+        assert 10 * k >= 9 * (ncal + 1), prio

@@ -178,6 +178,12 @@ OPS = [
     # the 16 coalition values are scale-invariant; fact work is the
     # user-key rank window + mask reduce).
     "attribution_shapley",
+    # r10: Mondrian conformal — orders replicas are k disjoint
+    # per-priority populations with identical value distributions, so
+    # q_hat is scale-invariant while train/cal/test scans grow linearly;
+    # the order statistic runs on the (group, err)-distinct relation
+    # through ordered_prefix_sums (no per-group window).
+    "eval_conformal_mondrian",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
