@@ -109,7 +109,10 @@ def gram_partials(df: DataFrame, arr_col: str, dim: int) -> DataFrame:
     Overflow: a partition's partial is ≤ rows_per_partition · max|v|²;
     with 3-dp-quantized unit-scale embeddings (|v| ≤ ~2·10³) that is
     < 2⁶³ up to ~10⁹ rows per partition — partition sizing, not data
-    volume, bounds it. Returns (i INT, j INT, p BIGINT) partials.
+    volume, bounds it. NULL arrays contribute no rows (the posexplode
+    semantics this replaced); a wrong-length array raises a named
+    ValueError (ragged vectors are corruption, not skippable). Returns
+    (i INT, j INT, p BIGINT) partials.
     """
     import numpy as np
     import pandas as pd
@@ -121,7 +124,19 @@ def gram_partials(df: DataFrame, arr_col: str, dim: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.stack(pdf["_varr"].to_numpy()).astype(np.int64, copy=False)
+            arrs = pdf["_varr"].dropna()  # NULL array == no rows, the
+            if not len(arrs):             # posexplode semantics this
+                continue                  # seam replaced
+            arrs = arrs.to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64)
+            if (lens != dim).any():
+                bad = int((lens != dim).sum())
+                raise ValueError(
+                    f"gram_partials: {bad} array(s) with length != {dim} "
+                    f"(got lengths {sorted(set(lens.tolist()))[:5]}) — "
+                    "ragged vectors are data corruption, not skippable"
+                )
+            v = np.stack(arrs).astype(np.int64, copy=False)
             g += v.T @ v
             s += v.sum(axis=0)
             seen = True

@@ -591,6 +591,10 @@ def bfs_hops(
         # union of per-round checkpointed frontiers: shallow lineage
         # (one node appears exactly once across all rounds)
         dist = dist.unionByName(frontier)
+    # every returned row sits in checkpointed blocks — release the edge
+    # cache now (persist() is never GC-cleaned; without this each call
+    # leaks an |E|-sized CacheManager entry for the session's lifetime)
+    e.unpersist()
     return dist
 
 
@@ -693,4 +697,7 @@ def weighted_sssp(
         frontier = merged.filter("_improved").select("node", "dist")
         if frontier.isEmpty():
             break
+    # dist is a projection of checkpointed blocks — release the edge
+    # cache (same leak note as bfs_hops)
+    e.unpersist()
     return dist

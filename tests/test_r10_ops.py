@@ -318,3 +318,25 @@ def test_eval_conformal_mondrian_matches_python_twin(spark):
         assert (r.n_test, r.n_covered) == (nte, cov), prio
         # the calibration-side guarantee is structural: k/(n_cal+1) >= 0.9
         assert 10 * k >= 9 * (ncal + 1), prio
+
+
+def test_gram_partials_null_and_ragged_contract(spark):
+    """fit.gram_partials: NULL arrays contribute nothing (posexplode
+    semantics), wrong-length arrays fail loudly with a named error."""
+    from pyspark.sql import functions as F
+
+    from dbt_repo_spark.operators.fit import gram_partials
+
+    ok = spark.createDataFrame(
+        [([1, 2],), (None,), ([3, 4],)], "q array<bigint>"
+    )
+    parts = gram_partials(ok, "q", 2).collect()
+    got: dict = {}
+    for r in parts:  # per-partition partials: the caller's groupBy-sum
+        got[(r.i, r.j)] = got.get((r.i, r.j), 0) + r.p
+    # gram of [[1,2],[3,4]]: [[10,14],[14,20]]; col sums [4,6] at j=-1
+    assert got[(0, 0)] == 10 and got[(0, 1)] == 14
+    assert got[(1, 1)] == 20 and got[(0, -1)] == 4 and got[(1, -1)] == 6
+    bad = spark.createDataFrame([([1, 2],), ([9],)], "q array<bigint>")
+    with pytest.raises(Exception, match="length != 2"):
+        gram_partials(bad, "q", 2).collect()

@@ -330,6 +330,15 @@ def build_scaled(spark, k: int) -> str:
 
     od = spark.read.parquet(f"{SRC}/orders.parquet")
     mo = od.agg(F.max("o_orderkey").alias("m")).collect()[0].m
+    # lineitem strode l_orderkey by max(l_orderkey)+1 above; orders
+    # strides by max(o_orderkey)+1 here — assert the ceilings coincide
+    # (same invariant as the part/lineitem assert: a regenerated fixture
+    # with trailing line-less orders would silently misalign every
+    # lineitem↔orders replica join graph)
+    assert mo == mx.mo, (
+        f"orders/lineitem key ceilings diverged ({mo} vs {mx.mo}); "
+        "replica strides would misalign"
+    )
     # o_custkey offsets by the SHARED user/customer key stride so replica
     # r's orders reference replica r's customers AND replica r's event
     # users — k disjoint copies of both join graphs
