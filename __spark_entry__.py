@@ -161,23 +161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    The 6 keys absent here (the Spark-internal sketch states —
-    HLL++/DataSketches/QuantileSummaries, which `sketch_hll_portable`
-    and `sketch_kmv_source_overlap` twin with fully-oracled portable
-    state — plus BPE's data-dependent merge learning, PII span offsets
-    with no SQL surface, and the solver-sized LSH whose recall is
-    probabilistic by construction with a FULL-oracle fixed-density twin)
-    are documented rows-only. (Multimodal decode, embed_lsh_topk,
-    embed_generate_docs, rag_retrieval_pipeline, dedup_simhash,
-    dedup_minhash_lsh, the IVF/PQ family, the graph iteratives, and
-    embed_cosine_topk_np all left this set in r07: stdlib codecs,
-    bit-exact hyperplane SQL, md5-reproducible embedding CTEs, md5
-    votes/bases, integer micro-unit PageRank, unrolled peeling, and the
-    shared brute-force SQL gave them full oracles.) The
-    approximate ones carry in-plan
-    quality certificates (recall@k, pair_recall, rel_err, rank_err, L1
-    residual) with floors pinned in tests; the deterministic ones pin
-    equivalence-to-exact or reference outputs in tests — see COVERAGE.md
-    row by row.
+    COMPLETE since r8: every registry key has a full value oracle —
+    zero rows-only entries (pinned by tests/test_oracle_parity.py,
+    which asserts ORACLES covers QUERIES and runs every pair). The last
+    holdouts left the rows-only set via portable sketch states, stdlib
+    codecs, md5-reproducible embedding CTEs, integer micro-unit
+    iterative algorithms with unrolled-round CTEs (PageRank, k-core,
+    PCA squaring, Markov/Shapley attribution, Fellegi-Sunter EM,
+    unigram-LM training), and shared brute-force SQL. Approximate
+    operators additionally carry in-plan quality certificates
+    (recall@k, pair_recall, rel_err, rank_err, L1 residual) with floors
+    pinned in tests — see COVERAGE.md row by row.
     """
     return dict(ORACLES)
