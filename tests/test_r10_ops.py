@@ -340,3 +340,65 @@ def test_gram_partials_null_and_ragged_contract(spark):
     bad = spark.createDataFrame([([1, 2],), ([9],)], "q array<bigint>")
     with pytest.raises(Exception, match="length != 2"):
         gram_partials(bad, "q", 2).collect()
+
+
+# ---------------------------------------------------------------- hypothesis
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H = dict(max_examples=10, deadline=None, derandomize=True)
+
+_EVT = st.sampled_from(["click", "error", "signup", "view", "purchase"])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 30), _EVT),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**_H)
+def test_attribution_markov_random_journeys(spark, event_list):
+    """attribution_markov == the Python twin on arbitrary tiny event
+    tables: purchase-first users, users with one event, ts ties broken
+    by event_id, channels missing from the data entirely."""
+    import datetime as dt
+
+    from dbt_repo_spark.queries_r10 import (
+        _MARKOV_CHANNELS,
+        _MARKOV_ROUNDS,
+        _MARKOV_UNITS,
+        attribution_markov,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (uid, t0 + dt.timedelta(minutes=off // 3), uid * 1000 + off, et)
+        for uid, off, et in event_list
+    ]
+    base, eff = _python_markov(
+        rows, _MARKOV_CHANNELS, _MARKOV_UNITS, _MARKOV_ROUNDS
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    import dbt_repo_spark.queries_r10 as r10
+    import dbt_repo_spark.queries as qmod
+
+    # drive the operator body directly on the synthetic table by
+    # monkeypatching the table loader it calls
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: df
+        r10.t = qmod.t
+        got = {r.channel: r for r in attribution_markov(spark, "_")
+               .collect()}
+    finally:
+        qmod.t = orig
+        r10.t = orig
+    for c in _MARKOV_CHANNELS:
+        assert got[c].conv_prob_units == base, c
+        assert got[c].removal_effect_units == eff[c], c
