@@ -890,3 +890,189 @@ def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# Welch z and erfc p-value as ONE expression text shared verbatim by both
+# engines (columns n1,s1,ss1,n2,s2,ss2 pre-aggregated): every op after the
+# initial casts is IEEE-double on identical operands (divisions, Horner
+# polynomial, sqrt are correctly rounded everywhere), so z is bit-identical
+# cross-engine; exp() is the single non-correctly-rounded op, absorbed by
+# the 6-dp p rounding (the repo's ln convention, queries_eval.py:825).
+_BH_Z = (
+    "((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    " - (CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)))"
+    " / sqrt("
+    "(((CAST(ss1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    " - (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    "*(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)))"
+    " * (CAST(n1 AS DOUBLE)/CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE))"
+    " + (((CAST(ss2 AS DOUBLE)/CAST(n2 AS DOUBLE))"
+    " - (CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))"
+    "*(CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)))"
+    " * (CAST(n2 AS DOUBLE)/CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))"
+    ")"
+)
+# two-sided p = erfc(|z|/sqrt(2)), Abramowitz-Stegun 7.1.26 (|err|<=1.5e-7,
+# identical on both engines since the formula text is identical); column x
+# is |z|/sqrt(2), column t is 1/(1+0.3275911*x)
+_BH_P = (
+    "(t*(0.254829592 + t*(-0.284496736 + t*(1.421413741"
+    " + t*(-1.453152027 + t*1.061405429))))) * exp(-(x*x))"
+)
+_BH_ALPHA_MICROS = 50_000  # alpha = 0.05 in p-micros
+
+
+@q(
+    "eval_bh_fdr",
+    f"""
+    WITH base AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    g AS (
+      SELECT n_name, CAST(COUNT(*) AS HUGEINT) AS n1,
+             CAST(SUM(cents) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss1
+      FROM base GROUP BY 1),
+    tot AS (SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM g),
+    sides AS (
+      SELECT n_name, n1, s1, ss1,
+             nt - n1 AS n2, st - s1 AS s2, sst - ss1 AS ss2, m
+      FROM g CROSS JOIN tot),
+    z AS (SELECT n_name, m, CAST(n1 AS BIGINT) AS n_obs, {_BH_Z} AS z
+          FROM sides WHERE n1 >= 2 AND n2 >= 2),
+    xt AS (SELECT n_name, m, n_obs, z,
+                  abs(z)/sqrt(2.0) AS x FROM z),
+    tt AS (SELECT n_name, m, n_obs, z, x,
+                  1.0/(1.0 + 0.3275911*x) AS t FROM xt),
+    pv AS (SELECT n_name, m, n_obs, z,
+                  CAST(round(({_BH_P}) * 1000000, 0) AS BIGINT)
+                    AS p_micros
+           FROM tt),
+    rk AS (SELECT n_name, m, n_obs, z, p_micros,
+                  CAST(row_number() OVER (ORDER BY p_micros, n_name)
+                       AS BIGINT) AS rank
+           FROM pv),
+    km AS (SELECT COALESCE(MAX(CASE WHEN p_micros * m
+                                         <= rank * {_BH_ALPHA_MICROS}
+                                    THEN rank END), 0) AS k_max
+           FROM rk)
+    SELECT n_name, n_obs, z, p_micros, rank,
+           rank <= k_max AS bh_reject, k_max
+    FROM rk CROSS JOIN km
+    """,
+)
+def eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-nation order-value
+    z-tests — the multiple-testing correction the eval family lacked
+    (25 simultaneous hypotheses at α=0.05: without step-up control,
+    ~1.25 false discoveries are EXPECTED under the global null; BH
+    bounds the false-discovery RATE instead). Per nation: Welch z of
+    that nation's customers' order cents vs all other nations (exact
+    integer sums; rest side = global − nation, exact); two-sided p =
+    erfc(|z|/√2) via the Abramowitz-Stegun 7.1.26 polynomial; then the
+    BH step-up: rank p ascending, k_max = max{{k : p_(k) ≤ k·α/m}},
+    reject ranks ≤ k_max.
+
+    Exactness: z is bit-identical cross-engine (every op after the
+    integer-sum casts is a correctly-rounded IEEE double op on
+    identical operands — the z/p expression TEXT is shared verbatim by
+    both engines); exp() is the one non-correctly-rounded op and is
+    absorbed by the 6-dp p rounding (the repo's ln convention). The BH
+    threshold comparison is exact integers (p_micros·m ≤ rank·50000 —
+    no α division), and ties order by (p_micros, n_name), a total
+    order.
+
+    Scale (100 TB): one fact scan → per-nation integer sums (map-side
+    combinable; customer/nation broadcast), then all testing math on
+    the |nations|-row relation; the rank window orders 25 rows. m is
+    data-derived (nations with n ≥ 2 on both sides).
+    """
+    base = (
+        t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    g = base.groupBy("n_name").agg(
+        F.count("*").cast(d38).alias("n1"),
+        F.sum(F.col("cents").cast(d38)).alias("s1"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38)).alias(
+            "ss1"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n1").alias("nt"),
+        F.sum("s1").alias("st"),
+        F.sum("ss1").alias("sst"),
+        F.count("*").cast("long").alias("m"),
+    )
+    sides = g.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n1",
+        "s1",
+        "ss1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        (F.col("st") - F.col("s1")).alias("s2"),
+        (F.col("sst") - F.col("ss1")).alias("ss2"),
+        "m",
+    )
+    z = sides.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).selectExpr(
+        "n_name", "m", "CAST(n1 AS BIGINT) AS n_obs", f"{_BH_Z} AS z"
+    )
+    pv = (
+        z.selectExpr("n_name", "m", "n_obs", "z", "abs(z)/sqrt(2.0) AS x")
+        .selectExpr(
+            "n_name", "m", "n_obs", "z", "x",
+            "1.0/(1.0 + 0.3275911*x) AS t",
+        )
+        .selectExpr(
+            "n_name", "m", "n_obs", "z",
+            f"CAST(round(({_BH_P}) * 1000000, 0) AS BIGINT) AS p_micros",
+        )
+    )
+    w = Window.orderBy("p_micros", "n_name")
+    rk = pv.withColumn("rank", F.row_number().over(w).cast("long"))
+    km = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micros") * F.col("m")
+                    <= F.col("rank") * F.lit(_BH_ALPHA_MICROS),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("k_max")
+    )
+    return rk.crossJoin(F.broadcast(km)).select(
+        "n_name",
+        "n_obs",
+        "z",
+        "p_micros",
+        "rank",
+        (F.col("rank") <= F.col("k_max")).alias("bh_reject"),
+        "k_max",
+    )

@@ -768,6 +768,9 @@ def test_r10_iterative_model_plan_shapes(spark):
         ("attribution_shapley", 2),  # v_full + total-effect scalar aggs
         # ordered_prefix_sums' offsets job + no global window anywhere
         ("eval_conformal_mondrian", 1),
+        # the BH rank window + k_max/tot scalar aggregates all operate on
+        # the |nations|-row (<=25) aggregate — bounded, never fact rows
+        ("eval_bh_fdr", 4),
     ):
         plan = _plan(spark, name, "simple")
         assert "CartesianProduct" not in plan, name

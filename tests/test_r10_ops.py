@@ -402,3 +402,124 @@ def test_attribution_markov_random_journeys(spark, event_list):
     for c in _MARKOV_CHANNELS:
         assert got[c].conv_prob_units == base, c
         assert got[c].removal_effect_units == eff[c], c
+
+
+def _python_bh(groups, alpha_micros=50_000):
+    """Pure-Python twin of eval_bh_fdr's z/p/step-up (same A&S 7.1.26
+    text; libm-vs-JVM exp drift is absorbed by the 6-dp round except at
+    exact micro boundaries, so callers compare p with +-1 tolerance)."""
+    import math
+
+    tot_n = sum(len(v) for v in groups.values())
+    tot_s = sum(sum(v) for v in groups.values())
+    tot_ss = sum(sum(x * x for x in v) for v in groups.values())
+    rows = []
+    for gname, v in sorted(groups.items()):
+        n1, s1, ss1 = len(v), sum(v), sum(x * x for x in v)
+        n2, s2, ss2 = tot_n - n1, tot_s - s1, tot_ss - ss1
+        if n1 < 2 or n2 < 2:
+            continue
+        # mirror the engines' CAST-then-divide exactly: float(int) is the
+        # same round-to-nearest as CAST(x AS DOUBLE); bare s1/n1 in Python
+        # is the correctly-rounded EXACT-rational quotient, which differs
+        # in the last ulp when the sums aren't double-representable
+        fn1, fn2 = float(n1), float(n2)
+        m1, m2 = float(s1) / fn1, float(s2) / fn2
+        v1 = (float(ss1) / fn1 - m1 * m1) * (fn1 / float(n1 - 1)) / fn1
+        v2 = (float(ss2) / fn2 - m2 * m2) * (fn2 / float(n2 - 1)) / fn2
+        z = (m1 - m2) / math.sqrt(v1 + v2)
+        x = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429))))
+        p = poly * math.exp(-(x * x))
+        rows.append((gname, z, round(p * 1_000_000)))
+    m = len(rows)
+    rows.sort(key=lambda r: (r[2], r[0]))
+    k_max = 0
+    for k, (_, _, pm) in enumerate(rows, 1):
+        if pm * m <= k * alpha_micros:
+            k_max = k
+    return rows, k_max
+
+
+def test_eval_bh_fdr_matches_python_twin(spark):
+    """z bit-identical, p within 1 micro (exp ulp class), identical BH
+    verdicts on the fixture."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (r.n_name, r.cents)
+        for r in t(spark, SF, "orders")
+        .join(
+            t(spark, SF, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            t(spark, SF, "nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .selectExpr(
+            "n_name",
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .collect()
+    ]
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for n, c in rows:
+        groups[n].append(c)
+    exp_rows, exp_k = _python_bh(groups)
+    exp = {n: (z, pm) for n, z, pm in exp_rows}
+    got = {r.n_name: r for r in QUERIES["eval_bh_fdr"](spark, SF).collect()}
+    assert set(got) == set(exp)
+    for n, r in got.items():
+        ez, epm = exp[n]
+        assert r.z == ez, (n, r.z, ez)  # bit-identical double chain
+        assert abs(r.p_micros - epm) <= 1, n
+        assert r.k_max == exp_k, n
+
+
+def test_eval_bh_fdr_rejects_on_planted_shift(spark):
+    """BH machinery end-to-end on planted data: one group's values are
+    shifted far from the rest — it must be rejected (rank 1, k_max >= 1)
+    while the null groups survive."""
+    import dbt_repo_spark.queries_r10 as r10
+    import dbt_repo_spark.queries as qmod
+
+    # G0 is small (n=40) and shifted +100k; the five null groups are big
+    # (n=200) with wide within-group spread, so G0's contamination of
+    # each null group's "rest" mean (~+4k) stays inside the null noise —
+    # group-vs-rest tests are not independent, and a huge planted group
+    # would drag every complement along with it
+    rows = []
+    for g in range(6):
+        base = 200_000 if g == 0 else 100_000
+        n = 40 if g == 0 else 200
+        for i in range(n):
+            rows.append((g * 1000 + i, g, base + (i % 37) * 3_000))
+    orders = spark.createDataFrame(
+        [(k, k, v / 100.0) for k, g, v in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(k, g) for k, g, _ in rows], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(g, f"G{g}") for g in range(6)], "n_nationkey long, n_name string"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: tables[name]
+        r10.t = qmod.t
+        got = {r.n_name: r for r in r10.eval_bh_fdr(spark, "_").collect()}
+    finally:
+        qmod.t = orig
+        r10.t = orig
+    assert got["G0"].bh_reject and got["G0"].rank == 1
+    assert got["G0"].k_max >= 1
+    # the five null groups all carry the same |z| class and survive
+    assert not any(got[f"G{g}"].bh_reject for g in range(2, 6))

@@ -184,6 +184,11 @@ OPS = [
     # the order statistic runs on the (group, err)-distinct relation
     # through ordered_prefix_sums (no per-group window).
     "eval_conformal_mondrian",
+    # r10: BH-FDR — replica populations per nation are identical, so
+    # z-statistics shrink toward the pooled null identically on both
+    # engines while the fact scan grows linearly; all testing math runs
+    # on the fixed |nations|-row relation.
+    "eval_bh_fdr",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
