@@ -44,7 +44,6 @@ _MARKOV_UNITS = 10**12
 _MARKOV_ROUNDS = 16
 _FS_UNITS = 10**12
 _FS_ROUNDS = 10
-_FS_FIELDS = ("lang", "source", "prefix")  # the three binary comparisons
 # touchpoint channels (fixture-stable event vocabulary, like the 'red %'
 # part predicate elsewhere); 'purchase' is the conversion absorber
 _MARKOV_CHANNELS = ("click", "error", "signup", "view")
