@@ -57,8 +57,6 @@ def ordered_prefix_sums(
     ``cum_``/``total_`` output columns then carry that type end-to-end,
     so no intermediate can silently wrap where ANSI mode is off.
     """
-    from decimal import Decimal
-
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out_type = sum_type or "long"
@@ -68,7 +66,10 @@ def ordered_prefix_sums(
         return col.cast(sum_type) if sum_type else col
 
     def _lit(v: int) -> Column:
-        return F.lit(Decimal(v)).cast(sum_type) if sum_type else F.lit(v)
+        # build the literal ALREADY typed: F.lit(Decimal(v)) would infer
+        # DecimalType(38,18) before the cast, capping offsets at ~1e20
+        # instead of the full decimal(38,0) range
+        return F.expr(f"CAST('{int(v)}' AS {sum_type})") if sum_type else F.lit(v)
 
     gp = (
         df.repartitionByRange(n, F.col(order_col))

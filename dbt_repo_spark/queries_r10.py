@@ -897,10 +897,13 @@ def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
 # polynomial, sqrt are correctly rounded everywhere), so z is bit-identical
 # cross-engine; exp() is the single non-correctly-rounded op, absorbed by
 # the 6-dp p rounding (the repo's ln convention, queries_eval.py:825).
-_BH_Z = (
-    "((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
-    " - (CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)))"
-    " / sqrt("
+# pooled Welch variance term (the sqrt argument) is its own shared text so
+# the z-stage filter can exclude zero-variance groups — a group whose own
+# AND complement values are all constant has no valid Welch test (z would
+# be 0/0 = NaN, which non-ANSI Spark silently casts to 0 while DuckDB
+# raises); such groups are dropped from testing and from m, identically on
+# both engines
+_BH_VARSUM = (
     "(((CAST(ss1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
     " - (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
     "*(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)))"
@@ -909,7 +912,11 @@ _BH_Z = (
     " - (CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))"
     "*(CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)))"
     " * (CAST(n2 AS DOUBLE)/CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE))"
-    ")"
+)
+_BH_Z = (
+    "((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE))"
+    " - (CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)))"
+    f" / sqrt({_BH_VARSUM})"
 )
 # two-sided p = erfc(|z|/sqrt(2)), Abramowitz-Stegun 7.1.26 (|err|<=1.5e-7,
 # identical on both engines since the formula text is identical); column x
@@ -936,23 +943,24 @@ _BH_ALPHA_MICROS = 50_000  # alpha = 0.05 in p-micros
              CAST(SUM(cents) AS HUGEINT) AS s1,
              CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss1
       FROM base GROUP BY 1),
-    tot AS (SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst,
-                   CAST(COUNT(*) AS BIGINT) AS m FROM g),
+    tot AS (SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst FROM g),
     sides AS (
       SELECT n_name, n1, s1, ss1,
-             nt - n1 AS n2, st - s1 AS s2, sst - ss1 AS ss2, m
+             nt - n1 AS n2, st - s1 AS s2, sst - ss1 AS ss2
       FROM g CROSS JOIN tot),
-    z AS (SELECT n_name, m, CAST(n1 AS BIGINT) AS n_obs, {_BH_Z} AS z
-          FROM sides WHERE n1 >= 2 AND n2 >= 2),
-    xt AS (SELECT n_name, m, n_obs, z,
+    z AS (SELECT n_name, CAST(n1 AS BIGINT) AS n_obs, {_BH_Z} AS z
+          FROM sides
+          WHERE n1 >= 2 AND n2 >= 2 AND ({_BH_VARSUM}) > 0),
+    xt AS (SELECT n_name, n_obs, z,
                   abs(z)/sqrt(2.0) AS x FROM z),
-    tt AS (SELECT n_name, m, n_obs, z, x,
+    tt AS (SELECT n_name, n_obs, z, x,
                   1.0/(1.0 + 0.3275911*x) AS t FROM xt),
-    pv AS (SELECT n_name, m, n_obs, z,
+    pv AS (SELECT n_name, n_obs, z,
                   CAST(round(({_BH_P}) * 1000000, 0) AS BIGINT)
                     AS p_micros
            FROM tt),
-    rk AS (SELECT n_name, m, n_obs, z, p_micros,
+    rk AS (SELECT n_name, n_obs, z, p_micros,
+                  CAST(count(*) OVER () AS BIGINT) AS m,
                   CAST(row_number() OVER (ORDER BY p_micros, n_name)
                        AS BIGINT) AS rank
            FROM pv),
@@ -989,7 +997,10 @@ def eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one fact scan → per-nation integer sums (map-side
     combinable; customer/nation broadcast), then all testing math on
     the |nations|-row relation; the rank window orders 25 rows. m is
-    data-derived (nations with n ≥ 2 on both sides).
+    data-derived from the FILTERED test relation — the count of tests
+    actually run (nations with n ≥ 2 on both sides AND positive pooled
+    variance; a both-sides-constant group has no valid Welch test and
+    would otherwise yield z = 0/0, which the engines disagree on).
     """
     base = (
         t(spark, sf_dir, "orders")
@@ -1026,7 +1037,6 @@ def eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1").alias("nt"),
         F.sum("s1").alias("st"),
         F.sum("ss1").alias("sst"),
-        F.count("*").cast("long").alias("m"),
     )
     sides = g.crossJoin(F.broadcast(tot)).select(
         "n_name",
@@ -1036,24 +1046,30 @@ def eval_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nt") - F.col("n1")).alias("n2"),
         (F.col("st") - F.col("s1")).alias("s2"),
         (F.col("sst") - F.col("ss1")).alias("ss2"),
-        "m",
     )
-    z = sides.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).selectExpr(
-        "n_name", "m", "CAST(n1 AS BIGINT) AS n_obs", f"{_BH_Z} AS z"
-    )
+    z = sides.filter(
+        (F.col("n1") >= 2)
+        & (F.col("n2") >= 2)
+        & (F.expr(_BH_VARSUM) > 0)
+    ).selectExpr("n_name", "CAST(n1 AS BIGINT) AS n_obs", f"{_BH_Z} AS z")
     pv = (
-        z.selectExpr("n_name", "m", "n_obs", "z", "abs(z)/sqrt(2.0) AS x")
+        z.selectExpr("n_name", "n_obs", "z", "abs(z)/sqrt(2.0) AS x")
         .selectExpr(
-            "n_name", "m", "n_obs", "z", "x",
+            "n_name", "n_obs", "z", "x",
             "1.0/(1.0 + 0.3275911*x) AS t",
         )
         .selectExpr(
-            "n_name", "m", "n_obs", "z",
+            "n_name", "n_obs", "z",
             f"CAST(round(({_BH_P}) * 1000000, 0) AS BIGINT) AS p_micros",
         )
     )
     w = Window.orderBy("p_micros", "n_name")
-    rk = pv.withColumn("rank", F.row_number().over(w).cast("long"))
+    # m = tests actually run: count over the filtered relation (25-ish
+    # rows — the single-partition exchange is already paid by row_number)
+    wm = Window.partitionBy()
+    rk = pv.withColumn(
+        "m", F.count(F.lit(1)).over(wm).cast("long")
+    ).withColumn("rank", F.row_number().over(w).cast("long"))
     km = rk.agg(
         F.coalesce(
             F.max(

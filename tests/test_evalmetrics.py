@@ -116,6 +116,26 @@ def test_ordered_prefix_sums_decimal_survives_past_bigint(spark):
     assert dict(out.dtypes)["cum_w_before"] == "decimal(38,0)"
 
 
+def test_ordered_prefix_sums_decimal_offsets_past_1e20(spark):
+    """Offset literals must use the FULL decimal(38,0) range: a Python
+    Decimal literal infers DecimalType(38,18) (integer part capped at
+    ~1e20) before any cast, so accumulated offsets >= 1e20 used to fail
+    at literal creation. Four rows of 10^25 drive the last partition's
+    offset to 3*10^25."""
+    from decimal import Decimal
+
+    big = 10**25
+    df = spark.createDataFrame(
+        [(i, Decimal(big)) for i in range(4)], "v long, w decimal(38,0)"
+    )
+    out = ordered_prefix_sums(
+        df, "v", ["w"], num_partitions=4, sum_type="decimal(38,0)"
+    )
+    rows = {r.v: int(r.cum_w_before) for r in out.collect()}
+    assert rows == {0: 0, 1: big, 2: 2 * big, 3: 3 * big}
+    assert int(out.select("total_w").first()[0]) == 4 * big
+
+
 def test_lift_by_decile_buckets_and_totals(spark):
     rows = [(i, float(100 - i), i < 30) for i in range(100)]
     df = spark.createDataFrame(rows, ["id", "s", "y"])

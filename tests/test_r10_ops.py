@@ -427,6 +427,8 @@ def _python_bh(groups, alpha_micros=50_000):
         m1, m2 = float(s1) / fn1, float(s2) / fn2
         v1 = (float(ss1) / fn1 - m1 * m1) * (fn1 / float(n1 - 1)) / fn1
         v2 = (float(ss2) / fn2 - m2 * m2) * (fn2 / float(n2 - 1)) / fn2
+        if not v1 + v2 > 0:  # both-sides-constant: no valid Welch test
+            continue
         z = (m1 - m2) / math.sqrt(v1 + v2)
         x = abs(z) / math.sqrt(2.0)
         t = 1.0 / (1.0 + 0.3275911 * x)
@@ -523,3 +525,34 @@ def test_eval_bh_fdr_rejects_on_planted_shift(spark):
     assert got["G0"].k_max >= 1
     # the five null groups all carry the same |z| class and survive
     assert not any(got[f"G{g}"].bh_reject for g in range(2, 6))
+
+
+def test_eval_bh_fdr_degenerate_zero_variance(spark):
+    """Every value identical everywhere → every group's pooled Welch
+    variance is 0 AND the mean difference is 0 (z would be 0/0 = NaN,
+    where non-ANSI Spark and DuckDB disagree): the variance filter must
+    drop every group, yielding an empty result rather than an
+    engine-divergent one."""
+    import dbt_repo_spark.queries_r10 as r10
+    import dbt_repo_spark.queries as qmod
+
+    rows = [(g * 100 + i, g) for g in range(3) for i in range(5)]
+    orders = spark.createDataFrame(
+        [(k, k, 123.45) for k, _ in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(g, f"G{g}") for g in range(3)], "n_nationkey long, n_name string"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: tables[name]
+        r10.t = qmod.t
+        assert r10.eval_bh_fdr(spark, "_").count() == 0
+    finally:
+        qmod.t = orig
+        r10.t = orig
