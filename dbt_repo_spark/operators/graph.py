@@ -605,6 +605,8 @@ def weighted_sssp(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    stats: dict | None = None,
+    short_circuit: bool = True,
 ) -> DataFrame:
     """Bounded-round single-source-set shortest paths over INTEGER edge
     weights — the weighted sibling of ``bfs_hops`` (hops measures edge
@@ -631,6 +633,11 @@ def weighted_sssp(
     is bit-identical across engines — full-oracle-safe. An emptied
     frontier short-circuits the remaining rounds (the ≤iters-edge bound
     is already exact at the fixpoint).
+
+    ``stats`` (optional dict) receives ``{"rounds": <executed>}`` so
+    callers/tests can observe the short-circuit; ``short_circuit=False``
+    disables the early exit (measurement A/B only — the result is
+    identical either way, rounds past the fixpoint are no-ops).
 
     Scale (100 TB): per-round cost is one shuffle of |frontier_t| +
     incident-edge keyed rows plus one anti-join against the settled
@@ -668,7 +675,9 @@ def weighted_sssp(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    rounds_run = 0
     for _ in range(iters):
+        rounds_run += 1
         relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("_cand"),
@@ -696,7 +705,12 @@ def weighted_sssp(
         dist = merged.select("node", "dist")
         frontier = merged.filter("_improved").select("node", "dist")
         if frontier.isEmpty():
-            break
+            if short_circuit:
+                break
+            # measurement mode: the frontier is empty so every further
+            # round is a no-op join over zero rows — still executed
+    if stats is not None:
+        stats["rounds"] = rounds_run
     # dist is a projection of checkpointed blocks — release the edge
     # cache (same leak note as bfs_hops)
     e.unpersist()

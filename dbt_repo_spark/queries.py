@@ -9900,3 +9900,4 @@ from dbt_repo_spark import queries_web  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_scale  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_r9  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_r10  # noqa: E402,F401  isort:skip
+from dbt_repo_spark import queries_r11  # noqa: E402,F401  isort:skip

@@ -1,0 +1,131 @@
+"""Round-11 additions: evidence-closure queries.
+
+`graph_weighted_sssp_converged` exists to MEASURE the true-frontier
+short-circuit that `graph_weighted_sssp`'s 4-round fixture cannot show
+(r10 verdict watch-item #1): on the 1/64-density seed set the ball is
+still expanding at every measured round, so the improved-frontier is
+approximately the ball and the early-exit never fires inside the
+measurement window. This fixture is built so the frontier EMPTIES
+mid-run — rounds past the fixpoint are then skipped entirely — while
+staying full-oracle-checkable (the unrolled CTEs are fixpoint-stable,
+so the 12-round oracle equals the short-circuited run bit for bit).
+
+No reference equivalent; cites for the family shape: SURVEY.md §2.4
+(iterative relational plans), `operators/graph.py::weighted_sssp`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
+from dbt_repo_spark.queries import q, t
+
+# Per-hop fixed cost: any h-hop path costs in [1001h, 1050h], so for
+# h <= 20 a path with more hops is ALWAYS heavier (1001(h+1) > 1050h
+# iff h < 20.4) — weighted shortest paths therefore finalize at their
+# BFS hop count and the improved-frontier empties one round past the
+# seed set's hop eccentricity (measured 5-7 on this fixture, scales
+# 0.001-0.1) instead of drifting toward |V| as free-form weights allow.
+_SSSP_HOP_COST = 1000
+_SSSP_CONV_ITERS = 12
+_SSSP_CONV_SEED_MOD = 512
+
+
+def _sssp_converged_oracle(iters: int = _SSSP_CONV_ITERS) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # CTE twice, and DuckDB inlines plain CTEs per reference — 12 rounds
+    # would re-expand into 2^12 copies of round 1 (measured: the plain
+    # text never finishes at sf0.001; materialized runs in 70 ms). The
+    # 4-round sibling tolerates plain CTEs (2^4 cheap subtrees).
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM s{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, s{r - 1}.dist + e.w AS dist
+        FROM s{r - 1} JOIN e ON e.src = s{r - 1}.node)
+      GROUP BY node)"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT l_orderkey AS src, l_partkey + {SYNTH_ID_TAG} AS dst,
+             {_SSSP_HOP_COST} + CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey + {SYNTH_ID_TAG} AS src, l_orderkey AS dst,
+             {_SSSP_HOP_COST} + CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    seeds AS (SELECT DISTINCT l_orderkey AS node FROM lineitem
+              WHERE l_orderkey % {_SSSP_CONV_SEED_MOD} = 0),
+    s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    {", ".join(rounds)}
+    SELECT dist // 100 AS dist_bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(dist) AS min_dist, MAX(dist) AS max_dist,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM s{iters} GROUP BY 1
+    """
+
+
+@q("graph_weighted_sssp_converged", _sssp_converged_oracle())
+def graph_weighted_sssp_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact shortest distances to FIXPOINT (not a hop bound) over the
+    order↔part bipartite graph with per-hop-cost-floored weights
+    (w = 1000 + line quantity) from a sparse seed set (1/512 orders) —
+    the post-saturation twin of `graph_weighted_sssp` whose job is to
+    exercise weighted_sssp's frontier short-circuit: iters=12 exceeds
+    the seed set's hop eccentricity (5-7 measured at sf0.001-0.1), so
+    the improved-frontier EMPTIES mid-run and the remaining rounds are
+    skipped — per-round work past the fixpoint would otherwise be an
+    O(|ball|) full-outer merge + checkpoint each, which is what the
+    early exit saves (measured A/B in SCALE.md).
+
+    The hop-cost floor is what makes convergence structural: any h-hop
+    path costs in [1001h, 1050h], so for h ≤ 20 more hops are always
+    heavier and every node's distance finalizes at its BFS hop count
+    (free-form weights can keep improving for up to |V| rounds, which
+    is why the 4-round sibling keeps its bounded-round contract). The
+    12-round unrolled oracle is fixpoint-stable — rounds past
+    convergence are relational no-ops — so the short-circuited Spark
+    run and the always-12-round DuckDB text agree bit for bit; all
+    arithmetic is integer MIN-of-sums (order-independent, full-oracle
+    safe). Output: per 100-unit distance bucket, node count + distance
+    extrema and mass.
+
+    Scale (100 TB): per-round cost is frontier-linear (see
+    weighted_sssp); the short-circuit bounds total rounds by the seed
+    set's hop eccentricity — a DATA property that stays fixed as
+    disjoint corpus replicas multiply |V| and |E| — so total work is
+    O(eccentricity · |E|) regardless of the iters safety bound.
+    """
+    from dbt_repo_spark.operators.graph import weighted_sssp
+    from dbt_repo_spark.operators.ids import tagged_id
+
+    li = t(spark, sf_dir, "lineitem")
+    part = tagged_id(F.col("l_partkey"), what="l_partkey")
+    order_guard = tagged_id(F.col("l_orderkey"), what="l_orderkey") - F.lit(
+        SYNTH_ID_TAG
+    ).cast("long")
+    w = F.lit(_SSSP_HOP_COST).cast("long") + F.col("l_quantity").cast("long")
+    edges = li.select(
+        order_guard.alias("src"), part.alias("dst"), w.alias("w")
+    ).unionByName(
+        li.select(part.alias("src"), order_guard.alias("dst"), w.alias("w"))
+    )
+    seeds = (
+        li.filter(F.col("l_orderkey") % _SSSP_CONV_SEED_MOD == 0)
+        .select(F.col("l_orderkey").alias("node"))
+        .distinct()
+    )
+    dist = weighted_sssp(edges, seeds, iters=_SSSP_CONV_ITERS)
+    return dist.groupBy(F.expr("dist div 100").alias("dist_bucket")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )

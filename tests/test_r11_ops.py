@@ -1,0 +1,103 @@
+"""Round-11 evidence-closure tests: the SSSP frontier short-circuit is
+OBSERVED, not argued — the converged fixture must stop rounds early and
+produce the identical relation either way."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_repo_spark.operators.graph import weighted_sssp
+from dbt_repo_spark.operators.ids import SYNTH_ID_TAG, tagged_id
+from dbt_repo_spark.queries import QUERIES, t
+from dbt_repo_spark.queries_r11 import (
+    _SSSP_CONV_ITERS,
+    _SSSP_CONV_SEED_MOD,
+    _SSSP_HOP_COST,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _conv_fixture(spark):
+    li = t(spark, SF, "lineitem")
+    part = tagged_id(F.col("l_partkey"), what="l_partkey")
+    order_guard = tagged_id(F.col("l_orderkey"), what="l_orderkey") - F.lit(
+        SYNTH_ID_TAG
+    ).cast("long")
+    w = F.lit(_SSSP_HOP_COST).cast("long") + F.col("l_quantity").cast("long")
+    edges = li.select(
+        order_guard.alias("src"), part.alias("dst"), w.alias("w")
+    ).unionByName(
+        li.select(part.alias("src"), order_guard.alias("dst"), w.alias("w"))
+    )
+    seeds = (
+        li.filter(F.col("l_orderkey") % _SSSP_CONV_SEED_MOD == 0)
+        .select(F.col("l_orderkey").alias("node"))
+        .distinct()
+    )
+    return edges, seeds
+
+
+def test_sssp_converged_frontier_short_circuits(spark):
+    """The improved-frontier must EMPTY strictly before iters on the
+    hop-cost-floored fixture, and the early exit must not change the
+    result: the short-circuited run equals the run that executes every
+    round (rounds past the fixpoint are relational no-ops)."""
+    edges, seeds = _conv_fixture(spark)
+    st_fast, st_full = {}, {}
+    fast = weighted_sssp(edges, seeds, iters=_SSSP_CONV_ITERS, stats=st_fast)
+    rows_fast = {r.node: r.dist for r in fast.collect()}
+    full = weighted_sssp(
+        edges,
+        seeds,
+        iters=_SSSP_CONV_ITERS,
+        stats=st_full,
+        short_circuit=False,
+    )
+    rows_full = {r.node: r.dist for r in full.collect()}
+    assert st_fast["rounds"] < _SSSP_CONV_ITERS, st_fast
+    assert st_full["rounds"] == _SSSP_CONV_ITERS
+    assert rows_fast == rows_full
+    assert len(rows_fast) > len(seeds.collect())  # ball actually expanded
+
+
+def test_sssp_converged_distances_are_hop_floored(spark):
+    """Every non-seed distance must decompose as h*1000 + r with
+    1 <= r <= 50h (h = hop count of the shortest weighted path): the
+    hop-cost floor is the structural convergence guarantee the query's
+    docstring claims, so pin it against fixture drift."""
+    out = {
+        r.node: r.dist
+        for r in weighted_sssp(*_conv_fixture(spark), iters=_SSSP_CONV_ITERS)
+        .collect()
+    }
+    hops_seen = set()
+    for node, dist in out.items():
+        if dist == 0:
+            continue
+        h = dist // _SSSP_HOP_COST
+        r = dist - h * _SSSP_HOP_COST
+        # quantities are 1..50, so the residue of an h-hop path sits in
+        # [h, 50h]; r < h would mean the div pulled a unit from the hop
+        # term, r > 50h is impossible — either way the floor broke
+        assert 1 <= h, (node, dist)
+        assert h <= r <= 50 * h, (node, dist, h, r)
+        hops_seen.add(h)
+    assert max(hops_seen) >= 3  # multi-hop structure actually exercised
+
+
+def test_sssp_converged_registry_plan_reuses_operator(spark):
+    """Registry entry returns the bucketed rollup with stable schema and
+    covers every settled node exactly once."""
+    q = QUERIES["graph_weighted_sssp_converged"]
+    out = q(spark, SF)
+    assert [f.name for f in out.schema.fields] == [
+        "dist_bucket",
+        "n_nodes",
+        "min_dist",
+        "max_dist",
+        "sum_dist",
+    ]
+    edges, seeds = _conv_fixture(spark)
+    n_nodes = weighted_sssp(edges, seeds, iters=_SSSP_CONV_ITERS).count()
+    assert out.agg(F.sum("n_nodes")).first()[0] == n_nodes

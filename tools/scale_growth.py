@@ -189,6 +189,12 @@ OPS = [
     # engines while the fact scan grows linearly; all testing math runs
     # on the fixed |nations|-row relation.
     "eval_bh_fdr",
+    # r11: the post-saturation SSSP twin (r10 verdict ask #2) — disjoint
+    # replica graphs keep per-replica hop eccentricity FIXED while |E|
+    # grows, so the short-circuit bounds rounds at every scale and the
+    # exponent certifies frontier-linear per-round work (the 4-round
+    # sibling's fixture never leaves the expansion phase, hiding this).
+    "graph_weighted_sssp_converged",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
