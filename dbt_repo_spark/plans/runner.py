@@ -215,6 +215,12 @@ class ModelRunner:
         # model name -> {"rows_built": n, "null_keys": n} from the last
         # observed run (Observation API: no extra scan)
         self.last_run_metrics: dict[str, dict] = {}
+        # full query-execution text of the most recent incremental
+        # anti-join (captured BEFORE the append executes): lets tests
+        # and operators pin that the {{ this }} read pruned to the key
+        # column — the property that keeps a 100 TB target's tick cost
+        # at O(new batch + key column), not O(full-width target)
+        self.last_incremental_plan: str | None = None
 
     def add(self, *models: Model) -> "ModelRunner":
         for m in models:
@@ -557,6 +563,9 @@ class ModelRunner:
                 else existing_keys.distinct(),
                 m.unique_key,
                 "left_anti",
+            )
+            self.last_incremental_plan = (
+                new_rows._jdf.queryExecution().toString()
             )
             self.catalog.write(
                 new_rows, m.layer, m.name,

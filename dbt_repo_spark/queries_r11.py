@@ -129,3 +129,78 @@ def graph_weighted_sssp_converged(
         F.max("dist").alias("max_dist"),
         F.sum("dist").cast("long").alias("sum_dist"),
     )
+
+
+@q(
+    "incremental_runner_tick",
+    """
+    WITH final AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 8 <> 0 OR o_orderkey % 24 = 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM final GROUP BY 1
+    """,
+)
+def incremental_runner_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 incremental materialization exercised END-TO-END at sweep
+    scale (r10 verdict ask #5): build a unique-keyed incremental target
+    from batch 1 (orders with key % 8 ≠ 0), then tick batch 2 (keys
+    % 3 = 0 — overlapping batch 1 on keys % 3 = 0 ∧ % 8 ≠ 0, novel on
+    keys % 24 = 0) through `ModelRunner._materialize`'s is_incremental
+    branch: anti-join against {{ this }} keys, append only the novel
+    rows. The returned relation is the final target rolled up per
+    order status — so the oracle certifies BOTH dedup (overlap rows
+    appended exactly once) and completeness (every batch-1 and novel
+    batch-2 row present): the final table must equal `orders WHERE
+    key % 8 ≠ 0 OR key % 24 = 0` exactly, in integer cents.
+
+    Scale (100 TB): the tick's only target-sized term is a KEY-COLUMN
+    scan ({{ this }} is projected to unique_key before the anti-join,
+    so parquet ReadSchema prunes to one column — pinned by
+    `test_r11_ops.py::test_incremental_tick_target_read_prunes_to_key`
+    via `runner.last_incremental_plan`); everything else is
+    O(new batch). The growth row (SCALE.md r11) measures the composed
+    build+tick staying linear in corpus size.
+    """
+    import shutil
+    import tempfile
+
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    orders = t(spark, sf_dir, "orders")
+    batch1 = orders.filter(F.col("o_orderkey") % 8 != 0)
+    batch2 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="inc_tick_")
+    try:
+        cat = Catalog(spark, root)
+        m = model(
+            "fact_orders_inc",
+            deps=("orders_batch",),
+            materialized="incremental",
+            unique_key="o_orderkey",
+        )(lambda ctx: ctx["orders_batch"])
+        runner = ModelRunner(spark, cat, {"orders_batch": batch1}).add(m)
+        runner.run(["fact_orders_inc"])
+        runner.sources["orders_batch"] = batch2
+        final = runner.run(["fact_orders_inc"])["fact_orders_inc"]
+        out = final.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        # the target's parquet files die with the temp dir below —
+        # materialize the (|statuses|-row) rollup before returning
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

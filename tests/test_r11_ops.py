@@ -101,3 +101,40 @@ def test_sssp_converged_registry_plan_reuses_operator(spark):
     edges, seeds = _conv_fixture(spark)
     n_nodes = weighted_sssp(edges, seeds, iters=_SSSP_CONV_ITERS).count()
     assert out.agg(F.sum("n_nodes")).first()[0] == n_nodes
+
+
+def test_incremental_tick_target_read_prunes_to_key(spark, tmp_path):
+    """The is_incremental anti-join's {{ this }} read must prune to the
+    unique_key column (parquet ReadSchema carries ONLY the key) — the
+    property that keeps a 100 TB target's tick cost at O(new batch +
+    key column) rather than a full-width target scan. Pinned via the
+    runner's captured incremental plan."""
+    from dbt_repo_spark.plans.runner import ModelRunner, model
+    from dbt_repo_spark.sources.catalog import Catalog
+
+    rows = [(i, float(i) + 0.5, f"s{i % 3}") for i in range(100)]
+    schema = "o_orderkey long, o_totalprice double, o_orderstatus string"
+    b1 = spark.createDataFrame([r for r in rows if r[0] % 2 == 0], schema)
+    b2 = spark.createDataFrame(rows, schema)
+    cat = Catalog(spark, str(tmp_path))
+    m = model(
+        "fx",
+        deps=("src",),
+        materialized="incremental",
+        unique_key="o_orderkey",
+    )(lambda ctx: ctx["src"])
+    runner = ModelRunner(spark, cat, {"src": b1}).add(m)
+    runner.run(["fx"])
+    assert runner.last_incremental_plan is None  # first run: full write
+    runner.sources["src"] = b2
+    out = runner.run(["fx"])["fx"]
+    assert out.count() == 100  # 50 kept + 50 novel, overlap deduped
+    plan = runner.last_incremental_plan
+    assert plan is not None
+    # the batches are in-memory relations, so every file scan in the
+    # captured plan is the {{ this }} target read
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "o_orderkey" in ln, ln
+        assert "o_totalprice" not in ln and "o_orderstatus" not in ln, ln

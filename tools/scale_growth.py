@@ -195,6 +195,11 @@ OPS = [
     # exponent certifies frontier-linear per-round work (the 4-round
     # sibling's fixture never leaves the expansion phase, hiding this).
     "graph_weighted_sssp_converged",
+    # r11: D4 incremental at sweep scale (r10 verdict ask #5) — the
+    # composed build+tick must stay linear in corpus size; the tick's
+    # only target-sized term is the key-column scan (plan-pinned in
+    # test_r11_ops.py).
+    "incremental_runner_tick",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
