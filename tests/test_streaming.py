@@ -469,6 +469,108 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     assert 11 in rows and rows[11].r_id is None  # unmatched -> NULL emit
 
 
+def test_interval_join_outer_slow_side_gates_null_across_ticks(
+    spark, tmp_path
+):
+    """LEFT OUTER interval join under multi-tick arrival SKEW (r10
+    verdict ask #6): the global watermark is the MIN over both sides,
+    so an unmatched left row's NULL emission is gated by the SLOW
+    side's watermark even when the left side's own watermark has raced
+    far past the join window. Three availableNow ticks over one
+    checkpoint:
+
+    tick 1 — left: matched click (u1@0) + unmatched click (u2@1);
+             right: the matching buy (u1@2). The match emits (inner
+             results never wait); u2 must NOT emit — nothing proves
+             its window empty yet.
+    tick 2 — left gets a row at minute 60 (left max event time races
+             to 60, far past u2's window end at minute 6); right gets
+             NOTHING. u2 must STILL not emit: the right side is slow
+             and a matching buy could yet arrive — emitting now would
+             be a wrong NULL. (Restart semantics sharpen this: only
+             the GLOBAL watermark is persisted in the checkpoint, not
+             per-side max event times, so a restarted tick where one
+             side sees no data holds the global watermark at its
+             persisted value no matter how far the other side ran —
+             observed via recentProgress while building this fixture:
+             the reported wm stays at tick-1's value through tick 2.)
+    tick 3 — BOTH sides see minute-60 rows, so both per-side
+             candidates pass u2's window inside one run; the global
+             watermark advances at the data batch's end and the run's
+             trailing no-data batch flushes the NULL row.
+    """
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dbt_repo_spark.streaming.joins import interval_join
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    ldir = tmp_path / "clicks"; ldir.mkdir()
+    rdir = tmp_path / "buys"; rdir.mkdir()
+
+    def row(m, uid, eid):
+        return json.dumps({
+            "user_id": uid,
+            "ts": (base + dt.timedelta(minutes=m)).isoformat(),
+            "event_id": eid,
+        })
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def tick():
+        left = (
+            spark.readStream.schema(schema).json(str(ldir))
+            .withColumnRenamed("ts", "l_ts").withColumnRenamed("event_id", "l_id")
+        )
+        right = (
+            spark.readStream.schema(schema).json(str(rdir))
+            .withColumnRenamed("ts", "r_ts").withColumnRenamed("event_id", "r_id")
+        )
+        joined = interval_join(
+            left, right, "user_id", "l_ts", "r_ts",
+            max_delay_seconds=300, watermark_delay="1 minutes",
+            how="leftOuter",
+        )
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        try:
+            return {r.l_id: r for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return {}  # no output files yet
+
+    # tick 1: match + the to-be-unmatched row
+    (ldir / "t1.jsonl").write_text("\n".join([row(0, 1, 10), row(1, 2, 11)]))
+    (rdir / "t1.jsonl").write_text(row(2, 1, 20))
+    got = tick()
+    assert got.get(10) is not None and got[10].r_id == 20
+    assert 11 not in got  # window not yet provably empty
+
+    # tick 2: LEFT watermark races ahead; right side stays silent
+    (ldir / "t2.jsonl").write_text(row(60, 8, 12))
+    got = tick()
+    assert 11 not in got, (
+        "NULL emitted while the slow right side could still match"
+    )
+
+    # tick 3: the slow side catches up AND the left side sees data in
+    # the same run (a one-sided run can never advance the restored
+    # global watermark); the run's trailing no-data batch flushes u2
+    (ldir / "t3.jsonl").write_text(row(60, 7, 13))
+    (rdir / "t3.jsonl").write_text(row(60, 9, 21))
+    got = tick()
+    assert 11 in got and got[11].r_id is None
+    # and the matched row emitted exactly once across all ticks
+    assert sum(1 for r in got.values() if r.l_id == 10) == 1
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates are suppressed only
     within the watermark horizon — the SAME key recurring after the
