@@ -89,30 +89,18 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    # r10 (r9 verdict ask #5): the 294/294 sf0.01 sweep predates the
-    # late-r9 commits — code-touched queries head the rotation.
-    "graph_bfs_hops",          # r9 seed dedup + r10 persisted edge relation
-    "curriculum_shards",       # r9 packing assert
-    "join_size_cm_estimate",   # r9 fixture change + r10 depth validation
-    "eval_confusion_mcc",      # added after the sweep
-    # r10 plan rewires (oracles unchanged — re-certify the hashes):
-    "graph_weighted_sssp",       # true-frontier merge join
-    "graph_pagerank_parts",      # lazy dangling-mass broadcast
-    "embed_top_principal_direction",  # Gram reduce via the Arrow seam
-    "pareto_8020_customers",     # decimal(38,0) prefix-sum accumulator
-    "abc_xyz_parts",             # decimal(38,0) prefix-sum accumulator
-    "dsir_token_budget_resample",  # ordered_prefix_sums signature change
-    "eval_auc_roc",              # ordered_prefix_sums consumer
-    "lift_gains_deciles",        # ordered_prefix_sums consumer
-    "sample_token_budget_mixture",  # ordered_prefix_sums consumer
-    # (the r07 list retired: every name driver-checked green in the
-    # r07-r09 ledgers.)
+    # r11 code-touched queries head the rotation (the r10 list
+    # self-retired: all 13 driver-checked green in CORRECTNESS_r10).
+    "eval_bh_fdr",             # m from filtered relation + variance guard
+    "abc_xyz_parts",           # ordered_prefix_sums typed decimal literals
+    "pareto_8020_customers",   # ordered_prefix_sums typed decimal literals
+    "graph_weighted_sssp",     # weighted_sssp stats/short_circuit params
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 10
+_RECHECK_LISTED_FOR_ROUND = 11
 
 
 def entry(spark: SparkSession) -> DataFrame:
