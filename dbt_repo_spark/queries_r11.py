@@ -16,7 +16,7 @@ No reference equivalent; cites for the family shape: SURVEY.md §2.4
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_repo_spark.operators.ids import SYNTH_ID_TAG
@@ -204,3 +204,171 @@ def incremental_runner_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# isotonic calibration: bins are deterministic value buckets (no global
+# sort), capped so the hull relation is bounded at any corpus size
+_ISO_BIN_CENTS = 1_000_000  # $10k per bin
+_ISO_BIN_CAP = 40
+
+
+@q(
+    "eval_isotonic_calibration",
+    f"""
+    WITH base AS (
+      SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT) // {_ISO_BIN_CENTS}, {_ISO_BIN_CAP})
+               AS score_bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    g AS (SELECT score_bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS s
+          FROM base GROUP BY 1),
+    pts AS (SELECT score_bin, n, s,
+                   CAST(row_number() OVER (ORDER BY score_bin) AS BIGINT)
+                     AS idx,
+                   CAST(SUM(n) OVER (ORDER BY score_bin) AS BIGINT) AS cn,
+                   CAST(SUM(s) OVER (ORDER BY score_bin) AS BIGINT) AS cs
+            FROM g),
+    p AS (SELECT idx, cn, cs FROM pts
+          UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)),
+    viol AS (SELECT DISTINCT m.idx
+             FROM p m JOIN p a ON a.idx < m.idx
+                      JOIN p b ON b.idx > m.idx
+             WHERE CAST(m.cs - a.cs AS HUGEINT) * (b.cn - a.cn)
+                   >= CAST(b.cs - a.cs AS HUGEINT) * (m.cn - a.cn)),
+    verts AS (SELECT p.idx, p.cn, p.cs FROM p
+              LEFT JOIN viol USING (idx) WHERE viol.idx IS NULL),
+    segs AS (SELECT idx AS v1, cn AS n1, cs AS s1,
+                    LEAD(idx) OVER (ORDER BY idx) AS v2,
+                    LEAD(cn) OVER (ORDER BY idx) AS n2,
+                    LEAD(cs) OVER (ORDER BY idx) AS s2
+             FROM verts),
+    outp AS (SELECT pts.score_bin, pts.n, pts.s,
+                    segs.s2 - segs.s1 AS iso_num,
+                    segs.n2 - segs.n1 AS iso_den
+             FROM pts JOIN segs
+               ON pts.idx > segs.v1 AND pts.idx <= segs.v2)
+    SELECT score_bin, n, s, iso_num, iso_den,
+           CAST((CAST(iso_num AS HUGEINT) * 1000000) // iso_den
+                AS BIGINT) AS iso_rate_micros
+    FROM outp
+    """,
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression (PAVA's solution) of order-failure rate
+    on order-value bins — the monotone calibrator the eval family lacked
+    next to `calibration_bins` (which only measures miscalibration) and
+    `eval_conformal_mondrian` (distribution-free intervals): isotonic is
+    the standard score→probability map when the only assumption you can
+    defend is monotonicity.
+
+    No iterative pooling: the isotonic fit equals the slope of the
+    GREATEST CONVEX MINORANT of the cumulative sum diagram (Barlow &
+    Brunk 1972), and a diagram point is a GCM vertex iff it lies
+    STRICTLY BELOW every chord spanning it — a universally-quantified
+    INTEGER predicate, decided exactly by cross-multiplication
+    ((S_m−S_a)(N_b−N_a) ≥ (S_b−S_a)(N_m−N_a) drops m; denominators are
+    positive since every bin holds ≥ 1 row, products ride
+    decimal(38,0)/HUGEINT). Collinear interior points drop without
+    changing any slope, so the vertex set is deterministic. Per-bin
+    output is the enclosing hull segment's slope as an exact rational
+    (iso_num/iso_den = pooled failures / pooled count) plus the
+    truncating micro-rate — zero floating point anywhere, full oracle.
+
+    Scale (100 TB): one fact scan folds to ≤ 41 deterministic value
+    bins (map-side combinable — bins are LEAST(cents div 1e6, 40), no
+    global sort, unlike ntile calibrators); every hull relation after
+    that is ≤ 42 rows, so the O(B³) chord test is ~12k integer
+    predicates regardless of corpus size. The two ≤41-row ORDER BY
+    windows are the documented contract-small class (same as
+    eval_bh_fdr's 25-row rank).
+    """
+    base = t(spark, sf_dir, "orders").select(
+        F.expr(
+            f"LEAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+            f" AS BIGINT) div {_ISO_BIN_CENTS}, {_ISO_BIN_CAP})"
+        ).alias("score_bin"),
+        F.expr(
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    g = base.groupBy("score_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("s"),
+    )
+    w = Window.orderBy("score_bin")
+    pts = g.select(
+        "score_bin",
+        "n",
+        "s",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    )
+    origin = spark.range(1).select(
+        F.lit(0).cast("long").alias("idx"),
+        F.lit(0).cast("long").alias("cn"),
+        F.lit(0).cast("long").alias("cs"),
+    )
+    p = pts.select("idx", "cn", "cs").unionByName(origin)
+    pm = p.select(
+        F.col("idx").alias("m_idx"),
+        F.col("cn").alias("m_cn"),
+        F.col("cs").alias("m_cs"),
+    )
+    pa = p.select(
+        F.col("idx").alias("a_idx"),
+        F.col("cn").alias("a_cn"),
+        F.col("cs").alias("a_cs"),
+    )
+    pb = p.select(
+        F.col("idx").alias("b_idx"),
+        F.col("cn").alias("b_cn"),
+        F.col("cs").alias("b_cs"),
+    )
+    d38 = "DECIMAL(38,0)"
+    viol = (
+        pm.join(pa, F.col("a_idx") < F.col("m_idx"))
+        .join(pb, F.col("b_idx") > F.col("m_idx"))
+        .where(
+            F.expr(
+                f"CAST(m_cs - a_cs AS {d38}) * CAST(b_cn - a_cn AS {d38})"
+                f" >= CAST(b_cs - a_cs AS {d38})"
+                f" * CAST(m_cn - a_cn AS {d38})"
+            )
+        )
+        .select(F.col("m_idx").alias("idx"))
+        .distinct()
+    )
+    verts = p.join(viol, "idx", "left_anti")
+    wv = Window.orderBy("idx")
+    segs = verts.select(
+        F.col("idx").alias("v1"),
+        F.col("cn").alias("n1"),
+        F.col("cs").alias("s1"),
+        F.lead("idx").over(wv).alias("v2"),
+        F.lead("cn").over(wv).alias("n2"),
+        F.lead("cs").over(wv).alias("s2"),
+    ).where(F.col("v2").isNotNull())
+    return (
+        pts.join(
+            segs,
+            (F.col("idx") > F.col("v1")) & (F.col("idx") <= F.col("v2")),
+        )
+        .select(
+            "score_bin",
+            "n",
+            "s",
+            (F.col("s2") - F.col("s1")).alias("iso_num"),
+            (F.col("n2") - F.col("n1")).alias("iso_den"),
+        )
+        .withColumn(
+            "iso_rate_micros",
+            F.expr(
+                f"CAST((CAST(iso_num AS {d38}) * 1000000)"
+                f" div CAST(iso_den AS {d38}) AS BIGINT)"
+            ),
+        )
+    )

@@ -138,3 +138,103 @@ def test_incremental_tick_target_read_prunes_to_key(spark, tmp_path):
     for ln in scan_lines:
         assert "o_orderkey" in ln, ln
         assert "o_totalprice" not in ln and "o_orderstatus" not in ln, ln
+
+
+def _python_pava(bins):
+    """Classic weighted PAVA with exact Fractions: bins is a sorted list
+    of (score_bin, n, s); returns {score_bin: Fraction(iso)}. The twin
+    for eval_isotonic_calibration's hull formulation."""
+    from fractions import Fraction
+
+    blocks = [[b, n, s] for b, n, s in bins]  # [first_bin, n, s]
+    stack = []
+    for blk in blocks:
+        stack.append(blk)
+        while len(stack) >= 2 and (
+            Fraction(stack[-2][2], stack[-2][1])
+            >= Fraction(stack[-1][2], stack[-1][1])
+        ):
+            b2 = stack.pop()
+            stack[-1][1] += b2[1]
+            stack[-1][2] += b2[2]
+    out = {}
+    it = iter(bins)
+    for blk in stack:
+        # blk covers the next `blk[1]` observations' bins
+        target_n = blk[1]
+        acc = 0
+        while acc < target_n:
+            b, n, s = next(it)
+            out[b] = Fraction(blk[2], blk[1])
+            acc += n
+    return out
+
+
+def test_isotonic_matches_python_pava(spark):
+    """The hull formulation must equal classic PAVA exactly (rational
+    equality, not float closeness) on the real fixture."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        t(spark, SF, "orders")
+        .selectExpr(
+            "LEAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100"
+            " AS BIGINT) div 1000000, 40) AS b",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+        .orderBy("b")
+        .collect()
+    )
+    bins = [(r.b, r.n, r.s) for r in raw]
+    exp = _python_pava(bins)
+    got = {
+        r.score_bin: r
+        for r in QUERIES["eval_isotonic_calibration"](spark, SF).collect()
+    }
+    assert set(got) == set(exp)
+    for b, r in got.items():
+        assert Fraction(r.iso_num, r.iso_den) == exp[b], (b, r)
+        assert r.iso_rate_micros == (r.iso_num * 1_000_000) // r.iso_den
+    # the fit is nondecreasing in the bin order
+    seq = [
+        Fraction(got[b].iso_num, got[b].iso_den) for b in sorted(got)
+    ]
+    assert seq == sorted(seq)
+
+
+def test_isotonic_pools_planted_violation(spark):
+    """Planted non-monotone rates: bins 0/1/2 with rates 0.2 / 0.8 / 0.4
+    must pool bins 1-2 to 0.6 while bin 0 stays at 0.2."""
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+
+    rows = []
+    oid = 0
+    # bin = cents div 1e6 capped 40 -> totalprice 5000.0 lands in bin 0,
+    # 15000.0 in bin 1, 25000.0 in bin 2
+    for price, k, n in ((5000.0, 2, 10), (15000.0, 8, 10), (25000.0, 4, 10)):
+        for i in range(n):
+            rows.append((oid, "F" if i < k else "O", price))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = {
+            r.score_bin: r
+            for r in r11.eval_isotonic_calibration(spark, "_").collect()
+        }
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert (got[0].iso_num, got[0].iso_den) == (2, 10)
+    assert (got[1].iso_num, got[1].iso_den) == (12, 20)
+    assert (got[2].iso_num, got[2].iso_den) == (12, 20)
+    assert got[1].iso_rate_micros == 600_000

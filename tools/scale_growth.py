@@ -200,6 +200,12 @@ OPS = [
     # only target-sized term is the key-column scan (plan-pinned in
     # test_r11_ops.py).
     "incremental_runner_tick",
+    # r11: exact isotonic calibration — one fact scan folds to <=41
+    # deterministic value bins; every hull relation after that is <=42
+    # rows, so the O(B^3) chord test is corpus-size-fixed. Replica
+    # populations have identical per-bin rates, so the fit itself is
+    # scale-invariant while the scan grows linearly.
+    "eval_isotonic_calibration",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
