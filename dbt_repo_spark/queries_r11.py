@@ -372,3 +372,162 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor of the
+# cumulative probabilities x 2^32, k = 0..9; tail prob ~1.1e-7 caps at
+# w=10). The CONSTANTS are what both engines share — determinism comes
+# from comparing the same md5-derived uniform against the same integer
+# ladder, not from the ladder being exactly e^-1-derived.
+_BOOT_POIS_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463, 4294966817,
+]
+_BOOT_B = 64  # replicates; nearest-rank 2.5%/97.5% -> ranks 2 and 63
+
+
+def _boot_w_case(u: str) -> str:
+    """Shared CASE ladder mapping a uniform in [0, 2^32) to a
+    Poisson(1) draw — identical text on both engines."""
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_POIS_T)
+    )
+    return f"CASE {arms} ELSE 10 END"
+
+
+def _bootstrap_oracle() -> str:
+    from dbt_repo_spark.queries import _duck_md5_fold
+
+    u = _duck_md5_fold(
+        "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+        " CAST(b AS VARCHAR)), 1, 8)"
+    )
+    lo, hi = 2, _BOOT_B - 1
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    point AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT)
+               AS mean_cents
+      FROM base GROUP BY 1),
+    rep AS (
+      SELECT grp, b, {_boot_w_case(u)} AS w, cents
+      FROM base CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)),
+    rm AS (
+      SELECT grp, b,
+             CAST(SUM(CAST(w AS HUGEINT) * cents)
+                  // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS mean_b
+      FROM rep GROUP BY 1, 2
+      HAVING SUM(w) > 0),
+    rk AS (
+      SELECT grp, mean_b,
+             row_number() OVER (PARTITION BY grp ORDER BY mean_b, b)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS nb
+      FROM rm)
+    SELECT point.grp, point.n_orders, point.mean_cents,
+           MAX(CASE WHEN rn = {lo} THEN mean_b END) AS boot_lo_cents,
+           MAX(CASE WHEN rn = {hi} THEN mean_b END) AS boot_hi_cents,
+           CAST(MAX(nb) AS BIGINT) AS n_replicates
+    FROM rk JOIN point USING (grp)
+    GROUP BY 1, 2, 3
+    """
+
+
+@q("eval_bootstrap_ci_mean", _bootstrap_oracle())
+def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap 95% CI for the per-priority mean
+    order value — the uncertainty quantification the eval family lacked
+    (point metrics everywhere, no sampling distribution anywhere): 64
+    replicates, each reweighting every order by an independent
+    Poisson(1) draw (the distributed bootstrap standard — Poisson
+    counts approximate multinomial resampling without coordinating a
+    global sample, Chamandy et al. 2012 / Owen & Eckles 2012).
+
+    Exactness: the draw for (order, replicate) is the md5-derived
+    32-bit uniform of 'orderkey:b' pushed through a shared integer
+    threshold ladder (both engines compare the same u against the same
+    constants — the repo's md5 hash convention, dedup_simhash class).
+    Replicate means are truncating integer divisions of exact integer
+    sums (HUGEINT/decimal(38,0)); the CI bounds are nearest-rank order
+    statistics (ranks 2 and 63 of 64, ties totally ordered by (mean,
+    replicate id)) — zero floating point, full value oracle.
+
+    Scale (100 TB): the 64x row expansion is the bootstrap's honest
+    CPU cost (B scans' worth of hashing), but it all folds map-side:
+    partial aggregation reduces each partition to |groups| x 64 rows
+    before the one shuffle, and the rank windows order 64 rows per
+    group. State is never B x data — the expansion lives inside a
+    single stage. HAVING SUM(w) > 0 guards the degenerate all-zero
+    replicate (probability e^-n per group; relevant only to toy
+    fixtures, but both engine texts carry the guard so tiny groups
+    cannot diverge).
+    """
+    lo, hi = 2, _BOOT_B - 1
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    point = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("mean_cents"),
+    )
+    u = (
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING) || ':' ||"
+        " CAST(b AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    rep = base.select(
+        "o_orderkey", "grp", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select("grp", "b", "cents", F.expr(_boot_w_case(u)).alias("w"))
+    rm = (
+        rep.groupBy("grp", "b")
+        .agg(
+            F.sum(
+                F.col("w").cast("decimal(38,0)")
+                * F.col("cents").cast("decimal(38,0)")
+            ).alias("num"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "grp",
+            "b",
+            F.expr("CAST(num div den AS BIGINT)").alias("mean_b"),
+        )
+    )
+    wrk = Window.partitionBy("grp").orderBy("mean_b", "b")
+    wnb = Window.partitionBy("grp")
+    rk = rm.select(
+        "grp",
+        "mean_b",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wnb).alias("nb"),
+    )
+    ci = rk.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == lo, F.col("mean_b"))).alias(
+            "boot_lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == hi, F.col("mean_b"))).alias(
+            "boot_hi_cents"
+        ),
+        F.max("nb").cast("long").alias("n_replicates"),
+    )
+    return point.join(ci, "grp").select(
+        "grp",
+        "n_orders",
+        "mean_cents",
+        "boot_lo_cents",
+        "boot_hi_cents",
+        "n_replicates",
+    )

@@ -238,3 +238,71 @@ def test_isotonic_pools_planted_violation(spark):
     assert (got[1].iso_num, got[1].iso_den) == (12, 20)
     assert (got[2].iso_num, got[2].iso_den) == (12, 20)
     assert got[1].iso_rate_micros == 600_000
+
+
+def test_bootstrap_ci_matches_python_twin(spark):
+    """Pure-Python twin of the deterministic Poisson bootstrap on a
+    planted table: same md5-uniform, same threshold ladder, same
+    truncating means and nearest-rank CI — exact equality."""
+    import hashlib
+
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+    from dbt_repo_spark.queries_r11 import _BOOT_B, _BOOT_POIS_T
+
+    rows = [(i, "HI" if i % 2 else "LO", 100.0 + (i % 7) * 13.5)
+            for i in range(1, 81)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+
+    def pois(key, b):
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+        for k, thr in enumerate(_BOOT_POIS_T):
+            if u < thr:
+                return k
+        return 10
+
+    import collections
+    from decimal import Decimal
+
+    groups = collections.defaultdict(list)
+    for k, g, p in rows:
+        cents = int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+        groups[g].append((k, cents))
+    exp = {}
+    for g, members in groups.items():
+        n = len(members)
+        mean_cents = sum(c for _, c in members) // n
+        means = []
+        for b in range(_BOOT_B):
+            num = den = 0
+            for k, c in members:
+                w = pois(k, b)
+                num += w * c
+                den += w
+            if den > 0:
+                means.append((num // den, b))
+        means.sort()
+        exp[g] = (
+            n, mean_cents, means[1][0], means[len(means) - 2][0],
+            len(means),
+        )
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = {
+            r.grp: r
+            for r in r11.eval_bootstrap_ci_mean(spark, "_").collect()
+        }
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert set(got) == set(exp)
+    for g, (n, mc, lo, hi, nb) in exp.items():
+        r = got[g]
+        assert (r.n_orders, r.mean_cents) == (n, mc), g
+        assert (r.boot_lo_cents, r.boot_hi_cents) == (lo, hi), g
+        assert r.n_replicates == nb == _BOOT_B, g
+        assert r.boot_lo_cents <= r.mean_cents <= r.boot_hi_cents, g

@@ -206,6 +206,12 @@ OPS = [
     # populations have identical per-bin rates, so the fit itself is
     # scale-invariant while the scan grows linearly.
     "eval_isotonic_calibration",
+    # r11: deterministic Poisson bootstrap — the 64x expansion folds
+    # map-side to |groups| x 64 rows per partition before the single
+    # shuffle; replica populations are identical per priority, so the
+    # CI bounds shrink toward the point estimate identically on both
+    # engines while the scan+hash work grows linearly.
+    "eval_bootstrap_ci_mean",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
