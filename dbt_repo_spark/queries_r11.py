@@ -299,6 +299,13 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("label").cast("long").alias("s"),
     )
     w = Window.orderBy("score_bin")
+    # localCheckpoint the <=41-row bin relation: the hull stages below
+    # reference it from EIGHT join branches, and without a
+    # materialization barrier Catalyst re-expands each reference into
+    # its own fact scan + aggregation (measured: 8 FileScans of orders
+    # in the physical plan). The eager checkpoint runs the fact scan
+    # exactly once up front; the returned hull plan then carries ZERO
+    # file scans (pinned by test_plan_shapes.py::test_r11_eval_plan_shapes)
     pts = g.select(
         "score_bin",
         "n",
@@ -306,7 +313,7 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("idx"),
         F.sum("n").over(w).cast("long").alias("cn"),
         F.sum("s").over(w).cast("long").alias("cs"),
-    )
+    ).localCheckpoint(eager=True)
     origin = spark.range(1).select(
         F.lit(0).cast("long").alias("idx"),
         F.lit(0).cast("long").alias("cn"),

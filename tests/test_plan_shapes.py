@@ -776,3 +776,26 @@ def test_r10_iterative_model_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         body = plan.split("== Physical Plan ==")[-1]
         assert body.count("Exchange SinglePartition") <= max_single, name
+
+
+def test_r11_eval_plan_shapes(spark):
+    """r11 pins: eval_isotonic_calibration's hull stages must reference
+    the eagerly-checkpointed <=41-row bin relation (zero FileScans in
+    the returned plan — without the barrier Catalyst re-expanded the
+    eight join branches into eight fact scans), with at most the one
+    contract-small lead-window exchange. eval_bootstrap_ci_mean's 64x
+    expansion must fold map-side (partial aggregation before its
+    shuffles, zero single-partition exchanges, no cartesian)."""
+    plan = _plan(spark, "eval_isotonic_calibration", "simple")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("FileScan parquet") == 0, "hull re-scanned the fact"
+    assert body.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in body
+
+    plan = _plan(spark, "eval_bootstrap_ci_mean", "simple")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("Exchange SinglePartition") == 0
+    assert "CartesianProduct" not in body
+    assert "partial_" in body  # map-side fold before the shuffle
+    # exactly the two intended fact scans: point estimate + replicates
+    assert body.count("FileScan parquet") == 2
