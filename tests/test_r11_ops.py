@@ -306,3 +306,66 @@ def test_bootstrap_ci_matches_python_twin(spark):
         assert (r.boot_lo_cents, r.boot_hi_cents) == (lo, hi), g
         assert r.n_replicates == nb == _BOOT_B, g
         assert r.boot_lo_cents <= r.mean_cents <= r.boot_hi_cents, g
+
+
+# ---- hypothesis property: adversarial bin patterns (ties, collinear
+# runs, all-constant) are exactly where a hull formulation could
+# diverge from PAVA ----
+
+import os  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ISO_SETTINGS = dict(
+    max_examples=int(os.environ.get("R11_FUZZ_EXAMPLES", "6")),
+    deadline=None,
+)
+
+
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 5)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_ISO_SETTINGS)
+def test_isotonic_property_matches_pava(spark, bins):
+    """For arbitrary small (n, s<=n) bin patterns the hull fit must
+    equal classic PAVA as exact rationals — including equal-rate runs
+    (collinear diagram points) and degenerate single-bin inputs."""
+    from fractions import Fraction
+
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+
+    rows = []
+    oid = 0
+    for b, (n, s) in enumerate(bins):
+        # bin = cents div 1e6 capped 40; price b*10000+5 lands in bin b
+        price = b * 10000 + 5.0
+        for i in range(n):
+            rows.append((oid, "F" if i < s else "O", price))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    exp = _python_pava(
+        [(b, n, s) for b, (n, s) in enumerate(bins)]
+    )
+    orig = qmod.t
+    try:
+        qmod.t = lambda sp, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = {
+            r.score_bin: r
+            for r in r11.eval_isotonic_calibration(spark, "_").collect()
+        }
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert set(got) == set(exp)
+    for b, r in got.items():
+        assert Fraction(r.iso_num, r.iso_den) == exp[b], (bins, b)
