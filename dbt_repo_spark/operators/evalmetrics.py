@@ -278,3 +278,136 @@ def lift_by_decile(
             / (total_resp.cast("double") / total_n.cast("double"))
         ).alias("lift"),
     ).orderBy("decile")
+
+
+# DeLong float tail — ONE expression text shared verbatim by both
+# engines (columns m_pos, n_neg, auc_num, t10, t01 are exact integers
+# identical cross-engine; every op below is a correctly-rounded IEEE
+# double op on identical operands, so auc/se are bit-identical and the
+# 6-dp micro rounding absorbs nothing it did not absorb in eval_bh_fdr)
+DELONG_AUC = (
+    "CAST(auc_num AS DOUBLE)"
+    " / (2.0 * CAST(m_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+)
+DELONG_SE = (
+    "CASE WHEN m_pos >= 2 AND n_neg >= 2 THEN sqrt("
+    "(CAST(t10 AS DOUBLE) / (1000000000000.0"
+    " * CAST(m_pos AS DOUBLE) * CAST(m_pos - 1 AS DOUBLE)))"
+    " + (CAST(t01 AS DOUBLE) / (1000000000000.0"
+    " * CAST(n_neg AS DOUBLE) * CAST(n_neg - 1 AS DOUBLE)))) END"
+)
+
+
+def delong_auc_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DeLong 95% confidence interval for the exact tie-aware ROC-AUC.
+
+    Structural components (DeLong, DeLong & Clarke-Pearson 1988): for a
+    positive at score v, V10 = (2·negBelow(v) + negAt(v)) / (2n); for a
+    negative, V01 = (2·posAbove(v) + posAt(v)) / (2m). Var(AUC) =
+    S10/m + S01/n with S10 = Σ(V10−AUC)²/(m−1). All components are
+    CONSTANT within a distinct-score group, so everything reduces over
+    the grouped relation `roc_auc` already uses — one pass of
+    ordered_prefix_sums over (n0, n1), no per-row work.
+
+    Exactness: deviations are converted to MICRO-UNITS by a
+    sign-magnitude truncating division ((m·a − A)·10⁶ div 2mn — both
+    engines truncate toward zero on the ABS value, sidestepping the
+    floor-vs-truncate divergence on negatives), squared and summed as
+    exact decimal(38,0)/HUGEINT integers; the float tail (two divisions,
+    sqrt, one multiply-add per bound) runs on IDENTICAL integer inputs
+    through identical expression text, so the CI is bit-deterministic
+    cross-engine up to the 6-dp micro rounding (the repo's ln/exp
+    convention class). The micro quantization biases each squared
+    deviation by < 1e-6 of AUC scale — invisible at 6-dp output.
+
+    Scale (100 TB): identical profile to roc_auc — the only data-sized
+    stages are the distinct-score group-by and the two-phase prefix
+    sums; the component/variance math folds map-side over the grouped
+    relation, and the deviation squares stay inside decimal(38,0) for
+    any m, n (|e| ≤ 10⁶ micros, Σ n1·e² ≤ m·10¹² ≪ 10³⁸).
+
+    Returns one row: (m_pos, n_neg, auc_num, auc_micros, se_micros,
+    ci_lo_micros, ci_hi_micros); CI columns are NULL when m < 2 or
+    n < 2 (variance undefined), identically in any engine.
+    """
+    d38 = "DECIMAL(38,0)"
+    lab = F.col(label_col).cast("boolean")
+    g = (
+        df.select(F.col(score_col).alias("s"), lab.alias("y"))
+        .where(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n0"),
+        )
+    )
+    sc = ordered_prefix_sums(g, "s", ["n0", "n1"], num_partitions)
+    comp = sc.select(
+        "n1",
+        "n0",
+        F.expr(f"CAST(total_n1 AS {d38})").alias("m"),
+        F.expr(f"CAST(total_n0 AS {d38})").alias("n"),
+        F.expr(f"CAST(2 * cum_n0_before + n0 AS {d38})").alias("a"),
+        F.expr(
+            f"CAST(2 * (total_n1 - cum_n1_before - n1) + n1 AS {d38})"
+        ).alias("b"),
+    )
+    tot = comp.agg(
+        F.sum(F.expr(f"CAST(n1 AS {d38}) * a")).alias("auc_num_d")
+    )
+    dev = comp.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1",
+        "n0",
+        "m",
+        "n",
+        "auc_num_d",
+        "m * a - auc_num_d AS d10",
+        "n * b - auc_num_d AS d01",
+        "2 * m * n AS mn2",
+    )
+    e = dev.selectExpr(
+        "n1",
+        "n0",
+        "m",
+        "n",
+        "auc_num_d",
+        "CASE WHEN d10 >= 0 THEN (d10 * 1000000) div mn2"
+        "     ELSE -(((-d10) * 1000000) div mn2) END AS e10",
+        "CASE WHEN d01 >= 0 THEN (d01 * 1000000) div mn2"
+        "     ELSE -(((-d01) * 1000000) div mn2) END AS e01",
+    )
+    agg = e.agg(
+        F.expr("CAST(MAX(m) AS BIGINT)").alias("m_pos"),
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_neg"),
+        F.expr("CAST(MAX(auc_num_d) AS BIGINT)").alias("auc_num"),
+        F.expr(
+            f"SUM(CAST(n1 AS {d38}) * CAST(e10 AS {d38})"
+            f" * CAST(e10 AS {d38}))"
+        ).alias("t10"),
+        F.expr(
+            f"SUM(CAST(n0 AS {d38}) * CAST(e01 AS {d38})"
+            f" * CAST(e01 AS {d38}))"
+        ).alias("t01"),
+    )
+    return (
+        agg.selectExpr(
+            "m_pos", "n_neg", "auc_num",
+            f"{DELONG_AUC} AS auc_d", f"{DELONG_SE} AS se_d",
+        )
+        .selectExpr(
+            "m_pos",
+            "n_neg",
+            "auc_num",
+            "CAST(round(auc_d * 1000000, 0) AS BIGINT) AS auc_micros",
+            "CAST(round(se_d * 1000000, 0) AS BIGINT) AS se_micros",
+            "CAST(round((auc_d - 1.96 * se_d) * 1000000, 0) AS BIGINT)"
+            " AS ci_lo_micros",
+            "CAST(round((auc_d + 1.96 * se_d) * 1000000, 0) AS BIGINT)"
+            " AS ci_hi_micros",
+        )
+    )

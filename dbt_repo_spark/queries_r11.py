@@ -538,3 +538,81 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_hi_cents",
         "n_replicates",
     )
+
+
+def _delong_oracle() -> str:
+    from dbt_repo_spark.operators.evalmetrics import DELONG_AUC, DELONG_SE
+
+    return f"""
+    WITH g AS (
+      SELECT o_totalprice AS s,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n0
+      FROM orders GROUP BY o_totalprice),
+    c AS (
+      SELECT n1, n0,
+             CAST(COALESCE(SUM(n0) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb0,
+             CAST(COALESCE(SUM(n1) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb1
+      FROM g),
+    tot AS (SELECT CAST(SUM(n1) AS HUGEINT) AS m,
+                   CAST(SUM(n0) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(n1 AS HUGEINT) * (2 * cb0 + n0))
+                        AS HUGEINT) AS a_num
+            FROM c),
+    dev AS (
+      SELECT n1, n0, m, n, a_num,
+             m * CAST(2 * cb0 + n0 AS HUGEINT) - a_num AS d10,
+             n * CAST(2 * (m - cb1 - n1) + n1 AS HUGEINT) - a_num AS d01,
+             2 * m * n AS mn2
+      FROM c CROSS JOIN tot),
+    e AS (
+      SELECT n1, n0, m, n, a_num,
+             CASE WHEN d10 >= 0 THEN (d10 * 1000000) // mn2
+                  ELSE -(((-d10) * 1000000) // mn2) END AS e10,
+             CASE WHEN d01 >= 0 THEN (d01 * 1000000) // mn2
+                  ELSE -(((-d01) * 1000000) // mn2) END AS e01
+      FROM dev),
+    agg AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS m_pos,
+             CAST(MAX(n) AS BIGINT) AS n_neg,
+             CAST(MAX(a_num) AS BIGINT) AS auc_num,
+             SUM(CAST(n1 AS HUGEINT) * e10 * e10) AS t10,
+             SUM(CAST(n0 AS HUGEINT) * e01 * e01) AS t01
+      FROM e),
+    fl AS (SELECT m_pos, n_neg, auc_num,
+                  {DELONG_AUC} AS auc_d, {DELONG_SE} AS se_d
+           FROM agg)
+    SELECT m_pos, n_neg, auc_num,
+           CAST(round(auc_d * 1000000, 0) AS BIGINT) AS auc_micros,
+           CAST(round(se_d * 1000000, 0) AS BIGINT) AS se_micros,
+           CAST(round((auc_d - 1.96 * se_d) * 1000000, 0) AS BIGINT)
+             AS ci_lo_micros,
+           CAST(round((auc_d + 1.96 * se_d) * 1000000, 0) AS BIGINT)
+             AS ci_hi_micros
+    FROM fl
+    """
+
+
+@q("eval_auc_delong_ci", _delong_oracle())
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong 95% CI for the ROC-AUC of order value vs order failure —
+    the closed-form uncertainty the eval family's point AUC
+    (`eval_auc_roc`, SAME fixture: auc_num/m/n cross-check row for row)
+    lacked, and the analytic sibling of `eval_bootstrap_ci_mean`'s
+    resampling CI. See `operators/evalmetrics.py::delong_auc_ci` for
+    the structural-component derivation, the sign-magnitude micro
+    quantization that keeps the variance sums exact-integer on both
+    engines, and the shared float-tail text.
+    """
+    from dbt_repo_spark.operators.evalmetrics import delong_auc_ci
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_totalprice", (F.col("o_orderstatus") == "F").alias("y")
+    )
+    return delong_auc_ci(o, "o_totalprice", "y")

@@ -369,3 +369,90 @@ def test_isotonic_property_matches_pava(spark, bins):
     assert set(got) == set(exp)
     for b, r in got.items():
         assert Fraction(r.iso_num, r.iso_den) == exp[b], (bins, b)
+
+
+def test_delong_ci_matches_python_twin_and_auc(spark):
+    """Exact twin of the DeLong pipeline (same micro truncation, same
+    float tail) on the real fixture, plus the cross-check that the
+    integer AUC core equals eval_auc_roc's (same fixture by design)."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (r.o_totalprice, r.o_orderstatus == "F")
+        for r in t(spark, SF, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    ]
+    pos = Counter(s for s, y in rows if y)
+    neg = Counter(s for s, y in rows if not y)
+    scores = sorted(set(pos) | set(neg))
+    m = sum(pos.values())
+    n = sum(neg.values())
+    cb0 = cb1 = 0
+    a_of = {}
+    b_of = {}
+    for s in scores:
+        a_of[s] = 2 * cb0 + neg.get(s, 0)
+        b_of[s] = 2 * (m - cb1 - pos.get(s, 0)) + pos.get(s, 0)
+        cb0 += neg.get(s, 0)
+        cb1 += pos.get(s, 0)
+    A = sum(pos[s] * a_of[s] for s in pos)
+    mn2 = 2 * m * n
+
+    def sgn_div(d):
+        return (d * 1_000_000) // mn2 if d >= 0 else -(((-d) * 1_000_000) // mn2)
+
+    t10 = sum(pos[s] * sgn_div(m * a_of[s] - A) ** 2 for s in pos)
+    t01 = sum(neg[s] * sgn_div(n * b_of[s] - A) ** 2 for s in neg)
+    auc_d = float(A) / (2.0 * float(m) * float(n))
+    se_d = math.sqrt(
+        float(t10) / (1e12 * float(m) * float(m - 1))
+        + float(t01) / (1e12 * float(n) * float(n - 1))
+    )
+    got = QUERIES["eval_auc_delong_ci"](spark, SF).collect()[0]
+    assert (got.m_pos, got.n_neg, got.auc_num) == (m, n, A)
+    assert got.auc_micros == round(auc_d * 1_000_000)
+    assert abs(got.se_micros - round(se_d * 1_000_000)) <= 1
+    assert abs(got.ci_lo_micros - round((auc_d - 1.96 * se_d) * 1e6)) <= 2
+    assert abs(got.ci_hi_micros - round((auc_d + 1.96 * se_d) * 1e6)) <= 2
+    assert got.ci_lo_micros <= got.auc_micros <= got.ci_hi_micros
+    # cross-check the integer AUC core against the point-AUC query
+    auc = QUERIES["eval_auc_roc"](spark, SF).collect()[0]
+    assert (auc.n_pos, auc.n_neg, auc.auc_num) == (m, n, A)
+
+
+def test_delong_ci_narrows_with_separation(spark):
+    """Statistical sanity on planted data: strong separation yields a
+    CI strictly above 0.5; a tiny degenerate sample yields NULL CI."""
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+
+    rows = [(i, "F" if i >= 500 else "O", float(i)) for i in range(1000)]
+    # 10% label noise keeps the variance positive
+    rows = [
+        (k, ("O" if k % 10 == 0 and st == "F" else st), p)
+        for k, st, p in rows
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    tiny = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "O", 5.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    orig = qmod.t
+    try:
+        qmod.t = lambda s, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = r11.eval_auc_delong_ci(spark, "_").collect()[0]
+        qmod.t = lambda s, sf, name: {"orders": tiny}[name]
+        r11.t = qmod.t
+        deg = r11.eval_auc_delong_ci(spark, "_").collect()[0]
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert got.ci_lo_micros > 500_000  # separation detected at 95%
+    assert got.ci_hi_micros <= 1_000_000 + 1
+    # m = n = 1: variance undefined -> NULL CI on both engines
+    assert deg.se_micros is None and deg.ci_lo_micros is None

@@ -212,6 +212,11 @@ OPS = [
     # CI bounds shrink toward the point estimate identically on both
     # engines while the scan+hash work grows linearly.
     "eval_bootstrap_ci_mean",
+    # r11: DeLong AUC CI — identical profile to eval_auc_roc (distinct-
+    # score group-by + two-phase prefix sums); replica populations have
+    # identical score/label structure so the CI narrows as 1/sqrt(k)
+    # while the grouped relation grows linearly.
+    "eval_auc_delong_ci",
 ]
 TABLES = {
     "documents", "embeddings", "lineitem", "events", "orders", "customer",
