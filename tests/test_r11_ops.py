@@ -456,3 +456,93 @@ def test_delong_ci_narrows_with_separation(spark):
     assert got.ci_hi_micros <= 1_000_000 + 1
     # m = n = 1: variance undefined -> NULL CI on both engines
     assert deg.se_micros is None and deg.ci_lo_micros is None
+
+
+def _python_delong(rows):
+    """Exact twin of the DeLong pipeline: same grouping, same
+    micro-truncation, same float tail. rows = [(score, is_pos)]."""
+    import math
+    from collections import Counter
+
+    pos = Counter(s for s, y in rows if y)
+    neg = Counter(s for s, y in rows if not y)
+    m, n = sum(pos.values()), sum(neg.values())
+    if m == 0 or n == 0:
+        return None
+    cb0 = cb1 = 0
+    A = 0
+    t10 = t01 = 0
+    comps = []
+    for s in sorted(set(pos) | set(neg)):
+        a = 2 * cb0 + neg.get(s, 0)
+        b = 2 * (m - cb1 - pos.get(s, 0)) + pos.get(s, 0)
+        comps.append((s, a, b))
+        A += pos.get(s, 0) * a
+        cb0 += neg.get(s, 0)
+        cb1 += pos.get(s, 0)
+    mn2 = 2 * m * n
+
+    def sgn_div(d):
+        return (d * 10**6) // mn2 if d >= 0 else -(((-d) * 10**6) // mn2)
+
+    for s, a, b in comps:
+        t10 += pos.get(s, 0) * sgn_div(m * a - A) ** 2
+        t01 += neg.get(s, 0) * sgn_div(n * b - A) ** 2
+    auc_d = float(A) / (2.0 * float(m) * float(n))
+    out = {"m": m, "n": n, "A": A, "auc": round(auc_d * 10**6)}
+    if m >= 2 and n >= 2:
+        se_d = math.sqrt(
+            float(t10) / (1e12 * float(m) * float(m - 1))
+            + float(t01) / (1e12 * float(n) * float(n - 1))
+        )
+        out["se"] = round(se_d * 10**6)
+        out["lo"] = round((auc_d - 1.96 * se_d) * 10**6)
+        out["hi"] = round((auc_d + 1.96 * se_d) * 10**6)
+    else:
+        out["se"] = out["lo"] = out["hi"] = None
+    return out
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 4), st.booleans()),
+        min_size=2,
+        max_size=40,
+    ).filter(
+        lambda d: any(y for _, y in d) and any(not y for _, y in d)
+    )
+)
+@settings(**_ISO_SETTINGS)
+def test_delong_property_matches_twin(spark, data):
+    """Adversarial DeLong fuzz: tiny score alphabets force heavy ties
+    (every tie weight path) and tiny m/n exercise the NULL-variance
+    guard; the engine must match the exact twin to the micro."""
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+
+    rows = [
+        (i, "F" if y else "O", float(s) * 7.25)
+        for i, (s, y) in enumerate(data)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    exp = _python_delong([(s, y) for s, y in data])
+    orig = qmod.t
+    try:
+        qmod.t = lambda sp, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = r11.eval_auc_delong_ci(spark, "_").collect()[0]
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert (got.m_pos, got.n_neg, got.auc_num) == (
+        exp["m"], exp["n"], exp["A"],
+    )
+    assert abs(got.auc_micros - exp["auc"]) <= 1
+    if exp["se"] is None:
+        assert got.se_micros is None and got.ci_lo_micros is None
+    else:
+        assert abs(got.se_micros - exp["se"]) <= 1
+        assert abs(got.ci_lo_micros - exp["lo"]) <= 2
+        assert abs(got.ci_hi_micros - exp["hi"]) <= 2
