@@ -409,7 +409,6 @@ def _bootstrap_oracle() -> str:
         "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
         " CAST(b AS VARCHAR)), 1, 8)"
     )
-    lo, hi = 2, _BOOT_B - 1
     return f"""
     WITH base AS (
       SELECT o_orderkey, o_orderpriority AS grp,
@@ -437,8 +436,8 @@ def _bootstrap_oracle() -> str:
              COUNT(*) OVER (PARTITION BY grp) AS nb
       FROM rm)
     SELECT point.grp, point.n_orders, point.mean_cents,
-           MAX(CASE WHEN rn = {lo} THEN mean_b END) AS boot_lo_cents,
-           MAX(CASE WHEN rn = {hi} THEN mean_b END) AS boot_hi_cents,
+           MAX(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo_cents,
+           MAX(CASE WHEN rn = nb - 1 THEN mean_b END) AS boot_hi_cents,
            CAST(MAX(nb) AS BIGINT) AS n_replicates
     FROM rk JOIN point USING (grp)
     GROUP BY 1, 2, 3
@@ -461,8 +460,13 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants — the repo's md5 hash convention, dedup_simhash class).
     Replicate means are truncating integer divisions of exact integer
     sums (HUGEINT/decimal(38,0)); the CI bounds are nearest-rank order
-    statistics (ranks 2 and 63 of 64, ties totally ordered by (mean,
-    replicate id)) — zero floating point, full value oracle.
+    statistics trimming one replicate from each side (ranks 2 and
+    nb−1 of the nb valid replicates — 2 and 63 of 64 whenever no
+    replicate zeroed out, which is always at real group sizes; the
+    adaptive hi rank keeps the CI symmetric on toy groups where
+    some replicates drop, caught by the hypothesis fuzz), ties
+    totally ordered by (mean, replicate id) — zero floating point,
+    full value oracle.
 
     Scale (100 TB): the 64x row expansion is the bootstrap's honest
     CPU cost (B scans' worth of hashing), but it all folds map-side:
@@ -474,7 +478,6 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures, but both engine texts carry the guard so tiny groups
     cannot diverge).
     """
-    lo, hi = 2, _BOOT_B - 1
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderpriority").alias("grp"),
@@ -522,12 +525,12 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wnb).alias("nb"),
     )
     ci = rk.groupBy("grp").agg(
-        F.max(F.when(F.col("rn") == lo, F.col("mean_b"))).alias(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias(
             "boot_lo_cents"
         ),
-        F.max(F.when(F.col("rn") == hi, F.col("mean_b"))).alias(
-            "boot_hi_cents"
-        ),
+        F.max(
+            F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_b"))
+        ).alias("boot_hi_cents"),
         F.max("nb").cast("long").alias("n_replicates"),
     )
     return point.join(ci, "grp").select(

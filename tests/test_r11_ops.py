@@ -546,3 +546,82 @@ def test_delong_property_matches_twin(spark, data):
         assert abs(got.se_micros - exp["se"]) <= 1
         assert abs(got.ci_lo_micros - exp["lo"]) <= 2
         assert abs(got.ci_hi_micros - exp["hi"]) <= 2
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(**_ISO_SETTINGS)
+def test_bootstrap_property_matches_twin(spark, data):
+    """Bootstrap fuzz: random tiny groups (including ones small enough
+    that some replicates could zero out) must match the twin's exact
+    hash-derived weights, truncating means, and nearest-rank CI."""
+    import collections
+    import hashlib
+
+    import dbt_repo_spark.queries as qmod
+    import dbt_repo_spark.queries_r11 as r11
+    from dbt_repo_spark.queries_r11 import _BOOT_B, _BOOT_POIS_T
+
+    rows = [
+        (i + 1, f"G{g}", float(v) + 0.25) for i, (g, v) in enumerate(data)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+
+    def pois(key, b):
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+        for k, thr in enumerate(_BOOT_POIS_T):
+            if u < thr:
+                return k
+        return 10
+
+    from decimal import Decimal
+
+    groups = collections.defaultdict(list)
+    for k, g, p in rows:
+        cents = int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+        groups[g].append((k, cents))
+    exp = {}
+    for g, members in groups.items():
+        means = []
+        for b in range(_BOOT_B):
+            num = den = 0
+            for k, c in members:
+                w = pois(k, b)
+                num += w * c
+                den += w
+            if den > 0:
+                means.append((num // den, b))
+        means.sort()
+        nb = len(means)
+        lo = means[1][0] if nb >= 2 else None
+        hi = means[nb - 2][0] if nb >= 2 else None
+        exp[g] = (
+            len(members),
+            sum(c for _, c in members) // len(members),
+            lo,
+            hi,
+            nb,
+        )
+    orig = qmod.t
+    try:
+        qmod.t = lambda sp, sf, name: {"orders": orders}[name]
+        r11.t = qmod.t
+        got = {
+            r.grp: r
+            for r in r11.eval_bootstrap_ci_mean(spark, "_").collect()
+        }
+    finally:
+        qmod.t = orig
+        r11.t = orig
+    assert set(got) == set(exp)
+    for g, (n, mc, lo, hi, nb) in exp.items():
+        r = got[g]
+        assert (r.n_orders, r.mean_cents, r.n_replicates) == (n, mc, nb), g
+        assert (r.boot_lo_cents, r.boot_hi_cents) == (lo, hi), g
