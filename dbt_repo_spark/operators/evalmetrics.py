@@ -352,9 +352,16 @@ def delong_auc_ci(
         "n0",
         F.expr(f"CAST(total_n1 AS {d38})").alias("m"),
         F.expr(f"CAST(total_n0 AS {d38})").alias("n"),
-        F.expr(f"CAST(2 * cum_n0_before + n0 AS {d38})").alias("a"),
+        # the doubling runs INSIDE decimal(38,0) (r12 advice: evaluated
+        # in BIGINT first, 2*cum wraps/errors once cumulative counts
+        # near 2^62 — the docstring's "any m, n" claim needs the wide
+        # type from the first operation)
         F.expr(
-            f"CAST(2 * (total_n1 - cum_n1_before - n1) + n1 AS {d38})"
+            f"2 * CAST(cum_n0_before AS {d38}) + CAST(n0 AS {d38})"
+        ).alias("a"),
+        F.expr(
+            f"2 * (CAST(total_n1 AS {d38}) - CAST(cum_n1_before AS"
+            f" {d38}) - CAST(n1 AS {d38})) + CAST(n1 AS {d38})"
         ).alias("b"),
     )
     tot = comp.agg(

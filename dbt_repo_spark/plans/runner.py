@@ -219,7 +219,12 @@ class ModelRunner:
         # anti-join (captured BEFORE the append executes): lets tests
         # and operators pin that the {{ this }} read pruned to the key
         # column — the property that keeps a 100 TB target's tick cost
-        # at O(new batch + key column), not O(full-width target)
+        # at O(new batch + key column), not O(full-width target).
+        # Capture is OPT-IN (capture_plans=True): rendering the full
+        # analyzed/optimized/physical plan string is driver-side work
+        # proportional to DAG width, and the _jdf access it needs is
+        # classic-Spark-only — tests that pin the plan enable it.
+        self.capture_plans: bool = False
         self.last_incremental_plan: str | None = None
 
     def add(self, *models: Model) -> "ModelRunner":
@@ -564,9 +569,10 @@ class ModelRunner:
                 m.unique_key,
                 "left_anti",
             )
-            self.last_incremental_plan = (
-                new_rows._jdf.queryExecution().toString()
-            )
+            if self.capture_plans:
+                self.last_incremental_plan = (
+                    new_rows._jdf.queryExecution().toString()
+                )
             self.catalog.write(
                 new_rows, m.layer, m.name,
                 mode="append",

@@ -392,6 +392,55 @@ _BOOT_POIS_T = [
 ]
 _BOOT_B = 64  # replicates; nearest-rank 2.5%/97.5% -> ranks 2 and 63
 
+# Per-replicate draw mix (r12: one md5 per ORDER, not per
+# (order, replicate) — the r11 verdict's ask #6; at 8x corpus the old
+# recipe hashed 76M strings, the new one hashes 1.2M and derives the 64
+# replicate uniforms with ~12 integer ops each). The mix is a
+# SplitMix/murmur-fmix-shaped add-multiply + two xorshift-multiply
+# rounds, with every multiplicand < 2^31 so all intermediates fit in a
+# BIGINT (max z * M < 2^32 * 2^31 = 2^63) — no HUGEINT/decimal needed
+# on either engine. Empirically (20k keys x 64 replicates): marginal
+# Poisson(1) frequencies match to 3 decimals, per-replicate mean weight
+# in [0.985, 1.015], adjacent-replicate weight correlation at the
+# 1/sqrt(N) noise floor.
+_BOOT_MIX_A = 1000000007  # b-stride into the add stage
+_BOOT_MIX_M1 = 1597334677  # xorshift-multiply round 1 (< 2^31)
+_BOOT_MIX_M2 = 1812433253  # xorshift-multiply round 2 (< 2^31)
+_U32 = 4294967296
+
+
+def _boot_mix_steps(
+    xor_fmt, shr_fmt, h: str = "h", b: str = "b"
+) -> list[tuple[str, str]]:
+    """The (column, expression) chain computing the replicate uniform
+    u in [0, 2^32) from the per-key 32-bit hash h and replicate id b.
+    Engine-specific formatters because XOR spells differently (Spark
+    ``a ^ b``; DuckDB ``xor(a, b)`` — ``^`` is POWER there); the
+    arithmetic is bit-identical.
+    """
+    return [
+        ("z0", f"({h} + {b} * {_BOOT_MIX_A}) % {_U32}"),
+        (
+            "z1",
+            f"(({xor_fmt('z0', shr_fmt('z0', 16))}) * {_BOOT_MIX_M1})"
+            f" % {_U32}",
+        ),
+        (
+            "z2",
+            f"(({xor_fmt('z1', shr_fmt('z1', 13))}) * {_BOOT_MIX_M2})"
+            f" % {_U32}",
+        ),
+        ("u", xor_fmt("z2", shr_fmt("z2", 16))),
+    ]
+
+
+def _boot_mix_py(h: int, b: int) -> int:
+    """Python twin of _boot_mix_steps (tests compare against this)."""
+    z = (h + b * _BOOT_MIX_A) % _U32
+    z = ((z ^ (z >> 16)) * _BOOT_MIX_M1) % _U32
+    z = ((z ^ (z >> 13)) * _BOOT_MIX_M2) % _U32
+    return z ^ (z >> 16)
+
 
 def _boot_w_case(u: str) -> str:
     """Shared CASE ladder mapping a uniform in [0, 2^32) to a
@@ -405,24 +454,37 @@ def _boot_w_case(u: str) -> str:
 def _bootstrap_oracle() -> str:
     from dbt_repo_spark.queries import _duck_md5_fold
 
-    u = _duck_md5_fold(
-        "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
-        " CAST(b AS VARCHAR)), 1, 8)"
+    h = _duck_md5_fold("substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)")
+    mix = _boot_mix_steps(
+        lambda a, b: f"xor({a}, {b})", lambda a, n: f"({a} >> {n})"
     )
+    mix_ctes = ""
+    prev = "rep0"
+    for i, (col, expr) in enumerate(mix):
+        name = "repm" if i == len(mix) - 1 else f"rep{i + 1}"
+        mix_ctes += (
+            f"    {name} AS (\n"
+            f"      SELECT grp, cents, b, {expr} AS {col}"
+            f" FROM {prev}),\n"
+        )
+        prev = name
     return f"""
     WITH base AS (
       SELECT o_orderkey, o_orderpriority AS grp,
              CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
-               AS cents
+               AS cents,
+             {h} AS h
       FROM orders),
     point AS (
       SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_orders,
              CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT)
                AS mean_cents
       FROM base GROUP BY 1),
-    rep AS (
-      SELECT grp, b, {_boot_w_case(u)} AS w, cents
+    rep0 AS (
+      SELECT grp, cents, h, b
       FROM base CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)),
+{mix_ctes}    rep AS (
+      SELECT grp, b, {_boot_w_case("u")} AS w, cents FROM repm),
     rm AS (
       SELECT grp, b,
              CAST(SUM(CAST(w AS HUGEINT) * cents)
@@ -436,8 +498,10 @@ def _bootstrap_oracle() -> str:
              COUNT(*) OVER (PARTITION BY grp) AS nb
       FROM rm)
     SELECT point.grp, point.n_orders, point.mean_cents,
-           MAX(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo_cents,
-           MAX(CASE WHEN rn = nb - 1 THEN mean_b END) AS boot_hi_cents,
+           MAX(CASE WHEN nb >= 4 AND rn = 2 THEN mean_b END)
+             AS boot_lo_cents,
+           MAX(CASE WHEN nb >= 4 AND rn = nb - 1 THEN mean_b END)
+             AS boot_hi_cents,
            CAST(MAX(nb) AS BIGINT) AS n_replicates
     FROM rk JOIN point USING (grp)
     GROUP BY 1, 2, 3
@@ -454,29 +518,33 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts approximate multinomial resampling without coordinating a
     global sample, Chamandy et al. 2012 / Owen & Eckles 2012).
 
-    Exactness: the draw for (order, replicate) is the md5-derived
-    32-bit uniform of 'orderkey:b' pushed through a shared integer
-    threshold ladder (both engines compare the same u against the same
-    constants — the repo's md5 hash convention, dedup_simhash class).
+    Exactness: the draw for (order, replicate) is ONE md5-derived
+    32-bit uniform per ORDER (r12 rework — verdict ask #6; the r11
+    recipe hashed 'orderkey:b' per pair, 64x the hashing for the same
+    statistical content) pushed through the _boot_mix_steps integer
+    mix (add-multiply + two xorshift-multiply rounds, BIGINT-safe on
+    both engines) and then the shared Poisson threshold ladder.
     Replicate means are truncating integer divisions of exact integer
     sums (HUGEINT/decimal(38,0)); the CI bounds are nearest-rank order
     statistics trimming one replicate from each side (ranks 2 and
     nb−1 of the nb valid replicates — 2 and 63 of 64 whenever no
-    replicate zeroed out, which is always at real group sizes; the
-    adaptive hi rank keeps the CI symmetric on toy groups where
-    some replicates drop, caught by the hypothesis fuzz), ties
+    replicate zeroed out, which is always at real group sizes), ties
     totally ordered by (mean, replicate id) — zero floating point,
-    full value oracle.
+    full value oracle. Toy groups where replicates zero out down to
+    nb < 4 get NULL bounds on BOTH sides (r11 advice: rank 2 / rank
+    nb−1 invert when nb <= 2 — an inverted CI is worse than an honest
+    NULL; mirrored in the oracle and fuzz-tested).
 
     Scale (100 TB): the 64x row expansion is the bootstrap's honest
-    CPU cost (B scans' worth of hashing), but it all folds map-side:
-    partial aggregation reduces each partition to |groups| x 64 rows
-    before the one shuffle, and the rank windows order 64 rows per
-    group. State is never B x data — the expansion lives inside a
-    single stage. HAVING SUM(w) > 0 guards the degenerate all-zero
-    replicate (probability e^-n per group; relevant only to toy
-    fixtures, but both engine texts carry the guard so tiny groups
-    cannot diverge).
+    CPU cost, but hashing is now corpus-linear (one md5 per order; the
+    64 per-replicate uniforms are ~12 integer ops each inside the same
+    whole-stage-codegen pipeline) and it all folds map-side: partial
+    aggregation reduces each partition to |groups| x 64 rows before
+    the one shuffle, and the rank windows order 64 rows per group.
+    State is never B x data — the expansion lives inside a single
+    stage. HAVING SUM(w) > 0 guards the degenerate all-zero replicate
+    (probability e^-n per group; relevant only to toy fixtures, but
+    both engine texts carry the guard so tiny groups cannot diverge).
     """
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -484,6 +552,10 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
         ).alias("cents"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
     )
     point = base.groupBy("grp").agg(
         F.count("*").cast("long").alias("n_orders"),
@@ -492,14 +564,26 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mean_cents"),
     )
-    u = (
-        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING) || ':' ||"
-        " CAST(b AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-    )
     rep = base.select(
-        "o_orderkey", "grp", "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).select("grp", "b", "cents", F.expr(_boot_w_case(u)).alias("w"))
+        "grp", "cents", "h",
+        # sequence of BIGINT literals: b * stride must evaluate in
+        # BIGINT (INT b overflows at b=3 under ANSI)
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(_BOOT_B - 1).cast("long")
+            )
+        ).alias("b"),
+    )
+    # the mix chain stays in separate Project nodes below the ladder;
+    # h itself is computed ONCE per order below the Generate (explode)
+    for col, expr in _boot_mix_steps(
+        lambda a, b: f"({a} ^ {b})",
+        lambda a, n: f"shiftright({a}, {n})",
+    ):
+        rep = rep.withColumn(col, F.expr(expr))
+    rep = rep.select(
+        "grp", "b", "cents", F.expr(_boot_w_case("u")).alias("w")
+    )
     rm = (
         rep.groupBy("grp", "b")
         .agg(
@@ -525,11 +609,16 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wnb).alias("nb"),
     )
     ci = rk.groupBy("grp").agg(
-        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias(
-            "boot_lo_cents"
-        ),
         F.max(
-            F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_b"))
+            F.when(
+                (F.col("nb") >= 4) & (F.col("rn") == 2), F.col("mean_b")
+            )
+        ).alias("boot_lo_cents"),
+        F.max(
+            F.when(
+                (F.col("nb") >= 4) & (F.col("rn") == F.col("nb") - 1),
+                F.col("mean_b"),
+            )
         ).alias("boot_hi_cents"),
         F.max("nb").cast("long").alias("n_replicates"),
     )
@@ -565,12 +654,13 @@ def _delong_oracle() -> str:
       FROM g),
     tot AS (SELECT CAST(SUM(n1) AS HUGEINT) AS m,
                    CAST(SUM(n0) AS HUGEINT) AS n,
-                   CAST(SUM(CAST(n1 AS HUGEINT) * (2 * cb0 + n0))
+                   CAST(SUM(CAST(n1 AS HUGEINT)
+                            * (2 * CAST(cb0 AS HUGEINT) + n0))
                         AS HUGEINT) AS a_num
             FROM c),
     dev AS (
       SELECT n1, n0, m, n, a_num,
-             m * CAST(2 * cb0 + n0 AS HUGEINT) - a_num AS d10,
+             m * (2 * CAST(cb0 AS HUGEINT) + n0) - a_num AS d10,
              n * CAST(2 * (m - cb1 - n1) + n1 AS HUGEINT) - a_num AS d01,
              2 * m * n AS mn2
       FROM c CROSS JOIN tot),

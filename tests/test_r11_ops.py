@@ -124,6 +124,7 @@ def test_incremental_tick_target_read_prunes_to_key(spark, tmp_path):
         unique_key="o_orderkey",
     )(lambda ctx: ctx["src"])
     runner = ModelRunner(spark, cat, {"src": b1}).add(m)
+    runner.capture_plans = True  # plan capture is opt-in (r12 advice)
     runner.run(["fx"])
     assert runner.last_incremental_plan is None  # first run: full write
     runner.sources["src"] = b2
@@ -242,13 +243,18 @@ def test_isotonic_pools_planted_violation(spark):
 
 def test_bootstrap_ci_matches_python_twin(spark):
     """Pure-Python twin of the deterministic Poisson bootstrap on a
-    planted table: same md5-uniform, same threshold ladder, same
-    truncating means and nearest-rank CI — exact equality."""
+    planted table: same per-key md5-uniform + xorshift replicate mix,
+    same threshold ladder, same truncating means and nearest-rank CI —
+    exact equality."""
     import hashlib
 
     import dbt_repo_spark.queries as qmod
     import dbt_repo_spark.queries_r11 as r11
-    from dbt_repo_spark.queries_r11 import _BOOT_B, _BOOT_POIS_T
+    from dbt_repo_spark.queries_r11 import (
+        _BOOT_B,
+        _BOOT_POIS_T,
+        _boot_mix_py,
+    )
 
     rows = [(i, "HI" if i % 2 else "LO", 100.0 + (i % 7) * 13.5)
             for i in range(1, 81)]
@@ -257,7 +263,8 @@ def test_bootstrap_ci_matches_python_twin(spark):
     )
 
     def pois(key, b):
-        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        u = _boot_mix_py(h, b)
         for k, thr in enumerate(_BOOT_POIS_T):
             if u < thr:
                 return k
@@ -565,7 +572,11 @@ def test_bootstrap_property_matches_twin(spark, data):
 
     import dbt_repo_spark.queries as qmod
     import dbt_repo_spark.queries_r11 as r11
-    from dbt_repo_spark.queries_r11 import _BOOT_B, _BOOT_POIS_T
+    from dbt_repo_spark.queries_r11 import (
+        _BOOT_B,
+        _BOOT_POIS_T,
+        _boot_mix_py,
+    )
 
     rows = [
         (i + 1, f"G{g}", float(v) + 0.25) for i, (g, v) in enumerate(data)
@@ -575,7 +586,8 @@ def test_bootstrap_property_matches_twin(spark, data):
     )
 
     def pois(key, b):
-        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        u = _boot_mix_py(h, b)
         for k, thr in enumerate(_BOOT_POIS_T):
             if u < thr:
                 return k
@@ -600,8 +612,10 @@ def test_bootstrap_property_matches_twin(spark, data):
                 means.append((num // den, b))
         means.sort()
         nb = len(means)
-        lo = means[1][0] if nb >= 2 else None
-        hi = means[nb - 2][0] if nb >= 2 else None
+        # nb < 4 -> NULL both bounds (r12: rank 2 / rank nb-1 invert
+        # when nb <= 2; an inverted CI is worse than an honest NULL)
+        lo = means[1][0] if nb >= 4 else None
+        hi = means[nb - 2][0] if nb >= 4 else None
         exp[g] = (
             len(members),
             sum(c for _, c in members) // len(members),

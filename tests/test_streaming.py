@@ -540,7 +540,7 @@ def test_interval_join_outer_slow_side_gates_null_across_ticks(
         q = (joined.writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt).outputMode("append")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream tick timed out"
         try:
             return {r.l_id: r for r in spark.read.parquet(out).collect()}
         except Exception:
