@@ -89,18 +89,20 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    # r11 code-touched queries head the rotation (the r10 list
-    # self-retired: all 13 driver-checked green in CORRECTNESS_r10).
-    "eval_bh_fdr",             # m from filtered relation + variance guard
-    "abc_xyz_parts",           # ordered_prefix_sums typed decimal literals
-    "pareto_8020_customers",   # ordered_prefix_sums typed decimal literals
-    "graph_weighted_sssp",     # weighted_sssp stats/short_circuit params
+    # r12 code-touched queries (the r11 list self-retired: all four
+    # driver-checked green in CORRECTNESS_r11). Kept DELIBERATELY short
+    # (r11 verdict ask #4): the ~50-slot window must reach the entire
+    # 31-query r05 staleness cohort this round, and it does — 2 recheck
+    # slots + 0 new registrations leaves 48 for the least-recently-
+    # verified tier, which the r05 cohort heads.
+    "eval_bootstrap_ci_mean",  # per-order md5 + xorshift replicate mix
+    "eval_auc_delong_ci",      # decimal-first 2*cum+n evaluation
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 11
+_RECHECK_LISTED_FOR_ROUND = 12
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -305,6 +305,19 @@ HEADLINE = [
     # to its 4-round sibling — its short-circuit is a plan property
     # worth a median floor (SCALE.md r11 carries the A/B evidence).
     "graph_weighted_sssp_converged",
+    # round-12 (r11 verdict ask #3): the seven sweep entries that
+    # drifted 1.40-1.62x on code-untouched plans in r11 — the same
+    # host-noise class text_feature_hashing exhibited before its r11
+    # promotion. A min-of-2 floor turns each one bad run into a breach;
+    # median-of-3 is the right gate for every one of them (standalone
+    # re-measurement at promotion recorded in COVERAGE.md r12).
+    "text_repetition_scores",
+    "dedup_paragraph_incremental",
+    "langid_confusion",
+    "dsir_importance_weights",
+    "embed_near_dup_pairs",
+    "dedup_incremental_minhash",
+    "attribution_markov",
 ]
 
 # r9 (r8 verdict ask #2): every OTHER registry query gets a second-tier
@@ -470,6 +483,18 @@ def main() -> None:
             record = prev_rec
     except (OSError, ValueError):
         pass
+    # r12 (r11 verdict ask #5): the excluded streaming twins carry
+    # per-tick throughput floors measured by tools/streaming_floors.py
+    # (tick 2+ of an availableNow run, startup measured separately).
+    # The harness runs out-of-band (its wall is stream-machinery-bound,
+    # not suitable for this loop); its latest record is embedded here
+    # so BENCH_FULL.json stays the one perf record the driver reads.
+    streaming_floors = None
+    try:
+        with open(os.path.join(REPO, "STREAM_FLOORS.json")) as fh:
+            streaming_floors = json.load(fh)
+    except (OSError, ValueError):
+        pass
     with open(bench_path, "w") as fh:
         json.dump(
             {
@@ -481,6 +506,7 @@ def main() -> None:
                 "sweep_value": sweep_total,
                 "sweep_protocol": f"1 warmup + min of {SWEEP_RUNS}",
                 "sweep_excluded": SWEEP_EXCLUDED,
+                "streaming_floors": streaming_floors,
                 "sf": sf,
                 "cpus": int(CPUS),
                 "record": record,

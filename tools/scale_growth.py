@@ -426,6 +426,14 @@ def main() -> None:
 
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scales = [s for s in (1, 2, 4, 8) if s <= max_scale]
+    if max_scale > 8:
+        # r12: the sf1-class point (10x sf0.1 ~ 6M lineitem rows) —
+        # the above-the-scheduler-floor measurement the r11 verdict
+        # asked for. SPARK_GRAFT_SCALES picks exact points, e.g.
+        # "1,10" to skip the intermediate replicas.
+        scales.append(max_scale)
+    if os.environ.get("SPARK_GRAFT_SCALES"):
+        scales = [int(s) for s in os.environ["SPARK_GRAFT_SCALES"].split(",")]
     ops = sys.argv[2].split(",") if len(sys.argv) > 2 else OPS
     spark = get_spark(app_name="scale-growth")
     results: dict[str, dict[int, dict]] = {op: {} for op in ops}
