@@ -1677,8 +1677,18 @@ def embedding_near_duplicates_scaled(
     ``target_recall`` at ``threshold``; signatures come from the Arrow
     matmul stage (sign bits only — every emitted score is still the
     exact sequential-fold cosine, so precision stays 1.0 and only
-    recall is probabilistic). Candidate work is O(bands x N x bucket):
-    linear in N, measured in tools/scale_growth.py.
+    recall is probabilistic). Candidate work per band is O(N x bucket)
+    with occupancy pinned — but the BAND COUNT restoring fixed recall
+    grows with N (r rises to pin occupancy, p^r shrinks, b =
+    ln(1-R)/ln(1-p^r) rises), so total work is the classic LSH bound
+    Θ(N^(1+ρ)), ρ = ln(1/p)/ln 2 with p = 1 − θ/π. At the SemDeDup
+    deployment threshold τ ≥ 0.9 (p ≈ 0.86, ρ ≈ 0.22) that is
+    near-linear — measured 1.43x wall at 10x corpus (SCALE.md r12).
+    At recall-stress τ = 0.4 (p ≈ 0.63, ρ ≈ 0.67) no sign-LSH is
+    sub-Θ(N^1.67); measured ~N^1.0 on the clustered fixture — better
+    than the bound and far better than brute force's N², which is the
+    honest claim (the r07 phrasing "linear in N" held only while the
+    solver's r was pinned at the fixture's size band).
 
     ``n_vectors`` skips the sizing count when the caller knows it.
     """
