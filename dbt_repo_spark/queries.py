@@ -9901,3 +9901,4 @@ from dbt_repo_spark import queries_scale  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_r9  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_r10  # noqa: E402,F401  isort:skip
 from dbt_repo_spark import queries_r11  # noqa: E402,F401  isort:skip
+from dbt_repo_spark import queries_r12  # noqa: E402,F401  isort:skip
