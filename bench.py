@@ -305,17 +305,17 @@ HEADLINE = [
     # to its 4-round sibling — its short-circuit is a plan property
     # worth a median floor (SCALE.md r11 carries the A/B evidence).
     "graph_weighted_sssp_converged",
-    # round-12 (r11 verdict ask #3): the seven sweep entries that
-    # drifted 1.40-1.62x on code-untouched plans in r11 — the same
+    # round-12 (r11 verdict ask #3): the r11 drift cluster — seven
+    # entries moved 1.40-1.62x on code-untouched plans, the same
     # host-noise class text_feature_hashing exhibited before its r11
-    # promotion. A min-of-2 floor turns each one bad run into a breach;
-    # median-of-3 is the right gate for every one of them (standalone
-    # re-measurement at promotion recorded in COVERAGE.md r12).
-    "text_repetition_scores",
-    "dedup_paragraph_incremental",
+    # promotion. The four below were sweep-tier (min-of-2 turns one bad
+    # run into a breach; median-of-3 is the right gate); the other
+    # three of the cluster (text_repetition_scores,
+    # dedup_paragraph_incremental, embed_near_dup_pairs) were ALREADY
+    # headline entries — their drift was in the BENCH_FULL record and
+    # re-baselines with this round's run (provenance: BASELINE.md r12).
     "langid_confusion",
     "dsir_importance_weights",
-    "embed_near_dup_pairs",
     "dedup_incremental_minhash",
     "attribution_markov",
 ]
