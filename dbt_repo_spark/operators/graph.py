@@ -47,52 +47,83 @@ def connected_components(
     fixpoint (labels only ever decrease, and a stable min over every
     neighborhood is exactly component-wide minimality).
     """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    # symmetrize once; distinct keeps the per-round join input minimal
+    # symmetrize once; distinct keeps the per-round join input minimal.
+    # r12 (guide §2.4, the weighted_sssp r10 fix applied here): the edge
+    # relation is STATIC across rounds — repartition it by the probe key
+    # (dst) once and persist, NOT localCheckpoint (which erases
+    # partitioning metadata and re-shuffled |E| rows in every round's
+    # neighbor-min join); each round now shuffles only the label side.
     bidir = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "dst")
+        .persist()
     )
+    # materialize the cache NOW (one cheap count): bidir fans out into
+    # several subtrees of round 1's single job, and an unmaterialized
+    # persist lets concurrent stages race-recompute the (possibly very
+    # expensive — levenshtein blocking, LSH verification) upstream pair
+    # relation instead of reading blocks (measured: entity_resolution_docs
+    # 8.7→7.2s median, see OPTIMIZATION_r12.md)
+    bidir.count()
     labels = bidir.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    for _ in range(max_iter):
-        neigh_min = (
-            bidir.join(labels, bidir["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        prop = labels.join(
-            neigh_min, labels["node"] == neigh_min["src"], "left"
-        ).select(
-            F.col("node"),
-            F.col("label").alias("__old"),
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # pointer jump: adopt the label's own (current-round) label — every
-        # label is a node id, so the inner self-join preserves all rows and
-        # m.label <= m.node = l.label keeps labels monotonically decreasing
-        lut = prop.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
-        stepped = (
-            prop.join(lut, prop["label"] == lut["__ln"])
-            .select(
-                F.col("node"),
-                F.col("__old"),
-                F.col("__ll").alias("label"),
+    try:
+        for _ in range(max_iter):
+            neigh_min = (
+                bidir.join(labels, bidir["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
             )
-            # lazy: the convergence count below materializes the checkpoint
-            # in the same job — one job per round, not two
-            .localCheckpoint(eager=False)
-        )
-        changed = stepped.filter(F.col("label") != F.col("__old")).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
-            return labels.withColumnRenamed("label", "cluster_id")
+            prop = (
+                labels.join(
+                    neigh_min, labels["node"] == neigh_min["src"], "left"
+                )
+                .select(
+                    F.col("node"),
+                    F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                # lazy checkpoint: prop feeds BOTH sides of the jump
+                # self-join below — one shared materialization instead of
+                # planning (and partially re-executing) the neighbor-min
+                # subtree twice per round (r12; still one job per round:
+                # the convergence count materializes the whole chain)
+                .localCheckpoint(eager=False)
+            )
+            # pointer jump: adopt the label's own (current-round) label —
+            # every label is a node id, so the inner self-join preserves
+            # all rows and m.label <= m.node = l.label keeps labels
+            # monotonically decreasing
+            lut = prop.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            stepped = (
+                prop.join(lut, prop["label"] == lut["__ln"])
+                .select(
+                    F.col("node"),
+                    F.col("__old"),
+                    F.col("__ll").alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = stepped.filter(F.col("label") != F.col("__old")).count()
+            labels = stepped.select("node", "label")
+            if changed == 0:
+                return labels.withColumnRenamed("label", "cluster_id")
+    finally:
+        # the returned labels are a projection of checkpointed blocks;
+        # the edge cache is round-internal state (same leak note as
+        # weighted_sssp/bfs_hops)
+        bidir.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the graph diameter exceeds max_iter — raise it."
@@ -158,6 +189,8 @@ def pagerank(
     just to someone re-running the algorithm). The residual join touches
     only the two node-count-sized, lineage-truncated rank relations.
     """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -169,7 +202,16 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    links = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # r12 (guide §2.4): links is static across rounds — partition by the
+    # probe key once and persist (a localCheckpoint erases partitioning
+    # and re-shuffled |E| rows every round); and the DANGLING NODE SET is
+    # static too (out-degree never changes), so materialize it once
+    # instead of re-running the scan+groupBy+anti-join subtree per round.
+    links = e.join(out_deg, "src").repartition(n_part, "src").persist()
+    dangling_nodes = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     prev = ranks
@@ -186,7 +228,7 @@ def pagerank(
         # driver-side formula exactly: ((1-d)/n) + ((d*dangling)/n) + d*c
         # left-associated, so the results are bit-identical.
         dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         ranks = (
@@ -202,6 +244,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # every round's ranks are checkpointed blocks — release the edge cache
+    links.unpersist()
     if with_residual:
         resid = (
             ranks.select("node", "rank")
@@ -367,6 +411,10 @@ def triangle_stats(
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # lazy checkpoint: deg feeds BOTH orientation joins and the
+        # summary aggregate — one materialization instead of three
+        # union+groupBy passes over the edge blocks (r12)
+        .localCheckpoint(eager=False)
     )
     # orient low (deg, id) -> high (deg, id); ties broken by id make the
     # order total, so each edge gets exactly one direction
@@ -397,16 +445,16 @@ def triangle_stats(
     tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
         F.count("*").alias("n_triangles")
     )
-    summary = (
-        deg.agg(
-            F.count("*").alias("n_nodes"),
-            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-            .cast("long")
-            .alias("n_wedges"),
-        )
-        .crossJoin(F.broadcast(und.agg(F.count("*").alias("n_edges"))))
-        .crossJoin(F.broadcast(tri))  # both single-row aggregates
-    )
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        # Σdeg counts every undirected edge at both endpoints, so
+        # n_edges = Σdeg/2 EXACTLY (integers) — folds what used to be a
+        # separate scan of the edge relation into this aggregate (r12)
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+    ).crossJoin(F.broadcast(tri))  # single-row aggregate
     return summary.select(
         "n_nodes",
         "n_edges",
@@ -493,6 +541,10 @@ def k_core(
             .unionByName(und.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
+            # lazy checkpoint: deg is read by the convergence probe, the
+            # peel anti-joins AND (on the last round) the caller — one
+            # materialization per round instead of two/three (r12)
+            .localCheckpoint(eager=False)
         )
         bad = deg.filter(F.col("deg") < k).select("node")
         if bad.isEmpty():

@@ -5580,12 +5580,11 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    # no .distinct() on the pair fan-out: triangle_stats canonicalizes
+    # and dedups edges itself (its `und` relation), so the old distinct
+    # here was a second full shuffle of the pair relation for nothing
+    # (r12, guide §2.4 — one exchange removed, values identical)
+    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
     return triangle_stats(edges, "u", "v")
 
 

@@ -1205,9 +1205,23 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("co") >= _LPA_MIN_CO)
         .select("src", "dst")
     )
-    e = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # r12 (guide §2.4, the weighted_sssp/CC fix): the edge relation is
+    # static across the 4 rounds — partition by the probe key once and
+    # persist (the old eager localCheckpoint erased partitioning and
+    # re-shuffled |E| rows in every round's join).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(n_part, "dst")
+        .persist()
+    )
+    # materialize before fan-out: e feeds both the label-init distinct
+    # and round 1's join — an unmaterialized persist would let those
+    # stages race-recompute the co-purchase self-join (same guard as
+    # connected_components, r12)
+    e.count()
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1227,6 +1241,7 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+    e.unpersist()  # labels are checkpointed blocks; drop the edge cache
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_nodes"),
         F.min("node").alias("min_node"),

@@ -1203,8 +1203,9 @@ def _unigram_train_oracle(rounds: int = _UNIGRAM_TRAIN_ROUNDS) -> str:
 
 
 def _unigram_word_relation(spark: SparkSession, sf_dir: str):
-    """(wl, pcost): the distinct-word relation (freq, len, capped at
-    MAXLEN) and the initial substring-count cost table."""
+    """(wl, cost_map): the distinct-word relation (freq, len, capped at
+    MAXLEN) and the initial substring-cost table as a driver dict (the
+    broadcast-build seam — see ``_collect_cost_map``)."""
     from dbt_repo_spark.operators.dedup import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -1214,7 +1215,10 @@ def _unigram_word_relation(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").cast("long").alias("freq"))
         .withColumn("len", F.length("w"))
         .filter(F.col("len") <= _UNIGRAM_MAXLEN)
-        .localCheckpoint(eager=True)
+        # lazy: the cost-map collect below materializes it in the same
+        # job; every later DP pass reads the cached blocks (r12 — one
+        # scheduler round-trip saved per query)
+        .localCheckpoint(eager=False)
     )
     pieces = (
         wl.select(
@@ -1237,83 +1241,117 @@ def _unigram_word_relation(spark: SparkSession, sf_dir: str):
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
-    return wl, _cost_table(pieces)
+    return wl, _collect_cost_map(_cost_table(pieces))
 
 
 def _cost_table(counts: DataFrame) -> DataFrame:
-    """(piece, cnt) -> (piece, c): 6-dp-scaled integer -ln(cnt/total),
-    lineage-cut (it joins into every DP round)."""
+    """(piece, cnt) -> (piece, c): 6-dp-scaled integer -ln(cnt/total).
+
+    The log/round arithmetic stays ENGINE-SIDE (JVM Math.log on the same
+    doubles DuckDB sees) so the 6-dp integer costs are the exact values
+    the oracle unrolls — only the finished integers cross to the driver.
+    """
     tot = counts.agg(F.sum("cnt").cast("long").alias("tot"))
-    return (
-        counts.join(F.broadcast(tot))
-        .select(
-            "piece",
-            F.round(
-                -F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
-                * 1000000.0,
-                0,
-            )
-            .cast("long")
-            .alias("c"),
+    return counts.join(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+            * 1000000.0,
+            0,
         )
-        .localCheckpoint(eager=True)
+        .cast("long")
+        .alias("c"),
     )
 
 
-def _viterbi_segment(wl: DataFrame, pcost: DataFrame) -> DataFrame:
-    """Exact integer-cost Viterbi over the word relation under ``pcost``:
-    returns one row per word (w, len, freq, cost, path). Per-round
-    lineage cuts (batching cuts was measured slower — see the module
-    history); rounds beyond the observed longest word are skipped from
-    one bounded MAX read."""
-    dps = {
-        0: wl.select(
-            "w", "len", "freq", F.lit(0).cast("long").alias("cost"),
-            F.lit("").alias("path"),
-        )
-    }
-    max_len = wl.agg(F.max("len")).collect()[0][0] or 0
-    rounds = min(int(max_len), _UNIGRAM_MAXLEN)
-    for p in range(1, rounds + 1):
-        legs = []
-        for l in range(1, min(_UNIGRAM_PIECE_MAX, p) + 1):
-            d = (
-                dps[p - l]
-                .filter(F.col("len") >= p)
-                .withColumn("pc", F.expr(f"substr(w, {p - l + 1}, {l})"))
+def _collect_cost_map(pcost: DataFrame) -> dict[str, int]:
+    """Materialize a (piece, c) cost table as a driver dict.
+
+    This is the broadcast-build seam of the unigram family (guide §3.1:
+    collect the side that fits, ship it everywhere): the cost table is
+    VOCAB-relation-sized (Zipf-bounded — every 1..PIECE_MAX-char
+    substring of the distinct-word relation, ~100k rows at sf0.1, a few
+    MB as a dict), never corpus-sized, so it fits the driver and every
+    executor by the same argument that made it a per-round broadcast
+    join before. One Arrow-backed collect replaces MAXLEN join rounds.
+    """
+    pdf = pcost.toPandas()
+    return dict(zip(pdf["piece"], (int(c) for c in pdf["c"])))
+
+
+def _viterbi_segment(wl: DataFrame, cost_map: dict[str, int]) -> DataFrame:
+    """Exact integer-cost Viterbi over the word relation under
+    ``cost_map``: returns one row per word (w, len, freq, cost, path).
+
+    r12 rewrite (guide §1.2 step 1 + §4.2): the DP used to run as
+    _UNIGRAM_MAXLEN sequential Spark rounds — each a PIECE_MAX-leg
+    union + join against the cost relation + groupBy + eager
+    localCheckpoint, i.e. ~12 jobs and ~36 shuffles PER CHAIN (×4
+    chains in unigram_lm_train). Every one of those joins was
+    vocab×vocab-bounded, so the distributed machinery bought nothing:
+    the whole DP state for one word is O(len) integers. It now runs as
+    ONE Arrow stage over the word relation with the cost table shipped
+    as a broadcast dict; per word the classic O(len·PIECE_MAX) DP picks
+    min (cost, path) exactly as the old MIN(struct(cand_c, cand_p)) —
+    Python tuple order on (int, str) equals Spark's struct order
+    (UTF-8 byte order = code-point order), so results are bit-identical
+    (oracle-checked). Zero shuffles, zero per-round checkpoints; the
+    only remaining cost is one pass over the Zipf-bounded word relation.
+    """
+    spark = wl.sparkSession
+    bc = spark.sparkContext.broadcast(cost_map)
+    piece_max = _UNIGRAM_PIECE_MAX
+
+    def seg(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            out_w: list = []
+            out_len: list = []
+            out_freq: list = []
+            out_cost: list = []
+            out_path: list = []
+            for w, ln, fq in zip(pdf["w"], pdf["len"], pdf["freq"]):
+                ln = int(ln)
+                dp: list = [None] * (ln + 1)
+                dp[0] = (0, "")
+                for p in range(1, ln + 1):
+                    best = None
+                    for l in range(1, min(piece_max, p) + 1):
+                        prev = dp[p - l]
+                        if prev is None:
+                            continue
+                        pc = w[p - l : p]
+                        c = cm.get(pc)
+                        if c is None:
+                            continue
+                        cand = (
+                            prev[0] + c,
+                            pc if prev[1] == "" else prev[1] + "|" + pc,
+                        )
+                        if best is None or cand < best:
+                            best = cand
+                    dp[p] = best
+                if dp[ln] is not None:
+                    out_w.append(w)
+                    out_len.append(ln)
+                    out_freq.append(int(fq))
+                    out_cost.append(dp[ln][0])
+                    out_path.append(dp[ln][1])
+            yield pd.DataFrame(
+                {
+                    "w": pd.Series(out_w, dtype="object"),
+                    "len": pd.Series(out_len, dtype="int32"),
+                    "freq": pd.Series(out_freq, dtype="int64"),
+                    "cost": pd.Series(out_cost, dtype="int64"),
+                    "path": pd.Series(out_path, dtype="object"),
+                }
             )
-            legs.append(
-                d.join(pcost, d["pc"] == pcost["piece"]).select(
-                    "w",
-                    "len",
-                    "freq",
-                    (F.col("cost") + F.col("c")).alias("cand_c"),
-                    F.when(F.col("path") == "", F.col("pc"))
-                    .otherwise(F.concat("path", F.lit("|"), F.col("pc")))
-                    .alias("cand_p"),
-                )
-            )
-        cands = legs[0]
-        for leg in legs[1:]:
-            cands = cands.unionByName(leg)
-        dps[p] = (
-            cands.groupBy("w", "len", "freq")
-            .agg(
-                F.min(
-                    F.struct(F.col("cand_c").alias("c"), F.col("cand_p").alias("p"))
-                ).alias("m")
-            )
-            .select(
-                "w", "len", "freq",
-                F.col("m.c").alias("cost"), F.col("m.p").alias("path"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    done = None
-    for p in range(1, rounds + 1):
-        leg = dps[p].filter(F.col("len") == p)
-        done = leg if done is None else done.unionByName(leg)
-    return done
+
+    return wl.mapInPandas(
+        seg, schema="w string, len int, freq long, cost long, path string"
+    )
 
 
 @q("unigram_lm_tokenize", _unigram_oracle())
@@ -1341,8 +1379,8 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     way). Output: one row per distinct word with its freq, optimal
     cost, piece count, and '|'-joined segmentation.
     """
-    wl, pcost = _unigram_word_relation(spark, sf_dir)
-    done = _viterbi_segment(wl, pcost)
+    wl, cmap = _unigram_word_relation(spark, sf_dir)
+    done = _viterbi_segment(wl, cmap)
     return done.select(
         F.col("w").alias("word"),
         "freq",
@@ -1377,8 +1415,9 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer costs from 6-dp-rounded logs, lexicographic tie-breaks —
     the DuckDB oracle unrolls BOTH DP chains.
     """
-    wl, pcost0 = _unigram_word_relation(spark, sf_dir)
-    done0 = _viterbi_segment(wl, pcost0).localCheckpoint(eager=True)
+    wl, cmap0 = _unigram_word_relation(spark, sf_dir)
+    # lazy: the round-1 cost-map collect materializes done0's blocks
+    done0 = _viterbi_segment(wl, cmap0).localCheckpoint(eager=False)
     used = (
         done0.select(
             "freq", F.explode(F.split("path", "\\|")).alias("piece")
@@ -1386,15 +1425,15 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
-    pcost1 = _cost_table(used)
-    done1 = _viterbi_segment(wl, pcost1)
-    vc = pcost0.agg(F.count("*").alias("n_vocab_init")).join(
-        pcost1.agg(F.count("*").alias("n_vocab_em"))
-    )
+    cmap1 = _collect_cost_map(_cost_table(used))
+    done1 = _viterbi_segment(wl, cmap1)
+    # vocab sizes are len() of the already-collected cost maps — the
+    # former count() aggregates re-scanned relations the driver holds
     d0 = done0.select("w", F.col("path").alias("path0"))
     return (
         done1.join(d0, "w")
-        .join(F.broadcast(vc))
+        .withColumn("n_vocab_init", F.lit(len(cmap0)).cast("long"))
+        .withColumn("n_vocab_em", F.lit(len(cmap1)).cast("long"))
         .select(
             F.col("w").alias("word"),
             "freq",
@@ -1449,14 +1488,17 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = []
     prev = None
     for r in range(_UNIGRAM_TRAIN_ROUNDS + 1):
-        done = _viterbi_segment(wl, cost).localCheckpoint(eager=True)
+        # lazy: rounds 0..N-1 are materialized by the next round's
+        # cost-map collect; the last round by the caller's action
+        done = _viterbi_segment(wl, cost).localCheckpoint(eager=False)
         base = done.agg(
             F.lit(r).cast("long").alias("round"),
             F.sum(F.col("freq") * F.col("cost")).cast("long").alias(
                 "corpus_cost"
             ),
         )
-        nv = cost.agg(F.count("*").cast("long").alias("n_vocab"))
+        # n_vocab = len() of the collected cost map (no extra count job)
+        base = base.withColumn("n_vocab", F.lit(len(cost)).cast("long"))
         if prev is None:
             changed = spark.range(1).select(
                 F.lit(0).cast("long").alias("n_words_changed")
@@ -1471,7 +1513,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("n_words_changed")
                 )
             )
-        rounds.append(base.join(F.broadcast(nv)).join(F.broadcast(changed)))
+        rounds.append(base.join(F.broadcast(changed)))
         if r < _UNIGRAM_TRAIN_ROUNDS:
             used = (
                 done.select(
@@ -1480,7 +1522,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("piece")
                 .agg(F.sum("freq").cast("long").alias("cnt"))
             )
-            cost = _cost_table(used)
+            cost = _collect_cost_map(_cost_table(used))
         prev = done
     out = rounds[0]
     for x in rounds[1:]:
