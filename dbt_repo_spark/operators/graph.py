@@ -31,6 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# triangle_stats: broadcast the closing-edge build side of the wedge
+# semi-join only while the edge set plausibly fits executor memory
+# (~4M (long,long) rows ≈ 64MB raw, the session's broadcast threshold);
+# beyond that the sort-merge fallback is the correct 100 TB plan.
+_TRIANGLE_BCAST_EDGE_ROWS = 4_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -406,6 +412,9 @@ def triangle_stats(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = und.count()  # one cheap scan of the checkpointed blocks:
+    # drives the scale-adaptive broadcast decision below AND replaces the
+    # separate n_edges aggregate the summary used to carry (r12)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -442,6 +451,18 @@ def triangle_stats(
     closing = oriented.select(
         F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
     )
+    # r12 (guide §3.1): the probe side of this semi-join is the wedge
+    # relation — Σ outdeg² rows (41M at sf0.1), by far the largest thing
+    # in the plan — while the build side is just the |E| oriented edges.
+    # A checkpointed build side carries no size stats, so the planner
+    # sort-merged it, shuffling+sorting every wedge row (measured 7.3-9.7s
+    # for the closing stage). Broadcasting the edge set keeps the wedges
+    # in their producing stage (4.7-5.1s measured). The hint is gated on
+    # the KNOWN edge count — data-derived, not tuned to this host — and
+    # falls back to the sort-merge plan when the edge set is too big to
+    # ship (the 100 TB regime).
+    if n_edges <= _TRIANGLE_BCAST_EDGE_ROWS:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
         F.count("*").alias("n_triangles")
     )
@@ -450,10 +471,9 @@ def triangle_stats(
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
         .cast("long")
         .alias("n_wedges"),
-        # Σdeg counts every undirected edge at both endpoints, so
-        # n_edges = Σdeg/2 EXACTLY (integers) — folds what used to be a
-        # separate scan of the edge relation into this aggregate (r12)
-        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        # the edge count is already on the driver (it gated the
+        # broadcast above) — no separate edge-relation aggregate (r12)
+        F.lit(n_edges).cast("long").alias("n_edges"),
     ).crossJoin(F.broadcast(tri))  # single-row aggregate
     return summary.select(
         "n_nodes",
@@ -555,7 +575,9 @@ def k_core(
             )
             .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            # lazy: the NEXT round's convergence probe materializes the
+            # peeled edges — one job per peel round instead of two (r12)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
@@ -636,9 +658,11 @@ def bfs_hops(
             relaxed.groupBy("node")
             .agg(F.min("hops").alias("hops"))
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            # lazy: the emptiness count below materializes the round's
+            # checkpoint — one job per round instead of two (r12)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         # union of per-round checkpointed frontiers: shallow lineage
         # (one node appears exactly once across all rounds)
@@ -752,11 +776,16 @@ def weighted_sssp(
                     & (F.col("_old").isNull() | (F.col("_cand") < F.col("_old")))
                 ).alias("_improved"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the improved-count below materializes the checkpoint
+            # in the same job — one scheduler round-trip per round, not
+            # two (the old shape paid an eager-checkpoint job AND an
+            # isEmpty job; r12, same fold as connected_components)
+            .localCheckpoint(eager=False)
         )
+        n_improved = merged.filter("_improved").count()
         dist = merged.select("node", "dist")
         frontier = merged.filter("_improved").select("node", "dist")
-        if frontier.isEmpty():
+        if n_improved == 0:
             if short_circuit:
                 break
             # measurement mode: the frontier is empty so every further

@@ -5577,13 +5577,16 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dbt_repo_spark.operators.graph import triangle_stats
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # r12 (guide §2.4): NO .distinct() on either the (order, part)
+    # projection or the pair fan-out — triangle_stats canonicalizes and
+    # dedups edges itself (its `und` relation), so both distincts here
+    # were full extra shuffles for nothing: duplicate (order, part) rows
+    # (rare in lineitem) only multiply pre-distinct pair rows, which the
+    # und dedup collapses to the identical edge set. Two exchanges
+    # removed, values identical (oracle-checked).
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    # no .distinct() on the pair fan-out: triangle_stats canonicalizes
-    # and dedups edges itself (its `und` relation), so the old distinct
-    # here was a second full shuffle of the pair relation for nothing
-    # (r12, guide §2.4 — one exchange removed, values identical)
     edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
     return triangle_stats(edges, "u", "v")
 
