@@ -191,104 +191,73 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("m.t").alias("src"), F.lit("__null__").alias("dst"))
     )
-    cnt = (
+    # The transition-count relation is |states|²-bounded (states = the 4
+    # channels + __start__; dst adds __conv__/__null__ — ≤36 rows by
+    # construction, NEVER data-sized). r12 (guide §1.2 step 1): the 16
+    # truncating value-iteration rounds used to run as ~80 unrolled
+    # join+agg operators over these ≤36-row relations — the plan (and
+    # its optimization time), not the data, was the cost. The rounds now
+    # run on the driver over the collected counts with the IDENTICAL
+    # integer recurrence (Python // == div on non-negative ints; sums
+    # are exact bignums, strictly more headroom than decimal(38,0)), so
+    # every emitted unit value is bit-identical — oracle-checked. The
+    # fact-sized work (first-purchase agg, truncation join, lag window,
+    # transition count) stays distributed and is untouched.
+    rows = (
         lagd.unionByName(term)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    nn = cnt.groupBy("src").agg(F.sum("c").alias("n"))
-    tp = (
-        cnt.join(nn, "src")
-        .filter(F.col("dst") != "__null__")
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                f"CAST((CAST(c AS DECIMAL(38,0)) * {U}) div n AS BIGINT)"
-            ).alias("tpu"),
+    n_by_src: dict[str, int] = {}
+    for r in rows:
+        n_by_src[r.src] = n_by_src.get(r.src, 0) + r.c
+    tp = {
+        (r.src, r.dst): (r.c * U) // n_by_src[r.src]
+        for r in rows
+        if r.dst != "__null__"
+    }
+    states = {r.src for r in rows}
+    pvals: dict[str, int] = {}
+    for vn in ("__base__",) + _MARKOV_CHANNELS:
+        sts = [s for s in states if vn == "__base__" or s != vn]
+        trans = [
+            (s, d, u)
+            for (s, d), u in tp.items()
+            if vn == "__base__" or (s != vn and d != vn)
+        ]
+        p = {s: 0 for s in sts}
+        for _ in range(_MARKOV_ROUNDS):
+            pa = dict(p)
+            pa["__conv__"] = U
+            acc: dict[str, int] = {}
+            for s, d, u in trans:
+                if d in pa:
+                    acc[s] = acc.get(s, 0) + u * pa[d]
+            p = {s: acc.get(s, 0) // U for s in sts}
+        pvals[vn] = p.get("__start__", 0)
+    schema = (
+        "channel string, conv_prob_units long, removed_prob_units long,"
+        " removal_effect_units long, attribution_share double"
+    )
+    if "__start__" not in states:  # no journeys at all: mirror the old
+        return spark.createDataFrame([], schema)  # empty-relation output
+    base_p = pvals["__base__"]
+    effects = [(c, base_p - pvals[c]) for c in _MARKOV_CHANNELS]
+    te = sum(e for _, e in effects)
+    data = [
+        (
+            c,
+            base_p,
+            pvals[c],
+            e,
+            # the single float op, on identical operands: BIGINT→double
+            # casts then one IEEE division — same bits in all engines
+            (float(e) / float(te)) if te > 0 else None,
         )
-    )
-    vr = spark.createDataFrame(
-        [(v,) for v in ("__base__",) + _MARKOV_CHANNELS], "vn string"
-    )
-    tpv = (
-        vr.crossJoin(tp)
-        .filter(
-            (F.col("vn") == "__base__")
-            | ((F.col("src") != F.col("vn")) & (F.col("dst") != F.col("vn")))
-        )
-        .localCheckpoint(eager=True)
-    )
-    st = cnt.select(F.col("src").alias("s")).distinct()
-    sv = (
-        vr.crossJoin(st)
-        .filter((F.col("vn") == "__base__") | (F.col("s") != F.col("vn")))
-        .localCheckpoint(eager=True)
-    )
-    conv = vr.select(
-        "vn",
-        F.lit("__conv__").alias("s"),
-        F.lit(U).cast("long").alias("p"),
-    )
-    p = sv.select("vn", "s", F.lit(0).cast("long").alias("p"))
-    for _ in range(_MARKOV_ROUNDS):
-        pa = p.unionByName(conv).select(
-            F.col("vn").alias("_pv"), F.col("s").alias("_ps"), "p"
-        )
-        nxt = (
-            tpv.join(
-                pa,
-                (F.col("vn") == F.col("_pv")) & (F.col("dst") == F.col("_ps")),
-            )
-            .groupBy("vn", "src")
-            .agg(
-                F.expr(
-                    f"CAST(sum(CAST(tpu AS DECIMAL(38,0)) * p)"
-                    f" div {U} AS BIGINT)"
-                ).alias("_np")
-            )
-            .select(
-                F.col("vn").alias("_nv"),
-                F.col("src").alias("_ns"),
-                "_np",
-            )
-        )
-        p = sv.join(
-            nxt,
-            (F.col("vn") == F.col("_nv")) & (F.col("s") == F.col("_ns")),
-            "left",
-        ).select(
-            "vn", "s", F.coalesce(F.col("_np"), F.lit(0).cast("long")).alias("p")
-        )
-    fin = p.filter(F.col("s") == "__start__")
-    base = fin.filter(F.col("vn") == "__base__").select(
-        F.col("p").alias("conv_prob_units")
-    )
-    eff = (
-        fin.filter(F.col("vn") != "__base__")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("vn").alias("channel"),
-            "conv_prob_units",
-            F.col("p").alias("removed_prob_units"),
-            (F.col("conv_prob_units") - F.col("p")).alias(
-                "removal_effect_units"
-            ),
-        )
-    )
-    tot = eff.agg(F.sum("removal_effect_units").alias("te"))
-    return eff.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        "conv_prob_units",
-        "removed_prob_units",
-        "removal_effect_units",
-        F.when(
-            F.col("te") > 0,
-            F.col("removal_effect_units").cast("double")
-            / F.col("te").cast("double"),
-        ).alias("attribution_share"),
-    )
+        for c, e in effects
+    ]
+    return spark.createDataFrame(data, schema)
 
 
 def _fs_prod(engine: str, kind: str) -> str:
