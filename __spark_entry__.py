@@ -89,20 +89,47 @@ _NEVER_CHECKED_FIRST: list[str] = []
 # same results, 6.8 -> 2.9s median), so its rows-only driver check
 # re-runs too.
 _RECHECK_THIS_ROUND = [
-    # r12 code-touched queries (the r11 list self-retired: all four
-    # driver-checked green in CORRECTNESS_r11). Kept DELIBERATELY short
-    # (r11 verdict ask #4): the ~50-slot window must reach the entire
-    # 31-query r05 staleness cohort this round, and it does — 2 recheck
-    # slots + 0 new registrations leaves 48 for the least-recently-
-    # verified tier, which the r05 cohort heads.
-    "eval_bootstrap_ci_mean",  # per-order md5 + xorshift replicate mix
-    "eval_auc_delong_ci",      # decimal-first 2*cum+n evaluation
+    # r13 (r12 verdict ask #4): the r12 session rewired ~21 query paths
+    # (unigram DP → one Arrow stage, connected_components persist
+    # discipline, markov driver solve, graph loop folds) but 17 of them
+    # were in NEITHER r11's nor r12's 50-query driver sample — the driver
+    # has never executed the rewritten code paths. They head the window
+    # this round, together with the paths r13 touched again (CC label-init
+    # materialization, pagerank_units static relations, LPA fold, triangle
+    # bytes-derived broadcast gate, prefix-join broadcast, RAKE shared
+    # materialization, tdp_v2 single-scan quality gate).
+    "unigram_lm_tokenize",
+    "unigram_lm_em_round",
+    "unigram_lm_train",
+    "attribution_markov",
+    "graph_pagerank_parts",
+    "graph_label_prop_communities",
+    "graph_bfs_hops",
+    "graph_weighted_sssp",
+    "graph_weighted_sssp_converged",
+    "graph_kcore_parts",
+    "graph_triangle_census",
+    "dedup_clusters",
+    "entity_resolution_docs",
+    "embed_near_dup_clusters",
+    "dedup_canonical_quality",
+    "dedup_semantic",
+    "training_data_pipeline_v3",
+    "training_data_pipeline_v7",
+    "multimodal_phash_groups",
+    "geo_dbscan_clusters",
+    # r13-only touches
+    "training_data_pipeline_v2",
+    "similarity_join_prefix",
+    "text_keyphrase_rake",
+    "text_quality",            # passes_quality now via text.quality_gate
+    "training_data_pipeline",  # same quality_scores composite
 ]
 
 # The round whose driver run is meant to verify the list above: a listed
 # name SELF-RETIRES once a correctness ledger from this round (or later)
 # shows it green, so stale lists can't hog window slots in later rounds.
-_RECHECK_LISTED_FOR_ROUND = 12
+_RECHECK_LISTED_FOR_ROUND = 13
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -395,8 +395,12 @@ def main() -> None:
         # drop the Python-side references to recall-audit pins so the
         # unpersist below is not undone by a later re-materialization
         from dbt_repo_spark.operators.similarity import release_recall_audit_pins
+        from dbt_repo_spark.queries_scale import release_viterbi_broadcasts
 
         release_recall_audit_pins()
+        # destroy retired unigram cost-map broadcasts (r13 ADVICE fix:
+        # they otherwise pile up until a driver GC notices them)
+        release_viterbi_broadcasts()
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             try:
@@ -495,25 +499,29 @@ def main() -> None:
             streaming_floors = json.load(fh)
     except (OSError, ValueError):
         pass
+    payload = {
+        "metric": "sum_median_sec_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sweep_queries": sweep,
+        "sweep_value": sweep_total,
+        "sweep_protocol": f"1 warmup + min of {SWEEP_RUNS}",
+        "sweep_excluded": SWEEP_EXCLUDED,
+        "streaming_floors": streaming_floors,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "record": record,
+    }
     with open(bench_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "sum_median_sec_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sweep_queries": sweep,
-                "sweep_value": sweep_total,
-                "sweep_protocol": f"1 warmup + min of {SWEEP_RUNS}",
-                "sweep_excluded": SWEEP_EXCLUDED,
-                "streaming_floors": streaming_floors,
-                "sf": sf,
-                "cpus": int(CPUS),
-                "record": record,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(payload, fh, indent=1)
+    # r13 (r12 verdict ask #7): the driver's low-core scaling run used to
+    # OVERWRITE BENCH_FULL.json, erasing the 32-core per-query map the
+    # scaling probe needs. Every run now ALSO writes a per-cpu artifact
+    # (additions-only; stdout contract unchanged), so a c32/c8 pair
+    # survives any run order and the driver's scaling block can populate.
+    with open(os.path.join(REPO, f"BENCH_FULL_c{int(CPUS)}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
     # FINAL line: compact, no per-query map — must fit the driver's
     # bounded tail capture even with Spark progress noise around it.
     slowest = dict(

@@ -31,11 +31,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# triangle_stats: broadcast the closing-edge build side of the wedge
-# semi-join only while the edge set plausibly fits executor memory
-# (~4M (long,long) rows ≈ 64MB raw, the session's broadcast threshold);
-# beyond that the sort-merge fallback is the correct 100 TB plan.
-_TRIANGLE_BCAST_EDGE_ROWS = 4_000_000
+from dbt_repo_spark.session import conf_size_bytes as _conf_bytes
+
+
+def _triangle_bcast_edge_rows(spark) -> int:
+    """triangle_stats: broadcast the closing-edge build side of the wedge
+    semi-join only while the edge set fits the SESSION's broadcast budget
+    (r13, ADVICE: the old fixed 4M-row gate bypassed
+    autoBroadcastJoinThreshold — a small-heap session could OOM where the
+    sort-merge plan was safe). Raw row size is 16 bytes (two longs); the
+    threshold-vs-raw-bytes comparison is the same contract the planner
+    applies to its own size estimates (the in-memory HashedRelation
+    overhead is accepted by that contract, not re-budgeted here). At the
+    engine default (64m) this resolves to the measured-safe 4M rows;
+    beyond the gate the sort-merge fallback is the correct 100 TB plan.
+    """
+    return _conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 64 << 20) // 16
 
 
 def connected_components(
@@ -70,34 +81,51 @@ def connected_components(
         .repartition(n_part, "dst")
         .persist()
     )
-    # materialize the cache NOW (one cheap count): bidir fans out into
-    # several subtrees of round 1's single job, and an unmaterialized
-    # persist lets concurrent stages race-recompute the (possibly very
-    # expensive — levenshtein blocking, LSH verification) upstream pair
-    # relation instead of reading blocks (measured: entity_resolution_docs
-    # 8.7→7.2s median, see OPTIMIZATION_r12.md)
-    bidir.count()
-    labels = bidir.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
+    # materialize the cache via the LABEL-INIT job (r13, r12 verdict #6):
+    # bidir fans out into several subtrees of round 1's single job, and an
+    # unmaterialized persist lets concurrent stages race-recompute the
+    # (possibly very expensive — levenshtein blocking, LSH verification)
+    # upstream pair relation instead of reading blocks (measured:
+    # entity_resolution_docs 8.7→7.2s median, OPTIMIZATION_r12.md). The
+    # r12 guard was a separate blocking count() — pure overhead for cheap
+    # pair generators and an extra cached-|E| pass at scale. The label
+    # relation needs a full pass over bidir anyway, so an EAGER checkpoint
+    # of it populates the edge cache in the same single-consumer job (no
+    # race) and round 1 stops re-planning the label-init distinct twice.
+    labels = (
+        bidir.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
-            neigh_min = (
-                bidir.join(labels, bidir["dst"] == labels["node"])
-                .groupBy("src")
-                .agg(F.min("label").alias("nmin"))
+            # r13 (guide §2.3 "aggregate before you shuffle" / §2.4): the
+            # r12 shape ran neighbor-min as groupBy(src) (one exchange)
+            # and then LEFT-JOINED it back onto labels (a second
+            # label-keyed exchange) to apply least(own, nmin). MIN over
+            # the UNION of {own label} ∪ {neighbor labels} computes the
+            # identical value in ONE exchange: per node, min(cand) =
+            # least(label, coalesce(nmin, label)), and min(own) recovers
+            # the old label (own is unique per node, NULL on neighbor
+            # rows — min skips NULLs). Integer MIN is order-independent,
+            # so results are bit-identical.
+            cand = bidir.join(labels, bidir["dst"] == labels["node"]).select(
+                F.col("src").alias("node"),
+                F.col("label").alias("cand"),
+                F.lit(None).cast("long").alias("own"),
             )
             prop = (
-                labels.join(
-                    neigh_min, labels["node"] == neigh_min["src"], "left"
+                cand.unionByName(
+                    labels.select(
+                        "node",
+                        F.col("label").alias("cand"),
+                        F.col("label").alias("own"),
+                    )
                 )
-                .select(
-                    F.col("node"),
-                    F.col("label").alias("__old"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
+                .groupBy("node")
+                .agg(F.min("cand").alias("label"), F.min("own").alias("__old"))
+                .select("node", "__old", "label")
                 # lazy checkpoint: prop feeds BOTH sides of the jump
                 # self-join below — one shared materialization instead of
                 # planning (and partially re-executing) the neighbor-min
@@ -221,37 +249,42 @@ def pagerank(
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     prev = ranks
-    for _ in range(iters):
-        prev = ranks
-        contribs = (
-            links.join(ranks, links["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        # dangling mass: rank held by nodes with no out-edges — a 1-row
-        # aggregate broadcast into the update (NOT collected: the loop
-        # body stays one lazy plan). Float-op order matches the old
-        # driver-side formula exactly: ((1-d)/n) + ((d*dangling)/n) + d*c
-        # left-associated, so the results are bit-identical.
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+    try:
+        for _ in range(iters):
+            prev = ranks
+            contribs = (
+                links.join(ranks, links["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             )
-            .localCheckpoint(eager=True)
-        )
-    # every round's ranks are checkpointed blocks — release the edge cache
-    links.unpersist()
+            # dangling mass: rank held by nodes with no out-edges — a 1-row
+            # aggregate broadcast into the update (NOT collected: the loop
+            # body stays one lazy plan). Float-op order matches the old
+            # driver-side formula exactly: ((1-d)/n) + ((d*dangling)/n) + d*c
+            # left-associated, so the results are bit-identical.
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                        + F.lit(damping)
+                        * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # every round's ranks are checkpointed blocks — release the edge
+        # cache even on a mid-loop failure (r13, ADVICE: an exception here
+        # used to leak the persisted |E| cache for the session's lifetime)
+        links.unpersist()
     if with_residual:
         resid = (
             ranks.select("node", "rank")
@@ -308,54 +341,73 @@ def pagerank_units(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    links = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # r13 (guide §2.4 — the r12 fix pagerank got, applied to the integer
+    # variant graph_pagerank_parts actually runs): links is static across
+    # rounds — persist it once (the eager localCheckpoint erased
+    # partitioning and re-shuffled |E| every round; the e⋈out_deg output
+    # is ALREADY hash-partitioned by src, so no explicit repartition —
+    # the cache preserves the join's partitioning); the DANGLING NODE SET
+    # is static too (out-degree never changes), so materialize it once
+    # instead of re-running the scan+groupBy+anti-join subtree per
+    # round. Integer sums are order-independent, so results are
+    # bit-identical.
+    links = e.join(out_deg, "src").persist()
+    dangling_nodes = (
+        nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select("node", F.lit(total_units // n).alias("rank_units"))
     prev = ranks
-    for _ in range(iters):
-        prev = ranks
-        contribs = (
-            links.join(ranks, links["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(
-                F.sum(F.expr("rank_units div deg")).alias("contrib_units")
+    try:
+        for _ in range(iters):
+            prev = ranks
+            contribs = (
+                links.join(ranks, links["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.expr("rank_units div deg")).alias("contrib_units")
+                )
             )
-        )
-        # dangling mass as a broadcast 1-row aggregate (same laziness
-        # fix as pagerank's): num*dangling ≤ damping_num·total_units
-        # ≈ 1.7e16 « 2^63, and div over non-negative operands equals
-        # Python's //, so the integer result is bit-identical to the
-        # old driver-side formula.
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("rank_units"), F.lit(0))
-                .cast("long")
-                .alias("_dangling_units")
+            # dangling mass as a broadcast 1-row aggregate (same laziness
+            # fix as pagerank's): num*dangling ≤ damping_num·total_units
+            # ≈ 1.7e16 « 2^63, and div over non-negative operands equals
+            # Python's //, so the integer result is bit-identical to the
+            # old driver-side formula.
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank_units"), F.lit(0))
+                    .cast("long")
+                    .alias("_dangling_units")
+                )
             )
-        )
-        teleport_units = (damping_den - damping_num) * total_units // (
-            damping_den * n
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport_units)
-                    + F.expr(
-                        f"({damping_num} * _dangling_units)"
-                        f" div {damping_den * n}"
-                    )
-                    + F.expr(
-                        f"({damping_num} * coalesce(contrib_units, 0L))"
-                        f" div {damping_den}"
-                    )
-                ).cast("long").alias("rank_units"),
+            teleport_units = (damping_den - damping_num) * total_units // (
+                damping_den * n
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport_units)
+                        + F.expr(
+                            f"({damping_num} * _dangling_units)"
+                            f" div {damping_den * n}"
+                        )
+                        + F.expr(
+                            f"({damping_num} * coalesce(contrib_units, 0L))"
+                            f" div {damping_den}"
+                        )
+                    ).cast("long").alias("rank_units"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # every round's ranks are checkpointed blocks — release the edge
+        # cache even on a mid-loop failure (same rule as pagerank)
+        links.unpersist()
     out = ranks.select(
         "node",
         "rank_units",
@@ -461,7 +513,7 @@ def triangle_stats(
     # the KNOWN edge count — data-derived, not tuned to this host — and
     # falls back to the sort-merge plan when the edge set is too big to
     # ship (the 100 TB regime).
-    if n_edges <= _TRIANGLE_BCAST_EDGE_ROWS:
+    if n_edges <= _triangle_bcast_edge_rows(edges.sparkSession):
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
         F.count("*").alias("n_triangles")
@@ -645,32 +697,52 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = dist
-    for _ in range(iters):
-        relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
-            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
-        )
-        # candidates reduced to one row per node, then anti-joined
-        # against the settled set: in hop-BFS every already-settled node
-        # has hops <= t < t+1, so "improved" == "never seen before" and
-        # the frontier/dist node sets stay disjoint (plain union below,
-        # no re-aggregation of the settled ball).
-        frontier = (
-            relaxed.groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .join(dist.select("node"), "node", "left_anti")
-            # lazy: the emptiness count below materializes the round's
-            # checkpoint — one job per round instead of two (r12)
-            .localCheckpoint(eager=False)
-        )
-        if frontier.count() == 0:
-            break
-        # union of per-round checkpointed frontiers: shallow lineage
-        # (one node appears exactly once across all rounds)
-        dist = dist.unionByName(frontier)
-    # every returned row sits in checkpointed blocks — release the edge
-    # cache now (persist() is never GC-cleaned; without this each call
-    # leaks an |E|-sized CacheManager entry for the session's lifetime)
-    e.unpersist()
+    try:
+        for _ in range(iters):
+            relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + F.lit(1)).alias("hops"),
+            )
+            # candidates reduced to one row per node and screened against
+            # the settled set: in hop-BFS every already-settled node has
+            # hops <= t < t+1, so "improved" == "never seen before" and
+            # the frontier/dist node sets stay disjoint (plain union below,
+            # no re-aggregation of the settled ball). r13 (guide §2.3):
+            # the r12 shape was groupBy + LEFT-ANTI join (two exchange
+            # sides); one union + groupBy computes the identical frontier
+            # in ONE exchange — a settled marker row suppresses the node,
+            # min(when(¬settled)) is the candidate minimum.
+            frontier = (
+                relaxed.select("node", "hops", F.lit(False).alias("_s"))
+                .unionByName(
+                    dist.select(
+                        "node",
+                        F.lit(0).cast("long").alias("hops"),
+                        F.lit(True).alias("_s"),
+                    )
+                )
+                .groupBy("node")
+                .agg(
+                    F.min(F.when(~F.col("_s"), F.col("hops"))).alias("hops"),
+                    F.max("_s").alias("_settled"),
+                )
+                .filter(~F.col("_settled"))
+                .select("node", "hops")
+                # lazy: the emptiness count below materializes the round's
+                # checkpoint — one job per round instead of two (r12)
+                .localCheckpoint(eager=False)
+            )
+            if frontier.count() == 0:
+                break
+            # union of per-round checkpointed frontiers: shallow lineage
+            # (one node appears exactly once across all rounds)
+            dist = dist.unionByName(frontier)
+    finally:
+        # every returned row sits in checkpointed blocks — release the
+        # edge cache even on a mid-loop failure (persist() is never
+        # GC-cleaned; without this each call leaks an |E|-sized
+        # CacheManager entry for the session's lifetime)
+        e.unpersist()
     return dist
 
 
@@ -752,47 +824,66 @@ def weighted_sssp(
     )
     frontier = dist
     rounds_run = 0
-    for _ in range(iters):
-        rounds_run += 1
-        relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).alias("_cand"),
-        )
-        # ONE full-outer join merges candidates into the settled ball and
-        # flags improvements; the round's single checkpoint then serves
-        # BOTH next-round relations (dist and frontier are projections of
-        # the same materialized blocks — no second job over the ball).
-        # least() skips NULLs, so only-settled rows keep _old and
-        # newly-reached rows take _cand.
-        merged = (
-            relaxed.groupBy("node")
-            .agg(F.min("_cand").alias("_cand"))
-            .join(dist.withColumnRenamed("dist", "_old"), "node", "full")
-            .select(
-                "node",
-                F.least("_cand", "_old").alias("dist"),
-                (
-                    F.col("_cand").isNotNull()
-                    & (F.col("_old").isNull() | (F.col("_cand") < F.col("_old")))
-                ).alias("_improved"),
+    try:
+        for _ in range(iters):
+            rounds_run += 1
+            relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("_cand"),
             )
-            # lazy: the improved-count below materializes the checkpoint
-            # in the same job — one scheduler round-trip per round, not
-            # two (the old shape paid an eager-checkpoint job AND an
-            # isEmpty job; r12, same fold as connected_components)
-            .localCheckpoint(eager=False)
-        )
-        n_improved = merged.filter("_improved").count()
-        dist = merged.select("node", "dist")
-        frontier = merged.filter("_improved").select("node", "dist")
-        if n_improved == 0:
-            if short_circuit:
-                break
-            # measurement mode: the frontier is empty so every further
-            # round is a no-op join over zero rows — still executed
+            # r13 (guide §2.3, same fold as connected_components): the r12
+            # shape grouped the candidates (one exchange) and FULL-OUTER
+            # joined the settled ball (two more exchange sides). One
+            # union + groupBy computes the identical merge in ONE
+            # exchange: _old is unique per node (NULL on candidate rows,
+            # min skips NULLs), min(_cand) is the candidate minimum, and
+            # a node missing from either side yields the same NULL the
+            # full-outer join produced. The round's single checkpoint
+            # still serves BOTH next-round relations (dist and frontier
+            # are projections of the same materialized blocks).
+            merged = (
+                relaxed.select(
+                    "node", "_cand", F.lit(None).cast("long").alias("_old")
+                )
+                .unionByName(
+                    dist.select(
+                        "node",
+                        F.lit(None).cast("long").alias("_cand"),
+                        F.col("dist").alias("_old"),
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("_cand").alias("_cand"), F.min("_old").alias("_old"))
+                .select(
+                    "node",
+                    F.least("_cand", "_old").alias("dist"),
+                    (
+                        F.col("_cand").isNotNull()
+                        & (
+                            F.col("_old").isNull()
+                            | (F.col("_cand") < F.col("_old"))
+                        )
+                    ).alias("_improved"),
+                )
+                # lazy: the improved-count below materializes the
+                # checkpoint in the same job — one scheduler round-trip
+                # per round, not two (the old shape paid an
+                # eager-checkpoint job AND an isEmpty job; r12, same fold
+                # as connected_components)
+                .localCheckpoint(eager=False)
+            )
+            n_improved = merged.filter("_improved").count()
+            dist = merged.select("node", "dist")
+            frontier = merged.filter("_improved").select("node", "dist")
+            if n_improved == 0:
+                if short_circuit:
+                    break
+                # measurement mode: the frontier is empty so every further
+                # round is a no-op join over zero rows — still executed
+    finally:
+        # dist is a projection of checkpointed blocks — release the edge
+        # cache even on a mid-loop failure (same leak note as bfs_hops)
+        e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds_run
-    # dist is a projection of checkpointed blocks — release the edge
-    # cache (same leak note as bfs_hops)
-    e.unpersist()
     return dist

@@ -39,6 +39,25 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_gate(text_col: str | Column) -> Column:
+    """The composite C4/Gopher-style pass PREDICATE as a bare column —
+    enough tokens, mostly alphabetic, has stopwords. The exact expression
+    ``quality_scores`` emits as ``passes_quality``: pipelines that only
+    need the keep/drop decision apply it as a FILTER on the document scan
+    (one pass, no quality-relation join back onto the corpus — guide §6;
+    r13, tdp_v2 single-scan fix)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS["en"])))
+    return (
+        (n_tok >= 10)
+        & (alpha_chars / F.length(t) > 0.5)
+        & (F.try_divide(stop_hits, n_tok) > 0.01)
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Quality scoring: length/punct/stopword/alpha ratios + composite.
 
@@ -62,13 +81,9 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (punct_chars / n_chars).alias("punct_ratio"),
         F.try_divide(stop_hits, n_tok).alias("stopword_ratio"),
         mean_tok_len.alias("mean_token_len"),
-        # composite gate in the C4/Gopher style: enough tokens, mostly
-        # alphabetic, has stopwords
-        (
-            (n_tok >= 10)
-            & (alpha_chars / n_chars > 0.5)
-            & (F.try_divide(stop_hits, n_tok) > 0.01)
-        ).alias("passes_quality"),
+        # composite gate in the C4/Gopher style — MUST stay the same
+        # expression as quality_gate() (callers rely on filter ≡ join)
+        quality_gate(t).alias("passes_quality"),
     )
 
 

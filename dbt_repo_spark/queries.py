@@ -4286,8 +4286,12 @@ def training_data_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_repo_spark.operators.graph import dedup_clusters as clusters
 
     docs = t(spark, sf_dir, "documents")
-    q_ = text.quality_scores(docs, "doc_id", "text").filter("passes_quality")
-    keep = docs.join(q_.select("doc_id"), "doc_id")
+    # r13 (guide §6, r12 verdict ask #8): the gate used to run as
+    # quality_scores(docs) ⋈ docs on doc_id — TWO documents scans plus a
+    # join shuffle for a row-local predicate. doc_id is unique, so the
+    # join is exactly a filter (and the oracle's keepq IS a filter):
+    # apply the identical composite predicate directly on the one scan.
+    keep = docs.filter(text.quality_gate("text"))
     pat, tag = text.PII_PATTERNS["email"]
     # The scrubbed corpus feeds THREE subtrees (the LSH index build, the
     # singleton id set, and the canonical-keep join + final agg). Without
@@ -5584,6 +5588,12 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rare in lineitem) only multiply pre-distinct pair rows, which the
     # und dedup collapses to the identical edge set. Two exchanges
     # removed, values identical (oracle-checked).
+    # 100 TB assumption (r13, ADVICE): a key with d duplicate (o, partkey)
+    # rows fans out d² pre-dedup pair rows per order group, so this trade
+    # is only safe while per-order duplicate multiplicity stays O(1) —
+    # true for lineitem (l_linenumber-distinct parts, ≤7 lines/order). If
+    # the edge source ever changes to a feed with heavy per-key repeats,
+    # restore the cheap per-order distinct on (o, partkey) here.
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))

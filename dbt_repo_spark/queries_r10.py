@@ -203,12 +203,25 @@ def attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every emitted unit value is bit-identical — oracle-checked. The
     # fact-sized work (first-purchase agg, truncation join, lag window,
     # transition count) stays distributed and is untouched.
+    # r13 (ADVICE): the ≤36-row bound holds because src/dst come from the
+    # event_type taxonomy — a feed with a data-sized event_type domain
+    # would silently turn this collect (and the O(rounds·|trans|·|ch|)
+    # driver loop) into data-sized work. Assert the bound explicitly:
+    # take(cap+1) costs the same aggregate and fails loudly instead.
+    _state_cap = 10_000
     rows = (
         lagd.unionByName(term)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("c"))
-        .collect()
+        .take(_state_cap + 1)
     )
+    if len(rows) > _state_cap:
+        raise RuntimeError(
+            "attribution_markov: transition relation exceeds "
+            f"{_state_cap} rows — the event_type domain is data-sized, "
+            "not a channel taxonomy; the driver-side solve contract "
+            "(states²-bounded) does not hold for this feed"
+        )
     n_by_src: dict[str, int] = {}
     for r in rows:
         n_by_src[r.src] = n_by_src.get(r.src, 0) + r.c

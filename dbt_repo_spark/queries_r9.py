@@ -592,6 +592,10 @@ def embed_top_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle, growth row stays corpus-flat). Everything after runs on
     ≤4096-row relations (10 squaring joins + 1 matvec).
     """
+    import hashlib
+
+    import numpy as np
+
     from dbt_repo_spark.operators.fit import gram_partials
 
     emb = t(spark, sf_dir, "embeddings")
@@ -605,118 +609,75 @@ def embed_top_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
             " e -> CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT))"
         ).alias("q")
     )
-    parts = gram_partials(xq, "q", _PCA_DIM).localCheckpoint(eager=True)
-    sv = (
-        parts.filter(F.col("j") == -1)
-        .groupBy("i")
-        .agg(F.sum(F.col("p").cast(d38)).alias("s"))
-    )
-    pp = (
-        parts.filter(F.col("j") >= 0)
+    # r13 (guide §1.2 step 1 — the attribution_markov precedent): every
+    # relation after the Gram reduce is ≤(dim²+dim)=4160 rows BY
+    # CONSTRUCTION (dim=64), yet the squaring chain paid ~13 blocking
+    # scheduler round-trips (10 per-squaring eager checkpoints + the
+    # partials checkpoint + 2 more) and ~30 tiny join/agg operators. One
+    # collect of the aggregated partials replaces all of it; the solve
+    # runs on the driver with the IDENTICAL integer recurrence:
+    # - Python ints carry the centered-scatter products exactly
+    #   (⊇ decimal(38,0) headroom);
+    # - the squaring matmul is exact in np.int64: post-renorm |m| ≤
+    #   2·TARGET = 2²⁶, so |u| ≤ 64·2⁵² < 2⁶³ (the same bound that made
+    #   Spark's long sum safe);
+    # - every division is sign·(abs // d) over non-negative operands —
+    #   identical to Spark/DuckDB div.
+    # The fact-sized work (quantization + per-partition NumPy Gram fold)
+    # stays distributed and unchanged; only the finished 64×64 partials
+    # cross to the driver. Oracle parity re-verified at sf0.001/sf0.01.
+    rows = (
+        gram_partials(xq, "q", _PCA_DIM)
         .groupBy("i", "j")
         .agg(F.sum(F.col("p").cast(d38)).alias("p"))
+        .collect()
     )
-    sb = sv.select(F.col("i").alias("j"), F.col("s").alias("sj"))
-    sc = (
-        pp.join(sv, "i")
-        .join(sb, "j")
-        .select(
-            "i", "j",
-            (F.lit(n).cast(d38) * F.col("p") - F.col("s") * F.col("sj")).alias(
-                "sc"
-            ),
-        )
-    )
-    sgn = lambda c: F.when(c < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-    sh = sc.agg(
-        F.greatest(
-            F.lit(1).cast(d38),
-            F.expr(f"CAST(max(abs(sc)) div {_PCA_TARGET} AS {d38})"),
-        ).alias("sh")
-    )
-    m = (
-        sc.crossJoin(F.broadcast(sh))
-        .select(
-            "i", "j",
-            (sgn(F.col("sc")) * F.expr("CAST(abs(sc) div sh AS BIGINT)")).alias(
-                "s"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    schema_out = "dim long, component long"
+    if not rows:
+        # empty corpus: the old plan's empty `first` cross join emitted
+        # zero rows
+        return spark.createDataFrame([], schema_out)
+    dim = _PCA_DIM
+    s = [0] * dim
+    g = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        if r.j == -1:
+            s[r.i] = int(r.p)
+        else:
+            g[r.i][r.j] = int(r.p)
+    sc = [
+        [n * g[i][j] - s[i] * s[j] for j in range(dim)] for i in range(dim)
+    ]
+    mx = max(abs(x) for row in sc for x in row)
+    shv = max(1, mx // _PCA_TARGET)
+    m = np.array(
+        [[(1 if x >= 0 else -1) * (abs(x) // shv) for x in row] for row in sc],
+        dtype=np.int64,
     )
     for _ in range(_PCA_SQUARINGS):
-        m2 = (
-            m.alias("x")
-            .join(
-                m.select(
-                    F.col("i").alias("_yi"),
-                    F.col("j").alias("_yj"),
-                    F.col("s").alias("_ys"),
-                ),
-                F.col("x.j") == F.col("_yi"),
-            )
-            .groupBy(F.col("x.i").alias("i"), F.col("_yj").alias("j"))
-            .agg(F.sum(F.col("x.s") * F.col("_ys")).alias("u"))
-        )
-        d = m2.agg(
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr(f"CAST(max(abs(u)) div {_PCA_TARGET} AS BIGINT)"),
-            ).alias("d")
-        )
-        m = (
-            m2.crossJoin(F.broadcast(d))
-            .select(
-                "i", "j",
-                (sgn(F.col("u")) * F.expr("CAST(abs(u) div d AS BIGINT)")).alias(
-                    "s"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-    v0 = spark.range(_PCA_DIM).select(
-        F.col("id").alias("j"),
-        F.when(
-            F.conv(
-                F.substring(F.md5(F.col("id").cast("string")), 1, 1), 16, 10
-            ).cast("long")
-            < 8,
-            F.lit(1_000_000),
-        )
-        .otherwise(F.lit(-1_000_000))
-        .cast("long")
-        .alias("v"),
+        u = m @ m
+        d = max(1, int(np.abs(u).max()) // _PCA_TARGET)
+        m = np.sign(u) * (np.abs(u) // d)
+    v0 = np.array(
+        [
+            1_000_000
+            if int(hashlib.md5(str(j).encode()).hexdigest()[0], 16) < 8
+            else -1_000_000
+            for j in range(dim)
+        ],
+        dtype=np.int64,
     )
-    u = (
-        m.join(F.broadcast(v0), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("s") * F.col("v")).alias("u"))
-    )
-    dv = u.agg(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr("CAST(max(abs(u)) div 1000000 AS BIGINT)"),
-        ).alias("d")
-    )
-    vf = (
-        u.crossJoin(F.broadcast(dv))
-        .select(
-            "i",
-            (sgn(F.col("u")) * F.expr("CAST(abs(u) div d AS BIGINT)")).alias(
-                "v"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    first = (
-        vf.filter(F.col("v") != 0)
-        .orderBy("i")
-        .limit(1)
-        .select(sgn(F.col("v")).alias("f"))
-    )
-    return vf.crossJoin(F.broadcast(first)).select(
-        F.col("i").cast("long").alias("dim"),
-        (F.col("v") * F.col("f")).cast("long").alias("component"),
+    uv = m @ v0
+    dv = max(1, int(np.abs(uv).max()) // 1_000_000)
+    vf = (np.sign(uv) * (np.abs(uv) // dv)).tolist()
+    nz = [x for x in vf if x != 0]
+    if not nz:
+        # all-zero direction (e.g. n == 1): the old plan's empty `first`
+        # cross join emitted zero rows
+        return spark.createDataFrame([], schema_out)
+    f = 1 if nz[0] > 0 else -1
+    return spark.createDataFrame(
+        [(i, int(v) * f) for i, v in enumerate(vf)], schema_out
     )
 
 
@@ -1117,6 +1078,13 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("len"),
         )
         .filter(F.col("len").between(1, _RAKE_MAXLEN))
+        # r13 (guide §2.4/§5, r12 verdict ask #5): ph feeds THREE
+        # consumers (wstat, dp→ps, the final dp join). ReuseExchange
+        # dedups the window sort exchange, but each consumer still
+        # re-ran the window + phrase-assembly aggregate above it. One
+        # shared lazy materialization instead (CC's prop discipline);
+        # phrase-count sized, never corpus sized.
+        .localCheckpoint(eager=False)
     )
     wstat = (
         ph.select("len", F.explode(F.split("phrase", " ")).alias("w"))
@@ -1128,7 +1096,8 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp = ph.groupBy("phrase").agg(
         F.count("*").alias("n_occurrences"), F.min("len").alias("n_words")
-    )
+    # dp feeds ps AND the final join — same shared-materialization rule
+    ).localCheckpoint(eager=False)
     ps = (
         dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
         .join(F.broadcast(wsc), "w")
@@ -1217,31 +1186,38 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part, "dst")
         .persist()
     )
-    # materialize before fan-out: e feeds both the label-init distinct
-    # and round 1's join — an unmaterialized persist would let those
-    # stages race-recompute the co-purchase self-join (same guard as
-    # connected_components, r12)
-    e.count()
-    labels = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # materialize the cache via the LABEL-INIT job (r13, r12 verdict #6,
+    # same fold as connected_components): the label relation needs a full
+    # pass over e anyway, so an EAGER checkpoint of it populates the
+    # persisted edge blocks in a single-consumer job — round 1 reads the
+    # cache with no race, and the r12 separate blocking count() is gone.
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(_LPA_ROUNDS):
-        cnt = (
-            e.join(labels, e["dst"] == labels["node"])
-            .groupBy(F.col("src"), F.col("label"))
-            .agg(F.count("*").alias("c"))
-        )
-        labels = (
-            cnt.groupBy("src")
-            .agg(
-                F.min(
-                    F.struct((-F.col("c")).alias("a"), F.col("label").alias("b"))
-                )["b"].alias("label")
+    try:
+        for _ in range(_LPA_ROUNDS):
+            cnt = (
+                e.join(labels, e["dst"] == labels["node"])
+                .groupBy(F.col("src"), F.col("label"))
+                .agg(F.count("*").alias("c"))
             )
-            .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
-    e.unpersist()  # labels are checkpointed blocks; drop the edge cache
+            labels = (
+                cnt.groupBy("src")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("a"), F.col("label").alias("b"))
+                    )["b"].alias("label")
+                )
+                .select(F.col("src").alias("node"), "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # labels are checkpointed blocks; drop the edge cache even on a
+        # mid-loop failure (r13, ADVICE #1)
+        e.unpersist()
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_nodes"),
         F.min("node").alias("min_node"),

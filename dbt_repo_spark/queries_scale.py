@@ -1279,6 +1279,24 @@ def _collect_cost_map(pcost: DataFrame) -> dict[str, int]:
     return dict(zip(pdf["piece"], (int(c) for c in pdf["c"])))
 
 
+_VITERBI_BROADCASTS: list = []
+
+
+def release_viterbi_broadcasts() -> None:
+    """Destroy cost-map broadcasts from FINISHED unigram queries (r13).
+
+    Call only between queries (bench teardown, plan-capture teardown):
+    a destroyed broadcast cannot be re-read, so the caller guarantees no
+    registered DataFrame will re-execute afterwards.
+    """
+    while _VITERBI_BROADCASTS:
+        bc = _VITERBI_BROADCASTS.pop()
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # already cleaned by ContextCleaner / stopped context
+
+
 def _viterbi_segment(wl: DataFrame, cost_map: dict[str, int]) -> DataFrame:
     """Exact integer-cost Viterbi over the word relation under
     ``cost_map``: returns one row per word (w, len, freq, cost, path).
@@ -1300,6 +1318,14 @@ def _viterbi_segment(wl: DataFrame, cost_map: dict[str, int]) -> DataFrame:
     """
     spark = wl.sparkSession
     bc = spark.sparkContext.broadcast(cost_map)
+    # r13 (ADVICE): each call ships a fresh cost-map broadcast whose
+    # executor copies are otherwise reclaimed only when ContextCleaner
+    # notices the driver reference is GC-dead — across a 300-query bench
+    # session that is dozens of multi-MB blocks pinned indefinitely.
+    # Register it so session-hygiene points (bench teardown) can destroy
+    # the retired ones deterministically; the LIVE query's broadcasts are
+    # never touched mid-flight (release runs between queries).
+    _VITERBI_BROADCASTS.append(bc)
     piece_max = _UNIGRAM_PIECE_MAX
 
     def seg(batches):

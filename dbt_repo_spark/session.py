@@ -41,6 +41,25 @@ def _default_driver_mem() -> str:
         gb_by_ram = gb_by_cores
     return f"{min(16, gb_by_cores, gb_by_ram)}g"
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def conf_size_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("64m", "10485760", "10MB") into bytes.
+
+    Lets operators derive scale-adaptive gates (explicit broadcast hints)
+    from the SESSION's own budget instead of hardcoded row counts (r13,
+    ADVICE: a fixed gate bypasses autoBroadcastJoinThreshold and can OOM
+    a small-heap session where the shuffle plan was safe)."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower().removesuffix("b")
+        if raw and raw[-1] in _SIZE_SUFFIX:
+            return int(float(raw[:-1]) * _SIZE_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
+
+
 _PKG_SHIPPED: set[int] = set()
 
 

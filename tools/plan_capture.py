@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r12")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r13"))
 
 
 def main() -> None:
@@ -41,6 +41,12 @@ def main() -> None:
         )
 
         release_recall_audit_pins()
+        try:  # r13+ hygiene; absent when capturing pre-r13 "before" code
+            from dbt_repo_spark.queries_scale import release_viterbi_broadcasts
+
+            release_viterbi_broadcasts()
+        except ImportError:
+            pass
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             try:
