@@ -4,6 +4,13 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
+# r13 (r12 verdict ask #2): many-micro-batch append/compaction file-IO
+# stress — the layout/compaction slow class. Deselected by default
+# (pytest.ini addopts); run with `-m ""` to include.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

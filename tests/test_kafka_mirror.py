@@ -8,6 +8,11 @@ from __future__ import annotations
 import json
 
 import pytest
+
+# r13 (r12 verdict ask #2): broker-mirror roundtrips (stream-startup bound, same class as test_streaming).
+# Deselected by default (pytest.ini addopts) so the driver's bounded
+# pytest gate finishes; run with `-m ""` (or `-m slow`) to include.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from dbt_repo_spark.sources.kafka_mirror import KAFKA_SCHEMA, register

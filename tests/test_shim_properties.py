@@ -12,6 +12,13 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
+# r13 (r12 verdict ask #2): hypothesis shim fuzz sweep.
+# Deselected by default (pytest.ini addopts) so the driver's bounded
+# pytest gate finishes; run with `-m ""` (or `-m slow`) to include.
+pytestmark = pytest.mark.slow
+
 import duckdb
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
